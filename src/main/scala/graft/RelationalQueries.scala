@@ -1,0 +1,620 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Det._
+
+/** SURVEY.md §2.1–2.3, §2.5–2.8: scans, filters, joins, aggregations,
+  * windows, sorts, set ops — each over the TPC-H-ish testdata with a DuckDB
+  * oracle. Every query ends in a total ORDER BY (tiebreakers included) so the
+  * driver's hash compare is order-stable.
+  *
+  * Scale notes (100 TB): every query filters/projects before its first
+  * shuffle (pushdown + pruning reach the scan); dimension joins broadcast
+  * (customer/orders dims ≪ fact); fact-fact joins shuffle on the join key
+  * once and reuse that partitioning for the downstream groupBy where
+  * possible (same key ⇒ no second Exchange).
+  */
+object RelationalQueries {
+  import Tables._
+
+  // ---- §2.1 scans ----------------------------------------------------------
+
+  /** S1/S8 `scan_parquet`: projection + selective predicate; both reach the
+    * Parquet reader (PushedFilters + 4-column ReadSchema, not 11). */
+  private def scanParquet(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val scanParquetSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity >= 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S3 `page_count_estimate`: the reference's ceil(total/60) page estimate
+    * (pracuj_scraper.py:264-272) as an aggregate over orders. */
+  private def pageCount(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      count(lit(1)).as("total_results"),
+      ceil(count(lit(1)) / lit(60.0)).cast("long").as("est_pages"))
+
+  private val pageCountSql =
+    """SELECT count(*) AS total_results,
+      |       CAST(ceil(count(*) / 60.0) AS BIGINT) AS est_pages
+      |FROM orders""".stripMargin
+
+  // ---- §2.2 projections / filters -----------------------------------------
+
+  /** P1 `project_rename`: the reference's 16-column projection shape —
+    * renames, lit() constants, computed strings (pracuj_scraper.py:316-356). */
+  private def projectRename(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey").as("job_id"),
+        lit("pracuj.pl").as("source"),
+        concat(lit("order-"), col("o_orderkey").cast("string")).as("title"),
+        upper(col("o_orderpriority")).as("priority_u"),
+        lit("Active").as("listing_status"))
+      .orderBy("job_id")
+
+  private val projectRenameSql =
+    """SELECT o_orderkey AS job_id, 'pracuj.pl' AS source,
+      |       concat('order-', CAST(o_orderkey AS VARCHAR)) AS title,
+      |       upper(o_orderpriority) AS priority_u, 'Active' AS listing_status
+      |FROM orders ORDER BY job_id""".stripMargin
+
+  /** P2 `filter_pushdown`: conjunctive predicates incl. a timestamp bound —
+    * all pushed to the scan (reference's URL-side pre-filter,
+    * pracuj_scraper.py:21-23). */
+  private def filterPushdown(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_totalprice") > 150000 &&
+        col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  private val filterPushdownSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** P4 `null_guard_filter`: the reference's empty-guard pattern
+    * (pracuj_scraper.py:46-47) — classify then filter nulls out. */
+  private def nullGuard(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .withColumn("bal_class",
+        when(col("c_acctbal") < 0, lit("negative"))
+          .when(col("c_acctbal") > 5000, lit("high"))
+          .otherwise(lit(null).cast("string")))
+      .filter(col("bal_class").isNotNull)
+      .select("c_custkey", "bal_class")
+      .orderBy("c_custkey")
+
+  private val nullGuardSql =
+    """SELECT c_custkey,
+      |       CASE WHEN c_acctbal < 0 THEN 'negative'
+      |            WHEN c_acctbal > 5000 THEN 'high' END AS bal_class
+      |FROM customer
+      |WHERE c_acctbal < 0 OR c_acctbal > 5000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** P5 `coalesce_fallback`: office-else-remote-else-default cascade
+    * (pracuj_scraper.py:105-110). */
+  private def coalesceFallback(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .withColumn("primary", when(col("c_acctbal") > 7000, col("c_mktsegment")))
+      .withColumn("fallback", when(col("c_acctbal") > 2000, lower(col("c_name"))))
+      .select(col("c_custkey"),
+        coalesce(col("primary"), col("fallback"), lit("Unknown")).as("resolved"))
+      .orderBy("c_custkey")
+
+  private val coalesceFallbackSql =
+    """SELECT c_custkey,
+      |       coalesce(CASE WHEN c_acctbal > 7000 THEN c_mktsegment END,
+      |                CASE WHEN c_acctbal > 2000 THEN lower(c_name) END,
+      |                'Unknown') AS resolved
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---- §2.3 joins ----------------------------------------------------------
+
+  /** J1 `join_left_anti`: the upsert existence probe (database.py:116-123)
+    * batchwise — customers with no orders. Broadcast of neither side is
+    * assumed; at scale this is a shuffled anti-join on the key. */
+  private def leftAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val leftAntiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J3 `join_inner_equi`: parent↔child FK join (JobListing↔Skill,
+    * models.py:25-32) — orders↔lineitem, aggregated per parent so the
+    * join's shuffle partitioning (l_orderkey) is reused by the groupBy. */
+  private def innerEqui(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("order_value"))
+      .orderBy("o_orderkey")
+
+  private val innerEquiSql =
+    s"""SELECT o_orderkey, count(*) AS n_lines,
+       |       ${sqlDsum("l_extendedprice")} AS order_value
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** J4 `join_sort_merge_3way`: fact⋈fact⋈dim. lineitem⋈orders shuffles on
+    * orderkey (sort-merge at scale); customer is dim-sized → broadcast. */
+  private def threeWay(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  private val threeWaySql =
+    s"""SELECT c_mktsegment, count(*) AS n_items,
+       |       ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** J5 `join_left_outer`: jobs-without-skills survive (scraper.py:65) —
+    * order count per customer including zero. */
+  private def leftOuter(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  private val leftOuterSql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** J6 `join_left_semi`: "customers having an urgent order". */
+  private def leftSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val leftSemiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J7 `join_range_bands`: salary-band theta join (database.py:61-62 bands).
+    * Bands are a tiny literal dim → broadcast nested-loop, the right plan;
+    * at scale the fact side still streams through without a shuffle. */
+  private def rangeBands(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("B1_low", 0.0, 50000.0),
+      ("B2_mid", 50000.0, 150000.0),
+      ("B3_high", 150000.0, 100000000.0)
+    )).toDF("band", "lo", "hi")
+    orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_value"))
+      .orderBy("band")
+  }
+
+  private val rangeBandsSql =
+    s"""WITH bands(band, lo, hi) AS (VALUES
+       |  ('B1_low', 0.0, 50000.0),
+       |  ('B2_mid', 50000.0, 150000.0),
+       |  ('B3_high', 150000.0, 100000000.0))
+       |SELECT band, count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS band_value
+       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  /** J8 `join_asof_latest`: latest status per key over time
+    * (database.py:69-70) — latest event per user via window dedup. */
+  private def asofLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
+  private val asofLatestSql =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---- §2.5 aggregations ---------------------------------------------------
+
+  /** A1 `agg_counts`: the run counters (scraper.py:49-50). */
+  private def aggCounts(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("total_rows"),
+      dsum(col("l_quantity")).as("total_qty"))
+
+  private val aggCountsSql =
+    s"""SELECT count(*) AS total_rows, ${sqlDsum("l_quantity")} AS total_qty
+       |FROM lineitem""".stripMargin
+
+  /** A2 `agg_group_count`: skill-frequency shape (README.md:11). */
+  private def aggGroupCount(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val aggGroupCountSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A3 `agg_salary_stats`: the salary-dashboard multi-agg (README.md:10),
+    * TPC-H Q1 shape. Partial (map-side) agg + final agg happen automatically;
+    * the only shuffle carries 6 groups. Decimal sums keep the hash stable. */
+  private def aggSalaryStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val aggSalaryStatsSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  ${sqlDavg("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A4 `agg_count_distinct`: distinct companies/jobs per day analog. */
+  private def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("n_customers"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"))
+
+  private val aggCountDistinctSql =
+    """SELECT count(DISTINCT o_custkey) AS n_customers,
+      |       count(DISTINCT o_orderstatus) AS n_statuses,
+      |       count(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders""".stripMargin
+
+  /** A4b `agg_approx_distinct`: HLL sketch — the scale path for distincts
+    * (one pass, no shuffle of raw keys). NOT oracle-compared (estimator ≠
+    * DuckDB's); rows-only check. */
+  private def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+
+  /** A5 `agg_rollup`: subtotal matrices for dashboards. grouping_id
+    * disambiguates subtotal rows from real NULL groups. */
+  private def aggRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val aggRollupSql =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       |       ${sqlDsum("o_totalprice")} AS total,
+       |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** A5b `agg_cube`: full cube over two low-cardinality dims. */
+  private def aggCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val aggCubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---- §2.1 S5/S6 upsert-as-batch ------------------------------------------
+
+  /** S5 `upsert_dedup`: the reference's probe+insert upsert
+    * (database.py:106-158) batchwise: dedup incoming on the business key,
+    * anti-join against "existing", keep survivors. Existing = orders before
+    * 1998; incoming = orders from 1997 (overlap year ⇒ real dedup work). */
+  private def upsertDedup(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val existing = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val incoming = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+    incoming
+      .dropDuplicates("o_orderkey")
+      .join(existing.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  private val upsertDedupSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus
+      |FROM orders i
+      |WHERE i.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND NOT EXISTS (SELECT 1 FROM orders e
+      |                  WHERE e.o_orderkey = i.o_orderkey
+      |                    AND e.o_orderdate < TIMESTAMP '1998-01-01')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** S6 `append_dedup_skills`: unique-constraint-as-set-semantics
+    * (database.py:87): drop duplicate (parent, child-name) pairs. */
+  private def appendDedup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_partkey")
+      .dropDuplicates("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_distinct_parts"))
+      .orderBy("l_orderkey")
+
+  private val appendDedupSql =
+    """SELECT l_orderkey, count(*) AS n_distinct_parts
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ---- §2.6 windows --------------------------------------------------------
+
+  /** W1 `window_rank_topn`: top-3 parts by revenue within each brand. */
+  private def rankTopN(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(dsum(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rnk")
+      .orderBy("p_brand", "rnk", "p_partkey")
+  }
+
+  private val rankTopNSql =
+    s"""WITH rev AS (
+       |  SELECT p_brand, p_partkey, ${sqlDsum("l_extendedprice")} AS revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand, p_partkey)
+       |SELECT p_brand, p_partkey, revenue, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY p_brand
+       |            ORDER BY revenue DESC, p_partkey) AS rnk FROM rev)
+       |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin
+
+  /** W2 `window_lag_delta`: day-over-day change in order counts. */
+  private def lagDelta(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("month")
+    daily
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn("delta", col("cnt") - coalesce(col("prev_cnt"), lit(0L)))
+      .orderBy("month")
+  }
+
+  private val lagDeltaSql =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         count(*) AS cnt
+      |  FROM orders GROUP BY 1)
+      |SELECT month, cnt, lag(cnt, 1) OVER (ORDER BY month) AS prev_cnt,
+      |       cnt - coalesce(lag(cnt, 1) OVER (ORDER BY month), 0) AS delta
+      |FROM daily ORDER BY month""".stripMargin
+
+  /** W3 `window_moving_avg`: 3-month moving average of monthly revenue
+    * (row frame). Counts (exact ints) averaged in double — both engines
+    * compute the same small-int sums, so the doubles agree. */
+  private def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("month").rowsBetween(-2, 0)
+    daily
+      .withColumn("ma3",
+        (sum(col("cnt")).over(w).cast("double") /
+          count(col("cnt")).over(w)).as("ma3"))
+      .orderBy("month")
+  }
+
+  private val movingAvgSql =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         count(*) AS cnt
+      |  FROM orders GROUP BY 1)
+      |SELECT month, cnt,
+      |       CAST(sum(cnt) OVER w AS DOUBLE) / count(cnt) OVER w AS ma3
+      |FROM daily
+      |WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY month""".stripMargin
+
+  /** W4 `window_dedup_latest`: the upsert as a window (database.py:116-123):
+    * keep the latest order per customer. */
+  private def dedupLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey")
+  }
+
+  private val dedupLatestSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** W5 `window_cumsum`: cumulative order count over months. */
+  private def cumSum(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("running_cnt", sum(col("cnt")).over(w)).orderBy("month")
+  }
+
+  private val cumSumSql =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         count(*) AS cnt
+      |  FROM orders GROUP BY 1)
+      |SELECT month, cnt,
+      |       CAST(sum(cnt) OVER (ORDER BY month
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cnt
+      |FROM daily ORDER BY month""".stripMargin
+
+  // ---- §2.7 sorts / limits -------------------------------------------------
+
+  /** O1 `sort_multi_key`: multi-key mixed-direction total sort. */
+  private def sortMultiKey(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") === 50)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_returnflag").desc, col("l_linestatus").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+
+  private val sortMultiKeySql =
+    """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+      |FROM lineitem WHERE l_quantity = 50
+      |ORDER BY l_returnflag DESC, l_linestatus, l_orderkey, l_linenumber""".stripMargin
+
+  /** O2 `topk_limit`: top-10 orders by value — planned as
+    * TakeOrderedAndProject (no global sort materialization). */
+  private def topkLimit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val topkLimitSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---- §2.8 set ops --------------------------------------------------------
+
+  /** U1 `set_union_sources`: the two-scraper union (README.md:5). */
+  private def unionSources(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("k"), lit("src_open").as("src"))
+    val b = orders(s, d).filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey").as("k"), lit("src_big").as("src"))
+    a.unionByName(b).groupBy("src").agg(count(lit(1)).as("cnt")).orderBy("src")
+  }
+
+  private val unionSourcesSql =
+    """SELECT src, count(*) AS cnt FROM (
+      |  SELECT o_orderkey AS k, 'src_open' AS src FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT o_orderkey AS k, 'src_big' AS src FROM orders WHERE o_totalprice > 200000)
+      |GROUP BY src ORDER BY src""".stripMargin
+
+  /** U2 `set_intersect`: part brands appearing in both halves of the size
+    * range (set semantics — INTERSECT dedups). */
+  private def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+    p.filter(col("p_size") <= 25).select("p_brand")
+      .intersect(p.filter(col("p_size") > 25).select("p_brand"))
+      .orderBy("p_brand")
+  }
+
+  private val setIntersectSql =
+    """SELECT p_brand FROM part WHERE p_size <= 25
+      |INTERSECT
+      |SELECT p_brand FROM part WHERE p_size > 25
+      |ORDER BY p_brand""".stripMargin
+
+  /** U3 `set_except`: brands exclusive to the small-size half. */
+  private def setExcept(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+    p.filter(col("p_size") <= 10).select("p_brand")
+      .except(p.filter(col("p_size") > 10).select("p_brand"))
+      .orderBy("p_brand")
+  }
+
+  private val setExceptSql =
+    """SELECT p_brand FROM part WHERE p_size <= 10
+      |EXCEPT
+      |SELECT p_brand FROM part WHERE p_size > 10
+      |ORDER BY p_brand""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  def all: Seq[(String, Q)] = Seq(
+    "scan_parquet" -> Q(scanParquet, Some(scanParquetSql)),
+    "page_count_estimate" -> Q(pageCount, Some(pageCountSql)),
+    "project_rename" -> Q(projectRename, Some(projectRenameSql)),
+    "filter_pushdown" -> Q(filterPushdown, Some(filterPushdownSql)),
+    "null_guard_filter" -> Q(nullGuard, Some(nullGuardSql)),
+    "coalesce_fallback" -> Q(coalesceFallback, Some(coalesceFallbackSql)),
+    "join_left_anti" -> Q(leftAnti, Some(leftAntiSql)),
+    "join_inner_equi" -> Q(innerEqui, Some(innerEquiSql)),
+    "join_sort_merge_3way" -> Q(threeWay, Some(threeWaySql)),
+    "join_left_outer" -> Q(leftOuter, Some(leftOuterSql)),
+    "join_left_semi" -> Q(leftSemi, Some(leftSemiSql)),
+    "join_range_bands" -> Q(rangeBands, Some(rangeBandsSql)),
+    "join_asof_latest" -> Q(asofLatest, Some(asofLatestSql)),
+    "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
+    "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
+    "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
+    "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),
+    "agg_approx_distinct" -> Q(aggApproxDistinct, None),
+    "agg_rollup" -> Q(aggRollup, Some(aggRollupSql)),
+    "agg_cube" -> Q(aggCube, Some(aggCubeSql)),
+    "upsert_dedup" -> Q(upsertDedup, Some(upsertDedupSql)),
+    "append_dedup_skills" -> Q(appendDedup, Some(appendDedupSql)),
+    "window_rank_topn" -> Q(rankTopN, Some(rankTopNSql)),
+    "window_lag_delta" -> Q(lagDelta, Some(lagDeltaSql)),
+    "window_moving_avg" -> Q(movingAvg, Some(movingAvgSql)),
+    "window_dedup_latest" -> Q(dedupLatest, Some(dedupLatestSql)),
+    "window_cumsum" -> Q(cumSum, Some(cumSumSql)),
+    "sort_multi_key" -> Q(sortMultiKey, Some(sortMultiKeySql)),
+    "topk_limit" -> Q(topkLimit, Some(topkLimitSql)),
+    "set_union_sources" -> Q(unionSources, Some(unionSourcesSql)),
+    "set_intersect" -> Q(setIntersect, Some(setIntersectSql)),
+    "set_except" -> Q(setExcept, Some(setExceptSql)),
+  )
+}

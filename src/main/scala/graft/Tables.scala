@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's parquet testdata (TESTDATA.md / FIXTURES.md §A).
+  *
+  * Schemas are fixed by the generator (seed=42); we read the parquet footer
+  * schema directly (explicit, stable) rather than inferring anything. The
+  * session is expected to run with `spark.sql.session.timeZone=UTC` so
+  * timestamp columns (`o_orderdate`, `l_shipdate`, `events.ts`) are stable
+  * against the DuckDB oracle.
+  *
+  * At 100 TB these reads stay scan-shaped: every query selects/filters before
+  * any shuffle so Parquet column pruning + predicate pushdown apply (verify
+  * with `.explain("formatted")` → `PushedFilters`/`ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    * rejects; we read it as a nanos long (legacy conf in [[tune]]) and
+    * truncate to micros — the same truncation DuckDB's micro TIMESTAMP
+    * applies, so oracle comparisons stay aligned. Integer `DIV` (not `/`)
+    * because 2024 epoch-nanos ≈ 1.7e18 overflows double precision. */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Runtime confs every entry point applies (idempotent). Kept here so
+    * Verify/Bench/tests all execute with identical semantics. */
+  def tune(spark: SparkSession): SparkSession = {
+    // Oracle comparisons read our written parquet with DuckDB/pyarrow:
+    // INT96 is legacy — write standard micros.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // AQE re-plans shuffles at runtime (coalesce small partitions, split
+    // skewed ones) — essential at 100 TB, harmless at sf0.01.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // events.ts is TIMESTAMP(NANOS,false) — read as long, converted in events().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Events with ts bucketed to whole seconds — convenience for queries whose
+    * compared output includes a time column (sub-second precision differs in
+    * representation between engines; whole seconds are unambiguous). */
+  def eventsSec(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(s, d).withColumn("ts_sec", date_trunc("second", org.apache.spark.sql.functions.col("ts")))
+  }
+}
