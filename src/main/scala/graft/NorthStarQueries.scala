@@ -1,5 +1,305 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, VectorOps}
+
+/** SURVEY.md §2.11 + the training-data-pipeline pack: dedup (exact, MinHash,
+  * SimHash, n-gram Jaccard, embedding cosine), similarity search (brute +
+  * LSH), text analysis (token stats, language id, quality score,
+  * fingerprint), multimodal binary plumbing.
+  *
+  * Oracle policy: algorithm-specific hashes (MinHash/SimHash/LSH) are NOT
+  * DuckDB-reproducible → rows-only checks + property tests (SURVEY.md
+  * §7.4.5); everything else has an exact oracle.
+  */
 object NorthStarQueries {
-  def all: Seq[(String, Q)] = Seq()
+  import Tables._
+  import Det._
+
+  // ---- N1 dedup: exact -----------------------------------------------------
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    DedupOps.exactGroups(documents(s, d))
+      .select("group_id", "n_members", "members")
+      .orderBy("group_id")
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS group_id, count(*) AS n_members,
+      |       list_sort(list(doc_id)) AS members
+      |FROM documents
+      |GROUP BY trim(regexp_replace(regexp_replace(text, '\bdup\b', ' ', 'g'), '\s+', ' ', 'g'))
+      |HAVING count(*) > 1
+      |ORDER BY group_id""".stripMargin
+
+  // ---- N1 dedup: MinHash + LSH (rows-only; property-tested) ---------------
+
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.minhashPairs(documents(s, d), h = 16, bands = 4)
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  // ---- N1 dedup: SimHash (rows-only; property-tested) ----------------------
+
+  /** 64-bit SimHash; candidates share one of four 16-bit chunks (hamming ≤ 3
+    * per pigeonhole when distance ≤ 3 overall); verified by bit_count(xor). */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = documents(s, d)
+      .select(col("doc_id"), DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFF).as("ckey"))): _*)).as("ck"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("ck"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("ck"))
+    a.join(b, Seq("ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 12)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- N1 dedup: exact n-gram (token-set) Jaccard --------------------------
+
+  /** Exact Jaccard over distinct token sets, restricted to the planted
+    * near-dup family (docs containing `dup`) so candidates stay bounded;
+    * the general-scale path is dedup_minhash. */
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b")))
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = toks.as("x")
+      .join(toks.as("y"), col("x.tok") === col("y.tok") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupJaccardSql =
+    """WITH dup_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+      |           JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- N2 similarity search ------------------------------------------------
+
+  /** Brute-force exact cosine top-5 for a bounded query set (vec_id < 20).
+    * Query side broadcasts; corpus streams — the pattern that scales to a
+    * 100 TB corpus as long as |queries| is bounded. */
+  private def knnCosine(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, 5)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val knnCosineSql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(q.embedding,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(q.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(c.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos
+      |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, neighbor_id) AS rnk,
+      |         round(cos, 6) AS cos
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rnk, cos FROM ranked
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** ANN via sign-bit LSH buckets (rows-only; recall asserted in tests
+    * against the brute-force result). */
+  private def knnAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = VectorOps.lshBuckets(embeddings(s, d), planes = 8)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---- A7/X2 udaf_vector_centroid ------------------------------------------
+
+  /** Custom typed Aggregator: per-label centroid, exploded to (label, dim). */
+  private def vectorCentroid(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .groupBy("label")
+      .agg(VectorOps.centroidUdaf(s, 64).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        round(col("col"), 4).as("c"))
+      .orderBy("label", "dim")
+
+  private val vectorCentroidSql =
+    """SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
+  // ---- N3 text analysis ----------------------------------------------------
+
+  private def tokenStats(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_uniq"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_uniq")).as("total_uniq"),
+        (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  }
+
+  private val tokenStatsSql =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_uniq,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 1.0
+      |         / count(*) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Language-id heuristic: stopword-hit ratio (the n-gram-free analog that
+    * the token corpus supports); compared against the labeled lang column. */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val hits = size(filter(toks, t => t === "the" || t === "a"))
+    val ratio = hits.cast("double") / size(toks)
+    documents(s, d)
+      .select(col("lang"), when(ratio >= 0.06, lit("en_like"))
+        .otherwise(lit("other")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val langIdSql =
+    """SELECT lang,
+      |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |                    t -> t IN ('the', 'a'))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) >= 0.06
+      |       THEN 'en_like' ELSE 'other' END AS predicted,
+      |  count(*) AS cnt
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
+  /** Per-document quality score: length band + uniqueness ratio, the
+    * stopword/length heuristics of pretraining-data filtering. */
+  private def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    documents(s, d)
+      .select(col("doc_id"),
+        when(n < 40, "short").when(n <= 80, "mid").otherwise("long").as("len_band"),
+        round(uniq * 0.4 + lenScore * 0.6, 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreSql =
+    """SELECT doc_id,
+      |  CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+      |       WHEN len(string_split(text, ' ')) <= 80 THEN 'mid'
+      |       ELSE 'long' END AS len_band,
+      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |          / len(string_split(text, ' ')) * 0.4
+      |        + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0, 1.0) * 0.6,
+      |        6) AS score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic position-weighted token fingerprint (rolling-hash style,
+    * pure integer math so any engine reproduces it). */
+  private def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val terms = zip_with(toks, sequence(lit(1), size(toks)),
+      (t, i) => i.cast("long") * (length(t).cast("long") * 37L + ascii(t)))
+    documents(s, d)
+      .select(col("doc_id"),
+        (aggregate(terms, lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val docFingerprintSql =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    (t, i) -> i * (37 * length(t) + ascii(t)))) % 1000000007 AS BIGINT) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- N4 multimodal binary plumbing ---------------------------------------
+
+  /** Media columns as opaque binary + derived metadata — the compared part is
+    * pure byte arithmetic; the decode stub itself lives in
+    * [[graft.ops.MultimodalOps]] (spec-tested, not oracle-compared). */
+  private def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .select(col("doc_id"),
+        length(col("media")).as("n_bytes"),
+        upper(hex(expr("substring(media, 1, 8)"))).as("head_hex"),
+        (lit(64) + length(col("media")) % 512).as("fake_width"),
+        (lit(64) + (length(col("media")) * 7) % 512).as("fake_height"))
+      .orderBy("doc_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+      |       upper(hex(substring(text, 1, 8))) AS head_hex,
+      |       CAST(64 + strlen(text) % 512 AS INTEGER) AS fake_width,
+      |       CAST(64 + (strlen(text) * 7) % 512 AS INTEGER) AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  def all: Seq[(String, Q)] = Seq(
+    "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
+    "dedup_minhash" -> Q(dedupMinhash, None),
+    "dedup_simhash" -> Q(dedupSimhash, None),
+    "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
+    "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
+    "knn_ann_lsh" -> Q(knnAnnLsh, None),
+    "udaf_vector_centroid" -> Q(vectorCentroid, Some(vectorCentroidSql)),
+    "text_token_stats" -> Q(tokenStats, Some(tokenStatsSql)),
+    "lang_id" -> Q(langId, Some(langIdSql)),
+    "quality_score" -> Q(qualityScore, Some(qualityScoreSql)),
+    "doc_fingerprint" -> Q(docFingerprint, Some(docFingerprintSql)),
+    "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
+  )
 }

@@ -1,5 +1,237 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.ParseOps
+import Det._
+
+/** SURVEY.md §2.4 scalar-function pack (F1–F13, X3).
+  *
+  * The reference parses scraped strings; the testdata has no salary/URL text,
+  * so each query SYNTHESIZES its input strings deterministically from numeric
+  * columns, runs the real parse expressions on them, and the oracle computes
+  * the expected output arithmetically from the same numerics — making the
+  * oracle genuinely independent of the regex chain under test.
+  *
+  * All parse logic is built-in column expressions (ParseOps) — zero UDFs, so
+  * the whole pipeline stays in whole-stage codegen at any scale.
+  */
 object ParseQueries {
-  def all: Seq[(String, Q)] = Seq()
+  import Tables._
+
+  // ---- F1 salary_parse -----------------------------------------------------
+
+  /** Four deterministic salary-text shapes keyed on o_orderkey % 4:
+    * 0: "12 000–17 000 zł" (range, space thousands)  → (a, a+5000)
+    * 1: "9 500 zł" (single)                          → (a, a)
+    * 2: "150,25-200,25 zł/h" (hourly, decimal comma) → ×160
+    * 3: "Do negocjacji"                              → (null, null)
+    * Cents are quarter-multiples so the ×160 double math is exact in both
+    * engines (0.25 is binary-exact).
+    */
+  private def salaryParse(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = (col("o_orderkey") % 191).cast("int") * 100 + 1000
+    val h = (col("o_orderkey") % 80).cast("int") + 100
+    val q = (col("o_orderkey") % 4).cast("int") * 25
+    def grp(c: org.apache.spark.sql.Column) =
+      regexp_replace(format_number(c, 0), ",", " ")
+    val text = when(col("o_orderkey") % 4 === 0,
+        concat(grp(a), lit("–"), grp(a + 5000), lit(" zł")))
+      .when(col("o_orderkey") % 4 === 1, concat(grp(a), lit(" zł")))
+      .when(col("o_orderkey") % 4 === 2,
+        concat(h.cast("string"), lit(","), lpad(q.cast("string"), 2, "0"),
+          lit("-"), (h + 50).cast("string"), lit(","),
+          lpad(q.cast("string"), 2, "0"), lit(" zł/h")))
+      .otherwise(lit("Do negocjacji"))
+    val (mn, mx) = ParseOps.salaryParse(text)
+    o.select(col("o_orderkey"), mn.as("salary_min"), mx.as("salary_max"))
+      .orderBy("o_orderkey")
+  }
+
+  private val salaryParseSql =
+    """SELECT o_orderkey,
+      |  CASE o_orderkey % 4
+      |    WHEN 0 THEN CAST((o_orderkey % 191) * 100 + 1000 AS INTEGER)
+      |    WHEN 1 THEN CAST((o_orderkey % 191) * 100 + 1000 AS INTEGER)
+      |    WHEN 2 THEN CAST(floor(((o_orderkey % 80) + 100 + (o_orderkey % 4) * 25 / 100.0) * 160) AS INTEGER)
+      |  END AS salary_min,
+      |  CASE o_orderkey % 4
+      |    WHEN 0 THEN CAST((o_orderkey % 191) * 100 + 6000 AS INTEGER)
+      |    WHEN 1 THEN CAST((o_orderkey % 191) * 100 + 1000 AS INTEGER)
+      |    WHEN 2 THEN CAST(floor(((o_orderkey % 80) + 150 + (o_orderkey % 4) * 25 / 100.0) * 160) AS INTEGER)
+      |  END AS salary_max
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- F2/S4 link_extract --------------------------------------------------
+
+  /** Three URL shapes keyed on doc_id % 3: a real offer URL (id extracted),
+    * an employer-profile URL (filtered out, pracuj_scraper.py:294-295), and a
+    * malformed URL (stable md5-prefix fallback id). */
+  private def linkExtract(s: SparkSession, d: String): DataFrame = {
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://www.pracuj.pl/praca/x,oferta,"),
+          (col("doc_id") + 1000000).cast("string")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("https://pracodawcy.pracuj.pl/company,"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("https://www.pracuj.pl/praca/weird/"),
+        col("doc_id").cast("string")))
+    documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .filter(!ParseOps.isEmployerLink(col("url")))
+      .select(col("doc_id"), ParseOps.jobIdFromUrl(col("url")).as("job_id"))
+      .orderBy("doc_id")
+  }
+
+  private val linkExtractSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN CAST(doc_id + 1000000 AS VARCHAR)
+      |    ELSE substring(md5('https://www.pracuj.pl/praca/weird/' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |  END AS job_id
+      |FROM documents WHERE doc_id % 3 <> 1 ORDER BY doc_id""".stripMargin
+
+  // ---- F3 yoe_extract ------------------------------------------------------
+
+  private def yoeExtract(s: SparkSession, d: String): DataFrame = {
+    val text = concat(lit("Wymagane "), (col("event_id") % 8).cast("string"),
+      lit(" lat doświadczenia"))
+    events(s, d)
+      .select(col("event_id"), ParseOps.yoeExtract(text).as("yoe"))
+      .orderBy("event_id")
+  }
+
+  private val yoeExtractSql =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 8 BETWEEN 1 AND 5
+      |       THEN CAST(event_id % 8 AS INTEGER) END AS yoe
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- F4 truncate_varchar -------------------------------------------------
+
+  private def truncateVarchar(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        ParseOps.truncateVarchar(
+          concat(col("p_name"), lit(" "), col("p_type")), 20).as("name20"),
+        ParseOps.truncateVarchar(col("p_brand"), 5).as("brand5"))
+      .orderBy("p_partkey")
+
+  private val truncateVarcharSql =
+    """SELECT p_partkey,
+      |       substring(p_name || ' ' || p_type, 1, 20) AS name20,
+      |       substring(p_brand, 1, 5) AS brand5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- F9 date_trunc_daily -------------------------------------------------
+
+  /** Trend-by-day grouping (README.md:5 dashboards). */
+  private def dateTruncDaily(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("day")
+
+  private val dateTruncDailySql =
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |       count(*) AS n_events,
+       |       count(DISTINCT user_id) AS n_users,
+       |       ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ---- F11 json_props_extract ----------------------------------------------
+
+  private def jsonProps(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    events(s, d)
+      .select(col("event_id"), k.as("k"))
+      .groupBy(floor(col("k") / 10).cast("int").as("k_band"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).cast("long").as("k_sum"))
+      .orderBy("k_band")
+  }
+
+  private val jsonPropsSql =
+    """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_band,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+      |FROM events GROUP BY 1 ORDER BY k_band""".stripMargin
+
+  // ---- F12 array_dot_product -----------------------------------------------
+
+  /** Squared L2 norm of each embedding via a sequential left fold in double —
+    * the same fold DuckDB's list_reduce performs, so the doubles agree
+    * bitwise; rounded anyway for defense. */
+  private def arrayDot(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sq_norm"))
+      .orderBy("vec_id")
+
+  private val arrayDotSql =
+    """SELECT vec_id,
+      |  round(list_reduce(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |    (a, b) -> a + b), 6) AS sq_norm
+      |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+
+  // ---- F13 map_entries -----------------------------------------------------
+
+  /** MapType round-trip: build a map from the JSON props, read back through
+    * element_at; only the scalar result is oracle-compared (map wire formats
+    * differ across engines). */
+  private def mapEntries(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    events(s, d)
+      .select(col("event_id"),
+        map_from_arrays(array(lit("k"), lit("k2")), array(k, k * 2)).as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "k").as("k_val"),
+        element_at(col("m"), "k2").as("k2_val"))
+      .orderBy("event_id")
+  }
+
+  private val mapEntriesSql =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- X3 explode_skills ---------------------------------------------------
+
+  /** The listing→N-skills fan-out (scraper.py:54-69) as the built-in
+    * generator: explode(split(text)). */
+  private def explodeSkills(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin("spark", "join", "dup"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("token")
+
+  private val explodeSkillsSql =
+    """SELECT token, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token IN ('spark', 'join', 'dup')
+      |GROUP BY token ORDER BY token""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  def all: Seq[(String, Q)] = Seq(
+    "salary_parse" -> Q(salaryParse, Some(salaryParseSql)),
+    "link_extract" -> Q(linkExtract, Some(linkExtractSql)),
+    "yoe_extract" -> Q(yoeExtract, Some(yoeExtractSql)),
+    "truncate_varchar" -> Q(truncateVarchar, Some(truncateVarcharSql)),
+    "date_trunc_daily" -> Q(dateTruncDaily, Some(dateTruncDailySql)),
+    "json_props_extract" -> Q(jsonProps, Some(jsonPropsSql)),
+    "array_dot_product" -> Q(arrayDot, Some(arrayDotSql)),
+    "map_entries" -> Q(mapEntries, Some(mapEntriesSql)),
+    "explode_skills" -> Q(explodeSkills, Some(explodeSkillsSql)),
+  )
 }

@@ -128,13 +128,17 @@ object RelationalQueries {
     * assumed; at scale this is a shuffled anti-join on the key. */
   private def leftAnti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        orders(s, d).filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
   private val leftAntiSql =
     """SELECT c_custkey, c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
       |ORDER BY c_custkey""".stripMargin
 
   /** J3 `join_inner_equi`: parent↔child FK join (JobListing↔Skill,
@@ -567,19 +571,19 @@ object RelationalQueries {
       |SELECT p_brand FROM part WHERE p_size > 25
       |ORDER BY p_brand""".stripMargin
 
-  /** U3 `set_except`: brands exclusive to the small-size half. */
+  /** U3 `set_except`: customers with finished orders but no open ones. */
   private def setExcept(s: SparkSession, d: String): DataFrame = {
-    val p = part(s, d)
-    p.filter(col("p_size") <= 10).select("p_brand")
-      .except(p.filter(col("p_size") > 10).select("p_brand"))
-      .orderBy("p_brand")
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
   }
 
   private val setExceptSql =
-    """SELECT p_brand FROM part WHERE p_size <= 10
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |EXCEPT
-      |SELECT p_brand FROM part WHERE p_size > 10
-      |ORDER BY p_brand""".stripMargin
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
 
   // ---- registry ------------------------------------------------------------
 

@@ -1,5 +1,136 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkillOps
+
+/** SURVEY.md §2.6 J2 + §2.4 F5–F8: the dictionary/taxonomy pipeline — the
+  * reference's core capability — over `documents.text`.
+  */
 object SkillQueries {
-  def all: Seq[(String, Q)] = Seq()
+  import Tables._
+
+  /** Shared oracle SQL fragments: the taxonomy as VALUES lists, kept in one
+    * place so Spark code and oracle can never drift apart. */
+  private def taxValues: String =
+    SkillOps.taxonomyRows
+      .map { case (t, c, p) => s"('$t', '$c', $p)" }
+      .mkString(", ")
+
+  private def varValues: String =
+    SkillOps.variations.map { case (v, c) => s"('$v', '$c')" }.mkString(", ")
+
+  private def stopList: String =
+    SkillOps.stopwords.map(t => s"'$t'").mkString(", ")
+
+  /** Oracle CTEs: distinct (doc_id, term) matches = single-word token joins
+    * UNION multi-word word-boundary regex matches. */
+  private def matchesCte: String =
+    s"""tax(term, category, priority) AS (VALUES $taxValues),
+       |toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |         FROM documents),
+       |matches AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT t.doc_id, x.term FROM toks t
+       |    JOIN (SELECT DISTINCT term FROM tax WHERE term NOT LIKE '% %') x
+       |      ON t.tok = x.term
+       |    UNION ALL
+       |    SELECT d.doc_id, x.term FROM documents d
+       |    JOIN (SELECT DISTINCT term FROM tax WHERE term LIKE '% %') x
+       |      ON regexp_matches(lower(d.text), '\\b' || x.term || '\\b')))""".stripMargin
+
+  // ---- J2 join_broadcast_lookup: first-match-wins category resolution ------
+
+  private def broadcastLookup(s: SparkSession, d: String): DataFrame =
+    SkillOps.resolvedCategories(s).orderBy("term")
+
+  private val broadcastLookupSql =
+    s"""WITH tax(term, category, priority) AS (VALUES $taxValues)
+       |SELECT term, arg_min(category, priority) AS category
+       |FROM tax GROUP BY term ORDER BY term""".stripMargin
+
+  // ---- F6 dict_term_match: docs-per-term frequency -------------------------
+
+  private def dictTermMatch(s: SparkSession, d: String): DataFrame =
+    SkillOps.matches(s, documents(s, d))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("term")
+
+  private val dictTermMatchSql =
+    s"""WITH $matchesCte
+       |SELECT term, count(*) AS n_docs FROM matches
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  // ---- flagship: skill_category_counts -------------------------------------
+
+  /** The reference pipeline end-to-end (SURVEY.md §7.2 slice 0): candidate
+    * skills = non-stopword tokens; taxonomy-resolved category with
+    * first-match-wins; unmatched → 'Other' (scraper.py:20); count distinct
+    * (doc, skill) pairs per category. */
+  private def categoryCounts(s: SparkSession, d: String): DataFrame = {
+    val candidates = documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(!col("term").isin(SkillOps.stopwords: _*))
+      .distinct()
+    candidates
+      .join(broadcast(SkillOps.resolvedCategories(s)), Seq("term"), "left_outer")
+      .select(col("doc_id"), coalesce(col("category"), lit("Other")).as("category"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("category"))
+  }
+
+  private val categoryCountsSql =
+    s"""WITH tax(term, category, priority) AS (VALUES $taxValues),
+       |resolved AS (SELECT term, arg_min(category, priority) AS category
+       |             FROM tax GROUP BY term),
+       |cand AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |         FROM documents),
+       |labeled AS (
+       |  SELECT c.doc_id, coalesce(r.category, 'Other') AS category
+       |  FROM cand c LEFT JOIN resolved r ON c.term = r.term
+       |  WHERE c.term NOT IN ($stopList))
+       |SELECT category, count(*) AS cnt FROM labeled
+       |GROUP BY category ORDER BY cnt DESC, category""".stripMargin
+
+  // ---- F7 canonicalize_skills: additive variations -------------------------
+
+  /** Distinct (doc, skill) where skill = raw matched term PLUS the canonical
+    * name for variation matches (additive, pracuj_scraper.py:216-227) —
+    * "sort merge" in a doc contributes both "sort merge" and "sort". */
+  private def canonicalize(s: SparkSession, d: String): DataFrame = {
+    val m = SkillOps.matches(s, documents(s, d))
+    val canon = m
+      .join(broadcast(SkillOps.variationsDf(s)), col("term") === col("variation"))
+      .select(col("doc_id"), col("canonical").as("skill"))
+    m.select(col("doc_id"), col("term").as("skill"))
+      .unionByName(canon)
+      .distinct()
+      .groupBy("skill")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("skill")
+  }
+
+  private val canonicalizeSql =
+    s"""WITH $matchesCte,
+       |vars(variation, canonical) AS (VALUES $varValues),
+       |skills AS (
+       |  SELECT DISTINCT doc_id, skill FROM (
+       |    SELECT doc_id, term AS skill FROM matches
+       |    UNION ALL
+       |    SELECT m.doc_id, v.canonical AS skill
+       |    FROM matches m JOIN vars v ON m.term = v.variation))
+       |SELECT skill, count(*) AS n_docs FROM skills
+       |GROUP BY skill ORDER BY skill""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  def all: Seq[(String, Q)] = Seq(
+    "join_broadcast_lookup" -> Q(broadcastLookup, Some(broadcastLookupSql)),
+    "dict_term_match" -> Q(dictTermMatch, Some(dictTermMatchSql)),
+    "skill_category_counts" -> Q(categoryCounts, Some(categoryCountsSql)),
+    "canonicalize_skills" -> Q(canonicalize, Some(canonicalizeSql)),
+  )
 }

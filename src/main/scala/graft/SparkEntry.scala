@@ -11,7 +11,7 @@ object SparkEntry {
     * (SURVEY.md §7.2 slice 0). */
   def entry(spark: SparkSession): DataFrame = {
     Tables.tune(spark)
-    Queries.byName("agg_salary_stats").build(spark, "/root/testdata/sf0.001")
+    Queries.byName("skill_category_counts").build(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

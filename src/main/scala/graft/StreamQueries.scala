@@ -1,5 +1,116 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Det._
+
+/** SURVEY.md §2.9: the reference is a timer-triggered micro-batch pipeline
+  * (function.json:6) with DB-constraint dedup (database.py:71,87). These are
+  * the BATCH-EQUIVALENT forms over `events` so the DuckDB oracle applies; the
+  * true `readStream` variants live in [[graft.streaming.StreamOps]] and are
+  * asserted equivalent in StreamOpsSpec via MemoryStream.
+  *
+  * Window-start columns are emitted as epoch SECONDS (bigint) — unambiguous
+  * across engines, no tz-aware/naive drift.
+  */
 object StreamQueries {
-  def all: Seq[(String, Q)] = Seq()
+  import Tables._
+
+  // ---- T2 stream_tumbling_count --------------------------------------------
+
+  /** Tumbling 1-day window per event_type — Spark's window() operator; the
+    * oracle reproduces its epoch-aligned bucketing with date_trunc. */
+  private def tumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("day_epoch"),
+        col("event_type"), col("cnt"), col("total_value"))
+      .orderBy("day_epoch", "event_type")
+
+  private val tumblingSql =
+    s"""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+       |       event_type, count(*) AS cnt, ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY day_epoch, event_type""".stripMargin
+
+  // ---- T3 stream_sliding_avg -----------------------------------------------
+
+  /** Sliding 1-hour window every 15 minutes: each event lands in 4 windows.
+    * The oracle expands the same 4 epoch-aligned starts per event. */
+  private def sliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), davg(col("value")).as("avg_value"))
+      .select(unix_timestamp(col("w.start")).as("win_epoch"), col("cnt"),
+        col("avg_value"))
+      .orderBy("win_epoch")
+
+  private val slidingSql =
+    """WITH offs(o) AS (VALUES (0), (1), (2), (3)),
+      |win AS (
+      |  SELECT 900 * CAST(floor(epoch(ts) / 900) AS BIGINT) - o * 900 AS win_epoch,
+      |         value
+      |  FROM events, offs)
+      |SELECT win_epoch, count(*) AS cnt,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value) AS avg_value
+      |FROM win GROUP BY win_epoch ORDER BY win_epoch""".stripMargin
+
+  // ---- T4 stream_session_window --------------------------------------------
+
+  /** 30-minute-gap session windows per user (session_window operator); the
+    * oracle is the classic gaps-and-islands rewrite. A new session starts
+    * when the gap is >= the timeout (Spark's window is [ts, ts+gap)). */
+  private def session(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---- T6 stream_dedup -----------------------------------------------------
+
+  /** Streaming keep-first dedup (DB unique constraints, database.py:71,87)
+    * batchwise: first event id per (user, type) — deterministic, unlike
+    * dropDuplicates' arbitrary survivor. */
+  private def dedup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_seen"))
+      .orderBy("user_id", "event_type")
+
+  private val dedupSql =
+    """SELECT user_id, event_type, min(event_id) AS first_event_id,
+      |       count(*) AS n_seen
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  def all: Seq[(String, Q)] = Seq(
+    "stream_tumbling_count" -> Q(tumbling, Some(tumblingSql)),
+    "stream_sliding_avg" -> Q(sliding, Some(slidingSql)),
+    "stream_session_window" -> Q(session, Some(sessionSql)),
+    "stream_dedup" -> Q(dedup, Some(dedupSql)),
+  )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's skill-taxonomy semantics (SURVEY.md §2.6 J2/F6/F7/F8):
+  *
+  *  - first-match-wins category resolution over DICT INSERTION ORDER
+  *    (scraper.py:20-24): encoded here as an explicit priority column +
+  *    min_by, because Python dict order is implicit and Spark must make it
+  *    explicit (SURVEY.md §7.4.2). `join` and `vector` are deliberately
+  *    ambiguous (listed in two categories) to exercise the rule.
+  *  - ADDITIVE variation canonicalization (pracuj_scraper.py:216-227): a term
+  *    matching both a category list and a variations list yields BOTH the raw
+  *    term and the canonical name (the reference's "sql server" → also "sql").
+  *  - word-boundary matching against lowered text (pracuj_scraper.py:183-197).
+  *
+  * Scale design: single-word terms are matched by token-explode + broadcast
+  * hash join (no per-term regex scans — the reference's O(terms×text) regex
+  * loop is the #1 thing NOT to port, SURVEY.md §4.2). Multi-word terms, which
+  * are few, use one broadcast theta-join with a word-boundary regex. At
+  * 100 TB both sides stream: no shuffle until the final aggregation.
+  */
+object SkillOps {
+
+  /** Category lists in priority (insertion) order — the testdata-token
+    * analog of pracuj_scraper.py:25-42's 16-category dict. */
+  val categories: Seq[(String, Seq[String])] = Seq(
+    "Programming" -> Seq("spark", "query", "scan", "vector"),
+    "Database" -> Seq("table", "row", "column", "key", "join"),
+    "Operations" -> Seq("join", "merge", "sort", "filter", "agg", "group",
+      "window", "hash", "sort merge", "hash join"),
+    "Data" -> Seq("data", "batch", "stream", "value", "line", "part", "vector"),
+    "Scale" -> Seq("big", "small", "fast", "slow"),
+  )
+
+  /** Variation → canonical-name map (pracuj_scraper.py:204-214 analog).
+    * Additive: matching "sort merge" emits it AND "sort". */
+  val variations: Seq[(String, String)] = Seq(
+    "sort merge" -> "sort",
+    "hash join" -> "hash",
+  )
+
+  /** Tokens that are never skills (the reference's untracked page chrome). */
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** (term, category, priority) rows; priority = category insertion index,
+    * so min_by(category, priority) reproduces first-match-wins. */
+  def taxonomyRows: Seq[(String, String, Int)] =
+    categories.zipWithIndex.flatMap { case ((cat, terms), i) =>
+      terms.map(t => (t, cat, i))
+    }
+
+  def taxonomyDf(s: SparkSession): DataFrame =
+    s.createDataFrame(taxonomyRows).toDF("term", "category", "priority")
+
+  def variationsDf(s: SparkSession): DataFrame =
+    s.createDataFrame(variations).toDF("variation", "canonical")
+
+  /** Resolved term → category (first-match-wins). Tiny (≤ terms) — always
+    * broadcast. */
+  def resolvedCategories(s: SparkSession): DataFrame =
+    taxonomyDf(s)
+      .groupBy("term")
+      .agg(min_by(col("category"), col("priority")).as("category"))
+
+  /** Distinct (doc_id, term) matches over a text table: token hash-join for
+    * single-word terms + one broadcast regex theta-join for multi-word terms.
+    * Set semantics per document (the reference's per-listing `set()`,
+    * pracuj_scraper.py:155-178). */
+  def matches(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (multi, single) = taxonomyRows.map(_._1).distinct.partition(_.contains(" "))
+    val singleDf = s.createDataFrame(single.map(Tuple1(_))).toDF("term")
+    val multiDf = s.createDataFrame(multi.map(Tuple1(_))).toDF("term")
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val singleMatches = tokens
+      .join(broadcast(singleDf), col("tok") === col("term"))
+      .select("doc_id", "term")
+    val multiMatches = docs
+      .join(broadcast(multiDf),
+        regexp_like(lower(col("text")),
+          concat(lit("\\b"), regexp_replace(col("term"), "([.*+?^${}()|\\[\\]\\\\])", "\\\\$1"), lit("\\b"))))
+      .select("doc_id", "term")
+    singleMatches.unionByName(multiMatches).distinct()
+  }
+}

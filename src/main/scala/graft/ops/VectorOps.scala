@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Vector/similarity primitives over `embeddings.embedding: array<float>`
+  * (SURVEY.md §2.11 N2, BASELINE.json north star).
+  *
+  * All arithmetic is double, via sequential left folds (`aggregate`) so the
+  * result is reproducible — and bit-identical to DuckDB's `list_reduce` left
+  * fold, which the oracles rely on.
+  */
+object VectorOps {
+
+  /** Left-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Left-fold squared L2 norm. */
+  def sqNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
+
+  /** Brute-force exact top-k cosine neighbors for a bounded query set.
+    * The scale path: the query side is small (broadcast), the corpus streams
+    * — one pass, no shuffle until the per-query top-k (rank window over
+    * query_id partitions). For corpus×corpus problems use [[lshBuckets]].
+    */
+  def knnCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
+  /** Sign-bit LSH bucketing with deterministic pseudo-random hyperplanes
+    * (no RNG: plane j, dim i weight = fract(sin-free integer mix) - 0.5,
+    * pure integer/double arithmetic so executors agree without broadcast).
+    * Rows sharing a bucket are ANN candidates — turns the O(n²) all-pairs
+    * cosine into a per-bucket join at scale.
+    */
+  def lshBuckets(df: DataFrame, planes: Int): DataFrame = {
+    // weight(j, i) = ((i*2654435761 + j*40503 + 12345) mod 1000003) / 1000003 - 0.5
+    def weight(j: Int, i: Column): Column =
+      ((i * lit(2654435761L) + lit(j * 40503L + 12345L)) % 1000003L)
+        .cast("double") / 1000003.0 - 0.5
+    val bits = (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") * weight(j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** A7/X2 custom typed Aggregator: element-wise centroid of embeddings.
+    * Buffer = (sum vector, count); merge is associative/commutative so Spark
+    * can combine partials map-side — the UDAF scale contract. */
+  class CentroidAgg(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
+    def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim && i < a.length) { b._1(i) += a(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+    def bufferEncoder = Encoders.tuple(
+      Encoders.kryo[Array[Double]], Encoders.scalaLong)
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  def centroidUdaf(s: SparkSession, dim: Int): Column =
+    udaf(new CentroidAgg(dim), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      .apply(col("embedding"))
+}
