@@ -143,13 +143,16 @@ object NorthStarQueries {
   /** ANN via sign-bit LSH buckets (rows-only; recall asserted in tests
     * against the brute-force result). */
   private def knnAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = VectorOps.lshBuckets(embeddings(s, d), planes = 8)
+    val e = VectorOps.lshTables(embeddings(s, d), planes = 4, tables = 4)
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("table_id"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("table_id"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)

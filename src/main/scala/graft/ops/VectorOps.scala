@@ -46,15 +46,14 @@ object VectorOps {
   }
 
   /** Sign-bit LSH bucketing with deterministic pseudo-random hyperplanes
-    * (no RNG: plane j, dim i weight = fract(sin-free integer mix) - 0.5,
-    * pure integer/double arithmetic so executors agree without broadcast).
-    * Rows sharing a bucket are ANN candidates — turns the O(n²) all-pairs
-    * cosine into a per-bucket join at scale.
+    * (no RNG: plane j, dim i weight = ((integer mix) mod p)/p - 0.5, pure
+    * arithmetic so executors agree without any broadcast state). Rows sharing
+    * a bucket are ANN candidates — turns the O(n²) all-pairs cosine into a
+    * per-bucket join at scale.
     */
-  def lshBuckets(df: DataFrame, planes: Int): DataFrame = {
-    // weight(j, i) = ((i*2654435761 + j*40503 + 12345) mod 1000003) / 1000003 - 0.5
+  def lshBuckets(df: DataFrame, planes: Int, table: Int = 0): DataFrame = {
     def weight(j: Int, i: Column): Column =
-      ((i * lit(2654435761L) + lit(j * 40503L + 12345L)) % 1000003L)
+      ((i * lit(2654435761L) + lit((table * planes + j) * 40503L + 12345L)) % 1000003L)
         .cast("double") / 1000003.0 - 0.5
     val bits = (0 until planes).map { j =>
       val proj = aggregate(
@@ -64,6 +63,17 @@ object VectorOps {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** Multi-table LSH: `tables` independent bucketings, exploded to
+    * (table_id, bucket) rows. More tables ⇒ higher recall at linear candidate
+    * cost — the standard ANN recall/cost dial. */
+  def lshTables(df: DataFrame, planes: Int, tables: Int): DataFrame = {
+    val perTable = (0 until tables).map { t =>
+      lshBuckets(df, planes, t)
+        .withColumn("table_id", lit(t))
+    }
+    perTable.reduce(_.unionByName(_))
   }
 
   /** A7/X2 custom typed Aggregator: element-wise centroid of embeddings.

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.9: true Structured Streaming forms of the reference's
+  * micro-batch pipeline (daily timer function.json:6; DB-constraint dedup
+  * database.py:71,87). Each transform takes ANY events-shaped DataFrame —
+  * batch or streaming — so StreamOpsSpec can assert batch/stream equivalence
+  * with MemoryStream, and StreamQueries' batch forms share semantics.
+  *
+  * Scale: watermarks bound state; dedup state is per-key-minimal (the
+  * reference's per-row SELECT-before-INSERT becomes O(distinct keys in the
+  * watermark horizon) state, not O(rows)).
+  */
+object StreamOps {
+
+  /** T2: tumbling 1-day counts per event type, 1h watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("day_start"), col("event_type"), col("cnt"))
+
+  /** T3: sliding 1-hour/15-minute averages. */
+  def slidingAvg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("avg_value"))
+
+  /** T4: 30-minute-gap session windows per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** T6: streaming dedup on event_id within the watermark horizon —
+    * the DB unique-constraint (database.py:71) as streaming state. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T7: stateful first-seen tracking per user via mapGroupsWithState —
+    * the reference's "already inserted?" probe (database.py:116-123) kept
+    * incrementally. Emits (user_id, first_seen_epoch, n_events_so_far). */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserState(firstSeen: Long, n: Long)
+  case class UserSeen(user_id: Long, first_seen_epoch: Long, n_events: Long)
+
+  def firstSeenPerUser(events: Dataset[Ev]): Dataset[UserSeen] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSeen](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
+          val batch = evs.toSeq
+          val minTs = batch.map(_.ts.getTime / 1000).min
+          val prev = state.getOption.getOrElse(UserState(Long.MaxValue, 0L))
+          val next = UserState(math.min(prev.firstSeen, minTs), prev.n + batch.size)
+          state.update(next)
+          UserSeen(uid, next.firstSeen, next.n)
+      }
+  }
+
+  /** T8: idempotent micro-batch sink — anti-join each batch against already-
+    * written keys before append (the reference's rollback-per-row dedup,
+    * database.py:192-201, done set-wise). */
+  def idempotentAppend(batch: DataFrame, existingKeys: DataFrame, keyCol: String): DataFrame =
+    batch.join(existingKeys.select(keyCol), Seq(keyCol), "left_anti")
+
+  /** Wire a streaming query to memory sink for tests / demos. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

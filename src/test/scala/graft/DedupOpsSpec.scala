@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** FIXTURES.md §B4 + SURVEY.md §5.2.3: dedup semantics and MinHash/SimHash
+  * properties (these are the non-oracle operators — property tests are their
+  * correctness gate). */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact groups: planted near-dups collapse after normalization") {
+    val groups = DedupOps.exactGroups(Tables.documents(spark, sfDir))
+    val rows = groups.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val members = r.getAs[scala.collection.Seq[Long]]("members")
+      assert(members.size == r.getAs[Long]("n_members"))
+      assert(members.min == r.getAs[Long]("group_id"))
+    }
+  }
+
+  test("dedup idempotence: dropDuplicates twice equals once") {
+    val df = Seq((1L, "s", "x"), (1L, "s", "x"), (2L, "s", "y"))
+      .toDF("job_id", "source", "skill")
+    val once = df.dropDuplicates("job_id", "source", "skill")
+    val twice = once.dropDuplicates("job_id", "source", "skill")
+    assert(once.count() == 2 && twice.count() == 2)
+  }
+
+  test("minhash: identical docs agree on the full signature") {
+    val t = "spark query scan table row column window sort merge"
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(df, h = 16, bands = 4).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash: estimate tracks true jaccard on planted near-dups") {
+    val pairs = DedupOps.minhashPairs(Tables.documents(spark, sfDir), 16, 4)
+      .filter(col("est_jaccard") >= 0.5).collect()
+    assert(pairs.nonEmpty, "planted near-dup family must surface")
+    // every surfaced pair must genuinely share most tokens
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    pairs.foreach { r =>
+      val (a, b) = (docs(r.getLong(0)).split(" ").toSet, docs(r.getLong(1)).split(" ").toSet)
+      val truth = a.intersect(b).size.toDouble / a.union(b).size
+      assert(truth > 0.5, s"pair (${r.getLong(0)},${r.getLong(1)}) true jaccard $truth")
+    }
+  }
+
+  test("minhash determinism: same input, same signatures across runs") {
+    val df = Tables.documents(spark, sfDir).limit(50)
+    val s1 = DedupOps.minhashPairs(df, 16, 4).collect().map(_.toString).sorted
+    val s2 = DedupOps.minhashPairs(df, 16, 4).collect().map(_.toString).sorted
+    assert(s1.sameElements(s2))
+  }
+
+  test("simhash: identical token arrays give identical hashes; disjoint differ") {
+    val df = Seq(
+      (1L, "spark query scan window"),
+      (2L, "spark query scan window"),
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("shingles slide over tokens in order") {
+    val got = Seq("a b c d").toDF("t")
+      .select(DedupOps.shingles(col("t"), 3).as("s"))
+      .collect().head.getAs[scala.collection.Seq[String]](0)
+    assert(got.toSeq == Seq("a_b_c", "b_c_d"))
+  }
+}

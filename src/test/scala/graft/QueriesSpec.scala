@@ -1,0 +1,26 @@
+package graft
+
+/** Smoke net: every registered query executes at sf0.001; the driver
+  * contract invariants hold (oracle keys ⊆ query keys, entry non-empty). */
+class QueriesSpec extends SparkSpec {
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("registry has no duplicate keys") {
+    val keys = Queries.all.map(_._1)
+    assert(keys.distinct.size == keys.size)
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, q) <- Queries.all) {
+    test(s"query $name executes at sf0.001") {
+      val n = q.build(spark, sfDir).count()
+      assert(n >= 0)
+    }
+  }
+}

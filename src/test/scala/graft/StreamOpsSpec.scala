@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+/** FIXTURES.md §B5: MemoryStream sequences asserted against the
+  * batch-equivalent results (SURVEY.md §5.2.5). */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  private val evs = Seq(
+    Ev(1, ts(0), 10, "click", 1.0),
+    Ev(2, ts(5), 10, "click", 2.0),
+    Ev(3, ts(50), 10, "view", 3.0),   // 45min gap -> new session for user 10
+    Ev(4, ts(2), 20, "click", 4.0),
+    Ev(5, ts(10), 20, "view", 5.0),
+    Ev(2, ts(5), 10, "click", 2.0)    // duplicate event_id 2
+  )
+
+  private def runStream[T](data: Seq[T], f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String, mode: OutputMode)(implicit enc: org.apache.spark.sql.Encoder[T]) = {
+    val mem = MemoryStream[T](spark)
+    mem.addData(data: _*)
+    StreamOps.runToMemory(f(mem.toDF()), name, mode)
+    spark.table(name)
+  }
+
+  test("tumbling window: stream result equals batch result") {
+    val streamed = runStream(evs, StreamOps.tumblingCounts, "t_tumbling", OutputMode.Complete())
+    val batch = StreamOps.tumblingCounts(evs.toDF())
+    assert(streamed.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("session window: 45-minute gap splits sessions; stream equals batch") {
+    val streamed = runStream(evs, StreamOps.sessionCounts, "t_session", OutputMode.Complete())
+    val rows = streamed.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    // user 10: sessions {e1,e2,dup} and {e3}; user 20: one session {e4,e5}
+    assert(rows == Seq((10L, 1L), (10L, 3L), (20L, 2L)))
+    val batch = StreamOps.sessionCounts(evs.toDF())
+    assert(streamed.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("streaming dedup drops the duplicate event_id within the watermark") {
+    val streamed = runStream(evs, StreamOps.dedupEvents, "t_dedup", OutputMode.Append())
+    assert(streamed.count() == 5)
+    assert(streamed.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("stateful first-seen per user via mapGroupsWithState") {
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(evs: _*)
+    val q = StreamOps.firstSeenPerUser(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_state").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (u, rs) => rs.maxBy(_._3) }.toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (10L, ts(0).getTime / 1000, 4L),
+      (20L, ts(2).getTime / 1000, 2L)))
+  }
+
+  test("idempotent append: batch anti-joined against existing keys") {
+    val batch = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("event_id", "v")
+    val existing = Seq(Tuple1(2L)).toDF("event_id")
+    val out = StreamOps.idempotentAppend(batch, existing, "event_id")
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("watermark: late row beyond the horizon is dropped in append mode") {
+    val mem = MemoryStream[Ev](spark)
+    val agg = StreamOps.tumblingCounts(mem.toDF())
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past day 0 (ts + 10 days)
+    mem.addData(Ev(2, ts(60 * 24 * 10), 1, "click", 1.0))
+    q.processAllAvailable()
+    // this event is 10 days late -> dropped
+    mem.addData(Ev(3, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_late")
+      .select(col("day_start"), col("cnt")).as[(Timestamp, Long)].collect().toMap
+    assert(rows.getOrElse(ts(0), 0L) == 1L, s"late row must not inflate day-0 count: $rows")
+  }
+}

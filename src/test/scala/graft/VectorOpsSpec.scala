@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** N2 similarity search: exactness of the brute-force path, recall of the
+  * LSH path, centroid UDAF correctness. */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine match hand-computed values") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.cosine(col("a"), col("a")).as("self")).collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("knn: self excluded, k respected, ranks ordered by cosine desc") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = VectorOps.knnCosine(e.filter(col("vec_id") < 5), e, 5).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("lsh ann: recall@3 vs brute force is useful (> 0.3) and buckets shrink work") {
+    val e = Tables.embeddings(spark, sfDir)
+    val brute = VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Queries.byName("knn_ann_lsh").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall $recall")
+    // bucketing is deterministic
+    val b1 = VectorOps.lshTables(e, 4, 4).select("vec_id", "table_id", "bucket").collect().map(_.toString).sorted
+    val b2 = VectorOps.lshTables(e, 4, 4).select("vec_id", "table_id", "bucket").collect().map(_.toString).sorted
+    assert(b1.sameElements(b2))
+  }
+
+  test("centroid UDAF equals manual element-wise average") {
+    val df = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 20f)))
+      .toDF("label", "embedding")
+    val got = df.groupBy("label").agg(VectorOps.centroidUdaf(spark, 2).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]](1).toSeq).toMap
+    assert(got(0) == Seq(2.0, 4.0))
+    assert(got(1) == Seq(10.0, 20.0))
+  }
+}
