@@ -326,7 +326,7 @@ object RelationalQueries {
     * DuckDB's); rows-only check. */
   private def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
     orders(s, d).agg(
-      approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      approx_count_distinct(col("o_custkey")).as("approx_customers"))
 
   /** A5 `agg_rollup`: subtotal matrices for dashboards. grouping_id
     * disambiguates subtotal rows from real NULL groups. */

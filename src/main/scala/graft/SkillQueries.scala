@@ -70,10 +70,12 @@ object SkillQueries {
     * first-match-wins; unmatched → 'Other' (scraper.py:20); count distinct
     * (doc, skill) pairs per category. */
   private def categoryCounts(s: SparkSession, d: String): DataFrame = {
+    // array_distinct before explode = per-doc set semantics without a
+    // post-explode distinct() shuffle (same trick as SkillOps.matches).
     val candidates = documents(s, d)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
       .filter(!col("term").isin(SkillOps.stopwords: _*))
-      .distinct()
     candidates
       .join(broadcast(SkillOps.resolvedCategories(s)), Seq("term"), "left_outer")
       .select(col("doc_id"), coalesce(col("category"), lit("Other")).as("category"))

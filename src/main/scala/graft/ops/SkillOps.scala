@@ -72,8 +72,13 @@ object SkillOps {
     val (multi, single) = taxonomyRows.map(_._1).distinct.partition(_.contains(" "))
     val singleDf = s.createDataFrame(single.map(Tuple1(_))).toDF("term")
     val multiDf = s.createDataFrame(multi.map(Tuple1(_))).toDF("term")
+    // array_distinct BEFORE explode: per-doc set semantics for free, and the
+    // exploded row count drops to the per-doc vocabulary size — no
+    // post-explode distinct() shuffle needed (single/multi term sets are
+    // disjoint, so the union introduces no duplicates either).
     val tokens = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
     val singleMatches = tokens
       .join(broadcast(singleDf), col("tok") === col("term"))
       .select("doc_id", "term")
@@ -82,6 +87,6 @@ object SkillOps {
         regexp_like(lower(col("text")),
           concat(lit("\\b"), regexp_replace(col("term"), "([.*+?^${}()|\\[\\]\\\\])", "\\\\$1"), lit("\\b"))))
       .select("doc_id", "term")
-    singleMatches.unionByName(multiMatches).distinct()
+    singleMatches.unionByName(multiMatches)
   }
 }
