@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.FloatVectorDot
+
+/** SparkSessionExtensions entry point: makes the engine's native functions
+  * available to any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (SURVEY.md §7.3). Sessions
+  * created without the conf get the same functions at runtime via
+  * [[Tables.tune]]'s registry call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"), FloatVectorDot.info, FloatVectorDot.builder))
+  }
+}

@@ -162,15 +162,15 @@ object ParseQueries {
 
   // ---- F12 array_dot_product -----------------------------------------------
 
-  /** Squared L2 norm of each embedding via a sequential left fold in double —
-    * the same fold DuckDB's list_reduce performs, so the doubles agree
-    * bitwise; rounded anyway for defense. */
+  /** Squared L2 norm of each embedding via the native codegen vec_dot
+    * expression — a sequential left fold in double, the same fold DuckDB's
+    * list_reduce performs, so the doubles agree bitwise; rounded anyway for
+    * defense. */
   private def arrayDot(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .filter(col("vec_id") < 50)
       .select(col("vec_id"),
-        round(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sq_norm"))
+        round(graft.ops.VectorOps.sqNorm(col("embedding")), 6).as("sq_norm"))
       .orderBy("vec_id")
 
   private val arrayDotSql =
@@ -221,6 +221,74 @@ object ParseQueries {
       |WHERE token IN ('spark', 'join', 'dup')
       |GROUP BY token ORDER BY token""".stripMargin
 
+  // ---- X1 udf_slugify: the one demonstrative Scala UDF ---------------------
+
+  /** SURVEY.md §2.10 X1: everything else in the engine is built-in
+    * expressions (codegen-friendly); this is the single deliberate UDF demo —
+    * note it's a black box to Catalyst (no pushdown through it), which is
+    * exactly why the rest of the engine avoids UDFs. */
+  private def udfSlugify(s: SparkSession, d: String): DataFrame = {
+    val slug = udf((name: String) =>
+      if (name == null) null else name.toLowerCase.replace(' ', '-'))
+    part(s, d)
+      .select(col("p_partkey"), slug(col("p_name")).as("slug"))
+      .orderBy("p_partkey")
+  }
+
+  private val udfSlugifySql =
+    """SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- SQL frontend --------------------------------------------------------
+
+  /** The engine's spark.sql surface: tables registered as temp views, the
+    * query itself ANSI SQL (including the natively-registered vec_dot
+    * function) — what a reference user migrating SQL dashboards would run. */
+  private def sqlFrontend(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("v_orders")
+    lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    customer(s, d).createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT c_mktsegment,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val sqlFrontendSql =
+    """SELECT c_mktsegment,
+      |       count(DISTINCT o_orderkey) AS n_orders,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** vec_dot through the SQL surface (function registered by Tables.tune /
+    * GraftExtensions): proves the native expression is SQL-addressable. */
+  private def sqlVecDot(s: SparkSession, d: String): DataFrame = {
+    embeddings(s, d).createOrReplaceTempView("v_embeddings")
+    s.sql(
+      """SELECT vec_id, round(vec_dot(embedding, embedding), 6) AS sq_norm
+        |FROM v_embeddings WHERE vec_id BETWEEN 50 AND 99
+        |ORDER BY vec_id""".stripMargin)
+  }
+
+  private val sqlVecDotSql =
+    """SELECT vec_id,
+      |  round(list_reduce(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |    (a, b) -> a + b), 6) AS sq_norm
+      |FROM embeddings WHERE vec_id BETWEEN 50 AND 99
+      |ORDER BY vec_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -233,5 +301,8 @@ object ParseQueries {
     "array_dot_product" -> Q(arrayDot, Some(arrayDotSql)),
     "map_entries" -> Q(mapEntries, Some(mapEntriesSql)),
     "explode_skills" -> Q(explodeSkills, Some(explodeSkillsSql)),
+    "udf_slugify" -> Q(udfSlugify, Some(udfSlugifySql)),
+    "sql_frontend" -> Q(sqlFrontend, Some(sqlFrontendSql)),
+    "sql_vec_dot" -> Q(sqlVecDot, Some(sqlVecDotSql)),
   )
 }

@@ -54,6 +54,12 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // events.ts is TIMESTAMP(NANOS,false) — read as long, converted in events().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Native functions for sessions built without spark.sql.extensions
+    // (idempotent re-registration).
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      graft.functions.FloatVectorDot.info,
+      graft.functions.FloatVectorDot.builder)
     spark
   }
 

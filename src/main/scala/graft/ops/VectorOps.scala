@@ -13,14 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Left-fold dot product of two float-array columns, in double. */
+  /** Left-fold dot product of two float-array columns, in double — a native
+    * codegen expression ([[graft.functions.FloatVectorDot]]); same fold
+    * order (and therefore bitwise-same result) as the higher-order-function
+    * formulation, minus the per-element lambda dispatch. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.FloatVectorDot(a, b)
 
   /** Left-fold squared L2 norm. */
-  def sqNorm(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  def sqNorm(a: Column): Column = dot(a, a)
 
   /** Cosine similarity in double. */
   def cosine(a: Column, b: Column): Column =
