@@ -289,6 +289,42 @@ object ParseQueries {
       |FROM embeddings WHERE vec_id BETWEEN 50 AND 99
       |ORDER BY vec_id""".stripMargin
 
+  // ---- S1 source_paginated_scan --------------------------------------------
+
+  /** The custom DataSource V2 paginated source feeding the real salary-parse
+    * pipeline: scan (one partition per page) → parse → per-page stats. The
+    * source content is deterministic arithmetic, so DuckDB reproduces the
+    * expected output from generate_series without the source. */
+  private def sourcePaginatedScan(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.format("graft.sources.PageSource")
+      .option("pages", "10").load()
+    val (mn, mx) = ParseOps.salaryParse(col("salary_text"))
+    raw.select(col("page"), mn.as("salary_min"), mx.as("salary_max"))
+      .groupBy("page")
+      .agg(count(lit(1)).as("n_listings"),
+        sum(col("salary_min")).cast("double").as("sum_min"),
+        sum(col("salary_max")).cast("double").as("sum_max"))
+      .orderBy("page")
+  }
+
+  private val sourcePaginatedScanSql =
+    """WITH g AS (SELECT CAST(i AS INTEGER) AS i FROM range(0, 600) t(i)),
+      |vals AS (
+      |  SELECT CAST(floor(i / 60) AS INTEGER) AS page,
+      |    CASE i % 3
+      |      WHEN 0 THEN 3000 + (i % 170) * 100
+      |      WHEN 1 THEN 3000 + (i % 170) * 100
+      |      ELSE 160 * (100 + i % 50) + 80 END AS mn,
+      |    CASE i % 3
+      |      WHEN 0 THEN 3000 + (i % 170) * 100
+      |      WHEN 1 THEN 5000 + (i % 170) * 100
+      |      ELSE 160 * (120 + i % 50) + 80 END AS mx
+      |  FROM g)
+      |SELECT page, count(*) AS n_listings,
+      |       CAST(sum(mn) AS DOUBLE) AS sum_min,
+      |       CAST(sum(mx) AS DOUBLE) AS sum_max
+      |FROM vals GROUP BY page ORDER BY page""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -304,5 +340,6 @@ object ParseQueries {
     "udf_slugify" -> Q(udfSlugify, Some(udfSlugifySql)),
     "sql_frontend" -> Q(sqlFrontend, Some(sqlFrontendSql)),
     "sql_vec_dot" -> Q(sqlVecDot, Some(sqlVecDotSql)),
+    "source_paginated_scan" -> Q(sourcePaginatedScan, Some(sourcePaginatedScanSql)),
   )
 }

@@ -102,18 +102,19 @@ object SkillQueries {
   /** Distinct (doc, skill) where skill = raw matched term PLUS the canonical
     * name for variation matches (additive, pracuj_scraper.py:216-227) —
     * "sort merge" in a doc contributes both "sort merge" and "sort". */
-  private def canonicalize(s: SparkSession, d: String): DataFrame = {
-    val m = SkillOps.matches(s, documents(s, d))
-    val canon = m
-      .join(broadcast(SkillOps.variationsDf(s)), col("term") === col("variation"))
-      .select(col("doc_id"), col("canonical").as("skill"))
-    m.select(col("doc_id"), col("term").as("skill"))
-      .unionByName(canon)
+  private def canonicalize(s: SparkSession, d: String): DataFrame =
+    // one pass: left-join the variations dim, then fan each match out to
+    // {raw term, canonical-or-null} — a self-union would re-execute the
+    // whole matches subtree twice.
+    SkillOps.matches(s, documents(s, d))
+      .join(broadcast(SkillOps.variationsDf(s)),
+        col("term") === col("variation"), "left_outer")
+      .select(col("doc_id"),
+        explode(array_compact(array(col("term"), col("canonical")))).as("skill"))
       .distinct()
       .groupBy("skill")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("skill")
-  }
 
   private val canonicalizeSql =
     s"""WITH $matchesCte,

@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (SURVEY.md §4.3 / the 100 TB posture): a
+  * two-phase salted aggregation — pre-aggregate on (key, salt) so a hot key's
+  * rows spread over `salts` reducers, then combine partials per key. AQE's
+  * skew-join splitting handles joins; this handles skewed groupBys whose
+  * per-key state is large (collect_list-like or high-cardinality partials).
+  */
+object SkewOps {
+
+  /** sum/count aggregations with salting; aggs are (inputCol, "sum"|"count")
+    * pairs emitted as `<col>_sum` / `cnt`. Results are identical to a direct
+    * groupBy (sum/count are associative-commutative). */
+  def saltedSumCount(df: DataFrame, key: Column, salts: Int,
+      sumCol: Column): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val partial = salted
+      .groupBy(key.as("k"), col("__salt"))
+      .agg(sum(sumCol).as("s"), count(lit(1)).as("c"))
+    partial
+      .groupBy("k")
+      .agg(sum(col("s")).as("total"), sum(col("c")).as("cnt"))
+  }
+}

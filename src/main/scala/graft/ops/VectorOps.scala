@@ -30,7 +30,7 @@ object VectorOps {
   /** Brute-force exact top-k cosine neighbors for a bounded query set.
     * The scale path: the query side is small (broadcast), the corpus streams
     * — one pass, no shuffle until the per-query top-k (rank window over
-    * query_id partitions). For corpus×corpus problems use [[lshBuckets]].
+    * query_id partitions). For corpus×corpus problems use [[lshTables]].
     */
   def knnCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -46,35 +46,23 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rnk", "cos")
   }
 
-  /** Sign-bit LSH bucketing with deterministic pseudo-random hyperplanes
-    * (no RNG: plane j, dim i weight = ((integer mix) mod p)/p - 0.5, pure
-    * arithmetic so executors agree without any broadcast state). Rows sharing
-    * a bucket are ANN candidates — turns the O(n²) all-pairs cosine into a
-    * per-bucket join at scale.
-    */
-  def lshBuckets(df: DataFrame, planes: Int, table: Int = 0): DataFrame = {
-    def weight(j: Int, i: Column): Column =
-      ((i * lit(2654435761L) + lit((table * planes + j) * 40503L + 12345L)) % 1000003L)
+  /** Multi-table LSH: `tables` independent bucketings, exploded to
+    * (table_id, bucket) rows in ONE scan (a union of per-table scans would
+    * read and project the corpus `tables` times). More tables ⇒ higher
+    * recall at linear candidate cost — the standard ANN recall/cost dial. */
+  def lshTables(df: DataFrame, planes: Int, tables: Int): DataFrame = {
+    def weight(t: Int, j: Int, i: Column): Column =
+      ((i * lit(2654435761L) + lit((t * planes + j) * 40503L + 12345L)) % 1000003L)
         .cast("double") / 1000003.0 - 0.5
-    val bits = (0 until planes).map { j =>
+    def bucket(t: Int): Column = (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x.cast("double") * weight(j, i)),
+          (x, i) => x.cast("double") * weight(t, j, i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    df.withColumn("bucket", bits.reduce(_ + _))
-  }
-
-  /** Multi-table LSH: `tables` independent bucketings, exploded to
-    * (table_id, bucket) rows. More tables ⇒ higher recall at linear candidate
-    * cost — the standard ANN recall/cost dial. */
-  def lshTables(df: DataFrame, planes: Int, tables: Int): DataFrame = {
-    val perTable = (0 until tables).map { t =>
-      lshBuckets(df, planes, t)
-        .withColumn("table_id", lit(t))
-    }
-    perTable.reduce(_.unionByName(_))
+    }.reduce(_ + _)
+    df.select(col("*"),
+        posexplode(array((0 until tables).map(bucket): _*)).as(Seq("table_id", "bucket")))
   }
 
   /** A7/X2 custom typed Aggregator: element-wise centroid of embeddings.

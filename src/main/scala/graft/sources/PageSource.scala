@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SURVEY.md §2.1 S1: the reference's paginated HTTP scan
+  * (pracuj_scraper.py:359-425 — `&pn={page}` pages of 60 listings) as a real
+  * DataSource V2 `TableProvider`: one InputPartition per page (the unit the
+  * reference fetches), a PartitionReader that synthesizes the page's
+  * listings deterministically (no network in this environment — the page
+  * *content* is a deterministic fake, the source *plumbing* is real), and
+  * column pruning pushed into the reader.
+  *
+  * Usage: spark.read.format("graft.sources.PageSource").option("pages", n).load()
+  */
+class PageSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PageSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PageTable(properties.getOrDefault("pages", "3").toInt)
+}
+
+object PageSource {
+  val PerPage = 60 // EXPECTED_PER_PAGE, pracuj_scraper.py:16
+
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("job_id", StringType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("salary_text", StringType, nullable = false)))
+
+  /** Deterministic listing content for global row number g. */
+  def jobId(g: Int): String = (1000000 + g).toString
+  def title(g: Int): String = s"offer-$g"
+  def salaryText(g: Int): String = {
+    val a = 3000 + (g % 170) * 100
+    val h = 100 + g % 50
+    g % 3 match {
+      case 0 => s"$a zł"
+      case 1 => s"$a–${a + 2000} zł"
+      case _ => s"$h,50-${h + 20},50 zł/h"
+    }
+  }
+}
+
+class PageTable(pages: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_pages($pages)"
+  override def schema(): StructType = PageSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PageScanBuilder(pages)
+}
+
+class PageScanBuilder(pages: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PageSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new PageScan(pages, required)
+}
+
+class PageScan(pages: Int, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft pages=$pages cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).map(p => PagePartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageReaderFactory(required)
+}
+
+case class PagePartition(page: Int) extends InputPartition
+
+class PageReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PageReader(partition.asInstanceOf[PagePartition].page, required)
+}
+
+class PageReader(page: Int, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < PageSource.PerPage }
+
+  override def get(): InternalRow = {
+    val g = page * PageSource.PerPage + i
+    val values = required.fieldNames.map {
+      case "page" => page
+      case "idx" => i
+      case "job_id" => UTF8String.fromString(PageSource.jobId(g))
+      case "title" => UTF8String.fromString(PageSource.title(g))
+      case "salary_text" => UTF8String.fromString(PageSource.salaryText(g))
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

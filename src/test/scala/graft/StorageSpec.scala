@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkewOps
+
+/** Storage-layout behaviors that matter at 100 TB: partitioned writes with
+  * partition pruning, bucketed tables giving shuffle-free joins, CSV/JSON
+  * format round-trips (SURVEY §2.1 S7/S8), and salted skew aggregation. */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("partitioned parquet write; reader prunes partitions on the filter") {
+    val dir = tmp("graft-part")
+    Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("order_year") === 1997)
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"partition filter must prune directories:\n$plan")
+    val expected = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(back.count() == expected)
+  }
+
+  test("idempotent DDL: CREATE TABLE IF NOT EXISTS + mode(ignore) writes") {
+    val dir = tmp("graft-ddl")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(dir)
+    // second write with ignore is the reference's IF NOT EXISTS (database.py:39)
+    Seq((9L, "z")).toDF("id", "v").write.mode("ignore").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 2, "ignore-mode write must not clobber")
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directories persist — clear them or CREATE fails on location-exists
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val p = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (p.exists()) {
+        java.nio.file.Files.walk(p.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
+    Tables.orders(spark, sfDir)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+  }
+
+  test("CSV and JSON round-trip with explicit schemas (no inferSchema)") {
+    val dir = tmp("graft-fmt")
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    docs.write.mode("overwrite").json(s"$dir/json")
+    val csvBack = spark.read.schema(docs.schema).option("header", "true")
+      .csv(s"$dir/csv")
+    val jsonBack = spark.read.schema(docs.schema).json(s"$dir/json")
+    val want = docs.collect().map(_.toString).sorted.toSeq
+    assert(csvBack.collect().map(_.toString).sorted.toSeq == want)
+    assert(jsonBack.collect().map(_.toString).sorted.toSeq == want)
+  }
+
+  test("salted aggregation equals direct aggregation on a skewed frame") {
+    // 90% of rows share one key — the classic hot-key shape
+    val skewed = spark.range(10000)
+      .select(when(col("id") % 10 < 9, lit("hot")).otherwise(lit("cold")).as("k"),
+        (col("id") % 97).cast("double").as("v"))
+    val direct = skewed.groupBy("k")
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = SkewOps.saltedSumCount(skewed, col("k"), 16, col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("custom DSv2 source: partition-per-page, column pruning reaches the reader") {
+    val df = spark.read.format("graft.sources.PageSource")
+      .option("pages", "5").load()
+    assert(df.count() == 300)
+    assert(df.rdd.getNumPartitions == 5, "one InputPartition per page")
+    val pruned = df.select("page")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=page"), s"pruneColumns must reach the scan:\n$plan")
+  }
+}
