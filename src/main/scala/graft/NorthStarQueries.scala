@@ -267,6 +267,108 @@ object NorthStarQueries {
       |    (t, i) -> i * (37 * length(t) + ascii(t)))) % 1000000007 AS BIGINT) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- training-pipeline text ops ------------------------------------------
+
+  /** LLM-style document chunking: token windows of 32 with stride 24
+    * (overlap 8). Emits (doc_id, chunk_id, n_tokens); the chunk text itself
+    * stays an array op — no shuffle until the final ordering. */
+  private def textChunking(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nChunks = greatest(
+      ceil((size(toks) - lit(32)).cast("double") / 24.0).cast("int") + 1, lit(1))
+    documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => size(slice(col("toks"), i * 24 + 1, lit(32))))))
+      .select(col("doc_id"), col("pos").as("chunk_id"), col("col").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val textChunkingSql =
+    """WITH base AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, n,
+      |         greatest(CAST(ceil((n - 32) / 24.0) AS INTEGER) + 1, 1) AS nc
+      |  FROM base)
+      |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+      |       CAST(least(32, n - i * 24) AS INTEGER) AS n_tokens
+      |FROM chunks, range(0, 1000) t(i)
+      |WHERE i < nc
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** PII-style redaction: synthetic emails built from customer names, then
+    * masked with the real regex pipeline (the redaction op a pretraining
+    * pipeline runs; input synthesized since testdata has no PII). */
+  private def textRedact(s: SparkSession, d: String): DataFrame = {
+    val email = concat(lower(regexp_replace(col("c_name"), "#", "")),
+      lit("@example.com"))
+    val doc = concat(lit("contact "), email, lit(" balance "),
+      col("c_acctbal").cast("string"))
+    customer(s, d)
+      .select(col("c_custkey"), doc.as("raw"))
+      .select(col("c_custkey"),
+        regexp_replace(col("raw"),
+          "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  private val textRedactSql =
+    """SELECT c_custkey,
+      |       'contact <EMAIL> balance ' || CAST(c_acctbal AS VARCHAR) AS redacted
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Deterministic train/val/test split on a stable content hash (md5 —
+    * reproducible on any engine, unlike rand(seed)); the sampling op every
+    * dataset build needs. */
+  private def datasetSplit(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split_ = when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    documents(s, d)
+      .select(col("lang"), split_.as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "split")
+  }
+
+  private val datasetSplitSql =
+    """SELECT lang,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS cnt
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  /** Vocabulary build: global token frequencies with rank and cumulative
+    * coverage share — the tokenizer-training precursor. */
+  private def vocabTopk(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    val wRank = Window.orderBy(col("freq").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum_share",
+        round(sum(col("freq")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / sum(col("freq")).over(), 6))
+      .orderBy("rank")
+  }
+
+  private val vocabTopkSql =
+    """WITH counts AS (
+      |  SELECT token, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token)
+      |SELECT token, freq,
+      |  row_number() OVER (ORDER BY freq DESC, token) AS rank,
+      |  round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |        / CAST(sum(freq) OVER () AS DOUBLE), 6) AS cum_share
+      |FROM counts ORDER BY rank""".stripMargin
+
   // ---- N4 multimodal binary plumbing ---------------------------------------
 
   /** Media columns as opaque binary + derived metadata — the compared part is
@@ -304,5 +406,9 @@ object NorthStarQueries {
     "quality_score" -> Q(qualityScore, Some(qualityScoreSql)),
     "doc_fingerprint" -> Q(docFingerprint, Some(docFingerprintSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
+    "text_chunking" -> Q(textChunking, Some(textChunkingSql)),
+    "text_redact" -> Q(textRedact, Some(textRedactSql)),
+    "dataset_split" -> Q(datasetSplit, Some(datasetSplitSql)),
+    "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
   )
 }
