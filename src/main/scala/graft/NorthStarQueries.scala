@@ -46,8 +46,11 @@ object NorthStarQueries {
   /** 64-bit SimHash; candidates share one of four 16-bit chunks (hamming ≤ 3
     * per pigeonhole when distance ≤ 3 overall); verified by bit_count(xor). */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the chunk self-join would otherwise recompute the
+    // 64-bit vote fold for both sides
     val sigs = documents(s, d)
       .select(col("doc_id"), DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
+      .localCheckpoint()
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
@@ -144,6 +147,7 @@ object NorthStarQueries {
     * against the brute-force result). */
   private def knnAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = VectorOps.lshTables(embeddings(s, d), planes = 4, tables = 4)
+      .localCheckpoint()
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("table_id"), col("bucket"))

@@ -95,10 +95,13 @@ object DedupOps {
     */
   def minhashPairs(docs: DataFrame, h: Int, bands: Int): DataFrame = {
     val rows = h / bands
+    // localCheckpoint: the band self-join is a diamond DAG — without it both
+    // join sides re-execute the whole shingle+hash+signature subtree.
     val sigs = docs
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(shingleHashes(col("sh")), h).as("sig"))
+      .localCheckpoint()
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(bandKeys(col("sig"), bands, rows)).as("bk"))
     val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("bk"))
