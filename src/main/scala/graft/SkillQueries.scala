@@ -63,6 +63,18 @@ object SkillQueries {
        |SELECT term, count(*) AS n_docs FROM matches
        |GROUP BY term ORDER BY term""".stripMargin
 
+  // ---- F6 v2: dict_term_match_gen (custom Generator, one pass) -------------
+
+  /** Same semantics and oracle as dict_term_match, computed by the custom
+    * [[graft.functions.TermMatchGenerator]]: O(tokens) per document instead
+    * of O(terms) join work — the SURVEY §2.4 F6 "v2 perf" path. */
+  private def dictTermMatchGen(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .selectExpr("doc_id", "term_match(text) AS term")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("term")
+
   // ---- flagship: skill_category_counts -------------------------------------
 
   /** The reference pipeline end-to-end (SURVEY.md §7.2 slice 0): candidate
@@ -133,6 +145,7 @@ object SkillQueries {
   def all: Seq[(String, Q)] = Seq(
     "join_broadcast_lookup" -> Q(broadcastLookup, Some(broadcastLookupSql)),
     "dict_term_match" -> Q(dictTermMatch, Some(dictTermMatchSql)),
+    "dict_term_match_gen" -> Q(dictTermMatchGen, Some(dictTermMatchSql)),
     "skill_category_counts" -> Q(categoryCounts, Some(categoryCountsSql)),
     "canonicalize_skills" -> Q(canonicalize, Some(canonicalizeSql)),
   )

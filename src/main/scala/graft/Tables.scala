@@ -60,6 +60,14 @@ object Tables {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       graft.functions.FloatVectorDot.info,
       graft.functions.FloatVectorDot.builder)
+    // term_match: one-pass dictionary-match Generator over the skill taxonomy
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("term_match"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TermMatchGenerator].getCanonicalName, "term_match"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TermMatchGenerator(args.head,
+          graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
     spark
   }
 
