@@ -28,7 +28,7 @@ object NorthStarQueries {
 
   private val dedupExactSql =
     """SELECT min(doc_id) AS group_id, count(*) AS n_members,
-      |       list_sort(list(doc_id)) AS members
+      |       array_to_string(list_sort(list(doc_id)), ',') AS members
       |FROM documents
       |GROUP BY trim(regexp_replace(regexp_replace(text, '\bdup\b', ' ', 'g'), '\s+', ' ', 'g'))
       |HAVING count(*) > 1

@@ -585,6 +585,71 @@ object RelationalQueries {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey""".stripMargin
 
+  /** J5b `join_full_outer`: customers-with-no-1995-orders and
+    * 1995-orders-with-unknown-customers both survive. */
+  private def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_acctbal") > 8000)
+      .select("c_custkey", "c_name")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders_95"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("<no-customer-row>")).as("name"),
+        coalesce(col("n_orders_95"), lit(0L)).as("n_orders_95"))
+      .orderBy("custkey", "name")
+  }
+
+  private val fullOuterSql =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000),
+      |o AS (SELECT o_custkey, count(*) AS n_orders_95 FROM orders
+      |      WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |       coalesce(c_name, '<no-customer-row>') AS name,
+      |       coalesce(n_orders_95, 0) AS n_orders_95
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY custkey, name""".stripMargin
+
+  /** A5c `agg_pivot`: event-type counts pivoted to columns per day —
+    * the dashboard matrix shape. Explicit pivot values keep the output
+    * schema deterministic. */
+  private def aggPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  private val aggPivotSql =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** U3b `set_except_all`: multiset difference — each F-order occurrence of
+    * a priority cancels one O-order occurrence (vs set_except's set
+    * semantics). */
+  private def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("surplus"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val setExceptAllSql =
+    """SELECT o_orderpriority, count(*) AS surplus FROM (
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -620,5 +685,8 @@ object RelationalQueries {
     "set_union_sources" -> Q(unionSources, Some(unionSourcesSql)),
     "set_intersect" -> Q(setIntersect, Some(setIntersectSql)),
     "set_except" -> Q(setExcept, Some(setExceptSql)),
+    "join_full_outer" -> Q(fullOuter, Some(fullOuterSql)),
+    "agg_pivot" -> Q(aggPivot, Some(aggPivotSql)),
+    "set_except_all" -> Q(setExceptAll, Some(setExceptAllSql)),
   )
 }

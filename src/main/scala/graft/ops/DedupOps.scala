@@ -87,7 +87,7 @@ object DedupOps {
       .groupBy("norm")
       .agg(min(col("doc_id")).as("group_id"),
         count(lit(1)).as("n_members"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("members"))
       .filter(col("n_members") > 1)
 
   /** MinHash near-dup candidate pairs with Jaccard estimate from signature

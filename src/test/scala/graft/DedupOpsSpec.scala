@@ -15,7 +15,7 @@ class DedupOpsSpec extends SparkSpec {
     val rows = groups.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val members = r.getAs[scala.collection.Seq[Long]]("members")
+      val members = r.getAs[String]("members").split(",").map(_.toLong).toSeq
       assert(members.size == r.getAs[Long]("n_members"))
       assert(members.min == r.getAs[Long]("group_id"))
     }
