@@ -221,6 +221,35 @@ object ParseQueries {
       |WHERE token IN ('spark', 'join', 'dup')
       |GROUP BY token ORDER BY token""".stripMargin
 
+  // ---- P1 html_extract: detail-page projection end-to-end ------------------
+
+  /** The reference's detail-page projection (pracuj_scraper.py:316-356)
+    * end-to-end: synthesize an HTML detail page per order, extract the
+    * fields back through the data-test selectors, parse the salary. The
+    * oracle computes the expected projection arithmetically. */
+  private def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    val a = (col("o_orderkey") % 191).cast("int") * 100 + 1000
+    val html = concat(
+      lit("<html><h1 data-test=\"text-positionName\">order-"),
+      col("o_orderkey").cast("string"),
+      lit("</h1><div data-test=\"text-earningAmount\">"),
+      a.cast("string"), lit("–"), (a + 4000).cast("string"),
+      lit(" zł</div></html>"))
+    val page = orders(s, d).select(col("o_orderkey"), html.as("html"))
+    val (mn, mx) = ParseOps.salaryParse(graft.ops.HtmlOps.earningAmount(col("html")))
+    page.select(col("o_orderkey"),
+        graft.ops.HtmlOps.positionName(col("html")).as("title"),
+        mn.as("salary_min"), mx.as("salary_max"))
+      .orderBy("o_orderkey")
+  }
+
+  private val htmlExtractSql =
+    """SELECT o_orderkey,
+      |       'order-' || CAST(o_orderkey AS VARCHAR) AS title,
+      |       CAST((o_orderkey % 191) * 100 + 1000 AS INTEGER) AS salary_min,
+      |       CAST((o_orderkey % 191) * 100 + 5000 AS INTEGER) AS salary_max
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---- X1 udf_slugify: the one demonstrative Scala UDF ---------------------
 
   /** SURVEY.md §2.10 X1: everything else in the engine is built-in
@@ -337,6 +366,7 @@ object ParseQueries {
     "array_dot_product" -> Q(arrayDot, Some(arrayDotSql)),
     "map_entries" -> Q(mapEntries, Some(mapEntriesSql)),
     "explode_skills" -> Q(explodeSkills, Some(explodeSkillsSql)),
+    "html_extract" -> Q(htmlExtract, Some(htmlExtractSql)),
     "udf_slugify" -> Q(udfSlugify, Some(udfSlugifySql)),
     "sql_frontend" -> Q(sqlFrontend, Some(sqlFrontendSql)),
     "sql_vec_dot" -> Q(sqlVecDot, Some(sqlVecDotSql)),
