@@ -164,6 +164,39 @@ object NorthStarQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs over a bounded audit subset —
+    * all-pairs is fine at |subset|² (here 200²/2); the corpus-scale path is
+    * LSH-bucketed candidates (knn_ann_lsh). Threshold rather than top-k so
+    * float ties can't reorder the compared output. */
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_reduce(list_transform(a.embedding,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(a.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(b.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, round(cos, 6) AS cos
+      |FROM pairs WHERE cos >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   // ---- A7/X2 udaf_vector_centroid ------------------------------------------
 
   /** Custom typed Aggregator: per-label centroid, exploded to (label, dim). */
@@ -404,6 +437,7 @@ object NorthStarQueries {
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
+    "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),
     "udaf_vector_centroid" -> Q(vectorCentroid, Some(vectorCentroidSql)),
     "text_token_stats" -> Q(tokenStats, Some(tokenStatsSql)),
     "lang_id" -> Q(langId, Some(langIdSql)),

@@ -60,16 +60,25 @@ object SkillOps {
   /** Resolved term → category (first-match-wins). Tiny (≤ terms) — always
     * broadcast. */
   def resolvedCategories(s: SparkSession): DataFrame =
-    taxonomyDf(s)
-      .groupBy("term")
+    resolvedWith(taxonomyDf(s))
+
+  /** First-match-wins resolution over any (term, category, priority) frame. */
+  def resolvedWith(tax: DataFrame): DataFrame =
+    tax.groupBy("term")
       .agg(min_by(col("category"), col("priority")).as("category"))
 
   /** Distinct (doc_id, term) matches over a text table: token hash-join for
     * single-word terms + one broadcast regex theta-join for multi-word terms.
     * Set semantics per document (the reference's per-listing `set()`,
     * pracuj_scraper.py:155-178). */
-  def matches(s: SparkSession, docs: DataFrame): DataFrame = {
-    val (multi, single) = taxonomyRows.map(_._1).distinct.partition(_.contains(" "))
+  def matches(s: SparkSession, docs: DataFrame): DataFrame =
+    matchesWith(s, docs, taxonomyRows.map(_._1).distinct)
+
+  /** matches() over an arbitrary term list (same word-boundary semantics) —
+    * lets callers swap in domain taxonomies like the reference's real
+    * 16-category skill dictionary. */
+  def matchesWith(s: SparkSession, docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val (multi, single) = terms.distinct.partition(_.contains(" "))
     val singleDf = s.createDataFrame(single.map(Tuple1(_))).toDF("term")
     val multiDf = s.createDataFrame(multi.map(Tuple1(_))).toDF("term")
     // array_distinct BEFORE explode: per-doc set semantics for free, and the

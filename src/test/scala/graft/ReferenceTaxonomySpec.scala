@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkillOps
+
+/** FIXTURES.md §B3 with a reference-shaped taxonomy: the ambiguous terms the
+  * real dictionary contains must resolve to their FIRST category (dict
+  * insertion order, scraper.py:20-24), the additive "sql server" → "sql"
+  * canonicalization must emit both, word boundaries and regex-special terms
+  * must behave. A compact domain dictionary stands in for the full 348-term
+  * one — same shape, same edge cases.
+  */
+class ReferenceTaxonomySpec extends SparkSpec {
+  import spark.implicits._
+
+  // insertion order mirrors the reference's category order: the ambiguous
+  // terms below each appear in TWO categories; first wins.
+  private val refCategories: Seq[(String, Seq[String])] = Seq(
+    "Programming" -> Seq("python", "scala", "scikit-learn", "c++"),
+    "Database" -> Seq("sql", "sql server", "oracle", "snowflake", "postgresql"),
+    "Cloud" -> Seq("aws", "azure", "snowflake", "gcp"),
+    "ERP" -> Seq("sap", "oracle", "dynamics"),
+    "Visualization" -> Seq("tableau", "power bi", "reporting", "d3.js"),
+    "Analysis" -> Seq("excel", "reporting", "statistics"),
+  )
+
+  private val refTaxonomy: Seq[(String, String, Int)] =
+    refCategories.zipWithIndex.flatMap { case ((cat, ts), i) => ts.map((_, cat, i)) }
+
+  private val refVariations = Seq("sql server" -> "sql", "power bi" -> "powerbi")
+
+  private def tax = spark.createDataFrame(refTaxonomy).toDF("term", "category", "priority")
+
+  test("ambiguous terms resolve to first category in insertion order") {
+    val resolved = SkillOps.resolvedWith(tax)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved("oracle") == "Database")     // not ERP
+    assert(resolved("snowflake") == "Database")  // not Cloud
+    assert(resolved("reporting") == "Visualization") // not Analysis
+    assert(resolved("scikit-learn") == "Programming")
+  }
+
+  test("additive canonicalization: 'sql server' emits itself AND 'sql'") {
+    val docs = Seq((1L, "we use sql server daily")).toDF("doc_id", "text")
+    val m = SkillOps.matchesWith(spark, docs, refTaxonomy.map(_._1))
+    val vars = refVariations.toDF("variation", "canonical")
+    val skills = m.join(vars, col("term") === col("variation"), "left_outer")
+      .select(explode(array_compact(array(col("term"), col("canonical")))).as("skill"))
+      .collect().map(_.getString(0)).toSet
+    // direct category match "sql server", word-boundary "sql" (prefix of
+    // "sql server" text), and canonical "sql" from the variation
+    assert(skills == Set("sql server", "sql"))
+  }
+
+  test("word boundary: 'sql' not matched inside 'nosqlite'; regex specials safe") {
+    val docs = Seq(
+      (1L, "nosqlite experience"),
+      (2L, "c++ and d3.js mastery")).toDF("doc_id", "text")
+    val m = SkillOps.matchesWith(spark, docs, refTaxonomy.map(_._1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!m.contains((1L, "sql")))
+    assert(m.contains((2L, "c++")) && m.contains((2L, "d3.js")))
+  }
+
+  test("unknown extracted skill categorizes as Other (scraper.py:20)") {
+    val cand = Seq((1L, "kubernetes")).toDF("doc_id", "term")
+    val got = cand.join(broadcast(SkillOps.resolvedWith(tax)), Seq("term"), "left_outer")
+      .select(coalesce(col("category"), lit("Other")))
+      .collect().head.getString(0)
+    assert(got == "Other")
+  }
+}
