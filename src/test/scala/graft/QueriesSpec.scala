@@ -17,6 +17,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx_count_distinct lands within its error bound of the exact count") {
+    val approx = Queries.byName("agg_approx_distinct").build(spark, sfDir)
+      .collect().head.getLong(0)
+    val exact = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
