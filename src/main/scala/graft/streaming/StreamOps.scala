@@ -71,6 +71,57 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's clicks
+    * within the preceding hour — watermarks on BOTH sides bound the join
+    * state (without them the state store grows unboundedly at scale). */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("value"))
+  }
+
+  /** T7b: flatMapGroupsWithState — sessionization emitting one row per
+    * CLOSED session (zero-or-more outputs per invocation, which is what
+    * flatMap adds over mapGroupsWithState). Event-time logic kept in the
+    * state function itself. */
+  case class SessionAcc(events: List[Long])
+  case class ClosedSession(user_id: Long, n_events: Long, first_epoch: Long, last_epoch: Long)
+
+  def closedSessions(events: Dataset[Ev], gapSeconds: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          val incoming = evs.map(_.ts.getTime / 1000).toList.sorted
+          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ incoming).sorted
+          // split into gap-separated sessions; the last one stays open in state
+          val sessions = all.foldLeft(List(List.empty[Long])) { (acc, t) =>
+            acc.head match {
+              case Nil => (t :: Nil) :: acc.tail
+              case last :: _ if t - last < gapSeconds => (t :: acc.head) :: acc.tail
+              case _ => (t :: Nil) :: acc
+            }
+          }.map(_.reverse).reverse
+          state.update(SessionAcc(sessions.last))
+          sessions.dropRight(1).iterator.map(s =>
+            ClosedSession(uid, s.size.toLong, s.head, s.last))
+      }
+  }
+
   /** T8: idempotent micro-batch sink — anti-join each batch against already-
     * written keys before append (the reference's rollback-per-row dedup,
     * database.py:192-201, done set-wise). */

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Det._
+
+/** Dev probe for the 100 TB question: replicate the sf0.1 fact tables in
+  * memory (explode × factor, keys remapped so join fan-out stays realistic)
+  * and time headline shapes at 1× vs N× — near-linear wall-clock growth and
+  * unchanged plan shape is the evidence that the partition/shuffle strategy
+  * survives scale-up. Writes SCALE.md.
+  *
+  * sbt "runMain graft.tools.ScaleProbe [sfDir] [factor]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+
+    def amplify(df: DataFrame, keyCols: Seq[String], f: Int): DataFrame = {
+      // remap keys per replica so join cardinalities scale, not explode
+      val rep = df.crossJoin(spark.range(f).select(col("id").as("__rep")))
+      keyCols.foldLeft(rep) { (d, k) =>
+        d.withColumn(k, col(k) + col("__rep") * 100000000L)
+      }.drop("__rep")
+    }
+
+    val li1 = Tables.lineitem(spark, sfDir)
+    val o1 = Tables.orders(spark, sfDir)
+    val liN = amplify(li1, Seq("l_orderkey"), factor)
+    val oN = amplify(o1, Seq("o_orderkey", "o_custkey"), factor)
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    def q1(li: DataFrame): Long = li
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")), count(lit(1))).count()
+
+    def joinAgg(o: DataFrame, li: DataFrame): Long = o
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(count(lit(1)), dsum(col("l_extendedprice")))
+      .count()
+
+    def windowTop(li: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy(col("rev").desc)
+      li.groupBy("l_returnflag", "l_partkey")
+        .agg(dsum(col("l_extendedprice")).as("rev"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 10).count()
+    }
+
+    // warm
+    q1(li1); joinAgg(o1, li1)
+    val rows1 = li1.count(); val rowsN = liN.count()
+    val results = Seq(
+      ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
+      ("join+agg orders x lineitem", time(joinAgg(o1, li1)), time(joinAgg(oN, liN))),
+      ("window top-10 per flag", time(windowTop(li1)), time(windowTop(liN))),
+    )
+    val sb = new StringBuilder
+    sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
+    sb.append(s"Base: $sfDir (${rows1} lineitem rows). Amplified: ×$factor (${rowsN} rows),\n")
+    sb.append("keys remapped per replica so join fan-out and group cardinality scale\n")
+    sb.append("with the data (pure row duplication would understate shuffle cost).\n\n")
+    sb.append("| shape | 1× sec | " + factor + "× sec | ratio (ideal ≈ " + factor + "× / cores-bound) |\n|---|---|---|---|\n")
+    for ((n, t1, tn) <- results)
+      sb.append(f"| $n | $t1%.2f | $tn%.2f | ${tn / t1}%.1f× |\n")
+    sb.append("\nReading: ratios at or below the amplification factor mean the shapes\n")
+    sb.append("scale linearly (no super-linear shuffle/spill behavior); the window\n")
+    sb.append("shape partitions by a 3-value key and is expected to bottleneck on\n")
+    sb.append("per-partition sort above ~cores×groups — at real scale that key\n")
+    sb.append("would be salted (SkewOps) or pre-aggregated further.\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"), sb.toString)
+    println("[scale-probe] wrote SCALE.md")
+    results.foreach { case (n, t1, tn) => println(f"[scale-probe] $n%-28s $t1%6.2f -> $tn%6.2f (${tn / t1}%.1f×)") }
+    spark.stop()
+  }
+}

@@ -72,6 +72,37 @@ class StreamOpsSpec extends SparkSpec {
       (20L, ts(2).getTime / 1000, 2L)))
   }
 
+  test("stream-stream interval join: purchase pairs with its preceding clicks") {
+    val evs2 = Seq(
+      Ev(1, ts(0), 1, "click", 0.0),
+      Ev(2, ts(30), 1, "purchase", 9.99),   // click 30min before -> joins
+      Ev(3, ts(200), 1, "purchase", 5.0),   // no click within 1h -> no row
+      Ev(4, ts(10), 2, "click", 0.0))       // other user's click never joins
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(evs2: _*)
+    val q = StreamOps.purchasesWithRecentClicks(mem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("flatMapGroupsWithState emits closed sessions only") {
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(evs: _*)
+    val q = StreamOps.closedSessions(mem.toDS(), gapSeconds = 30 * 60).toDF()
+      .writeStream.format("memory").queryName("t_closed").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_closed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 10: first session {ts0, ts5, dup-ts5} closed by the 45-min gap
+    // before ts50; the ts50 session and user 20's session remain open
+    assert(got == Set((10L, 3L)))
+  }
+
   test("idempotent append: batch anti-joined against existing keys") {
     val batch = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("event_id", "v")
     val existing = Seq(Tuple1(2L)).toDF("event_id")
