@@ -220,11 +220,15 @@ object NorthStarQueries {
     val toks = split(col("text"), "\\s+")
     documents(s, d)
       .select(col("lang"), col("doc_id"), size(toks).as("n_toks"),
-        size(array_distinct(toks)).as("n_uniq"))
+        size(array_distinct(toks)).as("n_uniq"),
+        // BPE-ish subword count: letter runs / digit runs / single symbols
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_bpeish"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("total_tokens"),
         sum(col("n_uniq")).as("total_uniq"),
+        sum(col("n_bpeish")).as("total_bpeish"),
         (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"))
       .orderBy("lang")
 
@@ -234,6 +238,7 @@ object NorthStarQueries {
     """SELECT lang, count(*) AS n_docs,
       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |       CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_uniq,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpeish,
       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 1.0
       |         / count(*) AS avg_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

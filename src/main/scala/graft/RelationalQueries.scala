@@ -585,6 +585,34 @@ object RelationalQueries {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey""".stripMargin
 
+  /** J4b `join_sixway_regions`: TPC-H Q5 shape — the full snowflake walk
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region). The two
+    * fact joins shuffle; all four dimension joins broadcast, so the fact
+    * stream crosses the cluster exactly twice regardless of corpus size. */
+  private def sixWay(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  private val sixWaySql =
+    """SELECT r_name, n_name, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
   /** J5b `join_full_outer`: customers-with-no-1995-orders and
     * 1995-orders-with-unknown-customers both survive. */
   private def fullOuter(s: SparkSession, d: String): DataFrame = {
@@ -685,6 +713,7 @@ object RelationalQueries {
     "set_union_sources" -> Q(unionSources, Some(unionSourcesSql)),
     "set_intersect" -> Q(setIntersect, Some(setIntersectSql)),
     "set_except" -> Q(setExcept, Some(setExceptSql)),
+    "join_sixway_regions" -> Q(sixWay, Some(sixWaySql)),
     "join_full_outer" -> Q(fullOuter, Some(fullOuterSql)),
     "agg_pivot" -> Q(aggPivot, Some(aggPivotSql)),
     "set_except_all" -> Q(setExceptAll, Some(setExceptAllSql)),
