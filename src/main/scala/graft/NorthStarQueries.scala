@@ -164,6 +164,47 @@ object NorthStarQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Dedup clustering: exact-Jaccard near-dup pairs grouped into clusters by
+    * connected components (min-label propagation). Output: one row per
+    * clustered doc with its cluster id + cluster size. The oracle computes
+    * the same transitive closure with a recursive CTE. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupJaccard(s, d).select("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH dup_docs AS (
+      |    SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |  toks AS (
+      |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |  sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |  cand AS (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |    FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+      |SELECT cc.doc_id, cc.cluster_id, s.cluster_size
+      |FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
+      |              FROM cc GROUP BY cluster_id) s USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs over a bounded audit subset —
     * all-pairs is fine at |subset|² (here 200²/2); the corpus-scale path is
     * LSH-bucketed candidates (knn_ann_lsh). Threshold rather than top-k so
@@ -440,6 +481,7 @@ object NorthStarQueries {
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
+    "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),

@@ -361,6 +361,27 @@ object RelationalQueries {
 
   // ---- §2.1 S5/S6 upsert-as-batch ------------------------------------------
 
+  /** A6b `agg_percentiles`: exact interpolated percentiles per group — the
+    * salary-dashboard median/p90/p99 (README.md:10). Exact (sort-based)
+    * here; at 100 TB the approx_percentile sketch is the first fallback. */
+  private def aggPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90"),
+        expr("round(percentile(l_extendedprice, 0.99), 4)").as("p99"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  private val aggPercentilesSql =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** S5 `upsert_dedup`: the reference's probe+insert upsert
     * (database.py:106-158) batchwise: dedup incoming on the business key,
     * anti-join against "existing", keep survivors. Existing = orders before
@@ -699,6 +720,7 @@ object RelationalQueries {
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
     "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),
     "agg_approx_distinct" -> Q(aggApproxDistinct, None),
+    "agg_percentiles" -> Q(aggPercentiles, Some(aggPercentilesSql)),
     "agg_rollup" -> Q(aggRollup, Some(aggRollupSql)),
     "agg_cube" -> Q(aggCube, Some(aggCubeSql)),
     "upsert_dedup" -> Q(upsertDedup, Some(upsertDedupSql)),

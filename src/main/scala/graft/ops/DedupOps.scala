@@ -90,6 +90,41 @@ object DedupOps {
         array_join(sort_array(collect_list(col("doc_id"))), ",").as("members"))
       .filter(col("n_members") > 1)
 
+  /** Connected components over an undirected pair list (doc_a, doc_b) —
+    * groups near-dup PAIRS into dedup CLUSTERS (the step that picks one
+    * canonical doc per duplicate family). Min-label propagation: every node
+    * starts as its own label; each round adopts the minimum label among
+    * neighbors; iterate to fixpoint. Rounds needed = graph diameter —
+    * near-dup clusters are dense and shallow, so `maxIter` ~10 is plenty;
+    * each round is one shuffle on the node id. Deterministic (min is
+    * order-independent). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("node2"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, col("node") === col("node2"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** MinHash near-dup candidate pairs with Jaccard estimate from signature
     * agreement. explode(bandKeys) → shuffle on band key → per-bucket pairs.
     */

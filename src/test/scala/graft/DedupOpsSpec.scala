@@ -69,6 +69,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("connected components: transitive chains collapse to one cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("connected components: long path converges within maxIter") {
+    // path 0-1-2-...-8: diameter 8, needs several rounds
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(0L), s"all nodes must reach label 0: $cc")
+  }
+
   test("shingles slide over tokens in order") {
     val got = Seq("a b c d").toDF("t")
       .select(DedupOps.shingles(col("t"), 3).as("s"))
