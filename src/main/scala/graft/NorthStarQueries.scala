@@ -452,6 +452,44 @@ object NorthStarQueries {
       |        / CAST(sum(freq) OVER () AS DOUBLE), 6) AS cum_share
       |FROM counts ORDER BY rank""".stripMargin
 
+  /** Fuzzy string similarity: edit distance of each near-dup candidate's
+    * prefix against its pair partner — the verification step fuzzy-dedup
+    * pipelines run after candidate generation. */
+  private def textLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupJaccard(s, d).select("doc_a", "doc_b")
+    val docs = documents(s, d).select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val textLevenshteinSql =
+    """WITH dup_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |cand AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+      |SELECT doc_a, doc_b,
+      |       CAST(levenshtein(da.prefix, db.prefix) AS INTEGER) AS edit_dist
+      |FROM pairs
+      |JOIN (SELECT doc_id, substring(text, 1, 60) AS prefix FROM documents) da
+      |  ON da.doc_id = doc_a
+      |JOIN (SELECT doc_id, substring(text, 1, 60) AS prefix FROM documents) db
+      |  ON db.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- N4 multimodal binary plumbing ---------------------------------------
 
   /** Media columns as opaque binary + derived metadata — the compared part is
@@ -482,6 +520,7 @@ object NorthStarQueries {
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
+    "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),
