@@ -238,6 +238,19 @@ object NorthStarQueries {
       |FROM pairs WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** IVF ANN (rows-only; recall asserted in VectorOpsSpec): deterministic
+    * k-means coarse quantizer, 16 lists, 4 probed per query — each query
+    * scans ~1/4 of the corpus instead of all of it; the ratio is the
+    * recall/cost dial at 100 TB. */
+  private def knnAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val centroids = VectorOps.kmeansCentroids(e, k = 16, iters = 3)
+    val cdf = s.createDataFrame(
+      centroids.map { case (cid, v) => (cid, v.map(_.toFloat)) }).toDF("cid", "cvec")
+    VectorOps.ivfKnn(e, e.filter(col("vec_id") < 20), cdf, k = 3, nProbe = 4)
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- A7/X2 udaf_vector_centroid ------------------------------------------
 
   /** Custom typed Aggregator: per-label centroid, exploded to (label, dim). */
@@ -523,6 +536,7 @@ object NorthStarQueries {
     "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
+    "knn_ann_ivf" -> Q(knnAnnIvf, None),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),
     "udaf_vector_centroid" -> Q(vectorCentroid, Some(vectorCentroidSql)),
     "text_token_stats" -> Q(tokenStats, Some(tokenStatsSql)),

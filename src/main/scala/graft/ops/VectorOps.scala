@@ -65,6 +65,75 @@ object VectorOps {
         posexplode(array((0 until tables).map(bucket): _*)).as(Seq("table_id", "bucket")))
   }
 
+  /** Deterministic k-means for IVF coarse quantization: centroids
+    * initialized from the k lowest vec_ids (no RNG — reproducible across
+    * runs/executors), Lloyd iterations via groupBy-avg. Each iteration is
+    * one broadcast (centroids are tiny) + one shuffle (assignment groupBy).
+    */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = df.sparkSession
+    var centroids: Seq[(Int, Seq[Double])] = df
+      .orderBy("vec_id").limit(k).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = spark.createDataFrame(
+        centroids.map { case (cid, v) => (cid, v.map(_.toFloat)) })
+        .toDF("cid", "cvec")
+      val assigned = assignToNearest(df, cdf)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (centroid set broadcast; corpus streams). */
+  def assignToNearest(df: DataFrame, centroidDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid"))
+    df.crossJoin(broadcast(centroidDf))
+      .withColumn("dist2",
+        sqNorm(col("embedding")) + sqNorm(col("cvec"))
+          - lit(2.0) * dot(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "dist2", "cvec")
+  }
+
+  /** IVF top-k: corpus pre-assigned to centroid lists; each query searches
+    * only its `nProbe` nearest centroid lists — the classic recall/cost dial
+    * that turns a corpus scan into a probe of ~nProbe/k of the data. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame,
+      centroidDf: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lists = assignToNearest(corpus, centroidDf)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cid"))
+      .localCheckpoint()
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centroidDf))
+      .withColumn("dist2",
+        sqNorm(col("embedding")) + sqNorm(col("cvec"))
+          - lit(2.0) * dot(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cid"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
   /** A7/X2 custom typed Aggregator: element-wise centroid of embeddings.
     * Buffer = (sum vector, count); merge is associative/commutative so Spark
     * can combine partials map-side — the UDAF scale contract. */

@@ -45,6 +45,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(b1.sameElements(b2))
   }
 
+  test("ivf ann: recall@3 beats random scanning and kmeans is deterministic") {
+    val e = Tables.embeddings(spark, sfDir)
+    val c1 = VectorOps.kmeansCentroids(e, 16, 3)
+    val c2 = VectorOps.kmeansCentroids(e, 16, 3)
+    assert(c1 == c2, "k-means must be deterministic (no RNG)")
+    val brute = VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Queries.byName("knn_ann_ivf").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // 4 of 16 lists probed = 25% of the corpus scanned; random 25% would
+    // give recall ~0.25 - IVF must do better than that
+    assert(recall > 0.3, s"recall $recall")
+  }
+
   test("centroid UDAF equals manual element-wise average") {
     val df = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 20f)))
       .toDF("label", "embedding")
