@@ -245,9 +245,7 @@ object NorthStarQueries {
   private def knnAnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val centroids = VectorOps.kmeansCentroids(e, k = 16, iters = 3)
-    val cdf = s.createDataFrame(
-      centroids.map { case (cid, v) => (cid, v.map(_.toFloat)) }).toDF("cid", "cvec")
-    VectorOps.ivfKnn(e, e.filter(col("vec_id") < 20), cdf, k = 3, nProbe = 4)
+    VectorOps.ivfKnn(e, e.filter(col("vec_id") < 20), centroids, k = 3, nProbe = 4)
       .orderBy("query_id", "rnk")
   }
 

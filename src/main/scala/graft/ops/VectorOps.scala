@@ -68,21 +68,17 @@ object VectorOps {
   /** Deterministic k-means for IVF coarse quantization: centroids
     * initialized from the k lowest vec_ids (no RNG — reproducible across
     * runs/executors), Lloyd iterations via groupBy-avg. Each iteration is
-    * one broadcast (centroids are tiny) + one shuffle (assignment groupBy).
+    * map-only assignment (centroids ride along as a literal) + one shuffle
+    * (the recenter groupBy).
     */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    val spark = df.sparkSession
     var centroids: Seq[(Int, Seq[Double])] = df
       .orderBy("vec_id").limit(k).collect().zipWithIndex
       .map { case (r, i) =>
         (i, r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)
       }.toSeq
     for (_ <- 0 until iters) {
-      val cdf = spark.createDataFrame(
-        centroids.map { case (cid, v) => (cid, v.map(_.toFloat)) })
-        .toDF("cid", "cvec")
-      val assigned = assignToNearest(df, cdf)
-      centroids = assigned
+      centroids = assignToNearest(df, centroids)
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
         .agg(avg(col("col").cast("double")).as("m"))
@@ -95,36 +91,54 @@ object VectorOps {
     centroids
   }
 
-  /** Nearest-centroid assignment (centroid set broadcast; corpus streams). */
-  def assignToNearest(df: DataFrame, centroidDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid"))
-    df.crossJoin(broadcast(centroidDf))
-      .withColumn("dist2",
-        sqNorm(col("embedding")) + sqNorm(col("cvec"))
-          - lit(2.0) * dot(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "dist2", "cvec")
-  }
+  /** The centroid set as one array-of-structs literal (cid, cvec,
+    * precomputed ||c||²) — ships to every task inside the serialized plan,
+    * the moral equivalent of a broadcast variable but consumable by a single
+    * expression. k×dim floats: tiny. */
+  private def centroidArray(centroids: Seq[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (cid, v) =>
+      val fv = v.map(_.toFloat)
+      val n2 = fv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      struct(lit(cid).as("cid"), typedLit(fv).as("cvec"), lit(n2).as("cn2"))
+    }: _*)
+
+  /** Per-row nearest-centroid as struct(d, cid): one `array_min` fold over
+    * the centroid literal — each dot computed exactly once, no join, no
+    * shuffle. `d = ||c||² − 2⟨e,c⟩` (the row-constant ||e||² term can't
+    * change the argmin); struct ordering ties break on the lower cid, same
+    * as the old window's `orderBy(dist2, cid)`. */
+  def nearestCentroid(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(transform(centroidArray(centroids), c =>
+      struct((c.getField("cn2") - lit(2.0) * dot(emb, c.getField("cvec"))).as("d"),
+        c.getField("cid").as("cid"))))
+
+  /** Nearest-centroid assignment — map-only: the corpus streams through a
+    * per-row fold, never shuffled or row-amplified. (The obvious
+    * crossJoin(centroids) + window-argmin shuffles k× the corpus — at 100 TB
+    * with k=16 that is a 16× shuffle for a per-row reduction.) */
+  def assignToNearest(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("cid",
+      nearestCentroid(col("embedding"), centroids).getField("cid"))
 
   /** IVF top-k: corpus pre-assigned to centroid lists; each query searches
     * only its `nProbe` nearest centroid lists — the classic recall/cost dial
-    * that turns a corpus scan into a probe of ~nProbe/k of the data. */
+    * that turns a corpus scan into a probe of ~nProbe/k of the data.
+    * Both assignment and probe selection are per-row folds over the centroid
+    * literal; the only shuffles left are the broadcast candidate join and
+    * the final per-query rank. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame,
-      centroidDf: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      centroids: Seq[(Int, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lists = assignToNearest(corpus, centroidDf)
+    val lists = assignToNearest(corpus, centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cid"))
-      .localCheckpoint()
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid"))
-    val probes = queries.crossJoin(broadcast(centroidDf))
-      .withColumn("dist2",
-        sqNorm(col("embedding")) + sqNorm(col("cvec"))
-          - lit(2.0) * dot(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cid"))
+    // nProbe nearest centroids per query: sort the (d, cid) structs, slice.
+    val probeCids = transform(
+      slice(array_sort(transform(centroidArray(centroids), c =>
+        struct((c.getField("cn2") - lit(2.0) * dot(col("embedding"), c.getField("cvec"))).as("d"),
+          c.getField("cid").as("cid")))), 1, nProbe),
+      s => s.getField("cid"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), explode(probeCids).as("cid"))
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     lists.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

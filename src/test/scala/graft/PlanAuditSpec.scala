@@ -79,6 +79,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"pipeline must run inside WholeStageCodegen (the *(n) marker):\n$p")
   }
 
+  test("ivf assignment: map-only — no Exchange between corpus scan and scoring") {
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = graft.ops.VectorOps.kmeansCentroids(e, 8, 1)
+    val p = finalPlan(graft.ops.VectorOps.assignToNearest(e, centroids))
+    assert(!p.contains("Exchange"),
+      s"nearest-centroid assignment must be a per-row fold, not a shuffle:\n$p")
+  }
+
   test("knn: query side broadcasts; corpus is never shuffled before scoring") {
     val p = plan(q("knn_cosine_topk"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
