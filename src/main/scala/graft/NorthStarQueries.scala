@@ -434,20 +434,31 @@ object NorthStarQueries {
       |  count(*) AS cnt
       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
-  /** Vocabulary build: global token frequencies with rank and cumulative
-    * coverage share — the tokenizer-training precursor. */
+  /** Vocabulary build: top-N token frequencies with rank and cumulative
+    * coverage share (denominator = the FULL corpus token count) — the
+    * tokenizer-training precursor. Bounded by construction: the candidate
+    * set is cut to N via orderBy+limit (plans as TakeOrderedAndProject — a
+    * per-partition heap + driver merge, never a global sort), so the rank
+    * window only ever sees ≤ N rows. A web-scale vocabulary is hundreds of
+    * millions of tokens; an unbounded global rank would single-partition it. */
   private def vocabTopk(s: SparkSession, d: String): DataFrame = {
+    val n = 10000
     val counts = documents(s, d)
       .select(explode(split(col("text"), "\\s+")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("total"))
+    val top = counts.orderBy(col("freq").desc, col("token")).limit(n)
+    // window input is capped at n rows by the limit above — bounded, not a
+    // whole-vocabulary sort
     val wRank = Window.orderBy(col("freq").desc, col("token"))
-    counts
+    top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(wRank))
       .withColumn("cum_share",
         round(sum(col("freq")).over(
           wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double") / sum(col("freq")).over(), 6))
+          .cast("double") / col("total"), 6))
+      .drop("total")
       .orderBy("rank")
   }
 
@@ -455,13 +466,16 @@ object NorthStarQueries {
     """WITH counts AS (
       |  SELECT token, count(*) AS freq FROM (
       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-      |  GROUP BY token)
-      |SELECT token, freq,
-      |  row_number() OVER (ORDER BY freq DESC, token) AS rank,
-      |  round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |        / CAST(sum(freq) OVER () AS DOUBLE), 6) AS cum_share
-      |FROM counts ORDER BY rank""".stripMargin
+      |  GROUP BY token),
+      |ranked AS (
+      |  SELECT token, freq,
+      |    row_number() OVER (ORDER BY freq DESC, token) AS rank,
+      |    round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |          / CAST(sum(freq) OVER () AS DOUBLE), 6) AS cum_share
+      |  FROM counts)
+      |SELECT token, freq, rank, cum_share FROM ranked
+      |WHERE rank <= 10000 ORDER BY rank""".stripMargin
 
   /** Fuzzy string similarity: edit distance of each near-dup candidate's
     * prefix against its pair partner — the verification step fuzzy-dedup

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.SkillOps
+import graft.ops.{ReferenceTaxonomy, SkillOps}
 
 /** SURVEY.md §2.6 J2 + §2.4 F5–F8: the dictionary/taxonomy pipeline — the
   * reference's core capability — over `documents.text`.
@@ -109,6 +109,59 @@ object SkillQueries {
        |SELECT category, count(*) AS cnt FROM labeled
        |GROUP BY category ORDER BY cnt DESC, category""".stripMargin
 
+  // ---- flagship v2: the REAL reference dictionary --------------------------
+
+  private def sqlEsc(x: String): String = x.replace("'", "''")
+
+  /** The full 348-term taxonomy as a VALUES list — generated from the SAME
+    * Seq the Spark query uses, so dict and oracle can never drift. */
+  private def refTaxValues: String =
+    ReferenceTaxonomy.taxonomyRows
+      .map { case (t, c, p) => s"('${sqlEsc(t)}', '${sqlEsc(c)}', $p)" }
+      .mkString(", ")
+
+  /** Multi-word terms with their word-boundary regex built DRIVER-side (the
+    * same escaping [[SkillOps.matchesWith]] applies) — embedding the final
+    * pattern string sidesteps SQL-dialect escape differences. */
+  private def refMultiPatterns: String =
+    ReferenceTaxonomy.allTerms.filter(_.contains(" ")).map { t =>
+      val escaped = t.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
+      s"('${sqlEsc(t)}', '${sqlEsc("\\b" + escaped + "\\b")}')"
+    }.mkString(", ")
+
+  /** skill_category_counts over the reference's REAL 16-category / 348-term
+    * dictionary (pracuj_scraper.py:25-42): distinct (doc, term) matches
+    * resolved first-match-wins, counted per category. Same engine
+    * ([[SkillOps.matchesWith]] + [[SkillOps.resolvedWith]]), real dict. */
+  private def categoryCountsRef(s: SparkSession, d: String): DataFrame = {
+    val tax = s.createDataFrame(ReferenceTaxonomy.taxonomyRows)
+      .toDF("term", "category", "priority")
+    SkillOps.matchesWith(s, documents(s, d), ReferenceTaxonomy.allTerms)
+      .join(broadcast(SkillOps.resolvedWith(tax)), Seq("term"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("term")).as("n_terms"))
+      .orderBy(col("cnt").desc, col("category"))
+  }
+
+  private def categoryCountsRefSql: String =
+    s"""WITH tax(term, category, priority) AS (VALUES $refTaxValues),
+       |multi(term, pattern) AS (VALUES $refMultiPatterns),
+       |toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |         FROM documents),
+       |matches AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT t.doc_id, x.term FROM toks t
+       |    JOIN (SELECT DISTINCT term FROM tax WHERE term NOT LIKE '% %') x
+       |      ON t.tok = x.term
+       |    UNION ALL
+       |    SELECT d.doc_id, m.term FROM documents d
+       |    JOIN multi m ON regexp_matches(lower(d.text), m.pattern))),
+       |resolved AS (SELECT term, arg_min(category, priority) AS category
+       |             FROM tax GROUP BY term)
+       |SELECT r.category, count(*) AS cnt, count(DISTINCT mt.term) AS n_terms
+       |FROM matches mt JOIN resolved r ON mt.term = r.term
+       |GROUP BY r.category ORDER BY cnt DESC, category""".stripMargin
+
   // ---- F7 canonicalize_skills: additive variations -------------------------
 
   /** Distinct (doc, skill) where skill = raw matched term PLUS the canonical
@@ -147,6 +200,7 @@ object SkillQueries {
     "dict_term_match" -> Q(dictTermMatch, Some(dictTermMatchSql)),
     "dict_term_match_gen" -> Q(dictTermMatchGen, Some(dictTermMatchSql)),
     "skill_category_counts" -> Q(categoryCounts, Some(categoryCountsSql)),
+    "skill_category_counts_ref" -> Q(categoryCountsRef, Some(categoryCountsRefSql)),
     "canonicalize_skills" -> Q(canonicalize, Some(canonicalizeSql)),
   )
 }

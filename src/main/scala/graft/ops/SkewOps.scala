@@ -16,8 +16,13 @@ object SkewOps {
     * groupBy (sum/count are associative-commutative). */
   def saltedSumCount(df: DataFrame, key: Column, salts: Int,
       sumCol: Column): DataFrame = {
+    // salt = content hash of the whole row: deterministic under task retries
+    // and re-partitioning (monotonically_increasing_id would re-deal salts on
+    // every retry). Caveat: fully identical rows share a salt bucket; hot
+    // keys whose rows carry distinct payloads — the case salting exists
+    // for — still spread over all `salts` reducers.
     val salted = df
-      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy(key.as("k"), col("__salt"))
       .agg(sum(sumCol).as("s"), count(lit(1)).as("c"))

@@ -85,6 +85,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(cc.values.toSet == Set(0L), s"all nodes must reach label 0: $cc")
   }
 
+  test("connected components: 50-node chain (diameter >> rounds) clusters in O(log n)") {
+    // min-label propagation would need 49 rounds here; large/small-star
+    // squares path lengths each round, so even maxIter=10 suffices
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 50 && cc.values.toSet == Set(0L),
+      s"all 50 chain nodes must reach label 0: $cc")
+  }
+
+  test("connected components: non-convergence raises instead of returning wrong labels") {
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(pairs, maxIter = 1)
+    }
+  }
+
   test("shingles slide over tokens in order") {
     val got = Seq("a b c d").toDF("t")
       .select(DedupOps.shingles(col("t"), 3).as("s"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.SkillOps
+import graft.ops.{ReferenceTaxonomy, SkillOps}
 
 /** FIXTURES.md §B3 with a reference-shaped taxonomy: the ambiguous terms the
   * real dictionary contains must resolve to their FIRST category (dict
@@ -61,6 +61,41 @@ class ReferenceTaxonomySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(!m.contains((1L, "sql")))
     assert(m.contains((2L, "c++")) && m.contains((2L, "d3.js")))
+  }
+
+  test("FULL reference dict: 348 terms / 16 categories; ambiguous terms resolve to first category") {
+    assert(ReferenceTaxonomy.categories.size == 16)
+    assert(ReferenceTaxonomy.taxonomyRows.size == 348)
+    val fullTax = spark.createDataFrame(ReferenceTaxonomy.taxonomyRows)
+      .toDF("term", "category", "priority")
+    val resolved = SkillOps.resolvedWith(fullTax)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved.size == ReferenceTaxonomy.allTerms.size)
+    // the real dictionary's actual ambiguous terms (each listed in two
+    // categories) must resolve by dict insertion order
+    assert(resolved("oracle") == "Database")          // not ERP and CRM Systems
+    assert(resolved("snowflake") == "Database")       // not Cloud
+    assert(resolved("reporting") == "Visualization")  // not Business Intelligence
+    assert(resolved("scikit-learn") == "Programming") // not Machine Learning and AI
+  }
+
+  test("FULL reference dict: additive variation 'sql server' emits itself AND 'sql'") {
+    val docs = Seq((1L, "we use sql server daily")).toDF("doc_id", "text")
+    val m = SkillOps.matchesWith(spark, docs, ReferenceTaxonomy.allTerms)
+    val vars = ReferenceTaxonomy.variations.toDF("variation", "canonical")
+    val skills = m.join(vars, col("term") === col("variation"), "left_outer")
+      .select(explode(array_compact(array(col("term"), col("canonical")))).as("skill"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(skills == Set("sql server", "sql"), s"got $skills")
+  }
+
+  test("FULL reference dict: regex-special terms (c++, .net, d3.js, c#) match as tokens") {
+    val docs = Seq((1L, "c++ and d3.js mastery"), (2L, ".net plus c# shop"))
+      .toDF("doc_id", "text")
+    val m = SkillOps.matchesWith(spark, docs, ReferenceTaxonomy.allTerms)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(m.contains((1L, "c++")) && m.contains((1L, "d3.js")))
+    assert(m.contains((2L, ".net")) && m.contains((2L, "c#")))
   }
 
   test("unknown extracted skill categorizes as Other (scraper.py:20)") {
