@@ -70,27 +70,15 @@ object NorthStarQueries {
 
   /** Exact Jaccard over distinct token sets, restricted to the planted
     * near-dup family (docs containing `dup`) so candidates stay bounded;
-    * the general-scale path is dedup_minhash. */
-  private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .filter(regexp_like(col("text"), lit("\\bdup\\b")))
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = toks.as("x")
-      .join(toks.as("y"), col("x.tok") === col("y.tok") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
+    * the general-scale path is dedup_minhash. The 25-doc family shares its
+    * whole 31-token vocabulary by construction, so the df cut is set above
+    * the family size (a cut would have to drop every token); the hot-token
+    * guard itself is exercised in DedupOpsSpec on a realistic corpus. */
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    DedupOps.jaccardPairs(
+      documents(s, d).filter(regexp_like(col("text"), lit("\\bdup\\b"))),
+      maxDf = 1000L, minJaccard = 0.8)
       .orderBy("doc_a", "doc_b")
-  }
 
   private val dedupJaccardSql =
     """WITH dup_docs AS (
@@ -203,6 +191,60 @@ object NorthStarQueries {
       |SELECT cc.doc_id, cc.cluster_id, s.cluster_size
       |FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
       |              FROM cc GROUP BY cluster_id) s USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The end-to-end fuzzy-dedup pipeline a training-data build runs daily:
+    * MinHash-banded candidates (bucketed, never all-pairs) → exact-Jaccard
+    * verification over FULL token sets, restricted to candidates → connected
+    * components → canonical-doc pick (cluster min; `keep` marks it).
+    * Banding is widened to 8 bands × 2 rows (s-curve threshold ≈ 0.35) so a
+    * true ≥ 0.8 pair cannot realistically slip past candidate generation;
+    * the exact verify discards the extra low-J candidates that loose banding
+    * admits. The oracle recomputes the same clusters from scratch with exact
+    * Jaccard + a recursive CTE — candidate generation must therefore be
+    * lossless on this corpus, which IS the check. */
+  private def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val dupDocs = documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b")))
+    val cand = DedupOps.minhashPairs(dupDocs, h = 16, bands = 8, shingleK = 1)
+      .select("doc_a", "doc_b")
+    val verified = DedupOps.jaccardVerify(DedupOps.tokenSets(dupDocs), cand, 0.8)
+    val cc = DedupOps.connectedComponents(verified.select("doc_a", "doc_b"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id").as("canonical_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupPipelineSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH dup_docs AS (
+      |    SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |  toks AS (
+      |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |  sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |  cand AS (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |    FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |cc AS (SELECT node AS doc_id, min(label) AS canonical_id FROM reach GROUP BY node)
+      |SELECT cc.doc_id, cc.canonical_id, s.cluster_size,
+      |       CAST(cc.doc_id = cc.canonical_id AS INTEGER) AS keep
+      |FROM cc JOIN (SELECT canonical_id, count(*) AS cluster_size
+      |              FROM cc GROUP BY canonical_id) s USING (canonical_id)
       |ORDER BY doc_id""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs over a bounded audit subset —
@@ -545,6 +587,7 @@ object NorthStarQueries {
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
+    "dedup_pipeline" -> Q(dedupPipeline, Some(dedupPipelineSql)),
     "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),

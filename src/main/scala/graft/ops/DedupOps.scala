@@ -154,15 +154,70 @@ object DedupOps {
       .distinct()
   }
 
+  /** Distinct (doc_id, tok) rows — the inverted-index building block.
+    * array_distinct before explode: set semantics with no post-explode
+    * distinct shuffle. */
+  def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
+
+  /** Exact token-set Jaccard for a given candidate pair list: two joins
+    * against the inverted index count |A∩B| (cost ∝ candidates × doc size,
+    * never all-pairs), then sizes give the union. `jaccard` is rounded to
+    * 6 dp BEFORE the threshold, matching the DuckDB oracle formulation. */
+  def jaccardVerify(toks: DataFrame, cand: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram (token-set) Jaccard pairs via an inverted-index join with
+    * a document-frequency cut: tokens appearing in more than `maxDf` docs
+    * are excluded from CANDIDATE GENERATION (one stopword-grade token makes
+    * its posting list quadratic — the hot-token hazard), but still count in
+    * the verification, which runs over FULL token sets restricted to
+    * candidate pairs. A qualifying pair is lost only if every one of its
+    * shared tokens is hotter than `maxDf` — i.e. the pair is built entirely
+    * of stopwords; MinHash (the corpus-scale path) routes around the same
+    * degenerate case. */
+  def jaccardPairs(docs: DataFrame, maxDf: Long, minJaccard: Double): DataFrame = {
+    // localCheckpoint: the index feeds df-count, both candidate sides, sizes
+    // and both verify joins — without it each consumer re-tokenizes.
+    val toks = tokenSets(docs).localCheckpoint()
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val rare = toks.join(dfreq.filter(col("df") <= maxDf), Seq("tok"))
+    val cand = rare.as("x")
+      .join(rare.as("y"), col("x.tok") === col("y.tok") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(toks, cand, minJaccard)
+  }
+
   /** MinHash near-dup candidate pairs with Jaccard estimate from signature
     * agreement. explode(bandKeys) → shuffle on band key → per-bucket pairs.
-    */
-  def minhashPairs(docs: DataFrame, h: Int, bands: Int): DataFrame = {
+    * `shingleK` picks the granularity the signature estimates: 3 (default)
+    * approximates 3-shingle Jaccard (order-sensitive, the classic near-dup
+    * detector); 1 approximates token-SET Jaccard (order-insensitive — use
+    * when downstream verification is token-set based, or banding will miss
+    * reordered near-dups that shingles don't share). */
+  def minhashPairs(docs: DataFrame, h: Int, bands: Int, shingleK: Int = 3): DataFrame = {
     val rows = h / bands
     // localCheckpoint: the band self-join is a diamond DAG — without it both
     // join sides re-execute the whole shingle+hash+signature subtree.
     val sigs = docs
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), shingles(col("text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(shingleHashes(col("sh")), h).as("sig"))
       .localCheckpoint()

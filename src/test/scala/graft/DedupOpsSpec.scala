@@ -102,6 +102,30 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("df-cut guard: a stopword-grade token no longer produces quadratic candidates") {
+    // every doc shares 'common'/'filler'; the rest of each doc is unique.
+    // Without the guard the inverted-index self-join forms all 60*59/2
+    // pairs off the two hot posting lists; with maxDf=30 both hot tokens
+    // are cut from candidate generation and nothing pairs up.
+    val docs = (1L to 60L)
+      .map(i => (i, s"common filler uniq$i alpha$i beta$i gamma$i"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.jaccardPairs(docs, maxDf = 1000, minJaccard = 0.0).count() == 60L * 59 / 2)
+    assert(DedupOps.jaccardPairs(docs, maxDf = 30, minJaccard = 0.0).count() == 0)
+  }
+
+  test("df-cut keeps verification exact: hot tokens still count toward jaccard") {
+    // docs 1,2 share hot 'common' AND rare 'shared': candidate via 'shared',
+    // but jaccard must count 'common' too: |{common,shared}|/|{common,shared,x1,x2}|
+    val docs = Seq(
+      (1L, "common shared x1"), (2L, "common shared x2"),
+      (3L, "common y1 y2"), (4L, "common z1 z2")).toDF("doc_id", "text")
+    val got = DedupOps.jaccardPairs(docs, maxDf = 2, minJaccard = 0.0).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(got.head.getDouble(2) == 0.5)
+  }
+
   test("shingles slide over tokens in order") {
     val got = Seq("a b c d").toDF("t")
       .select(DedupOps.shingles(col("t"), 3).as("s"))
