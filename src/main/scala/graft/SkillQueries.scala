@@ -193,6 +193,58 @@ object SkillQueries {
        |SELECT skill, count(*) AS n_docs FROM skills
        |GROUP BY skill ORDER BY skill""".stripMargin
 
+  // ---- S? skills_cascade: the 3-tier extraction fallback -------------------
+
+  /** The reference's tiered skills extraction end-to-end
+    * (pracuj_scraper.py:153-181): synthesize a detail page per document
+    * whose sections force a specific tier by doc_id % 3, then run the real
+    * cascade expressions over the HTML.
+    *
+    *  - %3 == 0: dedicated skills ul has 2 items → tier 1; the bullet
+    *    section carries dictionary-term DECOYS that must NOT surface
+    *    (proves the short-circuit).
+    *  - %3 == 1: dedicated ul has 1 item (< 2) → bullets matched → tier 2.
+    *  - %3 == 2: bullets carry no dictionary terms → full page text → tier 3.
+    *
+    * The oracle computes the expected (tier, skills) arithmetically from
+    * doc_id — fully independent of the HTML/regex chain under test. */
+  private def skillsCascade(s: SparkSession, d: String): DataFrame = {
+    val t = col("doc_id") % 3
+    val skillsUl = when(t === 0, lit(
+      "<ul data-test=\"aggregate-open-dictionary-model\">" +
+        "<li class=\"catru5k\">spark</li><li class=\"catru5k\">sort merge</li></ul>"))
+      .otherwise(lit(
+        "<ul data-test=\"aggregate-open-dictionary-model\">" +
+          "<li class=\"catru5k\">query</li></ul>"))
+    val bulletsUl = when(t === 1, lit(
+      "<ul data-test=\"aggregate-bullet-model\">" +
+        "<li class=\"tkzmjn3\">needs spark and join daily</li></ul>"))
+      .when(t === 2, lit(
+        "<ul data-test=\"aggregate-bullet-model\">" +
+          "<li class=\"tkzmjn3\">nothing relevant listed</li></ul>"))
+      .otherwise(lit(
+        "<ul data-test=\"aggregate-bullet-model\">" +
+          "<li class=\"tkzmjn3\">decoy merge and filter words</li></ul>"))
+    val body = when(t === 2,
+      lit("<p>team works with vector and stream pipelines</p>"))
+      .otherwise(lit("<p>generic body copy</p>"))
+    val html = concat(lit("<html>"), skillsUl, bulletsUl, body, lit("</html>"))
+    val (tier, skills) = SkillOps.cascadeSkills(col("html"))
+    documents(s, d)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), tier.as("tier"), skills.as("skills"))
+      .orderBy("doc_id")
+  }
+
+  private val skillsCascadeSql =
+    """SELECT doc_id,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS INTEGER) AS tier,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 'sort,sort merge,spark'
+      |    WHEN 1 THEN 'join,query,spark'
+      |    ELSE 'query,stream,vector' END AS skills
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -202,5 +254,6 @@ object SkillQueries {
     "skill_category_counts" -> Q(categoryCounts, Some(categoryCountsSql)),
     "skill_category_counts_ref" -> Q(categoryCountsRef, Some(categoryCountsRefSql)),
     "canonicalize_skills" -> Q(canonicalize, Some(canonicalizeSql)),
+    "skills_cascade" -> Q(skillsCascade, Some(skillsCascadeSql)),
   )
 }

@@ -46,6 +46,22 @@ object HtmlOps {
       item => regexp_extract(item, "^([^<]*)", 1))
   }
 
+  /** Description-bullet texts from ul[data-test='aggregate-bullet-model']
+    * items, joined with ' ' (pracuj_scraper.py:167-171 — the cascade's
+    * tier-2 input). */
+  def bulletText(html: Column): Column = {
+    val ul = regexp_extract(html,
+      "(?s)data-test=[\"']aggregate-bullet-model[\"'].*?</ul>", 0)
+    array_join(transform(
+      slice(split(ul, "<li[^>]*>"), 2, 10000),
+      item => regexp_extract(item, "^([^<]*)", 1)), " ")
+  }
+
+  /** All visible text with tags stripped — the soup.get_text() analog
+    * (pracuj_scraper.py:176, the cascade's tier-3 input). */
+  def pageText(html: Column): Column =
+    regexp_replace(html, "<[^>]*>", " ")
+
   /** Offer link extraction from a search page: anchors with
     * data-test='link-offer-title' (pracuj_scraper.py:284-286). */
   def offerHrefs(html: Column): Column =

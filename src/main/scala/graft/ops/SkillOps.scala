@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's skill-taxonomy semantics (SURVEY.md §2.6 J2/F6/F7/F8):
@@ -73,6 +73,47 @@ object SkillOps {
     * pracuj_scraper.py:155-178). */
   def matches(s: SparkSession, docs: DataFrame): DataFrame =
     matchesWith(s, docs, taxonomyRows.map(_._1).distinct)
+
+  /** Dictionary matches of a free-text column as a PURE column expression
+    * (single-word terms via token-set membership, multi-word terms via
+    * word-boundary regex) — the per-row form of [[matchesWith]] for use
+    * inside conditional cascades, where a join can't short-circuit per row
+    * (pracuj_scraper.py:183-197). */
+  def textMatchArray(text: Column): Column = {
+    val terms = taxonomyRows.map(_._1).distinct
+    val (multi, single) = terms.partition(_.contains(" "))
+    val toks = filter(array_distinct(split(lower(text), "\\s+")),
+      t => t.isin(single: _*))
+    val multiHits = array_compact(array(multi.map { mt =>
+      val esc = mt.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
+      when(regexp_like(lower(text), lit("\\b" + esc + "\\b")), lit(mt))
+    }: _*))
+    array_union(toks, multiHits)
+  }
+
+  /** The reference's 3-tier skills-extraction cascade
+    * (pracuj_scraper.py:153-181) as a when/coalesce short-circuit chain
+    * (SURVEY.md §3.2): take the dedicated skills list; if it yields fewer
+    * than 2 skills, ADD description-bullet dictionary matches; if still
+    * fewer than 2, ADD full-page-text matches; finally map through the
+    * additive variations (raw term kept, canonical appended). Returns
+    * (tier, skills): the tier that satisfied the cascade and the sorted
+    * comma-joined skill set. Scan-shaped — no joins, no shuffles. */
+  def cascadeSkills(html: Column): (Column, Column) = {
+    val f1 = array_distinct(transform(HtmlOps.skillItems(html), t => lower(t)))
+    val f2 = when(size(f1) >= 2, f1)
+      .otherwise(array_union(f1, textMatchArray(HtmlOps.bulletText(html))))
+    val f3 = when(size(f2) >= 2, f2)
+      .otherwise(array_union(f2, textMatchArray(HtmlOps.pageText(html))))
+    val tier = when(size(f1) >= 2, lit(1))
+      .when(size(f2) >= 2, lit(2)).otherwise(lit(3))
+    val matched = filter(f3, t => t.isin(taxonomyRows.map(_._1).distinct: _*))
+    val canon = array_compact(array(variations.map { case (v, c) =>
+      when(array_contains(f3, v), lit(c))
+    }: _*))
+    val skills = array_join(sort_array(array_distinct(concat(matched, canon))), ",")
+    (tier, skills)
+  }
 
   /** matches() over an arbitrary term list (same word-boundary semantics) —
     * lets callers swap in domain taxonomies like the reference's real

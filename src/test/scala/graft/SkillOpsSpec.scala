@@ -58,6 +58,42 @@ class SkillOpsSpec extends SparkSpec {
     assert(all.contains("sort merge") && all.contains("sort"))
   }
 
+  private def cascade(html: String): (Int, String) = {
+    val (tier, skills) = SkillOps.cascadeSkills(col("html"))
+    val r = Seq(html).toDF("html")
+      .select(tier.as("t"), skills.as("s")).collect().head
+    (r.getInt(0), r.getString(1))
+  }
+
+  test("cascade tier 1: >=2 dedicated skills short-circuit; bullet decoys never surface") {
+    val html = "<html><ul data-test=\"aggregate-open-dictionary-model\">" +
+      "<li class=\"x\">spark</li><li class=\"x\">table</li></ul>" +
+      "<ul data-test=\"aggregate-bullet-model\"><li class=\"y\">merge filter decoys</li></ul></html>"
+    assert(cascade(html) == (1, "spark,table"))
+  }
+
+  test("cascade tier 2: <2 dedicated skills falls back to bullet matching, ADDITIVELY") {
+    val html = "<html><ul data-test=\"aggregate-open-dictionary-model\">" +
+      "<li class=\"x\">query</li></ul>" +
+      "<ul data-test=\"aggregate-bullet-model\"><li class=\"y\">needs spark here</li></ul></html>"
+    // tier-1 'query' is KEPT and the bullet match is added (found_skills.update)
+    assert(cascade(html) == (2, "query,spark"))
+  }
+
+  test("cascade tier 3: still <2 after bullets falls back to full page text") {
+    val html = "<html><ul data-test=\"aggregate-open-dictionary-model\">" +
+      "<li class=\"x\">query</li></ul>" +
+      "<ul data-test=\"aggregate-bullet-model\"><li class=\"y\">nothing here</li></ul>" +
+      "<p>body mentions vector and stream</p></html>"
+    assert(cascade(html) == (3, "query,stream,vector"))
+  }
+
+  test("cascade maps variations additively at the end (sort merge -> + sort)") {
+    val html = "<html><ul data-test=\"aggregate-open-dictionary-model\">" +
+      "<li class=\"x\">spark</li><li class=\"x\">sort merge</li></ul></html>"
+    assert(cascade(html) == (1, "sort,sort merge,spark"))
+  }
+
   test("flagship categorizes unmatched tokens as Other and drops stopwords") {
     val out = Queries.byName("skill_category_counts").build(spark, sfDir)
     val byCat = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
