@@ -65,30 +65,44 @@ object VectorOps {
         posexplode(array((0 until tables).map(bucket): _*)).as(Seq("table_id", "bucket")))
   }
 
-  /** Deterministic k-means for IVF coarse quantization: centroids
-    * initialized from the k lowest vec_ids (no RNG — reproducible across
-    * runs/executors), Lloyd iterations via groupBy-avg. Each iteration is
-    * map-only assignment (centroids ride along as a literal) + one shuffle
-    * (the recenter groupBy).
-    */
-  def kmeansCentroids(df: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    var centroids: Seq[(Int, Seq[Double])] = df
-      .orderBy("vec_id").limit(k).collect().zipWithIndex
-      .map { case (r, i) =>
-        (i, r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)
-      }.toSeq
+  /** Deterministic k-means for IVF coarse quantization, trained DRIVER-side
+    * on a bounded sample — the standard IVF build (train on a sample, assign
+    * at scale): a coarse quantizer needs only a representative sample, so
+    * training costs ONE bounded collect instead of 2 cluster jobs per Lloyd
+    * iteration, and only the map-only assignment ever touches the full
+    * corpus. Deterministic end to end: sample = lowest `sampleSize` vec_ids,
+    * init = first k of those, no RNG anywhere; ties go to the lower cid. */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int,
+      sampleSize: Int = 4096): Seq[(Int, Seq[Double])] = {
+    val sample: Array[Array[Double]] = df
+      .orderBy("vec_id").limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k vectors to train $k centroids")
+    val dim = sample.head.length
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone)
     for (_ <- 0 until iters) {
-      centroids = assignToNearest(df, centroids)
-        .select(col("cid"), posexplode(col("embedding")))
-        .groupBy("cid", "pos")
-        .agg(avg(col("col").cast("double")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }.toSeq.sortBy(_._1)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      for (v <- sample) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c)))
     }
-    centroids
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
   }
 
   /** The centroid set as one array-of-structs literal (cid, cvec,
