@@ -37,7 +37,7 @@ object NorthStarQueries {
   // ---- N1 dedup: MinHash + LSH (rows-only; property-tested) ---------------
 
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    DedupOps.minhashPairs(documents(s, d), h = 16, bands = 4)
+    DedupOps.minhashPairs(fanOut(documents(s, d)), h = 16, bands = 4)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
 
@@ -48,7 +48,7 @@ object NorthStarQueries {
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint: the chunk self-join would otherwise recompute the
     // 64-bit vote fold for both sides
-    val sigs = documents(s, d)
+    val sigs = fanOut(documents(s, d))
       .select(col("doc_id"), DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
       .localCheckpoint()
     val chunked = sigs.select(col("doc_id"), col("sig"),
@@ -76,8 +76,8 @@ object NorthStarQueries {
     * guard itself is exercised in DedupOpsSpec on a realistic corpus. */
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     DedupOps.jaccardPairs(
-      documents(s, d).filter(regexp_like(col("text"), lit("\\bdup\\b"))),
-      maxDf = 1000L, minJaccard = 0.8)
+      fanOut(documents(s, d).filter(regexp_like(col("text"), lit("\\bdup\\b")))),
+      maxDf = Long.MaxValue, minJaccard = 0.8)
       .orderBy("doc_a", "doc_b")
 
   private val dedupJaccardSql =
@@ -204,8 +204,8 @@ object NorthStarQueries {
     * Jaccard + a recursive CTE — candidate generation must therefore be
     * lossless on this corpus, which IS the check. */
   private def dedupPipeline(s: SparkSession, d: String): DataFrame = {
-    val dupDocs = documents(s, d)
-      .filter(regexp_like(col("text"), lit("\\bdup\\b")))
+    val dupDocs = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
     val cand = DedupOps.minhashPairs(dupDocs, h = 16, bands = 8, shingleK = 1)
       .select("doc_a", "doc_b")
     val verified = DedupOps.jaccardVerify(DedupOps.tokenSets(dupDocs), cand, 0.8)

@@ -53,7 +53,7 @@ object SkillQueries {
   // ---- F6 dict_term_match: docs-per-term frequency -------------------------
 
   private def dictTermMatch(s: SparkSession, d: String): DataFrame =
-    SkillOps.matches(s, documents(s, d))
+    SkillOps.matches(s, fanOut(documents(s, d)))
       .groupBy("term")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("term")
@@ -69,7 +69,7 @@ object SkillQueries {
     * [[graft.functions.TermMatchGenerator]]: O(tokens) per document instead
     * of O(terms) join work — the SURVEY §2.4 F6 "v2 perf" path. */
   private def dictTermMatchGen(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    fanOut(documents(s, d))
       .selectExpr("doc_id", "term_match(text) AS term")
       .groupBy("term")
       .agg(count(lit(1)).as("n_docs"))
@@ -84,7 +84,7 @@ object SkillQueries {
   private def categoryCounts(s: SparkSession, d: String): DataFrame = {
     // array_distinct before explode = per-doc set semantics without a
     // post-explode distinct() shuffle (same trick as SkillOps.matches).
-    val candidates = documents(s, d)
+    val candidates = fanOut(documents(s, d))
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
       .filter(!col("term").isin(SkillOps.stopwords: _*))
@@ -136,7 +136,7 @@ object SkillQueries {
   private def categoryCountsRef(s: SparkSession, d: String): DataFrame = {
     val tax = s.createDataFrame(ReferenceTaxonomy.taxonomyRows)
       .toDF("term", "category", "priority")
-    SkillOps.matchesWith(s, documents(s, d), ReferenceTaxonomy.allTerms)
+    SkillOps.matchesWith(s, fanOut(documents(s, d)), ReferenceTaxonomy.allTerms)
       .join(broadcast(SkillOps.resolvedWith(tax)), Seq("term"))
       .groupBy("category")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("term")).as("n_terms"))
@@ -171,7 +171,7 @@ object SkillQueries {
     // one pass: left-join the variations dim, then fan each match out to
     // {raw term, canonical-or-null} — a self-union would re-execute the
     // whole matches subtree twice.
-    SkillOps.matches(s, documents(s, d))
+    SkillOps.matches(s, fanOut(documents(s, d)))
       .join(broadcast(SkillOps.variationsDf(s)),
         col("term") === col("variation"), "left_outer")
       .select(col("doc_id"),
@@ -230,7 +230,7 @@ object SkillQueries {
       .otherwise(lit("<p>generic body copy</p>"))
     val html = concat(lit("<html>"), skillsUl, bulletsUl, body, lit("</html>"))
     val (tier, skills) = SkillOps.cascadeSkills(col("html"))
-    documents(s, d)
+    fanOut(documents(s, d))
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"), tier.as("tier"), skills.as("skills"))
       .orderBy("doc_id")

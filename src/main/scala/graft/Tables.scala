@@ -71,6 +71,18 @@ object Tables {
     spark
   }
 
+  /** Fan a small scan out to the session's parallelism before a per-row
+    * compute-bound stage (regex chains, minhash/simhash folds). The testdata
+    * parquet is written as ONE row group, which Spark cannot split — without
+    * this, every signature/regex pass runs in a single task no matter how
+    * many cores the session has. At real scale, multi-row-group files split
+    * by `spark.sql.files.maxPartitionBytes` and this shuffle would be a
+    * no-op to remove; the 5000-row exchange here costs microseconds and buys
+    * cores× parallelism. Apply AFTER pushable filters, never between a scan
+    * and its predicate. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Events with ts bucketed to whole seconds — convenience for queries whose
     * compared output includes a time column (sub-second precision differs in
     * representation between engines; whole seconds are unambiguous). */

@@ -125,10 +125,11 @@ object DedupOps {
       val nbr = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val minsL = nbr.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no intermediate distinct: duplicate edges can't change a min, and
+      // the round's final distinct dedups the emission — one less shuffle
       val large = nbr.filter(col("v") > col("u"))
         .join(minsL, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: for each node, attach all smaller neighbors (and itself)
       // to the minimum among them. The edge whose v IS the min re-points the
       // center node u; all others re-point their v.
@@ -195,8 +196,14 @@ object DedupOps {
     // localCheckpoint: the index feeds df-count, both candidate sides, sizes
     // and both verify joins — without it each consumer re-tokenizes.
     val toks = tokenSets(docs).localCheckpoint()
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val rare = toks.join(dfreq.filter(col("df") <= maxDf), Seq("tok"))
+    // maxDf == Long.MaxValue means "guard disabled": no token can exceed it,
+    // so skip the df-count shuffle and join entirely
+    val rare =
+      if (maxDf == Long.MaxValue) toks
+      else {
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        toks.join(dfreq.filter(col("df") <= maxDf), Seq("tok"))
+      }
     val cand = rare.as("x")
       .join(rare.as("y"), col("x.tok") === col("y.tok") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -121,7 +121,6 @@ object SkillOps {
   def matchesWith(s: SparkSession, docs: DataFrame, terms: Seq[String]): DataFrame = {
     val (multi, single) = terms.distinct.partition(_.contains(" "))
     val singleDf = s.createDataFrame(single.map(Tuple1(_))).toDF("term")
-    val multiDf = s.createDataFrame(multi.map(Tuple1(_))).toDF("term")
     // array_distinct BEFORE explode: per-doc set semantics for free, and the
     // exploded row count drops to the per-doc vocabulary size — no
     // post-explode distinct() shuffle needed (single/multi term sets are
@@ -132,11 +131,18 @@ object SkillOps {
     val singleMatches = tokens
       .join(broadcast(singleDf), col("tok") === col("term"))
       .select("doc_id", "term")
-    val multiMatches = docs
-      .join(broadcast(multiDf),
-        regexp_like(lower(col("text")),
-          concat(lit("\\b"), regexp_replace(col("term"), "([.*+?^${}()|\\[\\]\\\\])", "\\\\$1"), lit("\\b"))))
-      .select("doc_id", "term")
-    singleMatches.unionByName(multiMatches)
+    if (multi.isEmpty) singleMatches
+    else {
+      // multi-word terms as ONE per-row expression (each term its own
+      // word-boundary regex, literal so codegen precompiles it) — same
+      // per-term-independent semantics as a regex theta-join, without
+      // materializing a docs × terms join
+      val multiMatches = docs.select(col("doc_id"),
+        explode(array_compact(array(multi.map { mt =>
+          val esc = mt.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
+          when(regexp_like(lower(col("text")), lit("\\b" + esc + "\\b")), lit(mt))
+        }: _*))).as("term"))
+      singleMatches.unionByName(multiMatches)
+    }
   }
 }
