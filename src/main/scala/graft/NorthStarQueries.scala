@@ -280,6 +280,30 @@ object NorthStarQueries {
       |FROM pairs WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Embedding near-dup at corpus scale — the LSH-bucketed path that
+    * replaces dedup_embedding's all-pairs audit once |corpus|² is off the
+    * table: multi-table sign-bit buckets in ONE corpus scan, candidates from
+    * bucket collisions only, then exact-cosine verification. Rows-only (the
+    * hash planes aren't DuckDB-expressible); VectorOpsSpec asserts every
+    * emitted pair is in the exact result (precision 1.0 by construction)
+    * and recall against dedup_embedding is useful. */
+  private def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    val e = VectorOps.lshTables(
+      embeddings(s, d).filter(col("vec_id") < 200), planes = 4, tables = 4)
+      .localCheckpoint()
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("table_id"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("table_id"), col("bucket"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(VectorOps.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.3)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF ANN (rows-only; recall asserted in VectorOpsSpec): deterministic
     * k-means coarse quantizer, 16 lists, 4 probed per query — each query
     * scans ~1/4 of the corpus instead of all of it; the ratio is the
@@ -593,6 +617,7 @@ object NorthStarQueries {
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
     "knn_ann_ivf" -> Q(knnAnnIvf, None),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),
+    "dedup_embedding_lsh" -> Q(dedupEmbeddingLsh, None),
     "udaf_vector_centroid" -> Q(vectorCentroid, Some(vectorCentroidSql)),
     "text_token_stats" -> Q(tokenStats, Some(tokenStatsSql)),
     "lang_id" -> Q(langId, Some(langIdSql)),

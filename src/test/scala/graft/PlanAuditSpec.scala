@@ -87,6 +87,17 @@ class PlanAuditSpec extends SparkSpec {
       s"nearest-centroid assignment must be a per-row fold, not a shuffle:\n$p")
   }
 
+  test("vocab_topk: candidate cut plans as TakeOrderedAndProject; rank window sees a bounded set") {
+    val p = finalPlan(q("vocab_topk"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must be a per-partition heap + merge, not a global sort:\n$p")
+  }
+
+  test("skills_cascade: scan-shaped — no joins, single fan-out exchange before the sort") {
+    val p = finalPlan(q("skills_cascade"))
+    assert(!p.contains("Join"), s"cascade must be pure column expressions:\n$p")
+  }
+
   test("knn: query side broadcasts; corpus is never shuffled before scoring") {
     val p = plan(q("knn_cosine_topk"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

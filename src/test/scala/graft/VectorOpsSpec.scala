@@ -60,6 +60,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("embedding LSH near-dup: subset of the exact pairs, useful recall") {
+    val exact = Queries.byName("dedup_embedding").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Queries.byName("dedup_embedding_lsh").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), "exact-cosine verification means precision 1.0")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall vs exact all-pairs")
+  }
+
   test("centroid UDAF equals manual element-wise average") {
     val df = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 20f)))
       .toDF("label", "embedding")
