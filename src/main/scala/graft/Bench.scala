@@ -18,10 +18,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
-    // warmup: JVM + codegen + parquet reader init (untimed, tiny table)
+    // warmup: JVM + codegen + parquet reader/footer init for EVERY table
+    // (untimed) — otherwise whichever query alphabetically touches a table
+    // first is charged its cold-read cost and per-query numbers aren't
+    // comparable across rounds
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      Tables.region(spark, sfDir).count()
+      Tables.names.foreach(n => Tables.table(spark, sfDir, n).count())
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
