@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorCosine, FloatVectorDot}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available to any session built with
@@ -15,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"), FloatVectorDot.info, FloatVectorDot.builder))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"), FloatVectorCosine.info, FloatVectorCosine.builder))
   }
 }

@@ -699,6 +699,53 @@ object RelationalQueries {
       |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- skew-salted aggregation (SURVEY §4.3) --------------------------------
+
+  /** Two-phase salted sum/count over a hot grouping key — the skewed-groupBy
+    * mitigation ([[graft.ops.SkewOps]]) registered as a first-class query:
+    * results are IDENTICAL to the direct groupBy (sum/count are commutative
+    * monoids), which is exactly what the oracle checks. Exact decimal sums
+    * keep the double comparison order-independent across the two phases. */
+  private def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ops.SkewOps.saltedSumCount(
+      lineitem(s, d), col("l_returnflag"), salts = 8, dec(col("l_quantity")))
+      .select(col("k").as("l_returnflag"),
+        col("total").cast("double").as("total_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+
+  private val skewSaltedAggSql =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      |       count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- incremental aggregate maintenance (SURVEY §3.1) ----------------------
+
+  /** The append-then-dashboard flow kept incrementally: yesterday's
+    * aggregate state merged with today's delta via [[graft.ops.UpsertOps
+    * .mergeCountSum]] — cost ∝ |delta| + |keys|, not history. The oracle
+    * recomputes the SAME aggregate over the full table, which is the
+    * correctness contract of incremental maintenance. */
+  private def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cutoff = lit("1997-01-01")
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total"))
+    val existing = aggOf(o.filter(col("o_orderdate") < cutoff))
+    val delta = aggOf(o.filter(col("o_orderdate") >= cutoff))
+    graft.ops.UpsertOps.mergeCountSum(
+      existing, delta, Seq("o_orderstatus"), "cnt", "total")
+      .select(col("o_orderstatus"), col("cnt"),
+        col("total").cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val incrementalAggSql =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -739,5 +786,7 @@ object RelationalQueries {
     "join_full_outer" -> Q(fullOuter, Some(fullOuterSql)),
     "agg_pivot" -> Q(aggPivot, Some(aggPivotSql)),
     "set_except_all" -> Q(setExceptAll, Some(setExceptAllSql)),
+    "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
+    "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
   )
 }

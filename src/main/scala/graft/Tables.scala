@@ -60,6 +60,10 @@ object Tables {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       graft.functions.FloatVectorDot.info,
       graft.functions.FloatVectorDot.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
+      graft.functions.FloatVectorCosine.info,
+      graft.functions.FloatVectorCosine.builder)
     // term_match: one-pass dictionary-match Generator over the skill taxonomy
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("term_match"),

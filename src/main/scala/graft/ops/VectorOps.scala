@@ -23,9 +23,11 @@ object VectorOps {
   /** Left-fold squared L2 norm. */
   def sqNorm(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity in double. */
+  /** Cosine similarity in double — the fused native expression
+    * ([[graft.functions.FloatVectorCosine]]): one pass per array instead of
+    * three vec_dot evaluations, bit-identical accumulation. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
+    graft.functions.FloatVectorCosine(a, b)
 
   /** Brute-force exact top-k cosine neighbors for a bounded query set.
     * The scale path: the query side is small (broadcast), the corpus streams

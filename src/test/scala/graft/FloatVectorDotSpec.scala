@@ -36,6 +36,34 @@ class FloatVectorDotSpec extends SparkSpec {
     assert(viaExpr == viaFold, "codegen fold must be bitwise-identical to HOF fold")
   }
 
+  test("fused vec_cosine is bit-identical to the composed vec_dot form") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib") && col("ib") < col("ia") + 5)
+    val fused = pairs.select(col("ia"), col("ib"),
+      graft.functions.FloatVectorCosine(col("ea"), col("eb")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val composed = pairs.select(col("ia"), col("ib"),
+      (FloatVectorDot(col("ea"), col("eb")) /
+        (sqrt(FloatVectorDot(col("ea"), col("ea"))) *
+          sqrt(FloatVectorDot(col("eb"), col("eb"))))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fused == composed, "fusion must not change a single bit")
+  }
+
+  test("vec_cosine handles mismatched lengths and self-similarity") {
+    Tables.tune(spark)
+    val r = spark.sql(
+      "SELECT vec_cosine(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS self, " +
+        "vec_cosine(array(3.0F, 4.0F, 99.0F), array(3.0F, 4.0F)) AS trunc")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    // dot over min length, norms over FULL arrays — same as composed form
+    val expect = 25.0 / (math.sqrt(9 + 16 + 99.0 * 99) * 5.0)
+    assert(r.getDouble(1) == expect)
+  }
+
   test("vec_dot is callable from SQL after registration") {
     Tables.tune(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")

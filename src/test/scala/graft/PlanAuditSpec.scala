@@ -102,6 +102,6 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(q("knn_cosine_topk"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"bounded query set must broadcast:\n$p")
-    assert(p.contains("vec_dot"), s"native expression must appear in the plan:\n$p")
+    assert(p.contains("vec_cosine"), s"native expression must appear in the plan:\n$p")
   }
 }
