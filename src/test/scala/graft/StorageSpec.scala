@@ -83,6 +83,19 @@ class StorageSpec extends SparkSpec {
     assert(jsonBack.collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("ORC round-trip with predicate pushdown reaching the ORC reader") {
+    val dir = tmp("graft-orc")
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("o_totalprice") > 300000.0)
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,300000.0)]"),
+      s"ORC scan must receive the pushed predicate:\n$plan")
+    assert(back.count() ==
+      orders.filter(col("o_totalprice") > 300000.0).count())
+  }
+
   test("salted aggregation equals direct aggregation on a skewed frame") {
     // 90% of rows share one key — the classic hot-key shape
     val skewed = spark.range(10000)
