@@ -746,6 +746,31 @@ object RelationalQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- partitioned write + pruned read (SURVEY §2.1 S7 / §2.7 O3) ----------
+
+  /** The write-side storage layout as an oracle-checked query: orders
+    * written partitioned by year (idempotent overwrite — the reference's
+    * re-runnable daily load), then read back through the partition-PRUNED
+    * path and aggregated for one year. The oracle computes the same
+    * aggregate straight from the source table, so equality proves the
+    * partitioned write is lossless and the pruned read complete. Partition
+    * pruning itself is plan-asserted in StorageSpec. */
+  private def partitionedWritePrune(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft-partwrite-${new java.io.File(d).getName}"
+    orders(s, d).withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    s.read.parquet(dir).filter(col("order_year") === 1996)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val partitionedWritePruneSql =
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders WHERE year(o_orderdate) = 1996
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -788,5 +813,6 @@ object RelationalQueries {
     "set_except_all" -> Q(setExceptAll, Some(setExceptAllSql)),
     "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
+    "partitioned_write_prune" -> Q(partitionedWritePrune, Some(partitionedWritePruneSql)),
   )
 }
