@@ -447,6 +447,25 @@ object RelationalQueries {
        |            ORDER BY revenue DESC, p_partkey) AS rnk FROM rev)
        |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin
 
+  /** window_rank_topn's result computed WITHOUT a window: bounded top-k
+    * per key via the [[graft.ops.TopKOps]] typed Aggregator. Same oracle as
+    * the window form — same rows is the whole point; the plans differ
+    * exactly where it matters at 100 TB (map-side k-bounded partials vs
+    * shuffling and sorting every group in full; PlanAuditSpec asserts the
+    * partial aggregation and the absence of a window sort). */
+  private def rankTopNAgg(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(dsum(col("l_extendedprice")).as("revenue"))
+    rev.groupBy("p_brand")
+      .agg(graft.ops.TopKOps.topK(3, col("revenue"), col("p_partkey")).as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"), col("col._2").as("p_partkey"),
+        col("col._1").as("revenue"), (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("p_brand", "rnk", "p_partkey")
+  }
+
   /** W2 `window_lag_delta`: day-over-day change in order counts. */
   private def lagDelta(s: SparkSession, d: String): DataFrame = {
     val daily = orders(s, d)
@@ -798,6 +817,7 @@ object RelationalQueries {
     "upsert_dedup" -> Q(upsertDedup, Some(upsertDedupSql)),
     "append_dedup_skills" -> Q(appendDedup, Some(appendDedupSql)),
     "window_rank_topn" -> Q(rankTopN, Some(rankTopNSql)),
+    "window_rank_topn_agg" -> Q(rankTopNAgg, Some(rankTopNSql)),
     "window_lag_delta" -> Q(lagDelta, Some(lagDeltaSql)),
     "window_moving_avg" -> Q(movingAvg, Some(movingAvgSql)),
     "window_dedup_latest" -> Q(dedupLatest, Some(dedupLatestSql)),

@@ -79,9 +79,13 @@ object SkillOps {
     * word-boundary regex) — the per-row form of [[matchesWith]] for use
     * inside conditional cascades, where a join can't short-circuit per row
     * (pracuj_scraper.py:183-197). */
-  def textMatchArray(text: Column): Column = {
-    val terms = taxonomyRows.map(_._1).distinct
-    val (multi, single) = terms.partition(_.contains(" "))
+  def textMatchArray(text: Column): Column =
+    textMatchArrayWith(text, taxonomyRows.map(_._1).distinct)
+
+  /** textMatchArray over an arbitrary term list — the real reference
+    * dictionary plugs in here (see ReferenceTaxonomySpec). */
+  def textMatchArrayWith(text: Column, terms: Seq[String]): Column = {
+    val (multi, single) = terms.distinct.partition(_.contains(" "))
     val toks = filter(array_distinct(split(lower(text), "\\s+")),
       t => t.isin(single: _*))
     val multiHits = array_compact(array(multi.map { mt =>
@@ -99,16 +103,23 @@ object SkillOps {
     * additive variations (raw term kept, canonical appended). Returns
     * (tier, skills): the tier that satisfied the cascade and the sorted
     * comma-joined skill set. Scan-shaped — no joins, no shuffles. */
-  def cascadeSkills(html: Column): (Column, Column) = {
+  def cascadeSkills(html: Column): (Column, Column) =
+    cascadeSkillsWith(html, taxonomyRows.map(_._1).distinct, variations)
+
+  /** cascadeSkills over an arbitrary dictionary + variations map — the
+    * engine is dictionary-agnostic; the reference's real 348-term dict
+    * drops in unchanged (ReferenceTaxonomySpec proves it). */
+  def cascadeSkillsWith(html: Column, terms: Seq[String],
+      vars: Seq[(String, String)]): (Column, Column) = {
     val f1 = array_distinct(transform(HtmlOps.skillItems(html), t => lower(t)))
     val f2 = when(size(f1) >= 2, f1)
-      .otherwise(array_union(f1, textMatchArray(HtmlOps.bulletText(html))))
+      .otherwise(array_union(f1, textMatchArrayWith(HtmlOps.bulletText(html), terms)))
     val f3 = when(size(f2) >= 2, f2)
-      .otherwise(array_union(f2, textMatchArray(HtmlOps.pageText(html))))
+      .otherwise(array_union(f2, textMatchArrayWith(HtmlOps.pageText(html), terms)))
     val tier = when(size(f1) >= 2, lit(1))
       .when(size(f2) >= 2, lit(2)).otherwise(lit(3))
-    val matched = filter(f3, t => t.isin(taxonomyRows.map(_._1).distinct: _*))
-    val canon = array_compact(array(variations.map { case (v, c) =>
+    val matched = filter(f3, t => t.isin(terms.distinct: _*))
+    val canon = array_compact(array(vars.map { case (v, c) =>
       when(array_contains(f3, v), lit(c))
     }: _*))
     val skills = array_join(sort_array(array_distinct(concat(matched, canon))), ",")

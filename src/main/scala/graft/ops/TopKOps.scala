@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k per key as a typed Aggregator — the scale-correct
+  * alternative to `row_number().over(Window.partitionBy(key))` + filter.
+  *
+  * The window form ships EVERY row of every group through the shuffle and
+  * then sorts each group in full just to keep k rows. The aggregator keeps
+  * a k-bounded buffer instead; because reduce/merge are associative-
+  * commutative, Spark runs it map-side first (partial aggregation), so at
+  * most k rows per key per INPUT partition cross the wire and no group is
+  * ever materialized or fully sorted. At 100 TB with k=3 that's the
+  * difference between shuffling the fact table and shuffling ~nothing.
+  *
+  * Ordering: value descending, id ascending on ties — identical to
+  * `orderBy(col(v).desc, col(id))`, so it is window-rank interchangeable.
+  */
+object TopKOps {
+
+  class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by { case (v, id) => (-v, id) }
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sorted(ord).take(k)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b)
+    def bufferEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder = ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Column form: `topK(3, col("revenue"), col("id"))` → array of (value,
+    * id) structs, best first. */
+  def topK(k: Int, value: Column, id: Column): Column =
+    udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(value, id)
+}

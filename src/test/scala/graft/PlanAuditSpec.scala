@@ -87,6 +87,14 @@ class PlanAuditSpec extends SparkSpec {
       s"nearest-centroid assignment must be a per-row fold, not a shuffle:\n$p")
   }
 
+  test("window_rank_topn_agg: k-bounded partial aggregation, no window sort") {
+    val p = finalPlan(q("window_rank_topn_agg"))
+    assert(p.contains("partial_topkagg") || p.contains("partial_TopKAgg")
+      || "(?i)partial_.*topk".r.findFirstIn(p).isDefined,
+      s"top-k aggregator must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window operator — that's the point:\n$p")
+  }
+
   test("vocab_topk: candidate cut plans as TakeOrderedAndProject; rank window sees a bounded set") {
     val p = finalPlan(q("vocab_topk"))
     assert(p.contains("TakeOrderedAndProject"),

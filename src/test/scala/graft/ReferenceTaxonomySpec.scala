@@ -98,6 +98,38 @@ class ReferenceTaxonomySpec extends SparkSpec {
     assert(m.contains((2L, ".net")) && m.contains((2L, "c#")))
   }
 
+  test("FULL reference dict drives the 3-tier cascade: tier-1 raw skills map through variations") {
+    // dedicated section lists 'power-bi' (a VARIATION, not a dict term) and
+    // 'sql server' (dict term + variation): the cascade must keep the dict
+    // term, map both through variations, and drop nothing silently
+    val html = "<html><ul data-test=\"aggregate-open-dictionary-model\">" +
+      "<li class=\"x\">sql server</li><li class=\"x\">power-bi</li></ul></html>"
+    val (tier, skills) = SkillOps.cascadeSkillsWith(col("html"),
+      ReferenceTaxonomy.allTerms, ReferenceTaxonomy.variations)
+    val r = Seq(html).toDF("html").select(tier.as("t"), skills.as("s")).collect().head
+    assert(r.getInt(0) == 1)
+    // 'sql server' kept (dict) + canonical 'sql'; 'power-bi' maps to
+    // canonical 'power bi' (itself a dict term) but the raw variation text
+    // is not a dict term so only the canonical survives
+    assert(r.getString(1) == "power bi,sql,sql server", s"got ${r.getString(1)}")
+  }
+
+  test("FULL reference dict cascade tier 2: description bullets matched against all 348 terms") {
+    val html = "<html><ul data-test=\"aggregate-open-dictionary-model\">" +
+      "<li class=\"x\">niche-skill</li></ul>" +
+      "<ul data-test=\"aggregate-bullet-model\">" +
+      "<li class=\"y\">experience with apache spark and python required</li></ul></html>"
+    val (tier, skills) = SkillOps.cascadeSkillsWith(col("html"),
+      ReferenceTaxonomy.allTerms, ReferenceTaxonomy.variations)
+    val r = Seq(html).toDF("html").select(tier.as("t"), skills.as("s")).collect().head
+    assert(r.getInt(0) == 2)
+    val got = r.getString(1).split(",").toSet
+    // single-word 'spark'/'python' via tokens, multi-word 'apache spark'
+    // via the word-boundary regex; 'niche-skill' is not in the dict
+    assert(Set("spark", "python", "apache spark").subsetOf(got), s"got $got")
+    assert(!got.contains("niche-skill"))
+  }
+
   test("unknown extracted skill categorizes as Other (scraper.py:20)") {
     val cand = Seq((1L, "kubernetes")).toDF("doc_id", "term")
     val got = cand.join(broadcast(SkillOps.resolvedWith(tax)), Seq("term"), "left_outer")
