@@ -27,6 +27,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(DedupOps.minhashPairs(tiny, 16, 4).count() == 0)
   }
 
+  test("null text: dedup ops drop the row, never throw") {
+    val docs = Seq((1L, Some("spark query scan")), (2L, None: Option[String]),
+      (3L, Some("spark query scan"))).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(docs, 16, 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+    assert(DedupOps.jaccardPairs(docs, Long.MaxValue, 0.9).count() == 1)
+  }
+
+  test("null/garbage html: cascade yields empty skills at tier 3, never throws") {
+    val docs = Seq((1L, Some("<html>no sections at all</html>")),
+      (2L, None: Option[String])).toDF("doc_id", "html")
+    val (tier, skills) = SkillOps.cascadeSkills(col("html"))
+    val rows = docs.select(col("doc_id"), tier.as("t"), skills.as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows(1L) == ((3, "")))     // no dictionary terms anywhere
+    assert(rows(2L)._1 == 3)          // null html falls through all tiers
+  }
+
+  test("top-k aggregator on empty and single-row groups") {
+    val df = Seq((1L, 5.0, 10L)).toDF("k", "v", "id")
+    val got = df.groupBy("k")
+      .agg(graft.ops.TopKOps.topK(3, col("v"), col("id")).as("top"))
+      .select(col("k"), size(col("top")).as("n")).collect().head
+    assert(got.getInt(1) == 1)
+    val empty = Seq.empty[(Long, Double, Long)].toDF("k", "v", "id")
+    assert(empty.groupBy("k")
+      .agg(graft.ops.TopKOps.topK(3, col("v"), col("id"))).count() == 0)
+  }
+
   test("knn with an empty query set is empty") {
     val e = Tables.embeddings(spark, sfDir)
     assert(VectorOps.knnCosine(e.filter(col("vec_id") < 0), e, 5).count() == 0)
