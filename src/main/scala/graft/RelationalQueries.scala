@@ -790,6 +790,40 @@ object RelationalQueries {
        |FROM orders WHERE year(o_orderdate) = 1996
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- bloom-prefiltered join (runtime-filter technique) --------------------
+
+  /** The runtime-filter join: build a Bloom filter over the SELECTIVE dim
+    * side's keys, prefilter the fact scan with it, then join — the manual
+    * form of Spark's own InjectRuntimeFilter, registered so the technique
+    * is part of the engine's surface. Correctness is exact DESPITE the
+    * probabilistic filter: Bloom filters have no false negatives (no
+    * matching fact row is dropped) and the join itself discards the false
+    * positives — so the oracle is simply the plain join. At 100 TB the win
+    * is that ~all non-matching fact rows die at the scan instead of
+    * crossing the shuffle. The one UDF here is the mightContain probe; the
+    * production path is spark.sql.optimizer.runtime.bloomFilter.enabled,
+    * which injects the same shape without a UDF. */
+  private def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_orderstatus")
+    val bf = o.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    lineitem(s, d)
+      .filter(mightContain(col("l_orderkey")))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val bloomPrefilterJoinSql =
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       ${sqlDsum("l_extendedprice")} AS total
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice > 400000.0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -834,5 +868,6 @@ object RelationalQueries {
     "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
     "partitioned_write_prune" -> Q(partitionedWritePrune, Some(partitionedWritePruneSql)),
+    "join_bloom_prefilter" -> Q(bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
   )
 }

@@ -56,6 +56,20 @@ class EdgeCasesSpec extends SparkSpec {
       .agg(graft.ops.TopKOps.topK(3, col("v"), col("id"))).count() == 0)
   }
 
+  test("bloom prefilter: no false negatives (result exact), real row reduction") {
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey")
+    val bf = o.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    val li = Tables.lineitem(spark, sfDir)
+    val total = li.count()
+    val passed = li.filter(mightContain(col("l_orderkey"))).count()
+    val trueMatches = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(passed < total, "prefilter must actually cut rows")
+    assert(passed >= trueMatches, "no false negatives — every match survives")
+  }
+
   test("knn with an empty query set is empty") {
     val e = Tables.embeddings(spark, sfDir)
     assert(VectorOps.knnCosine(e.filter(col("vec_id") < 0), e, 5).count() == 0)
