@@ -63,24 +63,65 @@ class PageTable(pages: Int) extends Table with SupportsRead {
     new PageScanBuilder(pages)
 }
 
+/** Column pruning AND filter pushdown: predicates on `page` prune whole
+  * InputPartitions at PLANNING time — the reference never fetches a page it
+  * doesn't need (its pagination loop stops at the requested range), and
+  * neither does this scan. Page predicates are fully absorbed (partition
+  * pruning implements them exactly), so nothing is re-evaluated post-scan;
+  * all other predicates are left to Spark. */
 class PageScanBuilder(pages: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = PageSource.schema
+  private var lo = 0
+  private var hi = pages - 1
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PageScan(pages, required)
+  private def asInt(v: Any): Option[Int] = v match {
+    case n: Number => Some(n.intValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo("page", v) => asInt(v).isDefined
+      case GreaterThan("page", v) => asInt(v).isDefined
+      case GreaterThanOrEqual("page", v) => asInt(v).isDefined
+      case LessThan("page", v) => asInt(v).isDefined
+      case LessThanOrEqual("page", v) => asInt(v).isDefined
+      case _ => false
+    }
+    supported.foreach {
+      case EqualTo("page", v) =>
+        lo = math.max(lo, asInt(v).get); hi = math.min(hi, asInt(v).get)
+      case GreaterThan("page", v) => lo = math.max(lo, asInt(v).get + 1)
+      case GreaterThanOrEqual("page", v) => lo = math.max(lo, asInt(v).get)
+      case LessThan("page", v) => hi = math.min(hi, asInt(v).get - 1)
+      case LessThanOrEqual("page", v) => hi = math.min(hi, asInt(v).get)
+      case _ => ()
+    }
+    pushed = supported
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new PageScan(lo, hi, required)
 }
 
-class PageScan(pages: Int, required: StructType) extends Scan with Batch {
+class PageScan(lo: Int, hi: Int, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft pages=$pages cols=${required.fieldNames.mkString(",")}"
+    s"graft pages=$lo..$hi cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(p => PagePartition(p): InputPartition).toArray
+    (lo to hi).map(p => PagePartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(required)

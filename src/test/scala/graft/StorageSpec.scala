@@ -119,4 +119,20 @@ class StorageSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("cols=page"), s"pruneColumns must reach the scan:\n$plan")
   }
+
+  test("custom DSv2 source: page predicates prune InputPartitions at planning") {
+    val df = spark.read.format("graft.sources.PageSource")
+      .option("pages", "10").load()
+    val one = df.filter(col("page") === 7)
+    assert(one.rdd.getNumPartitions == 1, "equality must plan exactly one page")
+    assert(one.count() == 60)
+    val range = df.filter(col("page") >= 2 && col("page") < 5)
+    assert(range.rdd.getNumPartitions == 3, "range must plan only its pages")
+    assert(range.count() == 180)
+    range.collect()
+    val plan = range.queryExecution.executedPlan.toString
+    assert(plan.contains("pages=2..4"), s"pruned page range must reach the scan:\n$plan")
+    // residual predicates on other columns still work post-scan
+    assert(df.filter(col("page") === 7 && col("idx") < 10).count() == 10)
+  }
 }
