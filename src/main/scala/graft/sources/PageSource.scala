@@ -26,7 +26,8 @@ class PageSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PageTable(properties.getOrDefault("pages", "3").toInt)
+    new PageTable(properties.getOrDefault("pages", "3").toInt,
+      properties.getOrDefault("pagesPerBatch", "1").toInt)
 }
 
 object PageSource {
@@ -53,14 +54,14 @@ object PageSource {
   }
 }
 
-class PageTable(pages: Int) extends Table with SupportsRead {
+class PageTable(pages: Int, pagesPerBatch: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_pages($pages)"
   override def schema(): StructType = PageSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PageScanBuilder(pages)
+    new PageScanBuilder(pages, pagesPerBatch)
 }
 
 /** Column pruning AND filter pushdown: predicates on `page` prune whole
@@ -69,7 +70,7 @@ class PageTable(pages: Int) extends Table with SupportsRead {
   * neither does this scan. Page predicates are fully absorbed (partition
   * pruning implements them exactly), so nothing is re-evaluated post-scan;
   * all other predicates are left to Spark. */
-class PageScanBuilder(pages: Int)
+class PageScanBuilder(pages: Int, pagesPerBatch: Int = 1)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -111,10 +112,11 @@ class PageScanBuilder(pages: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new PageScan(lo, hi, required)
+  override def build(): Scan = new PageScan(lo, hi, pagesPerBatch, required)
 }
 
-class PageScan(lo: Int, hi: Int, required: StructType) extends Scan with Batch {
+class PageScan(lo: Int, hi: Int, pagesPerBatch: Int, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -125,6 +127,56 @@ class PageScan(lo: Int, hi: Int, required: StructType) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new PageMicroBatch(lo, hi, pagesPerBatch, required)
+}
+
+/** The paginated scan as a STREAMING source: offsets are page numbers, each
+  * micro-batch admits at most `pagesPerBatch` new pages — the polite-crawl
+  * rate limiting of the reference's fetch loop (base_scraper.py's
+  * delay-between-pages), expressed through Spark's admission-control
+  * contract instead of sleeps. Restart-safe by construction: offsets are
+  * plain page numbers, so a checkpointed query resumes at the first
+  * unfetched page. */
+class PageOffset(val page: Int) extends streaming.Offset {
+  override def json(): String = page.toString
+}
+
+class PageMicroBatch(lo: Int, hi: Int, pagesPerBatch: Int, required: StructType)
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
+
+  override def initialOffset(): streaming.Offset = new PageOffset(lo)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    new PageOffset(json.toInt)
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(pagesPerBatch.toLong * PageSource.PerPage)
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used with admission control")
+
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    val from = start.asInstanceOf[PageOffset].page
+    new PageOffset(math.min(from + pagesPerBatch, hi + 1))
+  }
+
+  override def reportLatestOffset(): streaming.Offset = new PageOffset(hi + 1)
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] =
+    (start.asInstanceOf[PageOffset].page until end.asInstanceOf[PageOffset].page)
+      .map(p => PagePartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PageReaderFactory(required)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class PagePartition(page: Int) extends InputPartition
