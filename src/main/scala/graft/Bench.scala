@@ -21,20 +21,45 @@ object Bench {
     // warmup: JVM + codegen + parquet reader/footer init for EVERY table
     // (untimed) — otherwise whichever query alphabetically touches a table
     // first is charged its cold-read cost and per-query numbers aren't
-    // comparable across rounds
-    try {
-      spark.range(1000).selectExpr("sum(id)").collect()
-      Tables.names.foreach(n => Tables.table(spark, sfDir, n).count())
-    } catch { case _: Throwable => }
+    // comparable across rounds. Each table warms independently so one bad
+    // read can't silently skip the rest.
+    try { spark.range(1000).selectExpr("sum(id)").collect() }
+    catch { case _: Throwable => }
+    Tables.names.foreach { n =>
+      try Tables.table(spark, sfDir, n).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file; the stdout line must stay well
+    // under the harness's 2000-char output-tail capture or it is unparseable
+    // (the r01/r02 89-entry line overflowed the tail and parsed as null).
+    // The printed "queries" map carries the slowest queries that fit a
+    // ~1200-char budget; "detail" points at the complete map.
+    val detailPath = "BENCH_DETAIL.json"
+    val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => }
+    val budget = 1200
+    val slowFirst = results.sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    slowFirst.foreach { case (k, v) =>
+      val entryLen = k.length + fmt(v).length + 4
+      if (used + entryLen <= budget) { picked += ((k, v)); used += entryLen }
+    }
+    val qs = picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -775,7 +775,10 @@ object RelationalQueries {
     * partitioned write is lossless and the pruned read complete. Partition
     * pruning itself is plan-asserted in StorageSpec. */
   private def partitionedWritePrune(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft-partwrite-${new java.io.File(d).getName}"
+    // applicationId in the path keeps concurrent runs (e.g. Bench and
+    // Verify against the same sf dir) from racing overwrite-vs-pruned-read
+    // on a shared directory
+    val dir = s"/tmp/graft-partwrite-${s.sparkContext.applicationId}-${new java.io.File(d).getName}"
     orders(s, d).withColumn("order_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("order_year").parquet(dir)
     s.read.parquet(dir).filter(col("order_year") === 1996)

@@ -84,7 +84,15 @@ class PageScanBuilder(pages: Int, pagesPerBatch: Int = 1)
     required = requiredSchema
 
   private def asInt(v: Any): Option[Int] = v match {
-    case n: Number => Some(n.intValue())
+    case n: Number =>
+      // only absorb the filter when the comparison value is integral and
+      // fits Int exactly — Number.intValue silently truncates (page >
+      // 5000000000L would wrap to a bogus int), and a fully-absorbed
+      // filter is never re-evaluated by Spark, so truncation here would
+      // return wrong rows rather than just losing the pushdown
+      val l = n.longValue()
+      if (n.doubleValue() == l.toDouble && l == l.toInt.toLong) Some(l.toInt)
+      else None
     case _ => None
   }
 

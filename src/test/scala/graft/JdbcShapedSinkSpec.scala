@@ -14,8 +14,11 @@ import graft.streaming.JdbcShapedSink
 class JdbcShapedSinkSpec extends SparkSpec {
   import spark.implicits._
 
+  private var lastDir: String = _
+
   private def mkSink(): (JdbcShapedSink, () => Map[Long, (Long, String)]) = {
     val dir = Files.createTempDirectory("graft-jdbc-sink").toString
+    lastDir = dir
     val sink = new JdbcShapedSink(dir, Seq("job_id"), "scraped_at")
     val read = () => sink.table(spark).map(
       _.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap)
@@ -42,6 +45,25 @@ class JdbcShapedSinkSpec extends SparkSpec {
     val b2 = Seq((2L, 20L, "b2"), (3L, 10L, "c")).toDF("job_id", "scraped_at", "payload")
     sink.writeBatch(b2, 2L)
     assert(read() == Map(1L -> ((10L, "a")), 2L -> ((20L, "b2")), 3L -> ((10L, "c"))))
+  }
+
+  test("crash mid-write leaves prior committed state intact; replay completes the batch") {
+    val (sink, read) = mkSink()
+    val b0 = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("job_id", "scraped_at", "payload")
+    sink.writeBatch(b0, 0L)
+    val committed = read()
+
+    // simulate a process death mid-parquet-write of batch 1: a partial,
+    // uncommitted data directory exists but no marker points at it
+    val dir = Files.createDirectories(
+      java.nio.file.Paths.get(lastDir, "data-b1"))
+    Files.write(dir.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(read() == committed, "partial write must not be visible")
+
+    // the replay of batch 1 overwrites the partial dir and commits
+    val b1 = Seq((2L, 20L, "b2")).toDF("job_id", "scraped_at", "payload")
+    sink.writeBatch(b1, 1L)
+    assert(read() == Map(1L -> ((10L, "a")), 2L -> ((20L, "b2"))))
   }
 
   test("attached to a real stream: full source replay on a fresh checkpoint adds nothing") {

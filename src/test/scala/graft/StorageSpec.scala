@@ -135,4 +135,17 @@ class StorageSpec extends SparkSpec {
     // residual predicates on other columns still work post-scan
     assert(df.filter(col("page") === 7 && col("idx") < 10).count() == 10)
   }
+
+  test("custom DSv2 source: out-of-Int-range page predicates are not absorbed") {
+    val df = spark.read.format("graft.sources.PageSource")
+      .option("pages", "10").load()
+    // 4294967298L truncates to int 2 — an absorbed-but-truncated filter
+    // would wrongly plan pages 3..9; the source must decline it so Spark
+    // evaluates the comparison itself (no page exceeds it → zero rows)
+    assert(df.filter(col("page") > 4294967298L).count() == 0)
+    assert(df.filter(col("page") <= 5000000000L).count() == 600,
+      "declined upper bound keeps all pages")
+    // fractional comparisons likewise stay with Spark, evaluated exactly
+    assert(df.filter(col("page") > 2.5).count() == 7 * 60)
+  }
 }
