@@ -102,21 +102,24 @@ object DedupOps {
     * within `maxIter` RAISES rather than returning silently-wrong labels.
     * Deterministic (min is order-independent). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    def sig(e: DataFrame): (Long, String) = {
-      // decimal(38,0) sum: order-independent and overflow-free under ANSI
-      val r = e.agg(count(lit(1)),
+    // observe() folds the convergence signature (edge count + an
+    // order-independent decimal(38,0) hash sum, overflow-free under ANSI)
+    // into the SAME job that materializes the round's checkpoint — one job
+    // per round instead of checkpoint + separate agg-collect
+    def checkpointWithSig(e: DataFrame): (DataFrame, (Long, String)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val chk = e.observe(obs, count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("u"), col("v"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)))
-        .collect().head
-      (r.getLong(0), String.valueOf(r.get(1)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)).as("h"))
+        .localCheckpoint()
+      val m = obs.get
+      (chk, (m("n").asInstanceOf[Long], String.valueOf(m("h"))))
     }
     // canonical orientation (u > v), self-loops dropped
-    var edges = pairs
+    var (edges, edgeSig) = checkpointWithSig(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    var edgeSig = sig(edges)
+      .filter(col("u") =!= col("v")).distinct())
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -139,12 +142,10 @@ object DedupOps {
       // plan doubles every round and Catalyst analysis time explodes
       // (measured 75s vs 3s on this very loop). Checkpointing truncates the
       // lineage each round — the standard iterative-graph idiom.
-      val next = large.join(minsS, "u")
+      val (next, nextSig) = checkpointWithSig(large.join(minsS, "u")
         .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
           col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
-      val nextSig = sig(next)
+        .filter(col("u") =!= col("v")).distinct())
       converged = nextSig == edgeSig
       edges = next
       edgeSig = nextSig
