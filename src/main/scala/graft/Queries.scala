@@ -38,7 +38,7 @@ object Det {
 object Queries {
   def all: Seq[(String, Q)] =
     RelationalQueries.all ++ ParseQueries.all ++ SkillQueries.all ++
-      StreamQueries.all ++ NorthStarQueries.all
+      StreamQueries.all ++ NorthStarQueries.all ++ TrainDataQueries.all
 
   lazy val byName: Map[String, Q] = all.toMap
 

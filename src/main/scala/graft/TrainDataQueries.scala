@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators beyond the dedup/similarity family
+  * (SURVEY.md §2.11 N5–N10): benchmark decontamination, deterministic
+  * stratified sampling, sequence packing, intra-document repetition scoring
+  * (Gopher-style quality rule), TF-IDF term ranking, and per-domain caps.
+  * All run over the `documents` table; every query is DuckDB-oracle-checked.
+  *
+  * Scale notes are per-query; the common rule: anything per-document is
+  * scan-shaped (no shuffle), anything per-key (domain, language, term)
+  * shuffles once on that key, and nothing ever windows over the whole
+  * corpus unpartitioned.
+  */
+object TrainDataQueries {
+  import Tables._
+
+  private def toks: Column = split(lower(col("text")), "\\s+")
+
+  /** Word n-grams of `text` as strings ("tok1 tok2 ... tokN"), empty when
+    * the doc is shorter than n. Pure per-row array math — no shuffle. */
+  private def grams(n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Shared oracle fragment: per-doc token list + n-gram list.
+    * DuckDB list slicing is 1-based inclusive, range() end-exclusive. */
+  private def gramsCte(n: Int): String =
+    s"""toksrc AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |gramsrc AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(t) - ${n - 2}),
+       |                        i -> array_to_string(t[i:i+${n - 1}], ' ')) AS grams
+       |  FROM toksrc)""".stripMargin
+
+  // ---- N5 decontam_overlap: benchmark decontamination ----------------------
+
+  /** Eval-set decontamination: which training docs share any 5-gram with
+    * the benchmark set (here: every 53rd doc stands in for the eval set)?
+    * Emits contaminated doc → count of distinct shared 5-grams.
+    *
+    * 100 TB shape: the benchmark side is an eval set — tiny by definition —
+    * so its distinct-gram set BROADCASTs; corpus grams are filtered
+    * map-side by the broadcast hash join before the only shuffle (the
+    * per-doc count). The corpus never self-joins and never shuffles its
+    * n-grams on the gram key. */
+  private def decontamOverlap(s: SparkSession, d: String): DataFrame = {
+    val g = fanOut(documents(s, d))
+      .select(col("doc_id"), explode(array_distinct(grams(5))).as("gram"))
+    val bench = g.filter(col("doc_id") % 53 === 0).select("gram").distinct()
+    g.filter(col("doc_id") % 53 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val decontamOverlapSql =
+    s"""WITH ${gramsCte(5)},
+       |grams AS (
+       |  SELECT DISTINCT doc_id, unnest(grams) AS gram FROM gramsrc),
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0)
+       |SELECT g.doc_id, count(*) AS n_shared
+       |FROM grams g JOIN bench b USING (gram)
+       |WHERE g.doc_id % 53 <> 0
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- N6 sample_stratified: deterministic per-stratum sampling ------------
+
+  /** Language-stratified downsampling with an engine-portable decision:
+    * keep a doc when the md5-hex prefix of its id clears the stratum's
+    * threshold (en ≈ 50%, others ≈ 25%) — the mixture-rebalancing step of
+    * a pretraining pipeline. Content-hash gating means any engine (and any
+    * retry) keeps exactly the same rows; one scan computes kept and total
+    * per stratum. Scan + one keyed agg — nothing else. */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val thresh = when(col("lang") === "en", lit("8")).otherwise(lit("4"))
+    documents(s, d)
+      .select(col("lang"), (h < thresh).as("keep"))
+      .groupBy("lang")
+      .agg(count(when(col("keep"), lit(1))).as("kept"),
+        count(lit(1)).as("total"))
+      .orderBy("lang")
+  }
+
+  private val sampleStratifiedSql =
+    """SELECT lang,
+      |  count(*) FILTER (WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |    < CASE WHEN lang = 'en' THEN '8' ELSE '4' END) AS kept,
+      |  count(*) AS total
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // ---- N7 pack_sequences: token-budget packing -----------------------------
+
+  /** Contiguous sequence packing: per language stream, docs in id order
+    * fill 4096-token bins; a doc belongs to the bin its running prefix
+    * starts in. Emits per-bin doc count and token totals — the "how many
+    * training sequences does this corpus make" query.
+    *
+    *  Packing is inherently sequential WITHIN a stream, so the window is
+    *  partitioned by the stream key (language here; shard id at 100 TB) —
+    *  the corpus-wide unpartitioned-window trap does not apply. */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), size(toks).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin_id",
+        floor((col("cum") - col("n_toks")) / 4096.0).cast("long"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      .orderBy("lang", "bin_id")
+  }
+
+  private val packSequencesSql =
+    """WITH base AS (
+      |  SELECT lang, doc_id, len(string_split(lower(text), ' ')) AS n_toks
+      |  FROM documents),
+      |cum AS (
+      |  SELECT lang, n_toks,
+      |         sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      |  FROM base)
+      |SELECT lang, CAST(floor((cum - n_toks) / 4096.0) AS BIGINT) AS bin_id,
+      |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+      |FROM cum GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin
+
+  // ---- N8 repetition_ratio: Gopher-style intra-doc repetition --------------
+
+  /** Duplicate-3-gram fraction per document — the "repetitious text" rule
+    * of quality filtering (Gopher rule family): 1 − distinct/total 3-grams.
+    * Pure per-row array math; exact rational arithmetic in double, so any
+    * engine reproduces it bit-for-bit. Scan-shaped, no shuffle. */
+  private def repetitionRatio(s: SparkSession, d: String): DataFrame = {
+    val g = grams(3)
+    documents(s, d)
+      .select(col("doc_id"), size(g).as("n_grams"),
+        size(array_distinct(g)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionRatioSql =
+    s"""WITH ${gramsCte(3)}
+       |SELECT doc_id,
+       |  CAST(len(grams) AS INTEGER) AS n_grams,
+       |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+       |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+       |    AS rep_ratio
+       |FROM gramsrc ORDER BY doc_id""".stripMargin
+
+  // ---- N9 tfidf_topk: per-document term ranking ----------------------------
+
+  /** Top-3 TF-IDF terms per document: tf from one (doc, term) aggregation,
+    * df from re-aggregating that same result (the shuffle on (doc, term) is
+    * planned once and reused), idf = ln(N/df) with the score rounded to 4
+    * decimals BEFORE ranking so float last-ulp differences can never flip
+    * an order across engines (ties break on the term itself).
+    *
+    * 100 TB shape: both aggs are keyed map-side-combine shuffles; the
+    * tf⋈df join shuffles on the term key; the ranking window partitions by
+    * doc_id (bounded per-doc term count) — no global window, no broadcast
+    * of anything unbounded. */
+  private def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val tf = fanOut(documents(s, d))
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfTopkSql =
+    """WITH tfc AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, t.tf,
+      |         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS score
+      |  FROM tf t JOIN df d USING (term), n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, score, CAST(rk AS INTEGER) AS rk
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ---- N10 domain_cap: per-source document caps ----------------------------
+
+  /** Per-domain contribution cap: keep at most 15 docs per source (best
+    * first: longest, then id for determinism) — the anti-domination rule
+    * that stops one crawl domain from flooding the mixture. The window
+    * partitions by source (per-domain cardinality), so the heaviest domain
+    * bounds a single partition's sort, never the corpus. At real scale the
+    * same shape runs per (source, shard) with a second capped pass when a
+    * domain overflows one shard. */
+  private def domainCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  private val domainCapSql =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      |FROM ranked WHERE rk <= 15
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  def all: Seq[(String, Q)] = Seq(
+    "decontam_overlap" -> Q(decontamOverlap, Some(decontamOverlapSql)),
+    "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
+    "pack_sequences" -> Q(packSequences, Some(packSequencesSql)),
+    "repetition_ratio" -> Q(repetitionRatio, Some(repetitionRatioSql)),
+    "tfidf_topk" -> Q(tfidfTopk, Some(tfidfTopkSql)),
+    "domain_cap" -> Q(domainCap, Some(domainCapSql)))
+}
