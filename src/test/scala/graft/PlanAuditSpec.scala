@@ -112,4 +112,38 @@ class PlanAuditSpec extends SparkSpec {
       s"bounded query set must broadcast:\n$p")
     assert(p.contains("vec_cosine"), s"native expression must appear in the plan:\n$p")
   }
+
+  test("decontam_overlap: eval-set grams broadcast; corpus grams never shuffle on the gram key") {
+    val p = finalPlan(q("decontam_overlap"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$p")
+    // exactly ONE gram-key exchange: the benchmark set's distinct (tiny,
+    // pre-broadcast). The corpus side must meet the join map-side.
+    val gramShuffles = "Exchange hashpartitioning\\(gram".r.findAllIn(p).length
+    assert(gramShuffles <= 1,
+      s"corpus grams must be filtered map-side, not shuffled on gram:\n$p")
+  }
+
+  test("repetition_ratio: scan-shaped — no joins, no aggregation exchange") {
+    val p = finalPlan(q("repetition_ratio"))
+    assert(!p.contains("Join"), s"per-row array math only:\n$p")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"no keyed shuffle in a per-document op:\n$p")
+  }
+
+  test("pack_sequences / domain_cap: windows are stream/domain-partitioned, never global") {
+    for (name <- Seq("pack_sequences", "domain_cap")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("SinglePartition") || !p.contains("Window"),
+        s"$name must not plan an unpartitioned window:\n$p")
+    }
+  }
+
+  test("tfidf_topk: df reuses tf's (doc,term) shuffle; ranking window partitions by doc") {
+    val p = finalPlan(q("tfidf_topk"))
+    assert(p.contains("partial_count"), s"both aggs must map-side combine:\n$p")
+    assert(!("Window".r.findAllIn(p).nonEmpty && p.contains("Window [") &&
+      p.contains("windowspecdefinition()")),
+      s"ranking window must be partitioned:\n$p")
+  }
 }
