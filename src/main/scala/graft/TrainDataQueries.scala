@@ -49,15 +49,24 @@ object TrainDataQueries {
     * map-side by the broadcast hash join before the only shuffle (the
     * per-doc count). The corpus never self-joins and never shuffles its
     * n-grams on the gram key. */
-  private def decontamOverlap(s: SparkSession, d: String): DataFrame = {
-    val g = fanOut(documents(s, d))
+  /** Parametrized form: corpus and eval set as separate frames (ScaleProbe
+    * grows the corpus while pinning the eval set — the real shape: the
+    * benchmark side is fixed-size no matter how big the corpus gets). */
+  private[graft] def decontamOverlapOf(corpus: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val g = corpus
       .select(col("doc_id"), explode(array_distinct(grams(5))).as("gram"))
-    val bench = g.filter(col("doc_id") % 53 === 0).select("gram").distinct()
-    g.filter(col("doc_id") % 53 =!= 0)
-      .join(broadcast(bench), Seq("gram"))
+    val bench = benchDocs
+      .select(explode(array_distinct(grams(5))).as("gram")).distinct()
+    g.join(broadcast(bench), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
+  }
+
+  private def decontamOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = fanOut(documents(s, d))
+    decontamOverlapOf(
+      docs.filter(col("doc_id") % 53 =!= 0),
+      docs.filter(col("doc_id") % 53 === 0)).orderBy("doc_id")
   }
 
   private val decontamOverlapSql =
@@ -106,17 +115,22 @@ object TrainDataQueries {
     *  Packing is inherently sequential WITHIN a stream, so the window is
     *  partitioned by the stream key (language here; shard id at 100 TB) —
     *  the corpus-wide unpartitioned-window trap does not apply. */
-  private def packSequences(s: SparkSession, d: String): DataFrame = {
+  /** Parametrized form (ScaleProbe amplifies `docs` AND the stream-key
+    * cardinality — at real scale the partition key is a shard id, so the
+    * probe must scale the key space with the data). */
+  private[graft] def packSequencesOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
-    documents(s, d)
+    docs
       .select(col("lang"), col("doc_id"), size(toks).as("n_toks"))
       .withColumn("cum", sum(col("n_toks")).over(w))
       .withColumn("bin_id",
         floor((col("cum") - col("n_toks")) / 4096.0).cast("long"))
       .groupBy("lang", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
-      .orderBy("lang", "bin_id")
   }
+
+  private def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesOf(documents(s, d)).orderBy("lang", "bin_id")
 
   private val packSequencesSql =
     """WITH base AS (
@@ -167,13 +181,14 @@ object TrainDataQueries {
     * tf⋈df join shuffles on the term key; the ranking window partitions by
     * doc_id (bounded per-doc term count) — no global window, no broadcast
     * of anything unbounded. */
-  private def tfidfTopk(s: SparkSession, d: String): DataFrame = {
-    val tf = fanOut(documents(s, d))
+  /** Parametrized form (ScaleProbe amplifies `docs`). */
+  private[graft] def tfidfTopkOf(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(df_, Seq("term"))
       .crossJoin(broadcast(nDocs))
@@ -182,8 +197,10 @@ object TrainDataQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rk"))
-      .orderBy("doc_id", "rk")
   }
+
+  private def tfidfTopk(s: SparkSession, d: String): DataFrame =
+    tfidfTopkOf(fanOut(documents(s, d))).orderBy("doc_id", "rk")
 
   private val tfidfTopkSql =
     """WITH tfc AS (
