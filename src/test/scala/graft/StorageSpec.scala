@@ -136,6 +136,33 @@ class StorageSpec extends SparkSpec {
     assert(df.filter(col("page") === 7 && col("idx") < 10).count() == 10)
   }
 
+  test("schema evolution: mergeSchema reads old and new writer generations together") {
+    // the 100 TB lake reality: a column added mid-corpus. Old files must
+    // surface NULL for it, new files their values, under one schema.
+    val dir = tmp("graft-evolve")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/gen=1")
+    Seq((2L, "b", 0.5)).toDF("id", "v", "score").write.parquet(s"$dir/gen=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "v", "score", "gen"))
+    val rows = back.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.5)),
+      "pre-evolution files must read the new column as NULL")
+  }
+
+  test("output sizing: maxRecordsPerFile bounds file size on write") {
+    // small-files/giant-files control for the write path: a 1000-row
+    // partition with maxRecordsPerFile=300 must split into ceil(1000/300)
+    // files, so downstream scan parallelism is bounded by config, not luck
+    val dir = tmp("graft-sizing")
+    spark.range(1000).toDF("id").coalesce(1)
+      .write.option("maxRecordsPerFile", 300).mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 4 files of <=300 records, got $files")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("custom DSv2 source: out-of-Int-range page predicates are not absorbed") {
     val df = spark.read.format("graft.sources.PageSource")
       .option("pages", "10").load()
