@@ -20,13 +20,18 @@ object TrainDataQueries {
 
   private def toks: Column = split(lower(col("text")), "\\s+")
 
-  /** Word n-grams of `text` as strings ("tok1 tok2 ... tokN"), empty when
-    * the doc is shorter than n. Pure per-row array math — no shuffle. */
-  private def grams(n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+  /** Word n-grams of a text column as strings ("tok1 tok2 ... tokN"),
+    * empty when the doc is shorter than n. Pure per-row array math — no
+    * shuffle. Shared with the streaming form (StreamOps.decontamStream). */
+  private[graft] def gramsOf(text: Column, n: Int): Column = {
+    val t = split(lower(text), "\\s+")
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+  }
+
+  private def grams(n: Int): Column = gramsOf(col("text"), n)
 
   /** Shared oracle fragment: per-doc token list + n-gram list.
     * DuckDB list slicing is 1-based inclusive, range() end-exclusive. */

@@ -122,6 +122,23 @@ object StreamOps {
       }
   }
 
+  /** Streaming benchmark decontamination (the streaming form of
+    * TrainDataQueries' N5): score each arriving document against a FIXED
+    * eval-set gram set carried as a literal array (the eval set is tiny by
+    * definition, so it rides inside the expression — the streaming analog
+    * of the batch broadcast). Pure per-row array math: stateless, append
+    * mode, no watermark, no state store — the shape that keeps a crawl
+    * filter running at ingest rate. Emits contaminated (doc_id, n_shared). */
+  def decontamStream(docs: DataFrame, benchGrams: Seq[String]): DataFrame = {
+    val bench = array(benchGrams.map(lit): _*)
+    docs
+      .select(col("doc_id"),
+        size(array_intersect(
+          array_distinct(graft.TrainDataQueries.gramsOf(col("text"), 5)),
+          bench)).as("n_shared"))
+      .filter(col("n_shared") > 0)
+  }
+
   /** T8: idempotent micro-batch sink — anti-join each batch against already-
     * written keys before append (the reference's rollback-per-row dedup,
     * database.py:192-201, done set-wise). */

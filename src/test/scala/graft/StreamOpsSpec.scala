@@ -33,6 +33,27 @@ class StreamOpsSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("streaming decontam: stream result equals the batch operator's") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "totally unrelated words here now yes"))
+    val benchDocs = Seq((99L, "one two three four five")).toDF("doc_id", "text")
+    // eval-set grams collected once driver-side (tiny by definition) and
+    // carried as the expression literal the streaming op expects
+    val benchGrams = benchDocs
+      .select(explode(graft.TrainDataQueries.gramsOf(col("text"), 5)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val streamed = runStream(corpus,
+      df => StreamOps.decontamStream(df.toDF("doc_id", "text"), benchGrams),
+      "t_decontam", OutputMode.Append())
+    val batch = graft.TrainDataQueries.decontamOverlapOf(
+      corpus.toDF("doc_id", "text"), benchDocs)
+    assert(streamed.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+    assert(streamed.count() == 1, "only doc 2 shares the planted 5-gram")
+  }
+
   test("tumbling window: stream result equals batch result") {
     val streamed = runStream(evs, StreamOps.tumblingCounts, "t_tumbling", OutputMode.Complete())
     val batch = StreamOps.tumblingCounts(evs.toDF())
