@@ -140,7 +140,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("tfidf_topk: df reuses tf's (doc,term) shuffle; ranking window partitions by doc") {
-    val p = finalPlan(q("tfidf_topk"))
+    val df = q("tfidf_topk")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the df agg must reuse tf's shuffle, not recompute the corpus scan:\n$p")
     assert(p.contains("partial_count"), s"both aggs must map-side combine:\n$p")
     assert(!("Window".r.findAllIn(p).nonEmpty && p.contains("Window [") &&
       p.contains("windowspecdefinition()")),
