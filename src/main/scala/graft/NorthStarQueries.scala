@@ -131,6 +131,58 @@ object NorthStarQueries {
       |SELECT query_id, neighbor_id, rnk, cos FROM ranked
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** int8-quantized scan + exact rescore (VectorOps.quantize/knnQuantized):
+    * the corpus is scored through its quantized codes (≈1/4 the scan bytes,
+    * integer dot), only 2k candidates per query pay exact float cosine.
+    * Fully oracle-checked — quantization uses exact IEEE arithmetic only
+    * (max/divide/round, no libm), so DuckDB reproduces the codes, the
+    * approximate ranking, and the rescored result bit-for-bit. */
+  private def knnQ8(s: SparkSession, d: String): DataFrame = {
+    val e = VectorOps.quantize(embeddings(s, d))
+    VectorOps.knnQuantized(e.filter(col("vec_id") < 20), e, 5, 2)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val knnQ8Sql =
+    """WITH qz AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id, embedding, s,
+      |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT)) END AS q
+      |  FROM qz),
+      |approx AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    a.embedding AS qe, b.embedding AS ce,
+      |    CAST(list_reduce(list_transform(a.q, (x, i) -> x * b.q[i]),
+      |                     (u, v) -> u + v) AS DOUBLE) * a.s * b.s AS ascore
+      |  FROM qv a, qv b WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      |cand AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY ascore DESC, neighbor_id) AS arnk FROM approx),
+      |rescored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_reduce(list_transform(qe,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(ce[i] AS DOUBLE)), (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(qe,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(ce,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos
+      |  FROM cand WHERE arnk <= 10),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rnk,
+      |    round(cos, 6) AS cos
+      |  FROM rescored)
+      |SELECT query_id, neighbor_id, rnk, cos FROM ranked
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** ANN via sign-bit LSH buckets (rows-only; recall asserted in tests
     * against the brute-force result). */
   private def knnAnnLsh(s: SparkSession, d: String): DataFrame = {
@@ -614,6 +666,7 @@ object NorthStarQueries {
     "dedup_pipeline" -> Q(dedupPipeline, Some(dedupPipelineSql)),
     "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
+    "knn_q8_rescore" -> Q(knnQ8, Some(knnQ8Sql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
     "knn_ann_ivf" -> Q(knnAnnIvf, None),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),

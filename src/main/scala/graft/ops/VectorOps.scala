@@ -48,6 +48,59 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rnk", "cos")
   }
 
+  /** Symmetric int8 quantization: per-vector scale = max|x|/127, elements
+    * rounded to [-127, 127]. The 100 TB lever: a quantized corpus scans at
+    * ~1/4 the bytes of float32 and scores in integer arithmetic; the exact
+    * vectors are only touched for the rescoring candidates. Everything is
+    * exact IEEE arithmetic (max, divide, round — no libm), so any engine
+    * reproduces the quantized codes bit-for-bit. */
+  def quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.withColumn("q_scale", maxAbs / 127.0)
+      .withColumn("q_vec",
+        when(col("q_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0L)))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") / col("q_scale")).cast("long"))))
+  }
+
+  /** Integer dot product of two quantized vectors — exact (no float
+    * accumulation at all). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized-scan + exact-rescore top-k: score every corpus vector with
+    * the int8 dot (rescaled by the two scales), keep `rescoreFactor`×k
+    * candidates per query, then rescore ONLY those with exact float cosine
+    * and take the final k. The production ANN shape: the full corpus is
+    * touched only through its quantized codes; exact math runs on a
+    * bounded candidate set. Same join geometry as [[knnCosine]] (query
+    * side broadcasts, corpus streams, per-query windows). */
+  def knnQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+      rescoreFactor: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("q_vec").as("qq"), col("q_scale").as("qs"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("q_vec").as("cq"), col("q_scale").as("cs"))
+    val approx = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ascore",
+        qdot(col("qq"), col("cq")).cast("double") * col("qs") * col("cs"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("ascore").desc, col("neighbor_id"))
+    val candidates = approx
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= k * rescoreFactor)
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
   /** Multi-table LSH: `tables` independent bucketings, exploded to
     * (table_id, bucket) rows in ONE scan (a union of per-table scans would
     * read and project the corpus `tables` times). More tables ⇒ higher

@@ -31,6 +31,33 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes bounded by 127, per-element error within scale/2") {
+    val e = VectorOps.quantize(Tables.embeddings(spark, sfDir).limit(50))
+    val checked = e.select(
+      aggregate(col("q_vec"), lit(0L), (m, x) => greatest(m, abs(x))).as("max_code"),
+      aggregate(zip_with(col("embedding"), col("q_vec"),
+        (v, q) => abs(v.cast("double") - q * col("q_scale"))),
+        lit(0.0), (m, x) => greatest(m, x)).as("max_err"),
+      col("q_scale")).collect()
+    checked.foreach { r =>
+      assert(r.getLong(0) <= 127L)
+      assert(r.getDouble(1) <= r.getDouble(2) / 2 + 1e-12,
+        s"reconstruction error ${r.getDouble(1)} exceeds half-scale ${r.getDouble(2) / 2}")
+    }
+  }
+
+  test("quantized rescore knn: high agreement with exact brute force top-5") {
+    val e = Tables.embeddings(spark, sfDir)
+    val brute = VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = VectorOps.quantize(e)
+    val q8 = VectorOps.knnQuantized(qz.filter(col("vec_id") < 20), qz, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(q8).size.toDouble / brute.size
+    assert(recall >= 0.9,
+      s"int8 scan + exact rescore should rarely lose a true neighbor: recall=$recall")
+  }
+
   test("lsh ann: recall@3 vs brute force is useful (> 0.3) and buckets shrink work") {
     val e = Tables.embeddings(spark, sfDir)
     val brute = VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, 3)
