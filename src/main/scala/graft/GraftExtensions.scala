@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{FloatVectorCosine, FloatVectorDot}
+import graft.functions.{FloatVectorCosine, FloatVectorDot, LongVectorDot}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available to any session built with
@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"), FloatVectorDot.info, FloatVectorDot.builder))
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"), FloatVectorCosine.info, FloatVectorCosine.builder))
+    ext.injectFunction((
+      FunctionIdentifier("vec_qdot"), LongVectorDot.info, LongVectorDot.builder))
   }
 }

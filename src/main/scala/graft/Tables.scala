@@ -64,6 +64,10 @@ object Tables {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
       graft.functions.FloatVectorCosine.info,
       graft.functions.FloatVectorCosine.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_qdot"),
+      graft.functions.LongVectorDot.info,
+      graft.functions.LongVectorDot.builder)
     // term_match: one-pass dictionary-match Generator over the skill taxonomy
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("term_match"),

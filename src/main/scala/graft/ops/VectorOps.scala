@@ -66,9 +66,11 @@ object VectorOps {
   }
 
   /** Integer dot product of two quantized vectors — exact (no float
-    * accumulation at all). */
+    * accumulation at all); a native codegen expression
+    * ([[graft.functions.LongVectorDot]]): a tight long multiply-accumulate
+    * loop instead of per-element lambda dispatch. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.LongVectorDot(a, b)
 
   /** Quantized-scan + exact-rescore top-k: score every corpus vector with
     * the int8 dot (rescaled by the two scales), keep `rescoreFactor`×k

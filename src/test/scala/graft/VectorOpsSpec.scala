@@ -31,6 +31,24 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("native vec_qdot equals the higher-order-function fold") {
+    val qz = VectorOps.quantize(Tables.embeddings(spark, sfDir).limit(100))
+      .select(col("vec_id"), col("q_vec"))
+    val pairs = qz.join(
+      qz.select(col("vec_id").as("b_id"), col("q_vec").as("b_vec")),
+      col("vec_id") < col("b_id"))
+    val mismatches = pairs.select(
+      VectorOps.qdot(col("q_vec"), col("b_vec")).as("native"),
+      aggregate(zip_with(col("q_vec"), col("b_vec"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // SQL surface too
+    val one = qz.limit(1).select(col("q_vec").as("v"))
+    assert(one.selectExpr("vec_qdot(v, v) AS d").collect().head.getLong(0) ==
+      one.select(VectorOps.qdot(col("v"), col("v"))).collect().head.getLong(0))
+  }
+
   test("int8 quantization: codes bounded by 127, per-element error within scale/2") {
     val e = VectorOps.quantize(Tables.embeddings(spark, sfDir).limit(50))
     val checked = e.select(
