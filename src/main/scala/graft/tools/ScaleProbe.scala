@@ -71,6 +71,12 @@ object ScaleProbe {
       val cents = VectorOps.kmeansCentroids(e, 16, 3)
       VectorOps.ivfKnn(e, e.filter(col("vec_id") < 20), cents, 3, 4).count()
     }
+    // int8-quantized scan + exact rescore vs the float scan above: same
+    // join geometry, the corpus side scored through quantized codes
+    val e1q = VectorOps.quantize(e1).localCheckpoint()
+    val eNq = VectorOps.quantize(eN).localCheckpoint()
+    def q8(e: DataFrame): Long =
+      VectorOps.knnQuantized(e.filter(col("vec_id") < 20), e, 3).count()
 
     // training-data shapes: documents amplified with remapped ids, text
     // salted per replica (so gram/vocab diversity grows with the corpus
@@ -94,7 +100,7 @@ object ScaleProbe {
     def pack(docs: DataFrame): Long = TrainDataQueries.packSequencesOf(docs).count()
 
     // warm
-    q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); decontam(d1); tfidf(d1); pack(d1)
+    q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); decontam(d1); tfidf(d1); pack(d1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -102,6 +108,7 @@ object ScaleProbe {
       ("window top-10 per flag", time(windowTop(li1)), time(windowTop(liN))),
       ("knn brute force (20 queries)", time(brute(e1)), time(brute(eN))),
       ("knn IVF 16 lists / 4 probes", time(ivf(e1)), time(ivf(eN))),
+      ("knn int8 scan + exact rescore", time(q8(e1q)), time(q8(eNq))),
       ("decontam vs fixed eval set", time(decontam(d1)), time(decontam(dN))),
       ("tfidf top-3 per doc", time(tfidf(d1)), time(tfidf(dN))),
       ("sequence packing per stream", time(pack(d1)), time(pack(dN))),
