@@ -255,6 +255,53 @@ object TrainDataQueries {
       |FROM ranked WHERE rk <= 15
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---- N11 quality_gate: composite Gopher-style document filter ------------
+
+  /** The multi-rule keep/drop decision a pretraining filter actually makes,
+    * with per-document failure reasons: too short (<20 tokens), repetitive
+    * (dup 3-grams > 20%), low type-token diversity (<0.4), and mean word
+    * length outside [3, 10]. Every rule compares INTEGERS (cross-multiplied
+    * thresholds), so any engine reproduces the decision exactly — no float
+    * thresholds to disagree over. Scan-shaped: per-row array math only. */
+  private def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val t = toks
+    val g = grams(3)
+    val n = size(t)
+    val nd = size(array_distinct(t))
+    val ngr = size(g)
+    val ngd = size(array_distinct(g))
+    val sumlen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val reasons = concat_ws(",",
+      when(nd * 5 < n * 2, lit("low_diversity")),
+      when((ngr - ngd) * 5 > ngr, lit("too_repetitive")),
+      when(n < 20, lit("too_short")),
+      when(sumlen < n * 3L || sumlen > n * 10L, lit("word_length")))
+    documents(s, d)
+      .select(col("doc_id"), reasons.as("reasons"))
+      .select(col("doc_id"), (col("reasons") === "").as("keep"), col("reasons"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityGateSql =
+    s"""WITH ${gramsCte(3)},
+       |m AS (
+       |  SELECT g.doc_id,
+       |    len(t.t) AS n, len(list_distinct(t.t)) AS nd,
+       |    CAST(list_sum(list_transform(t.t, x -> length(x))) AS BIGINT) AS sumlen,
+       |    len(g.grams) AS ngr, len(list_distinct(g.grams)) AS ngd
+       |  FROM gramsrc g JOIN toksrc t USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id,
+       |    concat_ws(',',
+       |      CASE WHEN nd * 5 < n * 2 THEN 'low_diversity' END,
+       |      CASE WHEN (ngr - ngd) * 5 > ngr THEN 'too_repetitive' END,
+       |      CASE WHEN n < 20 THEN 'too_short' END,
+       |      CASE WHEN sumlen < n * 3 OR sumlen > n * 10 THEN 'word_length' END)
+       |      AS reasons
+       |  FROM m)
+       |SELECT doc_id, reasons = '' AS keep, reasons FROM r
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -263,5 +310,6 @@ object TrainDataQueries {
     "pack_sequences" -> Q(packSequences, Some(packSequencesSql)),
     "repetition_ratio" -> Q(repetitionRatio, Some(repetitionRatioSql)),
     "tfidf_topk" -> Q(tfidfTopk, Some(tfidfTopkSql)),
-    "domain_cap" -> Q(domainCap, Some(domainCapSql)))
+    "domain_cap" -> Q(domainCap, Some(domainCapSql)),
+    "quality_gate" -> Q(qualityGate, Some(qualityGateSql)))
 }
