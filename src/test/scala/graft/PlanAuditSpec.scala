@@ -113,6 +113,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("vec_cosine"), s"native expression must appear in the plan:\n$p")
   }
 
+  test("quality_gate: scan-shaped — no joins, no keyed shuffle") {
+    val p = finalPlan(q("quality_gate"))
+    assert(!p.contains("Join"), s"per-row rule math only:\n$p")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"no keyed shuffle in a per-document gate:\n$p")
+  }
+
+  test("knn_q8_rescore: query side broadcasts; native vec_qdot scores the corpus stream") {
+    val p = plan(q("knn_q8_rescore"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounded query set must broadcast:\n$p")
+    assert(p.contains("vec_qdot"), s"native quantized dot must appear in the plan:\n$p")
+  }
+
   test("decontam_overlap: eval-set grams broadcast; corpus grams never shuffle on the gram key") {
     val p = finalPlan(q("decontam_overlap"))
     assert(p.contains("BroadcastHashJoin"),
