@@ -80,6 +80,46 @@ object NorthStarQueries {
       maxDf = Long.MaxValue, minJaccard = 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** The daily-run shape: dedup TODAY'S batch (every 4th doc stands in for
+    * the new crawl) against the EXISTING corpus without ever self-joining
+    * either side ([[DedupOps.crossJaccardPairs]]) — the incremental form of
+    * dedup_ngram_jaccard a production pipeline runs per ingest. */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val fam = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+    DedupOps.crossJaccardPairs(
+      existing = fam.filter(col("doc_id") % 4 =!= 0),
+      batch = fam.filter(col("doc_id") % 4 === 0),
+      minJaccard = 0.8)
+      .select(col("doc_a").as("batch_id"), col("doc_b").as("existing_id"),
+        col("jaccard"))
+      .orderBy("batch_id", "existing_id")
+  }
+
+  private val dedupIncrementalSql =
+    """WITH dup_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS existing_id
+      |  FROM toks x JOIN toks y ON x.tok = y.tok
+      |  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0),
+      |inter AS (
+      |  SELECT p.batch_id, p.existing_id, count(*) AS inter
+      |  FROM pairs p
+      |  JOIN toks a ON a.doc_id = p.batch_id
+      |  JOIN toks b ON b.doc_id = p.existing_id AND b.tok = a.tok
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT batch_id, existing_id,
+      |    round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |  FROM inter JOIN sizes sa ON sa.doc_id = batch_id
+      |             JOIN sizes sb ON sb.doc_id = existing_id)
+      |SELECT batch_id, existing_id, jaccard FROM j WHERE jaccard >= 0.8
+      |ORDER BY batch_id, existing_id""".stripMargin
+
   private val dedupJaccardSql =
     """WITH dup_docs AS (
       |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
@@ -662,6 +702,7 @@ object NorthStarQueries {
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
+    "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "dedup_pipeline" -> Q(dedupPipeline, Some(dedupPipelineSql)),
     "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),

@@ -218,6 +218,25 @@ object DedupOps {
     jaccardVerify(toks, cand, minJaccard)
   }
 
+  /** Incremental (daily-batch) near-dup check: candidates are shared-token
+    * pairs BETWEEN the new batch and the existing corpus only — never
+    * batch×batch or corpus×corpus — so each day's run costs
+    * |batch postings| × |matching corpus postings|, not a corpus self-join.
+    * The batch side of the index is small; the corpus side is the standing
+    * inverted index a real pipeline keeps materialized between runs.
+    * Verification is the same exact token-set Jaccard as [[jaccardPairs]].
+    * Emits (doc_a = batch doc, doc_b = existing doc, jaccard). */
+  def crossJaccardPairs(existing: DataFrame, batch: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val eToks = tokenSets(existing).localCheckpoint()
+    val bToks = tokenSets(batch).localCheckpoint()
+    val cand = bToks.as("x")
+      .join(eToks.as("y"), col("x.tok") === col("y.tok"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(eToks.unionByName(bToks), cand, minJaccard)
+  }
+
   /** MinHash near-dup candidate pairs with Jaccard estimate from signature
     * agreement. explode(bandKeys) → shuffle on band key → per-bucket pairs.
     * `shingleK` picks the granularity the signature estimates: 3 (default)
