@@ -302,6 +302,50 @@ object TrainDataQueries {
        |SELECT doc_id, reasons = '' AS keep, reasons FROM r
        |ORDER BY doc_id""".stripMargin
 
+  // ---- N13 corpus_report: the single-scan mixture dashboard ----------------
+
+  /** The "what does my training mix look like" report: per language, doc
+    * and token counts plus how many docs clear each quality rule — ALL
+    * computed in one scan with conditional aggregation (no per-metric
+    * passes, no joins). The rules are the same integer-exact comparisons as
+    * quality_gate, so the report and the gate can never disagree. */
+  private def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val t = toks
+    val g = grams(3)
+    val n = size(t)
+    val nd = size(array_distinct(t))
+    val ngr = size(g)
+    val ngd = size(array_distinct(g))
+    val sumlen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val pass = !(nd * 5 < n * 2) && !((ngr - ngd) * 5 > ngr) &&
+      !(n < 20) && !(sumlen < n * 3L || sumlen > n * 10L)
+    documents(s, d)
+      .select(col("lang"), n.as("n"), pass.as("pass"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n").cast("long")).as("n_tokens"),
+        count(when(col("pass"), lit(1))).as("n_quality_pass"),
+        count(when(col("n") < 20, lit(1))).as("n_short"))
+      .orderBy("lang")
+  }
+
+  private val corpusReportSql =
+    s"""WITH ${gramsCte(3)},
+       |m AS (
+       |  SELECT t.doc_id, dd.lang,
+       |    len(t.t) AS n, len(list_distinct(t.t)) AS nd,
+       |    CAST(list_sum(list_transform(t.t, x -> length(x))) AS BIGINT) AS sumlen,
+       |    len(g.grams) AS ngr, len(list_distinct(g.grams)) AS ngd
+       |  FROM toksrc t JOIN gramsrc g USING (doc_id)
+       |  JOIN documents dd USING (doc_id))
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  count(*) FILTER (WHERE NOT (nd * 5 < n * 2)
+       |    AND NOT ((ngr - ngd) * 5 > ngr) AND NOT (n < 20)
+       |    AND NOT (sumlen < n * 3 OR sumlen > n * 10)) AS n_quality_pass,
+       |  count(*) FILTER (WHERE n < 20) AS n_short
+       |FROM m GROUP BY 1 ORDER BY lang""".stripMargin
+
   // --------------------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -311,5 +355,6 @@ object TrainDataQueries {
     "repetition_ratio" -> Q(repetitionRatio, Some(repetitionRatioSql)),
     "tfidf_topk" -> Q(tfidfTopk, Some(tfidfTopkSql)),
     "domain_cap" -> Q(domainCap, Some(domainCapSql)),
-    "quality_gate" -> Q(qualityGate, Some(qualityGateSql)))
+    "quality_gate" -> Q(qualityGate, Some(qualityGateSql)),
+    "corpus_report" -> Q(corpusReport, Some(corpusReportSql)))
 }
