@@ -263,24 +263,28 @@ object TrainDataQueries {
     * length outside [3, 10]. Every rule compares INTEGERS (cross-multiplied
     * thresholds), so any engine reproduces the decision exactly — no float
     * thresholds to disagree over. Scan-shaped: per-row array math only. */
-  private def qualityGate(s: SparkSession, d: String): DataFrame = {
-    val t = toks
-    val g = grams(3)
+  /** The gate's failure-reasons expression over a text column — shared
+    * with the streaming ingest pipeline (empty string = keep). */
+  private[graft] def qualityReasonsOf(text: Column): Column = {
+    val t = split(lower(text), "\\s+")
+    val g = gramsOf(text, 3)
     val n = size(t)
     val nd = size(array_distinct(t))
     val ngr = size(g)
     val ngd = size(array_distinct(g))
     val sumlen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
-    val reasons = concat_ws(",",
+    concat_ws(",",
       when(nd * 5 < n * 2, lit("low_diversity")),
       when((ngr - ngd) * 5 > ngr, lit("too_repetitive")),
       when(n < 20, lit("too_short")),
       when(sumlen < n * 3L || sumlen > n * 10L, lit("word_length")))
+  }
+
+  private def qualityGate(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), reasons.as("reasons"))
+      .select(col("doc_id"), qualityReasonsOf(col("text")).as("reasons"))
       .select(col("doc_id"), (col("reasons") === "").as("keep"), col("reasons"))
       .orderBy("doc_id")
-  }
 
   private val qualityGateSql =
     s"""WITH ${gramsCte(3)},
