@@ -130,7 +130,11 @@ object StreamOps {
     * mode, no watermark, no state store — the shape that keeps a crawl
     * filter running at ingest rate. Emits contaminated (doc_id, n_shared). */
   def decontamStream(docs: DataFrame, benchGrams: Seq[String]): DataFrame = {
-    val bench = array(benchGrams.map(lit): _*)
+    // an argless array() is array<null> and fails array_intersect analysis —
+    // an empty eval set must mean "nothing is contaminated", typed correctly
+    val bench =
+      if (benchGrams.isEmpty) array().cast("array<string>")
+      else array(benchGrams.map(lit): _*)
     docs
       .select(col("doc_id"),
         size(array_intersect(

@@ -59,4 +59,22 @@ object ParseProps extends Properties("graft.parse") {
       pairs.length == (n * (n - 1) / 2) &&
         pairs.forall(r => r.getDouble(2) == 1.0)
     }
+
+  property("int8 quantization: codes in [-127,127], reconstruction within scale/2") =
+    forAll(Gen.listOfN(8,
+      Gen.listOfN(12, Gen.choose(-1e3f, 1e3f).suchThat(f => !f.isNaN)))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val rows = graft.ops.VectorOps.quantize(df)
+        .select(col("embedding"), col("q_scale"), col("q_vec")).collect()
+      rows.forall { r =>
+        val emb = r.getAs[scala.collection.Seq[Float]](0)
+        val s = r.getDouble(1)
+        val q = r.getAs[scala.collection.Seq[Long]](2)
+        q.forall(c => c >= -127 && c <= 127) &&
+          emb.zip(q).forall { case (v, c) =>
+            math.abs(v.toDouble - c * s) <= s / 2 + 1e-9
+          }
+      }
+    }
 }

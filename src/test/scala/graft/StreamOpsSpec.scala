@@ -52,6 +52,12 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.collect().map(_.toString).sorted.toSeq ==
       batch.collect().map(_.toString).sorted.toSeq)
     assert(streamed.count() == 1, "only doc 2 shares the planted 5-gram")
+
+    // empty eval set: typed empty-array literal, zero contamination, no
+    // analysis error from an array<null> literal
+    val none = StreamOps.decontamStream(
+      corpus.toDF("doc_id", "text"), Seq.empty)
+    assert(none.count() == 0)
   }
 
   test("tumbling window: stream result equals batch result") {
