@@ -350,6 +350,37 @@ object TrainDataQueries {
        |  count(*) FILTER (WHERE n < 20) AS n_short
        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // ---- N14 text_normalize: accent folding + punctuation/whitespace cleanup -
+
+  /** The canonical text-cleanup chain of a pretraining pipeline: lowercase,
+    * fold accents (explicit translate table — the SAME table on both
+    * engines, so no locale/ICU dependence), strip punctuation, collapse
+    * whitespace. Dirty input is synthesized ON the part names (accents
+    * injected + trailing punctuation) so the round trip is provable:
+    * norm must equal the original clean name. Scan-shaped. */
+  private def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(translate(col("p_name"), "aeo", "áéö"), lit("!!"))
+    val norm = trim(regexp_replace(regexp_replace(
+      translate(lower(dirty), "áéö", "aeo"), "[!,.;:]", ""), "\\s+", " "))
+    part(s, d)
+      .select(col("p_partkey"), dirty.as("raw"), norm.as("norm"),
+        (norm === col("p_name")).as("roundtrip"))
+      .orderBy("p_partkey")
+  }
+
+  private val textNormalizeSql =
+    """SELECT p_partkey,
+      |  translate(p_name, 'aeo', 'áéö') || '!!' AS raw,
+      |  trim(regexp_replace(regexp_replace(
+      |    translate(lower(translate(p_name, 'aeo', 'áéö') || '!!'),
+      |              'áéö', 'aeo'),
+      |    '[!,.;:]', '', 'g'), '\s+', ' ', 'g')) AS norm,
+      |  trim(regexp_replace(regexp_replace(
+      |    translate(lower(translate(p_name, 'aeo', 'áéö') || '!!'),
+      |              'áéö', 'aeo'),
+      |    '[!,.;:]', '', 'g'), '\s+', ' ', 'g')) = p_name AS roundtrip
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // --------------------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -360,5 +391,6 @@ object TrainDataQueries {
     "tfidf_topk" -> Q(tfidfTopk, Some(tfidfTopkSql)),
     "domain_cap" -> Q(domainCap, Some(domainCapSql)),
     "quality_gate" -> Q(qualityGate, Some(qualityGateSql)),
-    "corpus_report" -> Q(corpusReport, Some(corpusReportSql)))
+    "corpus_report" -> Q(corpusReport, Some(corpusReportSql)),
+    "text_normalize" -> Q(textNormalize, Some(textNormalizeSql)))
 }
