@@ -16,7 +16,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stray WARN lines around the final JSON line can push
+    // it out of the harness's bounded output-tail capture.
+    spark.sparkContext.setLogLevel("ERROR")
     Tables.tune(spark)
     // warmup: JVM + codegen + parquet reader/footer init for EVERY table
     // (untimed) — otherwise whichever query alphabetically touches a table

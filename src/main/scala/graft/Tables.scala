@@ -54,28 +54,43 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // events.ts is TIMESTAMP(NANOS,false) — read as long, converted in events().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Native functions for sessions built without spark.sql.extensions
-    // (idempotent re-registration).
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
-      graft.functions.FloatVectorDot.info,
-      graft.functions.FloatVectorDot.builder)
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
-      graft.functions.FloatVectorCosine.info,
-      graft.functions.FloatVectorCosine.builder)
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_qdot"),
-      graft.functions.LongVectorDot.info,
-      graft.functions.LongVectorDot.builder)
+    // Native functions for sessions built without spark.sql.extensions.
+    // Register-once guard: tune() runs on every table() call, and a blind
+    // re-register logs a "replaced a previously registered function" WARN
+    // per call — hundreds of lines of noise in a bench run.
+    val reg = spark.sessionState.functionRegistry
+    def registerIfAbsent(name: String)(doRegister: => Unit): Unit = {
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id)) doRegister
+    }
+    registerIfAbsent("vec_dot") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+        graft.functions.FloatVectorDot.info,
+        graft.functions.FloatVectorDot.builder)
+    }
+    registerIfAbsent("vec_cosine") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
+        graft.functions.FloatVectorCosine.info,
+        graft.functions.FloatVectorCosine.builder)
+    }
+    registerIfAbsent("vec_qdot") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_qdot"),
+        graft.functions.LongVectorDot.info,
+        graft.functions.LongVectorDot.builder)
+    }
     // term_match: one-pass dictionary-match Generator over the skill taxonomy
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("term_match"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.TermMatchGenerator].getCanonicalName, "term_match"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.TermMatchGenerator(args.head,
-          graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
+    registerIfAbsent("term_match") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("term_match"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.TermMatchGenerator].getCanonicalName, "term_match"),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.TermMatchGenerator(args.head,
+            graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
+    }
     spark
   }
 
