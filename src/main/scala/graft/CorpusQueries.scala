@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 training-data operators (SURVEY.md §2.11 N15–N20): chunk-level
+  * cross-document dedup (the CCNet paragraph-dedup shape), self-trained
+  * bigram-LM quality scoring (the KenLM-filter shape), temperature-based
+  * mixture reweighting, embedding norms, sequence-length histograms, and
+  * URL canonicalization. All DuckDB-oracle-checked.
+  *
+  * Scale rules as elsewhere: per-row array math is scan-shaped; per-key
+  * work shuffles once on that key with map-side combine; model/total
+  * frames that are small by construction broadcast; nothing windows over
+  * the corpus unpartitioned and nothing self-joins all-pairs.
+  */
+object CorpusQueries {
+  import Tables._
+
+  // ---- N15 chunk_dedup: cross-document chunk dedup (CCNet paragraph shape)
+
+  /** Per-document duplicated-chunk fraction: docs split into contiguous
+    * 32-token chunks, a chunk is "duplicated" when the SAME chunk text
+    * occurs in more than one document. This is paragraph-level dedup
+    * (CCNet) re-expressed over whitespace corpora — the dedup that removes
+    * boilerplate headers/footers exact-doc dedup can't see.
+    *
+    * 100 TB shape: explode is linear in corpus tokens; occurrence counting
+    * is ONE keyed agg on the chunk hash (map-side combine); the join back
+    * re-uses the agg's hash partitioning (ReusedExchange — same idiom as
+    * tfidf_topk's tf⋈df); the per-doc rollup is one agg on doc_id. The
+    * chunk TEXT never shuffles — only its md5. No self-join, no all-pairs. */
+  private[graft] def chunkDedupOf(docs: DataFrame, chunkToks: Int): DataFrame = {
+    val t = split(lower(col("text")), "\\s+")
+    val nChunks = ceil(size(t) / lit(chunkToks.toDouble)).cast("long")
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => md5(array_join(slice(t, (i * chunkToks).cast("int") + 1, lit(chunkToks)), " ")))
+    val ch = docs
+      .filter(size(t) > 0)
+      .select(col("doc_id"), explode(chunks).as("h"))
+    val occ = ch.groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
+    ch.join(occ, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("ndocs") > 1, lit(1))).as("dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
+  private def chunkDedup(s: SparkSession, d: String): DataFrame =
+    chunkDedupOf(fanOut(documents(s, d)), 32).orderBy("doc_id")
+
+  private val chunkDedupSql =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT)),
+      |      i -> md5(array_to_string(t[i*32+1:i*32+32], ' ')))) AS h
+      |  FROM toksrc WHERE len(t) > 0),
+      |occ AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY 1)
+      |SELECT c.doc_id, count(*) AS n_chunks,
+      |  count(*) FILTER (WHERE o.ndocs > 1) AS dup_chunks,
+      |  round(CAST(count(*) FILTER (WHERE o.ndocs > 1) AS DOUBLE) / count(*), 6)
+      |    AS dup_frac
+      |FROM chunks c JOIN occ o USING (h)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- N16 lm_bigram_score: self-trained bigram-LM quality scoring ---------
+
+  /** Mean bigram log-likelihood per document under a bigram model trained
+    * on the corpus itself — the KenLM-style "does this read like the rest
+    * of the corpus" quality signal (low scorers are gibberish/outliers).
+    * P(w2|w1) = c(w1 w2)/c(w1), score = mean over the doc's bigram
+    * OCCURRENCES of ln P.
+    *
+    * Determinism: each ln is rounded to 6 dp, the per-doc sum runs in
+    * exact DECIMAL(18,6) (order-independent), and only the final 4-dp
+    * rounded mean is compared — no float-summation order anywhere.
+    *
+    * 100 TB shape: the model is two keyed aggs (bigram, unigram) with
+    * map-side combine — vocabulary-sized, NOT broadcast; scoring joins doc
+    * bigram occurrences to the model by shuffling both sides on the bigram
+    * key, then one agg on doc_id. Corpus text crosses the cluster as
+    * hashed gram keys, never as documents. */
+  private[graft] def lmBigramScoreOf(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(TrainDataQueries.gramsOf(col("text"), 2)).as("bg"))
+    val c2 = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val model = c2
+      .withColumn("w", element_at(split(col("bg"), " "), 1))
+      .join(c1, Seq("w"))
+      .select(col("bg"),
+        round(log(col("c2").cast("double") / col("c1")), 6)
+          .cast(DecimalType(18, 6)).as("logp"))
+    occ.join(model, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 4).as("avg_logp"))
+  }
+
+  private def lmBigramScore(s: SparkSession, d: String): DataFrame =
+    lmBigramScoreOf(fanOut(documents(s, d))).orderBy("doc_id")
+
+  private val lmBigramScoreSql =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> array_to_string(t[i:i+1], ' '))) AS bg
+      |  FROM toksrc),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY 1),
+      |c1 AS (SELECT w, count(*) AS c1
+      |       FROM (SELECT unnest(t) AS w FROM toksrc) GROUP BY 1),
+      |model AS (
+      |  SELECT bg,
+      |    CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6) AS DECIMAL(18,6))
+      |      AS logp
+      |  FROM c2 JOIN c1 ON string_split(bg, ' ')[1] = c1.w)
+      |SELECT o.doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(m.logp) AS DOUBLE) / count(*), 4) AS avg_logp
+      |FROM occ o JOIN model m USING (bg)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- N17 sample_temperature: mixture reweighting -------------------------
+
+  /** Temperature-based source reweighting (the multilingual/domain mixture
+    * rule: w_s ∝ share_s^α): per-source document share and normalized
+    * sampling weight at α = 0.5. α = 0.5 uses sqrt, which IEEE requires
+    * correctly rounded — both engines produce the identical double, and
+    * the weight normalization sums exact decimals, so the whole query is
+    * engine-deterministic with no tolerance. (Arbitrary α needs pow():
+    * round before normalizing.)
+    *
+    * 100 TB shape: one keyed agg on source; everything after operates on
+    * a frame with one row per SOURCE (thousands at web scale, not
+    * corpus-sized) — the totals broadcast. */
+  private def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("n_total"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("wraw", sqrt(col("share")).cast(DecimalType(20, 8)))
+    val sumw = w.agg(sum(col("wraw")).as("sw"))
+    w.crossJoin(broadcast(sumw))
+      .select(col("source"), col("n_docs"), round(col("share"), 6).as("share"),
+        round(col("wraw").cast("double") / col("sw").cast("double"), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  private val sampleTemperatureSql =
+    """WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+      |w AS (
+      |  SELECT source, n_docs,
+      |    CAST(n_docs AS DOUBLE) / n_total AS share,
+      |    CAST(sqrt(CAST(n_docs AS DOUBLE) / n_total) AS DECIMAL(20,8)) AS wraw
+      |  FROM per, tot),
+      |sw AS (SELECT sum(wraw) AS sw FROM w)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  round(share, 6) AS share,
+      |  round(CAST(wraw AS DOUBLE) / CAST(sw.sw AS DOUBLE), 6) AS weight
+      |FROM w, sw ORDER BY source""".stripMargin
+
+  // ---- N18 embedding_norms: vector hygiene scan ----------------------------
+
+  /** Per-vector L2 norm and mean component — the embedding-table hygiene
+    * pass (catches zero/denormal vectors before any cosine math assumes
+    * unit-ish norms). The fold runs left-to-right in list order on both
+    * engines (same idiom as the proven knn cosine fold), so the doubles are
+    * bit-identical before rounding. Scan-shaped: no shuffle at any scale. */
+  private def embeddingNorms(s: SparkSession, d: String): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val sm = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double"))
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(sq), 6).as("l2"),
+        round(sm / size(col("embedding")), 6).as("mu"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingNormsSql =
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  round(sqrt(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)), 6)
+      |    AS l2,
+      |  round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |      (u, v) -> u + v) / len(embedding), 6) AS mu
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---- N19 length_histogram: sequence-length distribution ------------------
+
+  /** Log2-bucketed token-length histogram — the "what context length does
+    * this corpus need" planning query. The bucket is length(bin(n)) =
+    * floor(log2 n)+1, computed on INTEGERS via the binary-string length
+    * (log2() in floats disagrees at exact powers of two; bin() cannot).
+    * One scan + one agg on a ≤64-value key. */
+  private def lengthHistogram(s: SparkSession, d: String): DataFrame = {
+    val n = size(split(lower(col("text")), "\\s+"))
+    documents(s, d)
+      .select(length(bin(n.cast("long"))).as("bucket"), n.as("n_toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("total_tokens"),
+        min(col("n_toks")).as("min_toks"), max(col("n_toks")).as("max_toks"))
+      .orderBy("bucket")
+  }
+
+  private val lengthHistogramSql =
+    """WITH base AS (
+      |  SELECT CAST(length(bin(CAST(len(string_split(lower(text), ' ')) AS BIGINT)))
+      |           AS INTEGER) AS bucket,
+      |         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_toks
+      |  FROM documents)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |  min(n_toks) AS min_toks, max(n_toks) AS max_toks
+      |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- N20 url_canonicalize: crawl-frontier URL dedup ----------------------
+
+  private val urlRe = "^([a-zA-Z]+)://([^/:?#]+)(?::([0-9]+))?([^?#]*)"
+  private val trackRe = "^(utm_[^=]*|ref|fbclid)="
+
+  /** Canonical form of a messy URL: lowercase scheme+host, default ports
+    * dropped, trailing path slashes trimmed, fragment dropped, tracking
+    * params (utm_*, ref, fbclid) removed. Pure per-row string math. */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, urlRe, 1))
+    val host = lower(regexp_extract(url, urlRe, 2))
+    val port = regexp_extract(url, urlRe, 3)
+    val path0 = regexp_replace(regexp_extract(url, urlRe, 4), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val portPart = when(port.isin("", "80", "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val qraw = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(qraw, "&"),
+      p => p =!= "" && !p.rlike(trackRe))
+    val qPart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, portPart, path, qPart)
+  }
+
+  /** Crawl-frontier URL dedup: four messy variants of the same logical
+    * pages (mixed-case hosts, default ports, tracking params, fragments,
+    * trailing slashes) collapse onto canonical URLs, counted per canonical
+    * form — the frontier/visited-set key of the reference's scraper world
+    * (base_scraper.py builds page URLs; pracuj_scraper.py:294 filters by
+    * URL shape). One scan + one keyed agg on the canonical string. */
+  private def urlCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val id = (col("doc_id") % 100).cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://WWW.Example.COM:443/jobs/"), id,
+          lit("?utm_source=feed&id=7#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://www.example.com/jobs/"), id, lit("?id=7&ref=x")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("http://Example.com:80/jobs/"), id, lit("/")))
+      .otherwise(lit("https://example.com/about/#team"))
+    documents(s, d)
+      .select(col("doc_id"), canonicalUrl(url).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
+  private val urlCanonicalizeSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/jobs/' ||
+      |        CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&id=7#frag'
+      |      WHEN 1 THEN 'https://www.example.com/jobs/' ||
+      |        CAST(doc_id % 100 AS VARCHAR) || '?id=7&ref=x'
+      |      WHEN 2 THEN 'http://Example.com:80/jobs/' ||
+      |        CAST(doc_id % 100 AS VARCHAR) || '/'
+      |      ELSE 'https://example.com/about/#team' END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([a-zA-Z]+)://([^/:?#]+)(?::([0-9]+))?([^?#]*)', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^([a-zA-Z]+)://([^/:?#]+)(?::([0-9]+))?([^?#]*)', 2)) AS host,
+      |    regexp_extract(url, '^([a-zA-Z]+)://([^/:?#]+)(?::([0-9]+))?([^?#]*)', 3) AS port,
+      |    regexp_replace(regexp_extract(url, '^([a-zA-Z]+)://([^/:?#]+)(?::([0-9]+))?([^?#]*)', 4), '/+$', '') AS path0,
+      |    list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid)=')) AS params
+      |  FROM raw),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port IN ('', '80', '443') THEN '' ELSE ':' || port END ||
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+      |    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+      |         ELSE '' END AS canonical_url
+      |  FROM parts)
+      |SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS first_doc
+      |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
+  def all: Seq[(String, Q)] = Seq(
+    "chunk_dedup" -> Q(chunkDedup, Some(chunkDedupSql)),
+    "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
+    "sample_temperature" -> Q(sampleTemperature, Some(sampleTemperatureSql)),
+    "embedding_norms" -> Q(embeddingNorms, Some(embeddingNormsSql)),
+    "length_histogram" -> Q(lengthHistogram, Some(lengthHistogramSql)),
+    "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
+  )
+}

@@ -38,7 +38,8 @@ object Det {
 object Queries {
   def all: Seq[(String, Q)] =
     RelationalQueries.all ++ ParseQueries.all ++ SkillQueries.all ++
-      StreamQueries.all ++ NorthStarQueries.all ++ TrainDataQueries.all
+      StreamQueries.all ++ NorthStarQueries.all ++ TrainDataQueries.all ++
+      CorpusQueries.all
 
   lazy val byName: Map[String, Q] = all.toMap
 

@@ -59,11 +59,13 @@ object DedupOps {
   }
 
   /** LSH band keys: signature split into `bands` bands of `rows` each,
-    * hashed; docs sharing any band key are candidates. */
+    * hashed; docs sharing any band key are candidates. xxhash64 hashes the
+    * sliced long-array directly (Spark hashes array elements recursively) —
+    * a per-band transform+array_join+cast-to-string tree codegens to several
+    * times the bytecode for the same grouping behavior. */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(array_join(
-        transform(slice(sig, b * rows + 1, rows), _.cast("string")), ",")).as("bkey"))
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * rows + 1, rows)).as("bkey"))
     }: _*)
 
   /** 64-bit SimHash over tokens: per-bit ±1 votes weighted by token hash.

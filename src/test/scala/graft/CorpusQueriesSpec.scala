@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Edge behavior of the round-4 corpus operators (CorpusQueries): the
+  * oracle gate covers the happy path at sf0.01/sf0.1; these pin boundary
+  * semantics a web corpus actually contains. */
+class CorpusQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+
+  test("chunk_dedup: a chunk shared across docs is a dup; a chunk repeated only within one doc is not") {
+    val shared = (1 to 32).map(i => s"s$i")   // one full shared chunk
+    val uniqueA = (1 to 32).map(i => s"a$i")
+    val uniqueB = (1 to 32).map(i => s"b$i")
+    val rep = (1 to 32).map(i => s"r$i")
+    val docs = Seq(
+      doc(1L, shared ++ uniqueA),
+      doc(2L, shared ++ uniqueB),
+      doc(3L, rep ++ rep) // same chunk twice WITHIN one doc only
+    ).toDF("doc_id", "text")
+    val got = CorpusQueries.chunkDedupOf(docs, 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2: 2 chunks each, exactly the shared one is a dup; doc 3's
+    // within-doc repeat spans one distinct doc → NOT a cross-doc dup
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))), s"$got")
+  }
+
+  test("chunk_dedup: trailing partial chunk participates like any other") {
+    val docs = Seq(
+      doc(1L, (1 to 40).map(i => s"t$i")),   // chunk2 = t33..t40 (8 toks)
+      doc(2L, (33 to 40).map(i => s"t$i"))   // exactly that partial chunk
+    ).toDF("doc_id", "text")
+    val got = CorpusQueries.chunkDedupOf(docs, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L), s"partial tail chunk must dedup: $got")
+  }
+
+  test("lm_bigram_score: hand-computed conditional probabilities") {
+    // c("a b")=1, c("a c")=1, c1("a")=2 → P(b|a)=P(c|a)=0.5
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = CorpusQueries.lmBigramScoreOf(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(1L -> ((1L, expected)), 2L -> ((1L, expected))), s"$got")
+  }
+
+  test("lm_bigram_score: single-token docs vanish instead of erroring") {
+    val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val ids = CorpusQueries.lmBigramScoreOf(docs).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
+
+  test("canonicalUrl: host case, default ports, fragments, tracking params, trailing slashes") {
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/Jobs/5?utm_source=x&id=7#frag" ->
+        "https://www.ex.com/Jobs/5?id=7",
+      "http://Ex.com:80/a/b/" -> "http://ex.com/a/b",
+      "https://ex.com:8443/x?ref=1&utm_a=2" -> "https://ex.com:8443/x",
+      "https://ex.com/" -> "https://ex.com/",
+      "https://ex.com" -> "https://ex.com/",
+      "https://ex.com/p?fbclid=abc&q=1&utm_" -> "https://ex.com/p?q=1&utm_")
+    val got = cases.map(_._1).toDF("url")
+      .select(CorpusQueries.canonicalUrl(col("url"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonical($in) = $g, want $want")
+    }
+  }
+
+  test("sample_temperature weights: flatter than shares, normalized, order-preserving") {
+    val out = Queries.byName("sample_temperature").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    val wsum = out.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must normalize: $wsum")
+    // temperature flattening: every minority source (share < mean share)
+    // gains weight share; majority sources lose
+    val meanShare = 1.0 / out.length
+    out.foreach { case (src, share, w) =>
+      if (share < meanShare * 0.9)
+        assert(w > share, s"$src: minority source must be upweighted ($share -> $w)")
+      if (share > meanShare * 1.1)
+        assert(w < share, s"$src: majority source must be downweighted ($share -> $w)")
+    }
+  }
+
+  test("length_histogram buckets are exact at power-of-two boundaries") {
+    val got = Seq(31, 32, 33).map { n =>
+      spark.range(1).select(length(bin(lit(n.toLong)))).as[Int].collect().head
+    }
+    assert(got == Seq(5, 6, 6), s"floor(log2)+1 via bin length: $got")
+  }
+
+  test("embedding_norms: zero vector yields l2=0, not NaN") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, 0, Seq.fill(4)(0.0f))),
+      schema)
+    df.createOrReplaceTempView("zero_vec")
+    val l2 = df.select(
+      round(sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))), 6)).collect().head.getDouble(0)
+    assert(l2 == 0.0)
+  }
+}

@@ -164,4 +164,41 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("windowspecdefinition()")),
       s"ranking window must be partitioned:\n$p")
   }
+
+  test("chunk_dedup: occurrence counting joins back without re-scanning (ReusedExchange), no all-pairs") {
+    val p = finalPlan(q("chunk_dedup"))
+    assert(p.contains("ReusedExchange"),
+      s"the join back to per-doc chunks must reuse the agg's shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must never plan an all-pairs join:\n$p")
+  }
+
+  test("lm_bigram_score: model joins shuffle on the gram key — no cartesian, map-side combine on counts") {
+    val p = finalPlan(q("lm_bigram_score"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"vocabulary-sized model must not broadcast-nested-loop:\n$p")
+    assert(p.contains("partial_count"),
+      s"model counts must map-side combine:\n$p")
+  }
+
+  test("sample_temperature: totals broadcast; per-source frame never shuffle-joins") {
+    val p = finalPlan(q("sample_temperature"))
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in a per-source rollup should need a shuffle join:\n$p")
+  }
+
+  test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
+    val pNorm = finalPlan(q("embedding_norms"))
+    assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,
+      s"per-vector math must not shuffle on a key:\n$pNorm")
+    for (name <- Seq("length_histogram", "url_canonicalize")) {
+      val p = finalPlan(q(name))
+      assert(p.contains("partial_count"), s"$name must map-side combine:\n$p")
+      assert(!p.contains("Join"), s"$name is one scan + one agg:\n$p")
+      val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(keyed <= 1, s"$name needs at most one keyed exchange, got $keyed:\n$p")
+    }
+  }
 }
