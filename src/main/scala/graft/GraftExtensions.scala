@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{FloatVectorCosine, FloatVectorDot, LongVectorDot}
+import graft.functions.{FloatVectorCosine, FloatVectorDot, LongVectorDot, MinhashSig}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available to any session built with
@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"), FloatVectorCosine.info, FloatVectorCosine.builder))
     ext.injectFunction((
       FunctionIdentifier("vec_qdot"), LongVectorDot.info, LongVectorDot.builder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"), MinhashSig.info, MinhashSig.builder))
   }
 }

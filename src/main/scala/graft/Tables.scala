@@ -75,6 +75,12 @@ object Tables {
         graft.functions.FloatVectorCosine.info,
         graft.functions.FloatVectorCosine.builder)
     }
+    registerIfAbsent("minhash_sig") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+        graft.functions.MinhashSig.info,
+        graft.functions.MinhashSig.builder)
+    }
     registerIfAbsent("vec_qdot") {
       reg.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_qdot"),

@@ -44,11 +44,19 @@ object DedupOps {
     transform(shingleArr, s => pmod(xxhash64(s), lit(P)))
 
   /** MinHash signature: for each of `h` hash functions, min over shingle
-    * hashes of ((a_i * x + b_i) mod p). ONE fold over the hash array keeps
-    * the whole signature a single pass (h separate array_min(transform(...))
+    * hashes of ((a_i * x + b_i) mod p). Native codegen expression
+    * ([[graft.functions.MinhashSig]]) — a two-level primitive loop over the
+    * hash array instead of h lambda dispatches per element; the hottest
+    * inner loop of corpus-scale dedup. */
+  def minhashSignature(hashArr: Column, h: Int): Column =
+    graft.functions.MinhashSig(hashArr, h)
+
+  /** Reference higher-order-function formulation of [[minhashSignature]] —
+    * ONE fold over the hash array (h separate array_min(transform(...))
     * expressions would re-evaluate the hash array h times after Catalyst's
-    * projection collapse — 10× slower, measured). */
-  def minhashSignature(hashArr: Column, h: Int): Column = {
+    * projection collapse — 10× slower, measured). Kept as the executable
+    * spec the native expression is property-tested against. */
+  def minhashSignatureFold(hashArr: Column, h: Int): Column = {
     val params = array((0 until h).map { i =>
       struct(lit(1000003L * (i + 1) + 12345L).as("a"),
         lit(7919L * (i + 1)).as("b"))

@@ -60,6 +60,20 @@ object ParseProps extends Properties("graft.parse") {
         pairs.forall(r => r.getDouble(2) == 1.0)
     }
 
+  property("native minhash_sig ≡ the HOF fold it replaces, incl. empty arrays") =
+    forAll(Gen.listOfN(10,
+      Gen.listOf(Gen.choose(0L, 1000000006L)))) { hashLists =>
+      val df = hashLists.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+        .toDF("id", "hashes")
+      val rows = df.select(
+        DedupOps.minhashSignature(col("hashes"), 16).as("native"),
+        DedupOps.minhashSignatureFold(col("hashes"), 16).as("fold")).collect()
+      rows.forall { r =>
+        r.getAs[scala.collection.Seq[Long]](0) ==
+          r.getAs[scala.collection.Seq[Long]](1)
+      }
+    }
+
   property("int8 quantization: codes in [-127,127], reconstruction within scale/2") =
     forAll(Gen.listOfN(8,
       Gen.listOfN(12, Gen.choose(-1e3f, 1e3f).suchThat(f => !f.isNaN)))) { vecs =>
