@@ -98,9 +98,15 @@ object ScaleProbe {
         corpus.filter(col("doc_id") % 53 =!= 0), bench1).count()
     def tfidf(docs: DataFrame): Long = TrainDataQueries.tfidfTopkOf(docs).count()
     def pack(docs: DataFrame): Long = TrainDataQueries.packSequencesOf(docs).count()
+    // r04 corpus shapes: chunk-hash dedup and bigram-LM scoring — both are
+    // keyed-agg + gram-key-join geometries that must stay linear.
+    import graft.CorpusQueries
+    def chunks(docs: DataFrame): Long = CorpusQueries.chunkDedupOf(docs, 32).count()
+    def lmScore(docs: DataFrame): Long = CorpusQueries.lmBigramScoreOf(docs).count()
 
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); decontam(d1); tfidf(d1); pack(d1)
+    chunks(d1); lmScore(d1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -112,6 +118,8 @@ object ScaleProbe {
       ("decontam vs fixed eval set", time(decontam(d1)), time(decontam(dN))),
       ("tfidf top-3 per doc", time(tfidf(d1)), time(tfidf(dN))),
       ("sequence packing per stream", time(pack(d1)), time(pack(dN))),
+      ("chunk dedup (32-tok, md5 keys)", time(chunks(d1)), time(chunks(dN))),
+      ("bigram-LM doc scoring", time(lmScore(d1)), time(lmScore(dN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -138,7 +146,11 @@ object ScaleProbe {
     sb.append("crawl), so its cost is one broadcast-filtered scan: ratio ≈ linear.\n")
     sb.append("tfidf is two keyed map-side-combine aggs + a per-doc window;\n")
     sb.append("packing is a per-stream cumulative window whose parallelism is the\n")
-    sb.append("stream count, which scales with the data.\n")
+    sb.append("stream count, which scales with the data.\n\n")
+    sb.append("chunk dedup shuffles only md5 chunk hashes (never chunk text) into\n")
+    sb.append("one keyed agg + a ReusedExchange join-back; bigram-LM scoring joins\n")
+    sb.append("doc gram occurrences to a vocabulary-sized model on the gram key —\n")
+    sb.append("both are the same agg/join geometry as tfidf and must stay linear.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"), sb.toString)
     println("[scale-probe] wrote SCALE.md")
     results.foreach { case (n, t1, tn) => println(f"[scale-probe] $n%-28s $t1%6.2f -> $tn%6.2f (${tn / t1}%.1f×)") }
