@@ -143,6 +143,20 @@ object StreamOps {
       .filter(col("n_shared") > 0)
   }
 
+  /** Streaming crawl-frontier dedup: canonicalize each arriving URL
+    * (case/port/fragment/tracking-param normalization — CorpusQueries' N20
+    * expression) and keep the FIRST sighting of each canonical form within
+    * the watermark horizon. dropDuplicatesWithinWatermark keys state on the
+    * canonical URL and expires it with the watermark, so frontier state is
+    * bounded by the horizon's crawl volume, not by history — the property
+    * that lets a frontier run for months. Emits the kept rows (canonical
+    * form added). */
+  def frontierDedup(pages: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn("canonical_url", graft.CorpusQueries.canonicalUrl(col("url")))
+      .withWatermark("fetch_ts", horizon)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** T8: idempotent micro-batch sink — anti-join each batch against already-
     * written keys before append (the reference's rollback-per-row dedup,
     * database.py:192-201, done set-wise). */

@@ -155,4 +155,29 @@ class StreamOpsSpec extends SparkSpec {
       .select(col("day_start"), col("cnt")).as[(Timestamp, Long)].collect().toMap
     assert(rows.getOrElse(ts(0), 0L) == 1L, s"late row must not inflate day-0 count: $rows")
   }
+
+  test("frontier dedup: messy URL variants collapse to one canonical sighting") {
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    mem.addData(
+      (1L, ts(0), "HTTPS://WWW.Ex.COM:443/jobs/9?utm_source=x&id=7#frag"),
+      (2L, ts(1), "https://www.ex.com/jobs/9?id=7"),       // same canonical
+      (3L, ts(2), "http://Ex.com:80/other/"),               // distinct page
+      (4L, ts(3), "http://ex.com/other"))                   // dup of 3
+    val q = StreamOps.frontierDedup(
+        mem.toDF().toDF("page_id", "fetch_ts", "url"))
+      .writeStream.format("memory").queryName("t_frontier")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a later micro-batch inside the horizon re-sees the first URL: state
+    // must still hold the canonical key and drop it
+    mem.addData((5L, ts(4), "https://www.ex.com/jobs/9/?id=7"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_frontier")
+      .select(col("page_id"), col("canonical_url")).as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(
+      1L -> "https://www.ex.com/jobs/9?id=7",
+      3L -> "http://ex.com/other"), s"got $got")
+  }
 }
