@@ -306,6 +306,48 @@ object CorpusQueries {
       |SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS first_doc
       |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
 
+  // ---- N21 bpe_merge_topk: one distributed BPE merge step ------------------
+
+  /** The inner step of byte-pair-encoding tokenizer training, distributed:
+    * adjacent character-pair counts over the word vocabulary, weighted by
+    * word frequency, top-20 merge candidates. Real BPE iterates this; one
+    * step is the operator (the loop is a driver-side `while` over it, the
+    * same shape as kmeansCentroids' iteration).
+    *
+    * 100 TB shape: pair counting runs over the VOCABULARY (words × their
+    * length), not the corpus — the word-frequency agg collapses the corpus
+    * first (map-side combine), so a web-scale corpus costs one keyed agg
+    * plus vocabulary-sized pair math; the top-20 plans as
+    * TakeOrderedAndProject (per-partition heap, no global sort). */
+  private def bpeMergeTopk(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = when(length(col("w")) >= 2,
+      transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    words
+      .select(col("freq"), explode(pairs).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  private val bpeMergeTopkSql =
+    """WITH words AS (
+      |  SELECT w, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents) GROUP BY 1),
+      |pairs AS (
+      |  SELECT freq,
+      |    unnest(list_transform(range(1, length(w)),
+      |      i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+      |  FROM words WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY 1
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "chunk_dedup" -> Q(chunkDedup, Some(chunkDedupSql)),
     "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
@@ -313,5 +355,6 @@ object CorpusQueries {
     "embedding_norms" -> Q(embeddingNorms, Some(embeddingNormsSql)),
     "length_histogram" -> Q(lengthHistogram, Some(lengthHistogramSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
+    "bpe_merge_topk" -> Q(bpeMergeTopk, Some(bpeMergeTopkSql)),
   )
 }

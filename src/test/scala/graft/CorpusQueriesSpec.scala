@@ -85,6 +85,24 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bpe_merge_topk: pair counts weight by word frequency; 1-char words contribute nothing") {
+    // corpus: "ab ab ab cd x" -> vocab {ab:3, cd:1, x:1}
+    // pairs: "ab"×3, "cd"×1; "x" has no adjacent pair
+    val docs = Seq((1L, "ab ab ab cd x")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bpe_in")
+    val words = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = when(length(col("w")) >= 2,
+      transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val got = words.select(col("freq"), explode(pairs).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 3L, "cd" -> 1L), s"$got")
+  }
+
   test("length_histogram buckets are exact at power-of-two boundaries") {
     val got = Seq(31, 32, 33).map { n =>
       spark.range(1).select(length(bin(lit(n.toLong)))).as[Int].collect().head

@@ -189,6 +189,14 @@ class PlanAuditSpec extends SparkSpec {
       s"nothing in a per-source rollup should need a shuffle join:\n$p")
   }
 
+  test("bpe_merge_topk: top-20 plans as TakeOrderedAndProject over vocabulary-sized pair counts") {
+    val p = finalPlan(q("bpe_merge_topk"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bounded top-k must never global-sort:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"word and pair counts must map-side combine:\n$p")
+  }
+
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
     val pNorm = finalPlan(q("embedding_norms"))
     assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,
