@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_qdot"), LongVectorDot.info, LongVectorDot.builder))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"), MinhashSig.info, MinhashSig.builder))
+    // whole-operator extension: as-of join (logical node + pushdown rule +
+    // planning strategy, graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

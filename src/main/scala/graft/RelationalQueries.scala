@@ -250,6 +250,39 @@ object RelationalQueries {
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** J8 native: a TRUE two-table as-of join via the custom Catalyst operator
+    * (graft.plans.AsOfJoin — LogicalPlan + Rule + Strategy + SparkPlan):
+    * each purchase pairs with the user's latest click at-or-before it. The
+    * right side pre-aggregates to one row per (user, ts) so "latest" is
+    * unique; the oracle is DuckDB's native ASOF JOIN, so two independent
+    * as-of implementations must agree row-for-row. */
+  private def asofNative(s: SparkSession, d: String): DataFrame = {
+    val purchases = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(dsum(col("value")).as("click_value"))
+    graft.plans.AsOfJoinOps.asofJoin(
+        purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("c_ts")).as("click_us"), col("click_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofNativeSql =
+    s"""WITH purchases AS (
+       |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id AS c_user, ts AS c_ts,
+       |         ${sqlDsum("value")} AS click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT p.user_id, p.event_id, epoch_us(c.c_ts) AS click_us, c.click_value
+       |FROM purchases p ASOF JOIN clicks c
+       |  ON p.user_id = c.c_user AND c.c_ts <= p.ts
+       |ORDER BY event_id""".stripMargin
+
   // ---- §2.5 aggregations ---------------------------------------------------
 
   /** A1 `agg_counts`: the run counters (scraper.py:49-50). */
@@ -843,6 +876,7 @@ object RelationalQueries {
     "join_left_semi" -> Q(leftSemi, Some(leftSemiSql)),
     "join_range_bands" -> Q(rangeBands, Some(rangeBandsSql)),
     "join_asof_latest" -> Q(asofLatest, Some(asofLatestSql)),
+    "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
     "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),

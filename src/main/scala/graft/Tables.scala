@@ -97,6 +97,14 @@ object Tables {
           graft.functions.TermMatchGenerator(args.head,
             graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
     }
+    // Custom whole-operator extension (as-of join): strategy plans the
+    // logical node, rule pushes left-side filters through it. experimental
+    // methods are the runtime-session analog of GraftExtensions' inject*.
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
     spark
   }
 

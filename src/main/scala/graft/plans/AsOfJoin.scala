@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** A whole-operator Catalyst extension (SURVEY.md §2.10 ladder rung (c)):
+  * custom LogicalPlan + optimizer Rule + SparkStrategy + SparkPlan,
+  * registered through SparkSessionExtensions / experimental methods — for
+  * the one relational operator the reference's "latest status per key"
+  * pattern (database.py:69-70) really wants and Spark genuinely lacks: the
+  * AS-OF JOIN.
+  *
+  * Semantics (inner as-of, DuckDB `ASOF JOIN` compatible): each left row
+  * pairs with the single right row sharing its key that has the greatest
+  * `rightTime <= leftTime`; left rows with no such right row are dropped.
+  * Right rows are expected unique per (key, time) — the caller
+  * pre-aggregates ties (otherwise which tie wins is partition-order
+  * dependent). SQL null-key semantics are NOT emulated: null keys match
+  * like values (pre-filter nulls where that matters).
+  *
+  * 100 TB shape: both sides hash-partition on the key and sort within
+  * partitions — exactly a sort-merge join's movement, but the merge keeps
+  * ONE candidate row instead of buffering a match group, so execution is
+  * O(n+m) streaming with O(1) state per partition. The compositional
+  * alternative (union + window or range-join + dedup) costs an extra
+  * window sort or an exploded inequality join at scale.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Left-side predicate pushdown through [[AsOfJoin]]: a filter that only
+  * references left columns commutes with the join (each left row's match is
+  * a function of that row alone), so it may descend to the scan and become a
+  * Parquet pushed filter. RIGHT-side filters do NOT commute — removing a
+  * right row can promote an earlier row into "latest" — and are left alone.
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, j: AsOfJoin)
+        if cond.deterministic && cond.references.subsetOf(j.left.outputSet) =>
+      j.copy(left = Filter(cond, j.left))
+  }
+}
+
+/** Plans the logical [[AsOfJoin]] to [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: co-partitioned on the keys, co-sorted on
+  * (keys, time) — Spark's EnsureRequirements inserts the exchanges/sorts —
+  * then a single-pass per-partition merge that carries the latest right
+  * candidate for the current key. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(lk, leftOut)
+      val rKeyProj = UnsafeProjection.create(rk, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val outProj = UnsafeProjection.create(output, leftOut ++ rightOut)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+
+      new Iterator[InternalRow] {
+        // latest right row (and its key) consumed so far — copies, because
+        // projections and iterators reuse buffers
+        private var matchKey: UnsafeRow = _
+        private var matchRow: UnsafeRow = _
+        private var out: InternalRow = _
+
+        private def computeNext(): Unit = {
+          out = null
+          while (out == null && lIt.hasNext) {
+            val lRow = lIt.next()
+            val k = lKeyProj(lRow)
+            val t = lTimeProj(lRow).get(0, timeType)
+            // consume right rows up to and including (key == k, time <= t);
+            // rows with a smaller key invalidate any carried candidate
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val peekKey = rKeyProj(rBuf.head)
+              val c = keyOrd.compare(peekKey, k)
+              if (c < 0 ||
+                  (c == 0 && timeOrd.lteq(rTimeProj(rBuf.head).get(0, timeType), t))) {
+                val rRow = rBuf.next()
+                if (c == 0) {
+                  matchKey = rKeyProj(rRow).copy()
+                  matchRow = rRow.asInstanceOf[UnsafeRow].copy()
+                } else {
+                  matchKey = null; matchRow = null
+                }
+              } else advance = false
+            }
+            if (matchRow != null && matchKey != null &&
+                keyOrd.compare(matchKey, k) == 0) {
+              out = outProj(joined(lRow, matchRow))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { if (out == null) computeNext(); out != null }
+        override def next(): InternalRow = {
+          if (out == null) computeNext()
+          val r = out; out = null; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API over the custom operator. */
+object AsOfJoinOps {
+  /** `left ASOF JOIN right ON leftKeys = rightKeys AND rightTime <= leftTime`
+    * keeping the latest right row per left row (inner). Column sets of the
+    * two sides must be disjoint (project/rename first — fresh attributes
+    * also keep self-joins unambiguous). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val overlap = lp.output.map(_.exprId).toSet intersect rp.output.map(_.exprId).toSet
+    require(overlap.isEmpty,
+      s"asofJoin sides share attributes ($overlap) — project/rename one side first")
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    require(leftKeys.length == rightKeys.length, "key lists must align")
+    GraftSqlShim.ofRows(left.sparkSession,
+      AsOfJoin(lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

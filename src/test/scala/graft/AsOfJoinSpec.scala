@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfJoinOps
+
+/** Merge semantics of the custom as-of join operator (graft.plans.AsOfJoin):
+  * the single-pass per-partition merge must implement "latest right row with
+  * key match and time <= left time, inner" across every boundary shape —
+  * candidate carry within a key, reset across keys, inclusive equality,
+  * unmatched left rows dropped, and correctness under multi-partition
+  * shuffles (keys co-hash, merge is per partition). */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def join(l: DataFrame, r: DataFrame): Seq[(Long, Long, Long, String)] =
+    AsOfJoinOps.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("k"), col("t"), col("rt"), col("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq.sorted
+
+  private def leftDf(rows: (Long, Long)*) = rows.toDF("k", "t")
+  private def rightDf(rows: (Long, Long, String)*) = rows.toDF("rk", "rt", "v")
+
+  test("latest-at-or-before semantics: carry, inclusive equality, unmatched dropped") {
+    val l = leftDf((1L, 5L), (1L, 10L), (1L, 20L), (2L, 3L))
+    val r = rightDf((1L, 4L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (2L, 7L, "z"))
+    // k=1,t=5 -> a (4<=5); t=10 -> b (equality inclusive); t=20 -> c (carry
+    // past 15); k=2,t=3 -> no click at/before 3 -> dropped (inner)
+    assert(join(l, r) == Seq((1L, 5L, 4L, "a"), (1L, 10L, 10L, "b"), (1L, 20L, 15L, "c")))
+  }
+
+  test("candidate resets across key boundaries") {
+    val l = leftDf((2L, 100L))
+    val r = rightDf((1L, 1L, "other-key"), (3L, 1L, "later-key"))
+    // right rows exist on both sides of key 2 in sort order; neither matches
+    assert(join(l, r) == Seq())
+  }
+
+  test("right side empty / left side empty") {
+    assert(join(leftDf((1L, 1L)), rightDf()) == Seq())
+    assert(join(leftDf(), rightDf((1L, 1L, "x"))) == Seq())
+  }
+
+  test("agrees with the compositional union+window form on random-ish data") {
+    // 40 keys x irregular times, derived deterministically
+    val l = (1 to 400).map(i => ((i % 40).toLong, (i * 7 % 97).toLong)).distinct
+    val r = (1 to 300).map(i => ((i % 40).toLong, (i * 11 % 89).toLong))
+      .distinct.map { case (k, t) => (k, t, s"v$k-$t") }
+    val native = join(leftDf(l: _*), rightDf(r: _*))
+    // oracle: for each left row, max right rt <= t within key, via a plain join
+    val expected = for {
+      (k, t) <- l
+      cands = r.filter { case (rk, rt, _) => rk == k && rt <= t }
+      if cands.nonEmpty
+    } yield {
+      val (rk, rt, v) = cands.maxBy(_._2)
+      (k, t, rt, v)
+    }
+    assert(native == expected.sorted)
+  }
+
+  test("physical plan: AsOfJoinExec with co-hash exchanges and (key,time) sorts") {
+    val l = leftDf((1L, 5L)); val r = rightDf((1L, 4L, "a"))
+    val df = AsOfJoinOps.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("AsOfJoin \\[k".r.findFirstIn(p).isDefined,
+      s"custom operator must plan (exec node prints as 'AsOfJoin [keys]'):\n$p")
+    assert("Exchange hashpartitioning\\(k".r.findFirstIn(p).isDefined &&
+      "Exchange hashpartitioning\\(rk".r.findFirstIn(p).isDefined,
+      s"both sides must co-hash on the key:\n$p")
+    assert("Sort \\[k".r.findFirstIn(p).isDefined,
+      s"EnsureRequirements must insert (key,time) sorts:\n$p")
+  }
+
+  test("optimizer rule pushes left-only filters below the join (to the scan)") {
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = AsOfJoinOps.asofJoin(
+        purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+      .filter(col("event_id") < 100)   // left-only predicate ON TOP of the join
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // after PushFilterThroughAsOfJoin the top-level operator is the join,
+    // not the filter — the predicate has descended into the left subtree
+    assert(optimized.trim.startsWith("AsOfJoin"),
+      s"left-only filter must commute below the as-of join:\n$optimized")
+    assert(joined.queryExecution.executedPlan.toString.contains("event_id"),
+      "pushed predicate must survive to the physical left side")
+    assert(joined.filter(col("event_id") < 100).count() ==
+      joined.count(), "pushdown must not change results")
+  }
+}
