@@ -283,6 +283,39 @@ object RelationalQueries {
        |  ON p.user_id = c.c_user AND c.c_ts <= p.ts
        |ORDER BY event_id""".stripMargin
 
+  /** J8 native, outer flavor: purchases with no prior click survive with
+    * null click columns (DuckDB ASOF LEFT JOIN oracle). Counting both
+    * matched and unmatched keeps the compared output small but pins the
+    * outer semantics corpus-wide. */
+  private def asofOuter(s: SparkSession, d: String): DataFrame = {
+    val purchases = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(dsum(col("value")).as("click_value"))
+    graft.plans.AsOfJoinOps.asofJoin(
+        purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts",
+        leftOuter = true)
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("c_ts")).as("n_matched"),
+        dsum(col("click_value")).as("sum_click_value"))
+  }
+
+  private val asofOuterSql =
+    s"""WITH purchases AS (
+       |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id AS c_user, ts AS c_ts,
+       |         ${sqlDsum("value")} AS click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT count(*) AS n_purchases,
+       |       count(c.c_ts) AS n_matched,
+       |       ${Det.sqlDsum("c.click_value")} AS sum_click_value
+       |FROM purchases p ASOF LEFT JOIN clicks c
+       |  ON p.user_id = c.c_user AND c.c_ts <= p.ts""".stripMargin
+
   // ---- §2.5 aggregations ---------------------------------------------------
 
   /** A1 `agg_counts`: the run counters (scraper.py:49-50). */
@@ -877,6 +910,7 @@ object RelationalQueries {
     "join_range_bands" -> Q(rangeBands, Some(rangeBandsSql)),
     "join_asof_latest" -> Q(asofLatest, Some(asofLatestSql)),
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
+    "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
     "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
     "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),

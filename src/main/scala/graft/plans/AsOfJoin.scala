@@ -17,9 +17,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * pattern (database.py:69-70) really wants and Spark genuinely lacks: the
   * AS-OF JOIN.
   *
-  * Semantics (inner as-of, DuckDB `ASOF JOIN` compatible): each left row
-  * pairs with the single right row sharing its key that has the greatest
-  * `rightTime <= leftTime`; left rows with no such right row are dropped.
+  * Semantics (DuckDB `ASOF JOIN` compatible): each left row pairs with the
+  * single right row sharing its key that has the greatest
+  * `rightTime <= leftTime`; left rows with no such right row are dropped
+  * (inner, the default) or emitted with nulls on the right
+  * (`leftOuter = true`, DuckDB `ASOF LEFT JOIN`).
   * Right rows are expected unique per (key, time) — the caller
   * pre-aggregates ties (otherwise which tie wins is partition-order
   * dependent). SQL null-key semantics are NOT emulated: null keys match
@@ -38,10 +40,15 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    leftOuter: Boolean = false)
   extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  /** Left-outer emits unmatched left rows with nulls on the right, so the
+    * right attributes turn nullable (mirrors Join's outer-side widening). */
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -65,8 +72,8 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
 /** Plans the logical [[AsOfJoin]] to [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -80,11 +87,14 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    leftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -112,8 +122,14 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-      val outProj = UnsafeProjection.create(output, leftOut ++ rightOut)
+      // bind against nullability-widened right attrs: under leftOuter the
+      // joined row carries an all-null right side, and a BoundReference
+      // built non-nullable would skip the null check and read garbage
+      val outProj = UnsafeProjection.create(output,
+        if (leftOuter) leftOut ++ rightOut.map(_.withNullability(true))
+        else leftOut ++ rightOut)
       val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightOut.length)
       val rBuf = rIt.buffered
 
       new Iterator[InternalRow] {
@@ -149,6 +165,8 @@ case class AsOfJoinExec(
             if (matchRow != null && matchKey != null &&
                 keyOrd.compare(matchKey, k) == 0) {
               out = outProj(joined(lRow, matchRow))
+            } else if (leftOuter) {
+              out = outProj(joined(lRow, nullRight))
             }
           }
         }
@@ -175,7 +193,8 @@ object AsOfJoinOps {
     * also keep self-joins unambiguous). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      leftOuter: Boolean = false): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     val overlap = lp.output.map(_.exprId).toSet intersect rp.output.map(_.exprId).toSet
@@ -187,6 +206,6 @@ object AsOfJoinOps {
     require(leftKeys.length == rightKeys.length, "key lists must align")
     GraftSqlShim.ofRows(left.sparkSession,
       AsOfJoin(lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime), leftOuter))
   }
 }

@@ -42,6 +42,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(join(leftDf(), rightDf((1L, 1L, "x"))) == Seq())
   }
 
+  test("left outer: unmatched left rows survive with nulls on the right") {
+    val l = leftDf((1L, 5L), (2L, 3L))
+    val r = rightDf((1L, 4L, "a"))
+    val got = AsOfJoinOps
+      .asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt", leftOuter = true)
+      .select(col("k"), col("t"), col("rt"), col("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) null else x.getString(3))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 5L, 4L, "a"), (2L, 3L, -1L, null)))
+  }
+
   test("agrees with the compositional union+window form on random-ish data") {
     // 40 keys x irregular times, derived deterministically
     val l = (1 to 400).map(i => ((i % 40).toLong, (i * 7 % 97).toLong)).distinct
