@@ -21,7 +21,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * single right row sharing its key that has the greatest
   * `rightTime <= leftTime`; left rows with no such right row are dropped
   * (inner, the default) or emitted with nulls on the right
-  * (`leftOuter = true`, DuckDB `ASOF LEFT JOIN`).
+  * (`leftOuter = true`, DuckDB `ASOF LEFT JOIN`). An optional `tolerance`
+  * (pandas merge_asof-style max lookback, in the time column's native
+  * units) additionally requires `leftTime - rightTime <= tolerance`; a
+  * candidate that exists but is too stale counts as no match. Tolerance
+  * requires a numeric/timestamp time column (long-valued internally).
   * Right rows are expected unique per (key, time) — the caller
   * pre-aggregates ties (otherwise which tie wins is partition-order
   * dependent). SQL null-key semantics are NOT emulated: null keys match
@@ -41,7 +45,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    leftOuter: Boolean = false)
+    leftOuter: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   /** Left-outer emits unmatched left rows with nulls on the right, so the
@@ -72,8 +77,8 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
 /** Plans the logical [[AsOfJoin]] to [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -88,6 +93,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     leftOuter: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -132,11 +138,23 @@ case class AsOfJoinExec(
       val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightOut.length)
       val rBuf = rIt.buffered
 
+      // long view of a time value, for the tolerance check (timestamps are
+      // micros-longs internally; dates/ints widen)
+      def timeAsLong(v: Any): Long = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case other => throw new IllegalArgumentException(
+          s"as-of tolerance needs a long-valued time column, got $other")
+      }
+
       new Iterator[InternalRow] {
-        // latest right row (and its key) consumed so far — copies, because
-        // projections and iterators reuse buffers
+        // latest right row (with its key and time) consumed so far — copies,
+        // because projections and iterators reuse buffers
         private var matchKey: UnsafeRow = _
         private var matchRow: UnsafeRow = _
+        private var matchTime: Long = _
         private var out: InternalRow = _
 
         private def computeNext(): Unit = {
@@ -156,14 +174,18 @@ case class AsOfJoinExec(
                 val rRow = rBuf.next()
                 if (c == 0) {
                   matchKey = rKeyProj(rRow).copy()
+                  if (tolerance.isDefined)
+                    matchTime = timeAsLong(rTimeProj(rRow).get(0, timeType))
                   matchRow = rRow.asInstanceOf[UnsafeRow].copy()
                 } else {
                   matchKey = null; matchRow = null
                 }
               } else advance = false
             }
+            val withinTolerance = tolerance.forall(tol =>
+              matchRow != null && timeAsLong(t) - matchTime <= tol)
             if (matchRow != null && matchKey != null &&
-                keyOrd.compare(matchKey, k) == 0) {
+                keyOrd.compare(matchKey, k) == 0 && withinTolerance) {
               out = outProj(joined(lRow, matchRow))
             } else if (leftOuter) {
               out = outProj(joined(lRow, nullRight))
@@ -194,7 +216,8 @@ object AsOfJoinOps {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     val overlap = lp.output.map(_.exprId).toSet intersect rp.output.map(_.exprId).toSet
@@ -206,6 +229,6 @@ object AsOfJoinOps {
     require(leftKeys.length == rightKeys.length, "key lists must align")
     GraftSqlShim.ofRows(left.sparkSession,
       AsOfJoin(lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-        attr(lp, leftTime), attr(rp, rightTime), leftOuter))
+        attr(lp, leftTime), attr(rp, rightTime), leftOuter, tolerance))
   }
 }

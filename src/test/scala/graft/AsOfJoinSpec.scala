@@ -42,6 +42,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(join(leftDf(), rightDf((1L, 1L, "x"))) == Seq())
   }
 
+  test("tolerance: a stale candidate counts as no match (inner drops, outer nulls)") {
+    val l = leftDf((1L, 10L), (1L, 100L))
+    val r = rightDf((1L, 8L, "fresh-for-10"))
+    // t=10: candidate age 2 <= 5 -> match; t=100: age 92 > 5 -> stale
+    val inner = AsOfJoinOps
+      .asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(5L))
+      .select(col("t"), col("v")).collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(inner == Seq((10L, "fresh-for-10")))
+    val outer = AsOfJoinOps
+      .asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        leftOuter = true, tolerance = Some(5L))
+      .select(col("t"), col("v")).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) null else x.getString(1))).toSeq.sortBy(_._1)
+    assert(outer == Seq((10L, "fresh-for-10"), (100L, null)))
+  }
+
+  test("multi-column keys: both components must match") {
+    val l = Seq((1L, 7L, 50L)).toDF("k", "k2", "t")
+    val r = Seq((1L, 7L, 40L, "both-match"), (1L, 8L, 45L, "k2-differs"))
+      .toDF("rk", "rk2", "rt", "v")
+    val got = AsOfJoinOps
+      .asofJoin(l, r, Seq("k", "k2"), Seq("rk", "rk2"), "t", "rt")
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("both-match"))
+  }
+
   test("left outer: unmatched left rows survive with nulls on the right") {
     val l = leftDf((1L, 5L), (2L, 3L))
     val r = rightDf((1L, 4L, "a"))
