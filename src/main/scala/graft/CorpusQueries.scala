@@ -306,6 +306,69 @@ object CorpusQueries {
       |SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS first_doc
       |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
 
+  // ---- N22 dedup_canonical_pick: keep-best within duplicate groups ---------
+
+  /** The selection step AFTER duplicate detection: within each exact-dup
+    * group (normalized text), keep the best copy — quality-gate-clean
+    * first, then longest, then lowest id (total order, engine-portable).
+    * Emits one row per multi-member group: the kept doc, group size, and
+    * whether the winner is gate-clean.
+    *
+    * 100 TB shape: the window partitions by the group key (bounded group
+    * sizes — duplicate families, not the corpus); one shuffle on the
+    * normalized-text hash, same as dedup_exact. */
+  private def dedupCanonicalPick(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = graft.ops.DedupOps.normalizedText(col("text"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("clean").desc, col("n_chars").desc, col("doc_id"))
+    documents(s, d)
+      .withColumn("grp", md5(norm))
+      .withColumn("clean",
+        (TrainDataQueries.qualityReasonsOf(col("text")) === "").cast("int"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("n_members") > 1 && col("rk") === 1)
+      .select(col("doc_id").as("kept_doc"), col("n_members"),
+        col("clean").as("kept_clean"))
+      .orderBy("kept_doc")
+  }
+
+  private val dedupCanonicalPickSql =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |gramsrc AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(t) - 1),
+      |                        i -> array_to_string(t[i:i+2], ' ')) AS grams
+      |  FROM toksrc),
+      |m AS (
+      |  SELECT g.doc_id,
+      |    len(t.t) AS n, len(list_distinct(t.t)) AS nd,
+      |    CAST(list_sum(list_transform(t.t, x -> length(x))) AS BIGINT) AS sumlen,
+      |    len(g.grams) AS ngr, len(list_distinct(g.grams)) AS ngd
+      |  FROM gramsrc g JOIN toksrc t USING (doc_id)),
+      |cleanf AS (
+      |  SELECT doc_id,
+      |    CASE WHEN nd * 5 >= n * 2 AND (ngr - ngd) * 5 <= ngr AND n >= 20
+      |              AND sumlen >= n * 3 AND sumlen <= n * 10
+      |         THEN 1 ELSE 0 END AS clean
+      |  FROM m),
+      |ranked AS (
+      |  SELECT d.doc_id, c.clean,
+      |    md5(trim(regexp_replace(regexp_replace(d.text, '\bdup\b', ' ', 'g'),
+      |                            '\s+', ' ', 'g'))) AS grp,
+      |    row_number() OVER (PARTITION BY md5(trim(regexp_replace(
+      |        regexp_replace(d.text, '\bdup\b', ' ', 'g'), '\s+', ' ', 'g')))
+      |      ORDER BY c.clean DESC, d.n_chars DESC, d.doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY md5(trim(regexp_replace(
+      |        regexp_replace(d.text, '\bdup\b', ' ', 'g'), '\s+', ' ', 'g'))))
+      |      AS n_members
+      |  FROM documents d JOIN cleanf c USING (doc_id))
+      |SELECT doc_id AS kept_doc, n_members, clean AS kept_clean
+      |FROM ranked WHERE n_members > 1 AND rk = 1
+      |ORDER BY kept_doc""".stripMargin
+
   // ---- N21 bpe_merge_topk: one distributed BPE merge step ------------------
 
   /** The inner step of byte-pair-encoding tokenizer training, distributed:
@@ -356,5 +419,6 @@ object CorpusQueries {
     "length_histogram" -> Q(lengthHistogram, Some(lengthHistogramSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "bpe_merge_topk" -> Q(bpeMergeTopk, Some(bpeMergeTopkSql)),
+    "dedup_canonical_pick" -> Q(dedupCanonicalPick, Some(dedupCanonicalPickSql)),
   )
 }

@@ -114,7 +114,15 @@ case class AsOfJoinExec(
 
   override def outputPartitioning = left.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val leftOut = left.output
@@ -186,8 +194,10 @@ case class AsOfJoinExec(
               matchRow != null && timeAsLong(t) - matchTime <= tol)
             if (matchRow != null && matchKey != null &&
                 keyOrd.compare(matchKey, k) == 0 && withinTolerance) {
+              numMatchedRows += 1; numOutputRows += 1
               out = outProj(joined(lRow, matchRow))
             } else if (leftOuter) {
+              numOutputRows += 1
               out = outProj(joined(lRow, nullRight))
             }
           }

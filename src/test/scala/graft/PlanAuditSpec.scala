@@ -146,7 +146,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("pack_sequences / domain_cap: windows are stream/domain-partitioned, never global") {
-    for (name <- Seq("pack_sequences", "domain_cap")) {
+    for (name <- Seq("pack_sequences", "domain_cap", "dedup_canonical_pick")) {
       val p = finalPlan(q(name))
       assert(!p.contains("SinglePartition") || !p.contains("Window"),
         s"$name must not plan an unpartitioned window:\n$p")
