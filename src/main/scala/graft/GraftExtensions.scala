@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planning strategy, graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOfJoin)
   }
 }

@@ -105,6 +105,8 @@ object Tables {
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
     if (!exp.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
+    if (!exp.extraOptimizations.contains(graft.plans.PruneColumnsThroughAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PruneColumnsThroughAsOfJoin
     spark
   }
 

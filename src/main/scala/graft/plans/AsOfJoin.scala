@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -71,6 +71,29 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
     case Filter(cond, j: AsOfJoin)
         if cond.deterministic && cond.references.subsetOf(j.left.outputSet) =>
       j.copy(left = Filter(cond, j.left))
+  }
+}
+
+/** Column pruning through [[AsOfJoin]]: Spark's built-in ColumnPruning
+  * cannot see through a custom node, so without this a narrow projection on
+  * top of the join would still read every column at both scans. Keeps each
+  * child's columns to those the projection uses plus the join's own
+  * keys/times; converges because it only fires when a child's output
+  * strictly shrinks. */
+object PruneColumnsThroughAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) =>
+      val needed = p.references ++
+        (j.leftKeys ++ j.rightKeys :+ j.leftTime :+ j.rightTime)
+          .map(_.references).reduce(_ ++ _)
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.length < child.output.length) Project(keep, child) else child
+      }
+      val nl = prune(j.left)
+      val nr = prune(j.right)
+      if (nl.eq(j.left) && nr.eq(j.right)) p
+      else p.copy(child = j.copy(left = nl, right = nr))
   }
 }
 

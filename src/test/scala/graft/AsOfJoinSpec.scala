@@ -112,6 +112,25 @@ class AsOfJoinSpec extends SparkSpec {
       s"EnsureRequirements must insert (key,time) sorts:\n$p")
   }
 
+  test("column pruning rule: a narrow projection on top prunes both scans") {
+    // events has 6 columns; the join uses (user_id, ts) and the projection
+    // one value column per side — the parquet ReadSchema must shrink
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    val clicks = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .toDF(Tables.events(spark, sfDir).columns.map("c_" + _): _*)
+    val joined = AsOfJoinOps.asofJoin(
+        purchases, clicks, Seq("user_id"), Seq("c_user_id"), "ts", "c_ts")
+      .select(col("event_id"), col("c_value"))
+    joined.collect()
+    val formatted = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // neither side's scan may read props (never referenced anywhere)
+    assert(!formatted.contains("props"),
+      s"unreferenced columns must be pruned from both scans:\n$formatted")
+  }
+
   test("optimizer rule pushes left-only filters below the join (to the scan)") {
     val purchases = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
