@@ -322,7 +322,7 @@ object CorpusQueries {
     val norm = graft.ops.DedupOps.normalizedText(col("text"))
     val w = Window.partitionBy("grp")
       .orderBy(col("clean").desc, col("n_chars").desc, col("doc_id"))
-    documents(s, d)
+    fanOut(documents(s, d))
       .withColumn("grp", md5(norm))
       .withColumn("clean",
         (TrainDataQueries.qualityReasonsOf(col("text")) === "").cast("int"))
