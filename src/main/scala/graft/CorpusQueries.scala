@@ -306,6 +306,60 @@ object CorpusQueries {
       |SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS first_doc
       |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
 
+  // ---- N23 decontam_verbatim: exact-substring eval-set contamination -------
+
+  /** The strict decontamination pass run alongside n-gram overlap: which
+    * training docs contain an eval-set string VERBATIM as a substring?
+    * The standin eval set is one doc per exact-dup family (the group
+    * minimum) — modeling exactly how contamination happens in practice:
+    * the eval set's text IS in the crawl, carried by the family's other
+    * members. Needle = the eval doc's first 8 tokens; emits contaminated
+    * doc → number of eval needles found.
+    *
+    * 100 TB shape: the eval set is tiny by definition and BROADCASTS
+    * (twice: the id list for the anti-join, the needles for the scan); the
+    * corpus streams through contains() map-side — |corpus| × |evals|
+    * substring checks, no shuffle of corpus text. (At very large eval
+    * sets the n-gram/bloom route — decontam_overlap +
+    * join_bloom_prefilter — replaces the nested loop.) */
+  private def decontamVerbatim(s: SparkSession, d: String): DataFrame = {
+    val docs = fanOut(documents(s, d))
+    val gmins = docs
+      .withColumn("nt", graft.ops.DedupOps.normalizedText(col("text")))
+      .groupBy("nt")
+      .agg(min(col("doc_id")).as("gmin"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("gmin")
+    val evals = docs
+      .join(broadcast(gmins), col("doc_id") === col("gmin"))
+      .select(array_join(slice(split(lower(col("text")), "\\s+"), 1, 8), " ")
+        .as("needle"))
+      .distinct()
+    docs
+      .join(broadcast(gmins), col("doc_id") === col("gmin"), "left_anti")
+      .join(broadcast(evals), expr("contains(lower(text), needle)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
+  private val decontamVerbatimSql =
+    """WITH norm AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(text, '\bdup\b', ' ', 'g'),
+      |                        '\s+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |grp AS (SELECT nt, min(doc_id) AS gmin FROM norm
+      |        GROUP BY 1 HAVING count(*) > 1),
+      |evals AS (
+      |  SELECT DISTINCT array_to_string(
+      |      (string_split(lower(n.text), ' '))[1:8], ' ') AS needle
+      |  FROM norm n JOIN grp g ON n.doc_id = g.gmin)
+      |SELECT d.doc_id, count(*) AS n_eval_hits
+      |FROM norm d JOIN evals e ON position(e.needle IN lower(d.text)) > 0
+      |WHERE d.doc_id NOT IN (SELECT gmin FROM grp)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ---- N22 dedup_canonical_pick: keep-best within duplicate groups ---------
 
   /** The selection step AFTER duplicate detection: within each exact-dup
@@ -420,5 +474,6 @@ object CorpusQueries {
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "bpe_merge_topk" -> Q(bpeMergeTopk, Some(bpeMergeTopkSql)),
     "dedup_canonical_pick" -> Q(dedupCanonicalPick, Some(dedupCanonicalPickSql)),
+    "decontam_verbatim" -> Q(decontamVerbatim, Some(decontamVerbatimSql)),
   )
 }

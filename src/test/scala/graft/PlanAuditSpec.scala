@@ -189,6 +189,16 @@ class PlanAuditSpec extends SparkSpec {
       s"nothing in a per-source rollup should need a shuffle join:\n$p")
   }
 
+  test("decontam_verbatim: needles broadcast; corpus text never shuffles on a key") {
+    val p = finalPlan(q("decontam_verbatim"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the contains() scan must be a broadcast nested loop over tiny needles:\n$p")
+    // keyed exchanges only for the dup-group agg and final per-doc count,
+    // never for the corpus⋈needles match itself
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here may shuffle-join the corpus:\n$p")
+  }
+
   test("bpe_merge_topk: top-20 plans as TakeOrderedAndProject over vocabulary-sized pair counts") {
     val p = finalPlan(q("bpe_merge_topk"))
     assert(p.contains("TakeOrderedAndProject"),
