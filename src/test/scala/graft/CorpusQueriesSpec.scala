@@ -110,6 +110,27 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got == Seq(5, 6, 6), s"floor(log2)+1 via bin length: $got")
   }
 
+  test("lm_bigram_score: empty corpus yields empty result, no error") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusQueries.lmBigramScoreOf(docs).count() == 0)
+  }
+
+  test("chunk_dedup: empty corpus and chunk width larger than every doc") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusQueries.chunkDedupOf(empty, 32).count() == 0)
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // whole doc = one partial chunk; identical docs still dedup
+    val got = CorpusQueries.chunkDedupOf(tiny, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L), s"$got")
+  }
+
+  test("canonicalUrl: non-matching garbage stays harmless (no crash, stable output)") {
+    val got = Seq("not a url", "ftp://weird:99x/", "").toDF("url")
+      .select(CorpusQueries.canonicalUrl(col("url"))).as[String].collect()
+    assert(got.length == 3) // canonicalization of garbage is defined, never throws
+  }
+
   test("embedding_norms: zero vector yields l2=0, not NaN") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
