@@ -1,0 +1,27 @@
+package graft
+
+/** Wiring of the SparkSessionExtensions entry point. Full behavior of every
+  * injected piece is exercised through Tables.tune's runtime registration
+  * (the whole oracle suite runs through it); this pins that the conf-driven
+  * path (`spark.sql.extensions=graft.GraftExtensions`) registers the same
+  * surface without throwing — the mistake it guards against is a builder
+  * that references a function/rule that fails to construct outside a live
+  * session. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("apply() injects functions, the as-of strategy, and both rules without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
+  test("runtime (experimental) registration is idempotent — tune twice, registered once") {
+    Tables.tune(spark)
+    Tables.tune(spark)
+    val strategies = spark.experimental.extraStrategies
+      .count(_ == graft.plans.AsOfJoinStrategy)
+    val rules = spark.experimental.extraOptimizations
+      .count(_ == graft.plans.PushFilterThroughAsOfJoin)
+    assert(strategies == 1, s"strategy registered $strategies times")
+    assert(rules == 1, s"pushdown rule registered $rules times")
+  }
+}
