@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfJoinOps
+
+/** Point-in-time-correct feature enrichment — the ML-pipeline reason as-of
+  * joins exist: each training event must see the feature value that was
+  * CURRENT at its event time, never a later one (future values are label
+  * leakage). The streaming form runs the custom as-of operator per
+  * micro-batch through foreachBatch against the static feature table. */
+class PointInTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // feature history: (entity, valid_from, value) — value 2.0 becomes
+  // current at t=20, replacing 1.0
+  private def features = Seq(
+    (1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 5.0)
+  ).toDF("f_ent", "f_from", "f_val")
+
+  private def enrich(events: DataFrame): DataFrame =
+    AsOfJoinOps.asofJoin(events, features,
+      Seq("entity"), Seq("f_ent"), "ev_ts", "f_from", leftOuter = true)
+
+  test("batch: each event sees the feature current AT its time — never a later one") {
+    val events = Seq(
+      (100L, 1L, 12L),  // between 1.0 (t=10) and 2.0 (t=20) -> must get 1.0
+      (101L, 1L, 25L),  // after the update -> 2.0
+      (102L, 2L, 14L),  // before entity 2's first value -> null, NOT 5.0
+      (103L, 3L, 99L)   // entity with no features -> null
+    ).toDF("event_id", "entity", "ev_ts")
+    val got = enrich(events)
+      .select(col("event_id"), col("f_val"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      100L -> Some(1.0),   // a plain equi-join latest would leak 2.0 here
+      101L -> Some(2.0),
+      102L -> None,
+      103L -> None), s"$got")
+  }
+
+  test("streaming: per-micro-batch enrichment via foreachBatch is point-in-time correct") {
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    mem.addData((100L, 1L, 12L), (101L, 1L, 25L))
+    val seen = scala.collection.mutable.Map.empty[Long, Option[Double]]
+    val q = mem.toDF().toDF("event_id", "entity", "ev_ts")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        enrich(batch).select(col("event_id"), col("f_val")).collect().foreach { r =>
+          seen(r.getLong(0)) =
+            if (r.isNullAt(1)) None else Some(r.getDouble(1))
+        }
+      }
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData((102L, 2L, 14L)) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toMap == Map(
+      100L -> Some(1.0), 101L -> Some(2.0), 102L -> None), s"$seen")
+  }
+}
