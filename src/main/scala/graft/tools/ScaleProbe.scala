@@ -104,9 +104,22 @@ object ScaleProbe {
     def chunks(docs: DataFrame): Long = CorpusQueries.chunkDedupOf(docs, 32).count()
     def lmScore(docs: DataFrame): Long = CorpusQueries.lmBigramScoreOf(docs).count()
 
+    // as-of join: events amplified with remapped users; both sides grow, so
+    // the per-partition merge must stay linear (it is O(n+m) by construction)
+    val ev1 = Tables.events(spark, sfDir).localCheckpoint()
+    val evN = amplify(ev1, Seq("user_id", "event_id"), factor).localCheckpoint()
+    def asof(ev: DataFrame): Long = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value"))
+      graft.plans.AsOfJoinOps.asofJoin(
+        purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts").count()
+    }
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); decontam(d1); tfidf(d1); pack(d1)
-    chunks(d1); lmScore(d1)
+    chunks(d1); lmScore(d1); asof(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -120,6 +133,7 @@ object ScaleProbe {
       ("sequence packing per stream", time(pack(d1)), time(pack(dN))),
       ("chunk dedup (32-tok, md5 keys)", time(chunks(d1)), time(chunks(dN))),
       ("bigram-LM doc scoring", time(lmScore(d1)), time(lmScore(dN))),
+      ("as-of join purchases x clicks", time(asof(ev1)), time(asof(evN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -150,7 +164,11 @@ object ScaleProbe {
     sb.append("chunk dedup shuffles only md5 chunk hashes (never chunk text) into\n")
     sb.append("one keyed agg + a ReusedExchange join-back; bigram-LM scoring joins\n")
     sb.append("doc gram occurrences to a vocabulary-sized model on the gram key —\n")
-    sb.append("both are the same agg/join geometry as tfidf and must stay linear.\n")
+    sb.append("both are the same agg/join geometry as tfidf and must stay linear.\n\n")
+    sb.append("as-of: both sides grow with the data; the custom AsOfJoinExec merge\n")
+    sb.append("is O(n+m) per partition with O(1) state, so growth tracks the\n")
+    sb.append("co-partitioned shuffle + sort of a sort-merge join, never a window\n")
+    sb.append("buffer or an exploded inequality join.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"), sb.toString)
     println("[scale-probe] wrote SCALE.md")
     results.foreach { case (n, t1, tn) => println(f"[scale-probe] $n%-28s $t1%6.2f -> $tn%6.2f (${tn / t1}%.1f×)") }
