@@ -67,6 +67,72 @@ object CorpusQueries {
       |FROM chunks c JOIN occ o USING (h)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- N15b chunk_dedup_rewrite: the CCNet REWRITE pass --------------------
+
+  /** The destructive half of chunk-level dedup: drop every chunk that
+    * occurs in more than one document and REASSEMBLE the cleaned text in
+    * original chunk order (CCNet's paragraph-removal, not just the audit
+    * fraction). Emits docs that lost at least one chunk, with before/after
+    * token counts and the rewritten text.
+    *
+    * Determinism note: collect_list order is partition-dependent, so the
+    * kept chunks carry their position and are array_sort'ed by it before
+    * joining — same total (pos) order as the oracle's ORDER BY pos.
+    *
+    * 100 TB shape: identical movement to chunk_dedup (hash-keyed agg +
+    * join-back) plus one agg on doc_id carrying (pos, chunk) structs —
+    * text crosses the shuffle once, as chunk-sized pieces of the docs
+    * being rewritten. */
+  private def chunkDedupRewrite(s: SparkSession, d: String): DataFrame = {
+    val chunkToks = 32
+    val t = split(lower(col("text")), "\\s+")
+    val nChunks = ceil(size(t) / lit(chunkToks.toDouble)).cast("long")
+    val chunkArr = transform(sequence(lit(0L), nChunks - 1),
+      i => array_join(slice(t, (i * chunkToks).cast("int") + 1, lit(chunkToks)), " "))
+    val ch = fanOut(documents(s, d))
+      .filter(size(t) > 0)
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val occ = ch.groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
+    val kept = ch.join(occ, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("ndocs") > 1, lit(1))).as("dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("ndocs") === 1,
+              struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+    kept.filter(col("dropped") > 0)
+      .select(col("doc_id"), col("n_chunks"), col("dropped"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val chunkDedupRewriteSql =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |chunkarr AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT)),
+      |      i -> array_to_string(t[i*32+1:i*32+32], ' ')) AS chunks
+      |  FROM toksrc WHERE len(t) > 0),
+      |ch AS (
+      |  SELECT doc_id, unnest(chunks) AS chunk,
+      |         generate_subscripts(chunks, 1) AS pos
+      |  FROM chunkarr),
+      |occ AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS ndocs
+      |        FROM ch GROUP BY 1),
+      |j AS (SELECT c.doc_id, c.chunk, c.pos, o.ndocs
+      |      FROM ch c JOIN occ o ON md5(c.chunk) = o.h)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  count(*) FILTER (WHERE ndocs > 1) AS dropped,
+      |  coalesce(string_agg(chunk, ' ' ORDER BY pos)
+      |             FILTER (WHERE ndocs = 1), '') AS clean_text
+      |FROM j GROUP BY 1
+      |HAVING count(*) FILTER (WHERE ndocs > 1) > 0
+      |ORDER BY doc_id""".stripMargin
+
   // ---- N16 lm_bigram_score: self-trained bigram-LM quality scoring ---------
 
   /** Mean bigram log-likelihood per document under a bigram model trained
@@ -475,5 +541,6 @@ object CorpusQueries {
     "bpe_merge_topk" -> Q(bpeMergeTopk, Some(bpeMergeTopkSql)),
     "dedup_canonical_pick" -> Q(dedupCanonicalPick, Some(dedupCanonicalPickSql)),
     "decontam_verbatim" -> Q(decontamVerbatim, Some(decontamVerbatimSql)),
+    "chunk_dedup_rewrite" -> Q(chunkDedupRewrite, Some(chunkDedupRewriteSql)),
   )
 }
