@@ -31,17 +31,24 @@ object Bench {
       try Tables.table(spark, sfDir, n).count()
       catch { case _: Throwable => }
     }
-    // Protocol (since r04): each query runs twice — an untimed warm pass,
-    // then the timed pass. Catalyst still replans the second run (the
-    // DataFrame is rebuilt), but generated-code compilation and JIT are
-    // cached, so the timed number is steady-state execution throughput
-    // rather than one-shot codegen-compile latency (measured 2-4x gap on
-    // the expression-heavy queries). r01-r03 history is single-run/cold.
+    // Protocol (since r04): an untimed warm pass per query first, so the
+    // timed numbers are steady-state execution throughput, not one-shot
+    // codegen-compile latency (measured 2-4x gap on expression-heavy
+    // queries). r01-r03 history is single-run/cold.
+    //
+    // Since r05 the timed pass repeats REPS times (default 3) and the
+    // reported number is the MEDIAN (min also recorded in the detail
+    // file) — single-VM noise was ±20% with one rep, which made per-query
+    // regressions undiagnosable across rounds (see BENCH_HISTORY.md).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(times.size / 2), times.head)
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -51,24 +58,25 @@ object Bench {
     // The printed "queries" map carries the slowest queries that fit a
     // ~1200-char budget; "detail" points at the complete map.
     val detailPath = "BENCH_DETAIL.json"
-    val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val allQs = results.map { case (k, med, min) =>
+      "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(min) + "}"
+    }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm","queries":$allQs,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm","reps":$reps,"queries":$allQs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     val budget = 1200
     val slowFirst = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
-    slowFirst.foreach { case (k, v) =>
-      val entryLen = k.length + fmt(v).length + 4
-      if (used + entryLen <= budget) { picked += ((k, v)); used += entryLen }
+    slowFirst.foreach { case (k, med, _) =>
+      val entryLen = k.length + fmt(med).length + 4
+      if (used + entryLen <= budget) { picked += ((k, med)); used += entryLen }
     }
     val qs = picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm","queries":$qs,"n_queries":${results.size},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm","reps":$reps,"n_queries":${results.size},"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

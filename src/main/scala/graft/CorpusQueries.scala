@@ -382,12 +382,18 @@ object CorpusQueries {
     * members. Needle = the eval doc's first 8 tokens; emits contaminated
     * doc → number of eval needles found.
     *
-    * 100 TB shape: the eval set is tiny by definition and BROADCASTS
-    * (twice: the id list for the anti-join, the needles for the scan); the
-    * corpus streams through contains() map-side — |corpus| × |evals|
-    * substring checks, no shuffle of corpus text. (At very large eval
-    * sets the n-gram/bloom route — decontam_overlap +
-    * join_bloom_prefilter — replaces the nested loop.) */
+    * 100 TB shape: the eval set is tiny by definition and BROADCASTS; the
+    * expensive part is the |corpus| × |evals| contains() nested loop, so a
+    * gram-anchored candidate cut runs FIRST: a needle contained verbatim
+    * in lower(text) has its inner tokens space-bounded inside the match,
+    * so needle tokens 2..3 must appear as a complete adjacent token bigram
+    * of the doc — semi-joining the corpus' bigrams against the needles'
+    * anchor bigrams is therefore an exact superset of true matches. Only
+    * candidates pay the verify; cost grows linearly in the corpus and the
+    * per-row verify is per-candidate, not per-corpus-row. Needles too
+    * short to anchor (< 4 tokens) fall back to the nested loop — that
+    * branch is empty for 8-token needles and costs one pass over a
+    * zero-row broadcast. */
   private def decontamVerbatim(s: SparkSession, d: String): DataFrame = {
     val docs = fanOut(documents(s, d))
     val gmins = docs
@@ -401,9 +407,28 @@ object CorpusQueries {
       .select(array_join(slice(split(lower(col("text")), "\\s+"), 1, 8), " ")
         .as("needle"))
       .distinct()
-    docs
+    val nonEval = docs
       .join(broadcast(gmins), col("doc_id") === col("gmin"), "left_anti")
-      .join(broadcast(evals), expr("contains(lower(text), needle)"))
+      .select("doc_id", "text")
+    // Anchor = needle tokens 2..3 (complete tokens inside any verbatim match).
+    val ntoks = size(split(col("needle"), " "))
+    val anchors = evals.filter(ntoks >= 4)
+      .select(array_join(slice(split(col("needle"), " "), 2, 2), " ").as("anchor"))
+      .distinct()
+    val shortNeedles = evals.filter(ntoks < 4)
+    val candidates = nonEval
+      .select(col("doc_id"),
+        explode(TrainDataQueries.gramsOf(col("text"), 2)).as("anchor"))
+      .join(broadcast(anchors), Seq("anchor"), "left_semi")
+      .select("doc_id").distinct()
+      .join(nonEval, Seq("doc_id"))
+    val pairs = candidates
+      .join(broadcast(evals.filter(ntoks >= 4)), expr("contains(lower(text), needle)"))
+      .select("doc_id", "needle")
+      .union(nonEval
+        .join(broadcast(shortNeedles), expr("contains(lower(text), needle)"))
+        .select("doc_id", "needle"))
+    pairs
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_eval_hits"))
       .orderBy("doc_id")
@@ -436,19 +461,29 @@ object CorpusQueries {
     *
     * 100 TB shape: the window partitions by the group key (bounded group
     * sizes — duplicate families, not the corpus); one shuffle on the
-    * normalized-text hash, same as dedup_exact. */
+    * normalized-text hash, same as dedup_exact.
+    *
+    * The heavy quality expression (tokenize + 3-grams + 4 rule aggregates
+    * per row) is evaluated ONLY on rows that belong to a multi-member dup
+    * family: group sizes are aggregated first, families with n_members > 1
+    * join back (inner), and `clean` is computed above that join — at
+    * web-scale dup rates (a few %) this skips the expression for ~all of
+    * the corpus. Plan-audited in PlanAuditSpec ("canonical pick prunes"). */
   private def dedupCanonicalPick(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = graft.ops.DedupOps.normalizedText(col("text"))
+    val docs = fanOut(documents(s, d)).withColumn("grp", md5(norm))
+    val fams = docs.groupBy("grp")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
     val w = Window.partitionBy("grp")
       .orderBy(col("clean").desc, col("n_chars").desc, col("doc_id"))
-    fanOut(documents(s, d))
-      .withColumn("grp", md5(norm))
+    docs
+      .join(fams, Seq("grp")) // prunes to dup-family rows BEFORE the quality expr
       .withColumn("clean",
         (TrainDataQueries.qualityReasonsOf(col("text")) === "").cast("int"))
       .withColumn("rk", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("grp")))
-      .filter(col("n_members") > 1 && col("rk") === 1)
+      .filter(col("rk") === 1)
       .select(col("doc_id").as("kept_doc"), col("n_members"),
         col("clean").as("kept_clean"))
       .orderBy("kept_doc")

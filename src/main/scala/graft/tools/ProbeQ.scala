@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{Queries, Tables}
+
+/** Dev probe: warm-protocol timing (1 untimed + 3 timed, median) for the
+  * named registry queries at a given sf dir. Usage:
+  *   runMain graft.tools.ProbeQ <sfDir> <query> [query ...]
+  */
+object ProbeQ {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+    names.foreach { n =>
+      val q = Queries.byName(n)
+      q.build(spark, d).count()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); q.build(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[probeq] $n%-28s med=${ts(1)}%6.2f s  min=${ts.head}%6.2f s")
+    }
+    spark.stop()
+  }
+}

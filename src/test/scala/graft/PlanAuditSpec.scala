@@ -153,6 +153,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_canonical_pick: quality expression only evaluates above the dup-family join") {
+    val df = q("dedup_canonical_pick")
+    val o = df.queryExecution.optimizedPlan.toString
+    // the heavy qualityReasonsOf projection (its array_distinct marker) must
+    // sit ABOVE (print before) the group-size join, so only multi-member
+    // family rows pay it — the whole point of the r05 pruning
+    val qualityAt = o.indexOf("array_distinct")
+    val joinAt = o.indexOf("Join")
+    assert(qualityAt >= 0 && joinAt > qualityAt,
+      s"qualityReasonsOf must be computed above the n_members>1 join:\n$o")
+    assert(o.contains("count(1)"),
+      s"group sizes must come from an aggregate, not a corpus window:\n$o")
+  }
+
   test("tfidf_topk: df reuses tf's (doc,term) shuffle; ranking window partitions by doc") {
     val df = q("tfidf_topk")
     df.collect()
@@ -189,14 +203,20 @@ class PlanAuditSpec extends SparkSpec {
       s"nothing in a per-source rollup should need a shuffle join:\n$p")
   }
 
-  test("decontam_verbatim: needles broadcast; corpus text never shuffles on a key") {
-    val p = finalPlan(q("decontam_verbatim"))
+  test("decontam_verbatim: gram-anchored candidate cut before the contains() verify") {
+    val df = q("decontam_verbatim")
+    val p = finalPlan(df)
     assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the contains() scan must be a broadcast nested loop over tiny needles:\n$p")
-    // keyed exchanges only for the dup-group agg and final per-doc count,
-    // never for the corpus⋈needles match itself
-    assert(!p.contains("SortMergeJoin"),
-      s"nothing here may shuffle-join the corpus:\n$p")
+      s"the contains() verify must be a broadcast nested loop over tiny needles:\n$p")
+    // the candidate cut: corpus bigrams semi-join the broadcast anchor set
+    // map-side — candidates, not the corpus, pay the verify
+    assert(p.contains("LeftSemi"),
+      s"corpus must be cut to candidates via an anchor semi-join:\n$p")
+    val o = df.queryExecution.optimizedPlan.toString
+    val verifyAt = o.indexOf("Contains(lower(text")
+    val semiAt = o.indexOf("LeftSemi")
+    assert(verifyAt >= 0 && semiAt > verifyAt,
+      s"the anchor semi-join must sit BELOW the contains() verify:\n$o")
   }
 
   test("bpe_merge_topk: top-20 plans as TakeOrderedAndProject over vocabulary-sized pair counts") {
