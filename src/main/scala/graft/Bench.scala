@@ -40,7 +40,8 @@ object Bench {
     // reported number is the MEDIAN (min also recorded in the detail
     // file) — single-VM noise was ±20% with one rep, which made per-query
     // regressions undiagnosable across rounds (see BENCH_HISTORY.md).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").trim.toInt)
+      .getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val times = (1 to reps).map { _ =>
@@ -48,10 +49,21 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times(times.size / 2), times.head)
+      // true median: average the two middle elements when reps is even
+      // (times(n/2) alone would report the upper of the two)
+      val med =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+      (name, med, times.head)
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Sum of per-query MINIMA: the contention-robust companion number. The
+    // min over reps is the best estimate of intrinsic query cost when the
+    // host is intermittently loaded (the r05 driver run measured 8-13x on
+    // exactly the high-parallelism queries while the same commit ran 40.8s
+    // locally — see BENCH_HISTORY.md); medians remain the headline.
+    val totalMin = if (results.nonEmpty) results.map(_._3).sum else 0.0
     // Full per-query detail goes to a file; the stdout line must stay well
     // under the harness's 2000-char output-tail capture or it is unparseable
     // (the r01/r02 89-entry line overflowed the tail and parsed as null).
@@ -63,7 +75,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm","reps":$reps,"queries":$allQs,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"queries":$allQs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     val budget = 1200
@@ -76,7 +88,7 @@ object Bench {
     }
     val qs = picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"warm","reps":$reps,"n_queries":${results.size},"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_queries":${results.size},"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -416,12 +416,17 @@ object CorpusQueries {
       .select(array_join(slice(split(col("needle"), " "), 2, 2), " ").as("anchor"))
       .distinct()
     val shortNeedles = evals.filter(ntoks < 4)
-    val candidates = nonEval
+    val candidateIds = nonEval
       .select(col("doc_id"),
         explode(TrainDataQueries.gramsOf(col("text"), 2)).as("anchor"))
       .join(broadcast(anchors), Seq("anchor"), "left_semi")
       .select("doc_id").distinct()
-      .join(nonEval, Seq("doc_id"))
+    // Rejoin the candidate ids to their text as a broadcast SEMI join: the
+    // ids are bare longs (tiny next to the text column), so the corpus side
+    // never shuffles — the 100 TB invariant this query exists to keep. If a
+    // pathological eval set ever made the candidate-id set unbroadcastable,
+    // the fallback is a doc_id-keyed shuffle join (keyed, never all-pairs).
+    val candidates = nonEval.join(broadcast(candidateIds), Seq("doc_id"), "left_semi")
     val pairs = candidates
       .join(broadcast(evals.filter(ntoks >= 4)), expr("contains(lower(text), needle)"))
       .select("doc_id", "needle")

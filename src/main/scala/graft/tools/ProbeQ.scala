@@ -18,13 +18,18 @@ object ProbeQ {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.tune(spark)
     names.foreach { n =>
-      val q = Queries.byName(n)
-      q.build(spark, d).count()
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); q.build(spark, d).count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[probeq] $n%-28s med=${ts(1)}%6.2f s  min=${ts.head}%6.2f s")
+      Queries.byName.get(n) match {
+        case None =>
+          println(s"[probeq] SKIP unknown query '$n' — known: " +
+            Queries.byName.keys.toSeq.sorted.mkString(", "))
+        case Some(q) =>
+          q.build(spark, d).count()
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); q.build(spark, d).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"[probeq] $n%-28s med=${ts(1)}%6.2f s  min=${ts.head}%6.2f s")
+      }
     }
     spark.stop()
   }

@@ -155,16 +155,24 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup_canonical_pick: quality expression only evaluates above the dup-family join") {
     val df = q("dedup_canonical_pick")
-    val o = df.queryExecution.optimizedPlan.toString
-    // the heavy qualityReasonsOf projection (its array_distinct marker) must
-    // sit ABOVE (print before) the group-size join, so only multi-member
-    // family rows pay it — the whole point of the r05 pruning
-    val qualityAt = o.indexOf("array_distinct")
-    val joinAt = o.indexOf("Join")
-    assert(qualityAt >= 0 && joinAt > qualityAt,
-      s"qualityReasonsOf must be computed above the n_members>1 join:\n$o")
-    assert(o.contains("count(1)"),
-      s"group sizes must come from an aggregate, not a corpus window:\n$o")
+    val opt = df.queryExecution.optimizedPlan
+    // Tree-walk (not string offsets): no Join SUBTREE may contain the heavy
+    // qualityReasonsOf projection (its array_distinct marker) — it must be
+    // computed strictly above the dup-family join, so only multi-member
+    // family rows pay it. That's the whole point of the r05 pruning.
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, s"expected the dup-family join in:\n$opt")
+    assert(!joins.exists(_.toString.contains("array_distinct")),
+      s"qualityReasonsOf must not be computed below the dup-family join:\n$opt")
+    assert(opt.toString.contains("array_distinct"),
+      s"qualityReasonsOf must still be computed (above the join):\n$opt")
+    // and the family sizes must come from an aggregate BELOW that join,
+    // not from a corpus-wide window
+    assert(joins.exists(_.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty), s"group sizes must come from an aggregate under the join:\n$opt")
   }
 
   test("tfidf_topk: df reuses tf's (doc,term) shuffle; ranking window partitions by doc") {
@@ -217,6 +225,14 @@ class PlanAuditSpec extends SparkSpec {
     val semiAt = o.indexOf("LeftSemi")
     assert(verifyAt >= 0 && semiAt > verifyAt,
       s"the anchor semi-join must sit BELOW the contains() verify:\n$o")
+    // Scoped no-corpus-shuffle invariant (ADVICE r05): the candidate-ids →
+    // text rejoin is exactly where a corpus-wide shuffle join could sneak
+    // back in. It must plan as a BROADCAST semi (ids are the build side);
+    // no stage of this query may sort-merge the corpus.
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus text must never shuffle-join — candidate ids broadcast:\n$p")
+    assert("BroadcastHashJoin \\[doc_id[\\s\\S]{0,200}?LeftSemi".r.findFirstIn(p).isDefined,
+      s"the candidate-id → text rejoin must be a broadcast semi on doc_id:\n$p")
   }
 
   test("bpe_merge_topk: top-20 plans as TakeOrderedAndProject over vocabulary-sized pair counts") {
@@ -225,6 +241,24 @@ class PlanAuditSpec extends SparkSpec {
       s"bounded top-k must never global-sort:\n$p")
     assert(p.contains("partial_count") && p.contains("partial_sum"),
       s"word and pair counts must map-side combine:\n$p")
+  }
+
+  test("join_bucketed: both join inputs read bucketed — zero shuffle exchange below the join") {
+    val df = q("join_bucketed")
+    val full = plan(df)       // formatted explain carries the Bucketed: marker
+    val p = finalPlan(df)
+    assert(p.contains("SortMergeJoin"),
+      s"the merge hint must pin the sort-merge path so the bucketed read is exercised:\n$p")
+    assert(full.contains("Bucketed: true"),
+      s"both scans must report bucketed reads:\n$full")
+    // the ONLY hash exchange is the group-by on c_mktsegment above the
+    // join; neither join input may shuffle — that is the entire point of
+    // bucketBy on the repeated daily join key
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"bucketed join inputs must not shuffle (expected <=1 exchange, the agg), got $exchanges:\n$p")
+    assert(!"Exchange hashpartitioning\\([oc]_custkey".r.findFirstIn(p).isDefined,
+      s"no exchange on the bucketed join key may appear:\n$p")
   }
 
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
