@@ -21,9 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_qdot"), LongVectorDot.info, LongVectorDot.builder))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"), MinhashSig.info, MinhashSig.builder))
-    // whole-operator extension: as-of join (logical node + pushdown rule +
-    // planning strategy, graft.plans.AsOfJoin)
+    ext.injectFunction((
+      FunctionIdentifier("asof_match"), graft.plans.AsOfMatch.info,
+      graft.plans.AsOfMatch.builder))
+    // whole-operator extension: as-of join (logical node + SQL marker
+    // rewrite + pushdown/pruning rules + planning strategy,
+    // graft.plans.AsOfJoin / graft.plans.SqlAsOf)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfMarkerJoin)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOfJoin)
   }

@@ -316,6 +316,29 @@ object RelationalQueries {
        |FROM purchases p ASOF LEFT JOIN clicks c
        |  ON p.user_id = c.c_user AND c.c_ts <= p.ts""".stripMargin
 
+  /** J8 via pure SQL: the same as-of join reached through `spark.sql` and the
+    * `asof_match(left_ts, right_ts)` marker predicate, which
+    * [[graft.plans.RewriteAsOfMarkerJoin]] rewrites into the whole-operator
+    * [[graft.plans.AsOfJoin]] node. Same oracle as `join_asof_native`
+    * (DuckDB native ASOF JOIN) — proves the SQL frontend plans the identical
+    * operator, not a degraded fallback. */
+  private def sqlAsOf(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("v_asof_events")
+    s.sql(
+      s"""WITH purchases AS (
+         |  SELECT user_id, event_id, ts FROM v_asof_events
+         |  WHERE event_type = 'purchase'),
+         |clicks AS (
+         |  SELECT user_id AS c_user, ts AS c_ts,
+         |         ${sqlDsum("value")} AS click_value
+         |  FROM v_asof_events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT p.user_id, p.event_id, unix_micros(c.c_ts) AS click_us,
+         |       c.click_value
+         |FROM purchases p JOIN clicks c
+         |  ON p.user_id = c.c_user AND asof_match(p.ts, c.c_ts)
+         |ORDER BY event_id""".stripMargin)
+  }
+
   // ---- §2.5 aggregations ---------------------------------------------------
 
   /** A1 `agg_counts`: the run counters (scraper.py:49-50). */
@@ -956,6 +979,7 @@ object RelationalQueries {
     "join_asof_latest" -> Q(asofLatest, Some(asofLatestSql)),
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
+    "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
     "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
     "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),

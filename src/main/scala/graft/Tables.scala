@@ -97,12 +97,23 @@ object Tables {
           graft.functions.TermMatchGenerator(args.head,
             graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
     }
+    // asof_match: SQL marker predicate for the as-of join (rewritten to the
+    // AsOfJoin node by RewriteAsOfMarkerJoin; Unevaluable if left in place)
+    registerIfAbsent("asof_match") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("asof_match"),
+        graft.plans.AsOfMatch.info,
+        graft.plans.AsOfMatch.builder)
+    }
     // Custom whole-operator extension (as-of join): strategy plans the
-    // logical node, rule pushes left-side filters through it. experimental
-    // methods are the runtime-session analog of GraftExtensions' inject*.
+    // logical node, rules rewrite the SQL marker join and push left-side
+    // filters / prune columns through it. experimental methods are the
+    // runtime-session analog of GraftExtensions' inject*.
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(graft.plans.RewriteAsOfMarkerJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.RewriteAsOfMarkerJoin
     if (!exp.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
     if (!exp.extraOptimizations.contains(graft.plans.PruneColumnsThroughAsOfJoin))

@@ -151,4 +151,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined.filter(col("event_id") < 100).count() ==
       joined.count(), "pushdown must not change results")
   }
+
+  test("SQL marker route: asof_match rewrites to the same operator and rows") {
+    leftDf((1L, 5L), (1L, 10L), (1L, 20L), (2L, 3L))
+      .createOrReplaceTempView("v_asof_l")
+    rightDf((1L, 4L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (2L, 7L, "z"))
+      .createOrReplaceTempView("v_asof_r")
+    val viaSql = spark.sql(
+      """SELECT k, t, rt, v FROM v_asof_l l JOIN v_asof_r r
+        |  ON l.k = r.rk AND asof_match(l.t, r.rt)""".stripMargin)
+    assert(viaSql.collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq.sorted ==
+      Seq((1L, 5L, 4L, "a"), (1L, 10L, 10L, "b"), (1L, 20L, 15L, "c")))
+    val p = viaSql.queryExecution.executedPlan.toString
+    assert("AsOfJoin \\[k".r.findFirstIn(p).isDefined,
+      s"SQL route must plan the custom exec, not a fallback:\n$p")
+    // reversed marker orientation (key = key, asof_match(right, left)) also
+    // rewrites when the equi-key flips — LEFT JOIN maps to the outer flavor
+    val outer = spark.sql(
+      """SELECT k, t, v FROM v_asof_l l LEFT JOIN v_asof_r r
+        |  ON r.rk = l.k AND asof_match(l.t, r.rt)""".stripMargin)
+    assert(outer.collect().map(x =>
+        (x.getLong(0), x.getLong(1), if (x.isNullAt(2)) null else x.getString(2)))
+        .toSeq.sortBy(x => (x._1, x._2)) ==
+      Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"), (2L, 3L, null)))
+  }
+
+  test("SQL marker route fails loudly when the shape is not rewritable") {
+    leftDf((1L, 5L)).createOrReplaceTempView("v_asof_l2")
+    rightDf((1L, 4L, "a")).createOrReplaceTempView("v_asof_r2")
+    // marker under OR cannot be split into marker + equi conjuncts: the rule
+    // leaves the Join untouched and the Unevaluable marker must error, never
+    // silently degrade to "all earlier rows"
+    val bad = spark.sql(
+      """SELECT * FROM v_asof_l2 l JOIN v_asof_r2 r
+        |  ON l.k = r.rk OR asof_match(l.t, r.rt)""".stripMargin)
+    assert(intercept[Exception](bad.collect()) != null)
+  }
 }
