@@ -410,6 +410,13 @@ object CorpusQueries {
     val nonEval = docs
       .join(broadcast(gmins), col("doc_id") === col("gmin"), "left_anti")
       .select("doc_id", "text")
+    decontamVerbatimOf(nonEval, evals)
+  }
+
+  /** Core of `decontam_verbatim`, parameterized for the scale probe:
+    * `nonEval` = (doc_id, text) corpus, `evals` = (needle) strings. */
+  private[graft] def decontamVerbatimOf(
+      nonEval: DataFrame, evals: DataFrame): DataFrame = {
     // Anchor = needle tokens 2..3 (complete tokens inside any verbatim match).
     val ntoks = size(split(col("needle"), " "))
     val anchors = evals.filter(ntoks >= 4)
@@ -474,10 +481,15 @@ object CorpusQueries {
     * join back (inner), and `clean` is computed above that join — at
     * web-scale dup rates (a few %) this skips the expression for ~all of
     * the corpus. Plan-audited in PlanAuditSpec ("canonical pick prunes"). */
-  private def dedupCanonicalPick(s: SparkSession, d: String): DataFrame = {
+  private def dedupCanonicalPick(s: SparkSession, d: String): DataFrame =
+    dedupCanonicalPickOf(fanOut(documents(s, d)))
+
+  /** Core of `dedup_canonical_pick`, parameterized for the scale probe:
+    * `docsIn` = (doc_id, text, n_chars, ...) corpus. */
+  private[graft] def dedupCanonicalPickOf(docsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = graft.ops.DedupOps.normalizedText(col("text"))
-    val docs = fanOut(documents(s, d)).withColumn("grp", md5(norm))
+    val docs = docsIn.withColumn("grp", md5(norm))
     val fams = docs.groupBy("grp")
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
