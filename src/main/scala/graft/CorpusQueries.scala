@@ -583,6 +583,104 @@ object CorpusQueries {
       |FROM pairs GROUP BY 1
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  // ---- N25 bpe_train_n: iterated BPE tokenizer training ---------------------
+
+  /** Three full rounds of byte-pair-encoding training: the driver `while`
+    * over the `bpe_merge_topk` step. Words become space-delimited symbol
+    * sequences (initially characters); each round counts adjacent symbol
+    * pairs weighted by word frequency, picks the argmax (cnt DESC, pair ASC
+    * — a total order, engine-portable), and rewrites every vocabulary entry
+    * by merging that pair. Emits (round, pair, cnt).
+    *
+    * The merge rewrite is a PADDED DOUBLE string replace — `' a b '` →
+    * `' ab '` run twice over the space-padded sequence. One replace pass is
+    * left-to-right non-overlapping, so consecutive pair occurrences that
+    * share a delimiter space (`a b a b`) leave every other occurrence
+    * unmerged; the second pass catches those stragglers, which by then are
+    * isolated. This reproduces greedy left-to-right BPE merging, and — run
+    * identically in Spark and DuckDB — makes the oracle structurally exact.
+    *
+    * 100 TB shape: the corpus collapses to the word vocabulary ONCE
+    * (map-side-combined agg); every round after that is vocabulary-sized —
+    * a keyed agg plus one single-row `collect()` (the argmax, the same
+    * bounded driver step as kmeansCentroids' update). `localCheckpoint`
+    * truncates lineage per round (the dedup_clusters pattern) so round N
+    * doesn't replan rounds 1..N-1. */
+  private def bpeTrainN(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 3
+    var vocab = documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), " ").as("s"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val t = split(col("s"), " ")
+      val prs = when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1)))))
+        .otherwise(array().cast("array<string>"))
+      val top = vocab.select(col("freq"), explode(prs).as("pr"))
+        .groupBy("pr").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1).collect()(0)
+      val (pr, cnt) = (top.getString(0), top.getLong(1))
+      merges += ((r.toLong, pr, cnt))
+      val merged = pr.replace(" ", "")
+      def rep(c: Column): Column =
+        replace(c, lit(" " + pr + " "), lit(" " + merged + " "))
+      vocab = vocab
+        .withColumn("s", trim(rep(rep(concat(lit(" "), col("s"), lit(" "))))))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "pair", "cnt").orderBy("round")
+  }
+
+  /** One BPE round in DuckDB terms (pair count → argmax → padded double
+    * replace), unrolled three times — the scripted-iteration oracle. */
+  private val bpeTrainNSql = {
+    def pairsOf(v: String, p: String): String =
+      s"""$p AS (
+         |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(t)),
+         |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])) AS pr
+         |    FROM (SELECT string_split(s, ' ') AS t, freq FROM $v))
+         |  GROUP BY 1)""".stripMargin
+    def topOf(p: String, t: String): String =
+      s"$t AS (SELECT pr, cnt FROM $p ORDER BY cnt DESC, pr LIMIT 1)"
+    def mergeOf(v: String, t: String, vNext: String): String =
+      s"""$vNext AS (
+         |  SELECT trim(replace(replace(' ' || s || ' ',
+         |      ' ' || (SELECT pr FROM $t) || ' ',
+         |      ' ' || (SELECT replace(pr, ' ', '') FROM $t) || ' '),
+         |      ' ' || (SELECT pr FROM $t) || ' ',
+         |      ' ' || (SELECT replace(pr, ' ', '') FROM $t) || ' ')) AS s, freq
+         |  FROM $v)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1),
+       |v0 AS (
+       |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INTEGER), 1)), ' ') AS s, freq
+       |  FROM words),
+       |${pairsOf("v0", "p1")},
+       |${topOf("p1", "t1")},
+       |${mergeOf("v0", "t1", "v1")},
+       |${pairsOf("v1", "p2")},
+       |${topOf("p2", "t2")},
+       |${mergeOf("v1", "t2", "v2")},
+       |${pairsOf("v2", "p3")},
+       |${topOf("p3", "t3")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, pr AS pair, cnt FROM t1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), pr, cnt FROM t2
+       |  UNION ALL SELECT CAST(3 AS BIGINT), pr, cnt FROM t3)
+       |ORDER BY round""".stripMargin
+  }
+
   def all: Seq[(String, Q)] = Seq(
     "chunk_dedup" -> Q(chunkDedup, Some(chunkDedupSql)),
     "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
@@ -591,6 +689,7 @@ object CorpusQueries {
     "length_histogram" -> Q(lengthHistogram, Some(lengthHistogramSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "bpe_merge_topk" -> Q(bpeMergeTopk, Some(bpeMergeTopkSql)),
+    "bpe_train_n" -> Q(bpeTrainN, Some(bpeTrainNSql)),
     "dedup_canonical_pick" -> Q(dedupCanonicalPick, Some(dedupCanonicalPickSql)),
     "decontam_verbatim" -> Q(decontamVerbatim, Some(decontamVerbatimSql)),
     "chunk_dedup_rewrite" -> Q(chunkDedupRewrite, Some(chunkDedupRewriteSql)),

@@ -130,6 +130,34 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got == Map("ab" -> 3L, "cd" -> 1L), s"$got")
   }
 
+  test("bpe_train_n merge rewrite: padded double replace = greedy left-to-right") {
+    // one replace pass misses every other occurrence when consecutive pairs
+    // share a delimiter space; the second pass catches the isolated rest
+    def merge(s: String, pr: String): String = {
+      val m = " " + pr.replace(" ", "") + " "
+      (" " + s + " ").replace(" " + pr + " ", m).replace(" " + pr + " ", m).trim
+    }
+    assert(merge("a b a b", "a b") == "ab ab")       // shared-boundary chain
+    assert(merge("a b a b a b", "a b") == "ab ab ab")
+    assert(merge("a a a", "a a") == "aa a")          // greedy, non-overlapping
+    assert(merge("a a a a", "a a") == "aa aa")
+    assert(merge("x a b y", "a b") == "x ab y")      // interior occurrence
+    assert(merge("xa b", "a b") == "xa b")           // no partial-symbol match
+    assert(merge("ab", "a b") == "ab")               // already merged: no-op
+  }
+
+  test("bpe_train_n: three rounds, counts non-increasing, later pairs reuse merges") {
+    val out = Queries.byName("bpe_train_n").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // a later round can never beat an earlier round's count: the earlier
+    // argmax was the global max and merging only removes pair occurrences
+    assert(out.sliding(2).forall { case Array(a, b) => b._3 <= a._3 },
+      s"counts must be non-increasing across rounds: $out")
+    out.foreach { case (_, pr, _) =>
+      assert(pr.split(" ").length == 2, s"pair must be two symbols: '$pr'") }
+  }
+
   test("length_histogram buckets are exact at power-of-two boundaries") {
     val got = Seq(31, 32, 33).map { n =>
       spark.range(1).select(length(bin(lit(n.toLong)))).as[Int].collect().head
