@@ -122,6 +122,74 @@ object StreamOps {
       }
   }
 
+  // ---- stateful streaming as-of enrichment ---------------------------------
+
+  /** One row of the unified feature/event feed: `kind` is "feature"
+    * (a new version of the key's feature, current from `ts` on) or
+    * "event" (to be enriched with the feature current AT its `ts`). */
+  case class AsOfFeed(kind: String, key: Long, ts: Long,
+    value: Option[Double], eventId: Option[Long])
+  case class AsOfVersions(versions: List[(Long, Double)])
+  case class AsOfEnriched(event_id: Long, key: Long, ts: Long,
+    value: Option[Double])
+
+  /** Prune feature versions that can never again be an as-of answer: once
+    * every future event has `ts > watermark`, only the NEWEST version at or
+    * below the watermark (the standing candidate) and everything after it
+    * matter. Keeps state O(update rate × horizon), not O(history) —
+    * the bound that lets the operator run forever at 100 TB feed rates.
+    * `versions` must be ascending by time. */
+  def pruneAsOfVersions(versions: List[(Long, Double)],
+      watermark: Long): List[(Long, Double)] = {
+    val (old, recent) = versions.partition(_._1 <= watermark)
+    (if (old.nonEmpty) List(old.last) else Nil) ++ recent
+  }
+
+  /** The stateful-streaming twin of the batch [[graft.plans.AsOfJoin]]
+    * (PointInTimeSpec's enrichment): one operator carries the feature
+    * history per key in state and enriches events with the value current
+    * AT their event time — never a later one (label leakage).
+    *
+    * Contract (the feature-store semantics): a feature version is visible
+    * to events in ITS OWN micro-batch and later ones — within a batch all
+    * feature rows apply before any event is answered, so batch-internal
+    * row order never matters. When every feature version lands no later
+    * than the first event that needs it, the output row-set equals the
+    * batch as-of join of the full feeds (the equivalence spec).
+    *
+    * 100 TB shape: state is per-key feature versions, pruned against the
+    * event-time watermark via [[pruneAsOfVersions]] when one is set; the
+    * shuffle is one hash exchange on the key — identical geometry to the
+    * batch operator's co-partitioning, with the merge amortized across
+    * micro-batches instead of a per-partition sort. */
+  def streamingAsOfEnrich(feed: Dataset[AsOfFeed]): Dataset[AsOfEnriched] = {
+    import feed.sparkSession.implicits._
+    feed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfVersions, AsOfEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsOfFeed], state: GroupState[AsOfVersions]) =>
+          val batch = rows.toSeq
+          val newVersions = batch.filter(_.kind == "feature")
+            .map(f => (f.ts, f.value.getOrElse(
+              sys.error(s"feature row without value (key=$key)"))))
+          val merged = (state.getOption.map(_.versions).getOrElse(Nil)
+            ++ newVersions).sortBy(_._1)
+          // getCurrentWatermarkMs throws (rather than returning 0) on a
+          // query with no watermark clause — treat that as "never prune"
+          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+          val kept = if (wm > 0) pruneAsOfVersions(merged, wm) else merged
+          state.update(AsOfVersions(kept))
+          batch.filter(_.kind == "event").sortBy(e => (e.ts, e.eventId))
+            .iterator.map { e =>
+              val current = merged.takeWhile(_._1 <= e.ts).lastOption
+              AsOfEnriched(e.eventId.getOrElse(
+                sys.error(s"event row without id (key=$key)")), key, e.ts,
+                current.map(_._2))
+            }
+      }
+  }
+
   /** Streaming benchmark decontamination (the streaming form of
     * TrainDataQueries' N5): score each arriving document against a FIXED
     * eval-set gram set carried as a literal array (the eval set is tiny by

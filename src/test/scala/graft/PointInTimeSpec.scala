@@ -62,4 +62,59 @@ class PointInTimeSpec extends SparkSpec {
     assert(seen.toMap == Map(
       100L -> Some(1.0), 101L -> Some(2.0), 102L -> None), s"$seen")
   }
+
+  test("stateful streaming as-of == batch as-of join on the full feeds") {
+    import graft.streaming.StreamOps
+    import StreamOps.AsOfFeed
+    def feat(k: Long, ts: Long, v: Double) =
+      AsOfFeed("feature", k, ts, Some(v), None)
+    def ev(id: Long, k: Long, ts: Long) =
+      AsOfFeed("event", k, ts, None, Some(id))
+    // three micro-batches; every feature version lands no later than the
+    // first event that needs it, but e102 arrives AFTER a newer feature
+    // already landed — it must still see the value current at ITS time
+    val batches = Seq(
+      Seq(feat(1L, 10L, 1.0), ev(100L, 1L, 12L)),
+      Seq(feat(1L, 20L, 2.0), ev(101L, 1L, 25L), ev(102L, 1L, 10L)),
+      Seq(feat(2L, 15L, 5.0), ev(103L, 2L, 14L), ev(104L, 2L, 15L),
+        ev(105L, 3L, 99L)))
+
+    val mem = MemoryStream[AsOfFeed](spark)
+    val q = StreamOps.streamingAsOfEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("asof_stream")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    val all = batches.flatten
+    val featDf = all.filter(_.kind == "feature")
+      .map(f => (f.key, f.ts, f.value.get)).toDF("f_ent", "f_from", "f_val")
+    val evDf = all.filter(_.kind == "event")
+      .map(e => (e.eventId.get, e.key, e.ts)).toDF("event_id", "entity", "ev_ts")
+    val batch = AsOfJoinOps.asofJoin(evDf, featDf,
+        Seq("entity"), Seq("f_ent"), "ev_ts", "f_from", leftOuter = true)
+      .select(col("event_id"), col("f_val"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed == Map(100L -> Some(1.0), 101L -> Some(2.0),
+      102L -> Some(1.0), 103L -> None, 104L -> Some(5.0), 105L -> None))
+  }
+
+  test("pruneAsOfVersions keeps the standing candidate plus newer versions") {
+    import graft.streaming.StreamOps.pruneAsOfVersions
+    val v = List((10L, 1.0), (20L, 2.0), (30L, 3.0))
+    // watermark between versions: the newest at-or-below it stays (it is
+    // the answer for any event with ts in (watermark, 30))
+    assert(pruneAsOfVersions(v, 25L) == List((20L, 2.0), (30L, 3.0)))
+    // watermark before all versions: nothing can be dropped
+    assert(pruneAsOfVersions(v, 5L) == v)
+    // watermark past all versions: only the latest survives
+    assert(pruneAsOfVersions(v, 100L) == List((30L, 3.0)))
+    assert(pruneAsOfVersions(Nil, 100L) == Nil)
+  }
 }
