@@ -148,9 +148,37 @@ object ScaleProbe {
         purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts").count()
     }
 
+    // skewed-key join: 90% of lineitem rows remapped onto ONE hot key, so a
+    // plain hash join serializes the hot partition on one task. With the
+    // skew thresholds scaled to the probe data, AQE splits the hot
+    // partition at runtime — the ratio staying at/below the amplification
+    // factor is the empirical "hot key doesn't serialize the job" evidence
+    // (SkewSpec asserts the split itself via skew=true in the plan).
+    def skewed(li: DataFrame, o: DataFrame): Long = {
+      val prev = (spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5"),
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      try {
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val hot = li.withColumn("k",
+          when(col("l_orderkey") % 10 =!= 0, lit(1L)).otherwise(col("l_orderkey")))
+        hot.join(o.select(col("o_orderkey").as("k"), col("o_custkey")), "k")
+          .select(count(lit(1))).collect()(0).getLong(0)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", prev._1)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prev._2)
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev._3)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._4)
+      }
+    }
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); decontam(d1); tfidf(d1); pack(d1)
-    chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles)
+    chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -170,6 +198,8 @@ object ScaleProbe {
         time(verbatim(d1, evalNeedles)), time(verbatim(dN, evalNeedles))),
       ("verbatim decontam needles x8 @1x (ideal ~1x)",
         time(verbatim(d1, evalNeedles)), time(verbatim(d1, evalNeedlesBig))),
+      ("skewed join 90% hot key (AQE split)",
+        time(skewed(li1, o1)), time(skewed(liN, oN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -212,7 +242,12 @@ object ScaleProbe {
     sb.append("is the corpus bigram scan feeding a broadcast anchor semi-join, so\n")
     sb.append("growth is linear; the needles-x8 row grows ONLY the eval set over\n")
     sb.append("the unchanged 1x corpus and must stay near 1x — unmatched anchors\n")
-    sb.append("die in the semi-join before any contains() verify runs.\n")
+    sb.append("die in the semi-join before any contains() verify runs.\n\n")
+    sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
+    sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
+    sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")
+    sb.append("at/below the factor is the evidence a hot key doesn't serialize the\n")
+    sb.append("join onto one reducer as the data grows 20x.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"), sb.toString)
     println("[scale-probe] wrote SCALE.md")
     results.foreach { case (n, t1, tn) => println(f"[scale-probe] $n%-28s $t1%6.2f -> $tn%6.2f (${tn / t1}%.1f×)") }
