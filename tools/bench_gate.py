@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate (dev tool, not shipped).
+
+Diffs a fresh BENCH_DETAIL.json (warm protocol, med+min per query) against the
+checked-in baseline and fails on real per-query regressions. Comparison uses
+the per-query MIN of the timed reps: the r05 driver bench showed medians
+inflate up to 12x under machine contention while minima stay stable, so min is
+the contention-robust number (BENCH_HISTORY.md r05 note).
+
+A query regresses when BOTH hold (guards against flagging sub-noise queries):
+  new_min > THRESHOLD * base_min     (default 1.5x, the round-close bar)
+  new_min - base_min > ABS_FLOOR     (default 0.3s)
+
+Usage:
+  python3 tools/bench_gate.py BENCH_DETAIL.json             # gate vs baseline
+  python3 tools/bench_gate.py BENCH_DETAIL.json --update    # accept as baseline
+Exit 0 = no regressions; exit 1 = regressions listed on stdout.
+"""
+import json
+import sys
+
+BASELINE = "tools/bench_baseline.json"
+THRESHOLD = 1.5
+ABS_FLOOR = 0.3
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    qs = d.get("queries", d)
+    return {k: v["min"] if isinstance(v, dict) else float(v)
+            for k, v in qs.items()}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    new_path = args[0] if args else "BENCH_DETAIL.json"
+    new = load(new_path)
+    if "--update" in sys.argv:
+        with open(new_path) as f:
+            detail = json.load(f)
+        with open(BASELINE, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"baseline <- {new_path} ({len(new)} queries)")
+        return 0
+    base = load(BASELINE)
+    regressions, improved, added = [], [], []
+    for q, t in sorted(new.items()):
+        b = base.get(q)
+        if b is None:
+            added.append(q)
+        elif t > THRESHOLD * b and t - b > ABS_FLOOR:
+            regressions.append((q, b, t))
+        elif b > THRESHOLD * t and b - t > ABS_FLOOR:
+            improved.append((q, b, t))
+    removed = sorted(set(base) - set(new))
+    for q, b, t in regressions:
+        print(f"REGRESSION {q}: {b:.2f}s -> {t:.2f}s ({t / b:.1f}x)")
+    for q, b, t in improved:
+        print(f"improved   {q}: {b:.2f}s -> {t:.2f}s")
+    if added:
+        print(f"new (no baseline): {', '.join(added)}")
+    if removed:
+        print(f"missing vs baseline: {', '.join(removed)}")
+    tot_b = sum(base.get(q, 0) for q in new if q in base)
+    tot_n = sum(t for q, t in new.items() if q in base)
+    print(f"total (shared queries): {tot_b:.1f}s -> {tot_n:.1f}s; "
+          f"{len(regressions)} regression(s) at >{THRESHOLD}x + >{ABS_FLOOR}s")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
