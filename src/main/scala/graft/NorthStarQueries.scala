@@ -407,6 +407,21 @@ object NorthStarQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** N2 PQ flavor: product-quantized ADC candidate scan + exact rescore —
+    * the memory-compression ANN path (8 nibble codes per 64-float vector).
+    * Rows-only by design like the other ANN variants (codebook training is
+    * engine-specific); recall vs the exact brute force is property-tested
+    * in VectorOpsSpec. */
+  private def knnAnnPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val books = VectorOps.pqCodebooks(e, m = 8, k = 16, iters = 3)
+    // rescoreFactor widens the ADC candidate beam before the exact rescore —
+    // the PQ recall/cost dial (8×k candidates ≪ corpus at scale)
+    VectorOps.pqKnn(e, e.filter(col("vec_id") < 20), books, k = 3,
+      rescoreFactor = 8)
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- A7/X2 udaf_vector_centroid ------------------------------------------
 
   /** Custom typed Aggregator: per-label centroid, exploded to (label, dim). */
@@ -710,6 +725,7 @@ object NorthStarQueries {
     "knn_q8_rescore" -> Q(knnQ8, Some(knnQ8Sql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
     "knn_ann_ivf" -> Q(knnAnnIvf, None),
+    "knn_ann_pq" -> Q(knnAnnPq, None),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),
     "dedup_embedding_lsh" -> Q(dedupEmbeddingLsh, None),
     "udaf_vector_centroid" -> Q(vectorCentroid, Some(vectorCentroidSql)),

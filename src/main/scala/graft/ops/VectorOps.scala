@@ -131,11 +131,22 @@ object VectorOps {
     * init = first k of those, no RNG anywhere; ties go to the lower cid. */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int,
       sampleSize: Int = 4096): Seq[(Int, Seq[Double])] = {
-    val sample: Array[Array[Double]] = df
-      .orderBy("vec_id").limit(sampleSize)
+    val sample = collectSample(df, sampleSize)
+    require(sample.length >= k, s"need >= $k vectors to train $k centroids")
+    lloyd(sample, k, iters).zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+  }
+
+  /** Bounded deterministic sample: the lowest `sampleSize` vec_ids. */
+  private def collectSample(df: DataFrame, sampleSize: Int): Array[Array[Double]] =
+    df.orderBy("vec_id").limit(sampleSize)
       .select(col("embedding")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
-    require(sample.length >= k, s"need >= $k vectors to train $k centroids")
+
+  /** Driver-side Lloyd iterations (deterministic: init = first k sample rows,
+    * ties to the lower centroid index) — shared by the IVF coarse quantizer
+    * and the per-subspace PQ codebook training. */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     var centroids: Array[Array[Double]] = sample.take(k).map(_.clone)
     for (_ <- 0 until iters) {
@@ -159,7 +170,7 @@ object VectorOps {
       centroids = Array.tabulate(k)(c =>
         if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c)))
     }
-    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+    centroids
   }
 
   /** The centroid set as one array-of-structs literal (cid, cvec,
@@ -215,6 +226,107 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+  }
+
+  // ---- product quantization (PQ / ADC) -------------------------------------
+
+  /** Trained PQ codebooks: the vector is split into `m` contiguous `dsub`-dim
+    * sub-vectors; each subspace has `books(s)` = k codewords. */
+  case class PqBooks(m: Int, dsub: Int, books: Seq[Seq[Seq[Double]]])
+
+  /** Train PQ codebooks on the same bounded driver-side sample as the IVF
+    * coarse quantizer (one collect, no RNG): per subspace, Lloyd over the
+    * sample's sub-vectors. m=8 × k=16 over dim-64 floats turns a 256-byte
+    * vector into 8 nibble codes — the ~64× memory/scan-byte compression
+    * that lets a 100 TB embedding corpus live in a few TB of codes. */
+  def pqCodebooks(df: DataFrame, m: Int, k: Int, iters: Int,
+      sampleSize: Int = 4096): PqBooks = {
+    val sample = collectSample(df, sampleSize)
+    require(sample.length >= k, s"need >= $k vectors to train $k codewords")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { s =>
+      val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      lloyd(sub, k, iters).map(_.toSeq).toSeq
+    }
+    PqBooks(m, dsub, books)
+  }
+
+  /** Subspace `s`'s codewords as an array-of-structs literal in codeword
+    * order (cvec as float, precomputed ||c||²) — same ship-in-the-plan trick
+    * as [[centroidArray]]. */
+  private def pqSubBook(books: PqBooks, s: Int): Column =
+    array(books.books(s).map { cw =>
+      val fv = cw.map(_.toFloat)
+      val n2 = fv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      struct(typedLit(fv).as("cvec"), lit(n2).as("cn2"))
+    }: _*)
+
+  /** Per-subspace squared-distance term `||c||² − 2⟨x_s, c⟩` (the
+    * row-constant ||x_s||² can't change a per-row argmin or a per-query
+    * ranking, so it is dropped everywhere consistently). */
+  private def pqDistTerm(emb: Column, books: PqBooks, s: Int): Column => Column =
+    c => c.getField("cn2") -
+      lit(2.0) * dot(slice(emb, s * books.dsub + 1, books.dsub), c.getField("cvec"))
+
+  /** Encode a vector as its `m` nearest-codeword indices — a per-row fold
+    * over the codebook literals, map-only (the IVF assignment argument:
+    * no join, no shuffle, no row amplification). */
+  def pqEncode(emb: Column, books: PqBooks): Column =
+    array((0 until books.m).map { s =>
+      val term = pqDistTerm(emb, books, s)
+      array_min(zip_with(pqSubBook(books, s),
+        sequence(lit(0), lit(books.books(s).length - 1)),
+        (c, i) => struct(term(c).as("d"), i.as("cid")))).getField("cid")
+    }: _*)
+
+  /** Per-query ADC lookup tables: for each subspace, the distance term to
+    * every codeword — computed ONCE per query row (m×k sub-dots); the
+    * per-candidate cost after this is m array lookups + m adds, not a
+    * vector dot. Tables are in codeword order, so `tab[code]` is the term. */
+  def pqQueryTables(emb: Column, books: PqBooks): Column =
+    array((0 until books.m).map { s =>
+      transform(pqSubBook(books, s), pqDistTerm(emb, books, s))
+    }: _*)
+
+  /** PQ top-k with asymmetric-distance candidate scan + exact rescore.
+    *
+    * 100 TB shape: the corpus is touched twice, both times without
+    * shuffling — once streaming CODES (nibbles, not floats) against
+    * broadcast per-query ADC tables, once streaming float vectors against
+    * the broadcast candidate-id set for the exact rescore (the
+    * decontam-verbatim rejoin invariant). Approximate ranking is by
+    * reconstructed squared L2; the final k is exact cosine, directly
+    * comparable to [[knnCosine]] for recall. */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, books: PqBooks, k: Int,
+      rescoreFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = corpus.select(col("vec_id").as("neighbor_id"),
+      pqEncode(col("embedding"), books).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      pqQueryTables(col("embedding"), books).as("qtabs"))
+    val approx = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("qtabs"), col("codes"),
+          (tab, c) => element_at(tab, c.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val cands = approx
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= k * rescoreFactor)
+      .select("query_id", "neighbor_id")
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wE))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk", "cos")
   }

@@ -77,6 +77,12 @@ object ScaleProbe {
     val eNq = VectorOps.quantize(eN).localCheckpoint()
     def q8(e: DataFrame): Long =
       VectorOps.knnQuantized(e.filter(col("vec_id") < 20), e, 3).count()
+    // PQ/ADC: the corpus streams as nibble codes against broadcast per-query
+    // lookup tables (m adds per candidate, no dot product), then the bounded
+    // candidate set rescores exactly — growth must track the code scan
+    val pqBooks = VectorOps.pqCodebooks(e1, 8, 16, 3)
+    def pq(e: DataFrame): Long =
+      VectorOps.pqKnn(e, e.filter(col("vec_id") < 20), pqBooks, 3, 8).count()
 
     // training-data shapes: documents amplified with remapped ids, text
     // salted per replica (so gram/vocab diversity grows with the corpus
@@ -177,7 +183,7 @@ object ScaleProbe {
     }
 
     // warm
-    q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); decontam(d1); tfidf(d1); pack(d1)
+    q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
@@ -187,6 +193,7 @@ object ScaleProbe {
       ("knn brute force (20 queries)", time(brute(e1)), time(brute(eN))),
       ("knn IVF 16 lists / 4 probes", time(ivf(e1)), time(ivf(eN))),
       ("knn int8 scan + exact rescore", time(q8(e1q)), time(q8(eNq))),
+      ("knn PQ/ADC scan + exact rescore", time(pq(e1)), time(pq(eN))),
       ("decontam vs fixed eval set", time(decontam(d1)), time(decontam(dN))),
       ("tfidf top-3 per doc", time(tfidf(d1)), time(tfidf(dN))),
       ("sequence packing per stream", time(pack(d1)), time(pack(dN))),
@@ -218,7 +225,12 @@ object ScaleProbe {
     sb.append("quantizer, probe selection) dominate, so brute force wins; the IVF\n")
     sb.append("ratio row is the 100 TB argument — its growth stays well under the\n")
     sb.append("amplification factor because each query scans ~nProbe/k of the\n")
-    sb.append("corpus, while brute force grows with the full corpus.\n\n")
+    sb.append("corpus, while brute force grows with the full corpus.\n")
+    sb.append("PQ/ADC streams the corpus as 8 nibble codes against broadcast\n")
+    sb.append("per-query lookup tables (m adds per candidate, no dot product) and\n")
+    sb.append("rescores only the bounded candidate beam exactly — at 100 TB the\n")
+    sb.append("float vectors are touched for candidates only, and the scan bytes\n")
+    sb.append("shrink ~64x (256-byte vector -> 8 codes).\n\n")
     sb.append("training-data shapes: the corpus is amplified with per-replica text\n")
     sb.append("salt (gram/vocab diversity grows with the data) and a scaled\n")
     sb.append("pack-stream key space. decontam joins the growing corpus against a\n")

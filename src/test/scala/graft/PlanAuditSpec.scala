@@ -127,6 +127,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("vec_qdot"), s"native quantized dot must appear in the plan:\n$p")
   }
 
+  test("knn_ann_pq: corpus streams twice, never shuffled — ADC tables and candidate ids broadcast") {
+    val p = plan(q("knn_ann_pq"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query ADC tables and candidate ids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"neither corpus pass may shuffle on a join key:\n$p")
+    // the only hash exchanges allowed are the per-query rank windows over
+    // candidate/code rows, both partitioned by query_id — never a corpus key
+    "Exchange hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).foreach { m =>
+      assert(m.group(1) == "query_id",
+        s"corpus-side shuffle leaked (key ${m.group(1)}):\n$p")
+    }
+  }
+
   test("decontam_overlap: eval-set grams broadcast; corpus grams never shuffle on the gram key") {
     val p = finalPlan(q("decontam_overlap"))
     assert(p.contains("BroadcastHashJoin"),

@@ -105,6 +105,38 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("pq ann: recall@3 vs brute force, deterministic codebooks, bounded codes") {
+    val e = Tables.embeddings(spark, sfDir)
+    val b1 = VectorOps.pqCodebooks(e, m = 8, k = 16, iters = 3)
+    val b2 = VectorOps.pqCodebooks(e, m = 8, k = 16, iters = 3)
+    assert(b1 == b2, "PQ training must be deterministic (no RNG)")
+    assert(b1.m == 8 && b1.dsub == 8 && b1.books.forall(_.size == 16))
+    // codes: one index per subspace, each within [0, k)
+    val codes = e.select(VectorOps.pqEncode(col("embedding"), b1).as("c"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // ADC candidates + exact rescore recover most true neighbors: 16^8
+    // reconstruction cells give a far finer partition than IVF's 16 lists
+    val brute = VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Queries.byName("knn_ann_pq").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall $recall")
+    // rescored scores are exact: every returned (q,n,cos) matches brute's
+    // cosine for that pair when the pair is in both
+    val bruteCos = VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Queries.byName("knn_ann_pq").build(spark, sfDir).collect().foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1))).foreach { bc =>
+        // pqKnn rounds to 6dp (the ivfKnn convention) — bound is the
+        // quantization step, anything larger would betray an ADC score
+        assert(math.abs(bc - r.getDouble(3)) <= 6e-7,
+          "rescore must be exact cosine, not the ADC approximation")
+      }
+    }
+  }
+
   test("embedding LSH near-dup: subset of the exact pairs, useful recall") {
     val exact = Queries.byName("dedup_embedding").build(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
