@@ -667,6 +667,27 @@ object RelationalQueries {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** O4 `zorder_cluster`: Morton-code clustering key over two join/filter
+    * dimensions — the multi-dimensional file-layout sort (LayoutOps). The
+    * query materializes the curve itself (z plus its inputs, first 100 curve
+    * positions) so the oracle pins the exact interleave arithmetic both
+    * engines compute; the LAYOUT effect (fewer files touched per predicate
+    * box) is spec-tested in LayoutSpec, not oracle-testable. */
+  private def zorderCluster(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.ops.LayoutOps.zvalue(
+          Seq(col("l_partkey"), col("l_suppkey")), 16).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val zorderClusterSql =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${graft.ops.LayoutOps.zvalueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z
+       |FROM lineitem
+       |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
   // ---- §2.8 set ops --------------------------------------------------------
 
   /** U1 `set_union_sources`: the two-scraper union (README.md:5). */
@@ -980,6 +1001,7 @@ object RelationalQueries {
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
     "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
+    "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),
     "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
     "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
