@@ -434,6 +434,46 @@ object RelationalQueries {
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** A5c `agg_grouping_sets`: explicit subtotal shapes — the dashboard
+    * matrix that is neither a full rollup nor a cube ((status,priority),
+    * (status), ()). Same grouping_id disambiguation as A5. */
+  private def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val aggGroupingSetsSql =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       |       ${sqlDsum("o_totalprice")} AS total,
+       |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |                        (o_orderstatus), ())
+       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** A4c `agg_hll_mergeable`: the MERGEABLE-sketch rollup — per-month
+    * DataSketches HLL of the customer set, then a lossless sketch union to
+    * the period total (re-aggregation without re-scanning, the 100 TB
+    * rollup-table pattern; A4b's approx_count_distinct yields only a
+    * number, which cannot be re-aggregated). Rows-only by design: the
+    * sketch estimator is engine-specific (property-tested instead — the
+    * union of per-month sketches must equal the direct whole-column sketch
+    * exactly, and land within HLL error of the exact distinct). */
+  private def aggHllMergeable(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sketch"))
+    monthly.agg(
+      count(lit(1)).as("n_months"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_customers"))
+  }
+
   /** A5b `agg_cube`: full cube over two low-cardinality dims. */
   private def aggCube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -601,6 +641,119 @@ object RelationalQueries {
       |FROM daily
       |WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY month""".stripMargin
+
+  /** W6 `window_ntile`: equal-frequency decile assignment over account
+    * balance (the feature-binning shape). The ntile ORDER BY carries the
+    * unique key so bucket boundaries are a total order in both engines. */
+  private def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+      .orderBy("decile")
+  }
+
+  private val windowNtileSql =
+    """SELECT decile, count(*) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+      |FROM (SELECT c_acctbal,
+      |             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |      FROM customer)
+      |GROUP BY 1 ORDER BY decile""".stripMargin
+
+  /** P6 `unpivot_metrics`: wide-to-long reshaping (the inverse of A3's
+    * pivot) — per-flag metric columns melted to (flag, metric, value) rows
+    * via Dataset.unpivot; oracle is the portable UNION ALL formulation. */
+  private def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"))
+      .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  private val unpivotMetricsSql =
+    s"""WITH wide AS (
+       |  SELECT l_returnflag, ${sqlDsum("l_quantity")} AS qty,
+       |         ${sqlDsum("l_extendedprice")} AS price
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+       |  UNION ALL
+       |  SELECT l_returnflag, 'price' AS metric, price AS value FROM wide)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** W7 `scd2_intervals`: build slowly-changing-dimension validity windows
+    * from a change feed — each purchase event becomes a version valid from
+    * its timestamp until the user's next purchase (lead), open-ended for
+    * the current row. The write-side twin of the as-of join: J8 probes
+    * these intervals point-in-time. */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id") < 50)
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(w)))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "event_id", "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  private val scd2IntervalsSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+      |       epoch_us(lead(ts, 1) OVER w) AS valid_to_us,
+      |       lead(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WHERE event_type = 'purchase' AND user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
+  /** W8 `ts_gap_fill`: regularize an irregular per-user time series — build
+    * each user's daily spine (sequence/explode between their first and last
+    * active day), left-join the observed daily totals, forward-fill with
+    * last-ignore-nulls. The feature-pipeline resample shape: spine
+    * generation is per-key map-side row generation (no shuffle beyond the
+    * daily agg), the fill is one bounded window. */
+  private def tsGapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("day_value").isNotNull)
+      .select("user_id", "day", "filled_value", "is_observed")
+      .orderBy("user_id", "day")
+  }
+
+  private val tsGapFillSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+      |  FROM events WHERE event_type = 'purchase' AND user_id < 10
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1,
+      |           INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1))
+      |SELECT s.user_id, s.day,
+      |       last_value(d.day_value IGNORE NULLS) OVER (
+      |         PARTITION BY s.user_id ORDER BY s.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |       d.day_value IS NOT NULL AS is_observed
+      |FROM spine s LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
 
   /** W4 `window_dedup_latest`: the upsert as a window (database.py:116-123):
     * keep the latest order per customer. */
@@ -1002,6 +1155,12 @@ object RelationalQueries {
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
     "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
     "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),
+    "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
+    "agg_hll_mergeable" -> Q(aggHllMergeable, None),
+    "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),
+    "unpivot_metrics" -> Q(unpivotMetrics, Some(unpivotMetricsSql)),
+    "scd2_intervals" -> Q(scd2Intervals, Some(scd2IntervalsSql)),
+    "ts_gap_fill" -> Q(tsGapFill, Some(tsGapFillSql)),
     "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
     "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),

@@ -87,4 +87,26 @@ class EdgeCasesSpec extends SparkSpec {
       .selectExpr("doc_id", "term_match(text) AS term")
     assert(out.count() == 0)
   }
+
+  test("HLL sketches merge losslessly and estimate within error") {
+    val o = Tables.orders(spark, sfDir)
+    // union of per-month sketches must equal the direct whole-column sketch
+    // EXACTLY — HLL union is lossless at equal lgK, which is what makes
+    // per-partition rollup tables re-aggregatable without rescanning
+    val merged = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val direct = o
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .collect()(0).getLong(0)
+    assert(merged == direct, s"sketch union must be lossless: $merged vs $direct")
+    val exact = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate $merged should be within 5% of exact $exact")
+    // the registered query returns one summary row
+    val row = Queries.byName("agg_hll_mergeable").build(spark, sfDir).collect()(0)
+    assert(row.getLong(0) >= 1 && row.getLong(1) == merged)
+  }
 }
