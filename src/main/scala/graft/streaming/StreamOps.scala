@@ -190,6 +190,55 @@ object StreamOps {
       }
   }
 
+  /** The same as-of enrichment on Spark 4's `transformWithState` API — the
+    * successor to flatMapGroupsWithState: typed per-key state handles
+    * (ValueState here; ListState/MapState for bigger shapes), explicit
+    * TimeMode, RocksDB-backed. Kept alongside [[streamingAsOfEnrich]] so
+    * the two stateful APIs are proven equivalent on the same contract. */
+  class AsOfEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AsOfFeed, AsOfEnriched] {
+    @transient private var versions:
+      org.apache.spark.sql.streaming.ValueState[AsOfVersions] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      versions = getHandle.getValueState[AsOfVersions]("versions",
+        org.apache.spark.sql.Encoders.product[AsOfVersions],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfFeed],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AsOfEnriched] = {
+      val batch = rows.toSeq
+      val newVersions = batch.filter(_.kind == "feature")
+        .map(f => (f.ts, f.value.getOrElse(
+          sys.error(s"feature row without value (key=$key)"))))
+      val merged = (Option(versions.get()).map(_.versions).getOrElse(Nil)
+        ++ newVersions).sortBy(_._1)
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val kept = if (wm > 0) pruneAsOfVersions(merged, wm) else merged
+      versions.update(AsOfVersions(kept))
+      batch.filter(_.kind == "event").sortBy(e => (e.ts, e.eventId))
+        .iterator.map { e =>
+          val current = merged.takeWhile(_._1 <= e.ts).lastOption
+          AsOfEnriched(e.eventId.getOrElse(
+            sys.error(s"event row without id (key=$key)")), key, e.ts,
+            current.map(_._2))
+        }
+    }
+  }
+
+  /** [[streamingAsOfEnrich]] on the transformWithState operator (requires
+    * the RocksDB state store provider — set by the caller/spec). */
+  def streamingAsOfEnrichTws(feed: Dataset[AsOfFeed]): Dataset[AsOfEnriched] = {
+    import feed.sparkSession.implicits._
+    feed.groupByKey(_.key)
+      .transformWithState(new AsOfEnrichProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming benchmark decontamination (the streaming form of
     * TrainDataQueries' N5): score each arriving document against a FIXED
     * eval-set gram set carried as a literal array (the eval set is tiny by

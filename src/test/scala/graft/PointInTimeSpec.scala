@@ -105,6 +105,42 @@ class PointInTimeSpec extends SparkSpec {
       102L -> Some(1.0), 103L -> None, 104L -> Some(5.0), 105L -> None))
   }
 
+  test("transformWithState as-of == flatMapGroupsWithState as-of (same feed)") {
+    import graft.streaming.StreamOps
+    import StreamOps.AsOfFeed
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(AsOfFeed("feature", 1L, 10L, Some(1.0), None),
+          AsOfFeed("event", 1L, 12L, None, Some(100L))),
+        Seq(AsOfFeed("feature", 1L, 20L, Some(2.0), None),
+          AsOfFeed("event", 1L, 25L, None, Some(101L)),
+          AsOfFeed("event", 1L, 10L, None, Some(102L)),
+          AsOfFeed("event", 2L, 5L, None, Some(103L))))
+      val mem = MemoryStream[AsOfFeed](spark)
+      val q = StreamOps.streamingAsOfEnrichTws(mem.toDS())
+        .writeStream.format("memory").queryName("asof_tws")
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("asof_tws")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(got == Map(100L -> Some(1.0), 101L -> Some(2.0),
+        102L -> Some(1.0), 103L -> None), s"$got")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("pruneAsOfVersions keeps the standing candidate plus newer versions") {
     import graft.streaming.StreamOps.pruneAsOfVersions
     val v = List((10L, 1.0), (20L, 2.0), (30L, 3.0))
