@@ -160,6 +160,31 @@ object ParseQueries {
       |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
       |FROM events GROUP BY 1 ORDER BY k_band""".stripMargin
 
+  /** F11b `json_variant_extract`: the same extraction through Spark 4's
+    * VARIANT type — `parse_json` once into the binary variant encoding, then
+    * typed `variant_get` path access. At 100 TB this is the
+    * semi-structured-column answer: parse cost paid once per row (or at
+    * ingest, with the variant stored), every downstream path access is a
+    * binary offset lookup instead of a string re-parse (F11's
+    * get_json_object re-parses per call). Oracle is DuckDB's JSON path
+    * access — same values, engine-native encodings. */
+  private def jsonVariant(s: SparkSession, d: String): DataFrame = {
+    val v = parse_json(col("props"))
+    events(s, d)
+      .select(col("event_type"),
+        variant_get(v, "$.k", "int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).cast("long").as("k_sum"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+  }
+
+  private val jsonVariantSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+      |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ---- F12 array_dot_product -----------------------------------------------
 
   /** Squared L2 norm of each embedding via the native codegen vec_dot
@@ -363,6 +388,7 @@ object ParseQueries {
     "truncate_varchar" -> Q(truncateVarchar, Some(truncateVarcharSql)),
     "date_trunc_daily" -> Q(dateTruncDaily, Some(dateTruncDailySql)),
     "json_props_extract" -> Q(jsonProps, Some(jsonPropsSql)),
+    "json_variant_extract" -> Q(jsonVariant, Some(jsonVariantSql)),
     "array_dot_product" -> Q(arrayDot, Some(arrayDotSql)),
     "map_entries" -> Q(mapEntries, Some(mapEntriesSql)),
     "explode_skills" -> Q(explodeSkills, Some(explodeSkillsSql)),
