@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** Embedding-space clustering + SemDeDup-style semantic dedup — the
+  * curation stage that groups a corpus by meaning and prunes redundant
+  * near-identical content inside each group (Abbas et al., "SemDeDup",
+  * 2023 — the published recipe for pruning web-scale training sets).
+  *
+  * Scale notes (100 TB): Lloyd iterations are the [[VectorOps.kmeansLloyd]]
+  * loop — per round one map-only assignment scan (centroids travel INSIDE
+  * the plan as a k×dim literal; the corpus is never joined or amplified)
+  * plus one (cid,dim)-keyed partial-agg'd shuffle; only k·dim rows ever
+  * reach the driver. The semantic prune then pairs vectors ONLY within a
+  * cluster — O(Σ s_c²) vs the O(n²) corpus self-join, with cluster count
+  * the knob that bounds s_c. Every float op is an index-order fold and every
+  * centroid rounds to 4 dp, so DuckDB replays the whole computation
+  * bit-for-bit (scripted-iteration oracle, the `bpe_train_n` pattern).
+  */
+object ClusterQueries {
+  import Tables._
+
+  private val K = 8
+  private val Iters = 2
+  private val Dim = 64
+  /** Within-cluster cosine at/above this is a semantic duplicate (the
+    * synthetic embeddings are near-orthogonal — max within-cluster cosine
+    * ~0.47 — so the audit threshold matches dedup_embedding's 0.3). */
+  private val Tau = 0.30
+
+  // ---- shared oracle scaffolding (scripted Lloyd iterations) ---------------
+
+  /** Assignment CTE: nearest centroid of `cen` for every vector of `e`,
+    * exact Σ(x−c)² fold, ties to the lower cid. */
+  private def assignCte(out: String, cen: String): String =
+    s"""$out AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, $cen.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_reduce(list_transform(e.v,
+       |             (x, i) -> (x - $cen.c[i]) * (x - $cen.c[i])),
+       |             (u, w) -> u + w), $cen.cid) AS rn
+       |  FROM e CROSS JOIN $cen) WHERE rn = 1)""".stripMargin
+
+  /** Update CTE pair: per-(cid,dim) 4-dp-rounded mean over the assignment,
+    * reassembled into centroid arrays; empty clusters keep `prev`'s row. */
+  private def updateCte(outU: String, outC: String, assign: String,
+      prev: String): String =
+    s"""$outU AS (SELECT cid, CAST(dim AS INTEGER) AS dim,
+       |          round(avg(v[CAST(dim AS INTEGER)]), 4) AS m
+       |        FROM $assign, range(1, ${Dim + 1}) t(dim) GROUP BY 1, 2),
+       |$outC AS (SELECT p.cid, coalesce(u.c, p.c) AS c
+       |        FROM $prev p LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS c
+       |                                FROM $outU GROUP BY cid) u
+       |          ON u.cid = p.cid)""".stripMargin
+
+  /** The WITH prologue shared by both oracles: cast-to-double corpus, first-k
+    * init, then `Iters` scripted assign/update rounds ending in a final
+    * assignment `af` against the final centroids `c$Iters`. */
+  private def lloydCtes: String = {
+    val rounds = (1 to Iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        updateCte(s"u$i", s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |          FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |              v AS c
+       |       FROM e ORDER BY vec_id LIMIT $K),
+       |$rounds,
+       |${assignCte("af", s"c$Iters")}""".stripMargin
+  }
+
+  // ---- kmeans_assign -------------------------------------------------------
+
+  /** `kmeans_assign`: final centroids (per-dimension) + cluster sizes after
+    * `Iters` distributed Lloyd rounds. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = VectorOps.kmeansLloyd(e, K, Iters)
+    val counts = e
+      .withColumn("cid", VectorOps.assignExact(col("embedding"), cents))
+      .groupBy("cid").agg(count(lit(1)).as("n_members"))
+    import s.implicits._
+    val centRows = cents.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (c, i) => (cid, i + 1, c) }
+    }.toDF("cid", "dim", "c")
+    centRows.join(counts, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("c"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+      .orderBy("cid", "dim")
+  }
+
+  private def kmeansAssignSql: String =
+    s"""$lloydCtes,
+       |n AS (SELECT cid, count(*) AS n_members FROM af GROUP BY cid)
+       |SELECT c$Iters.cid, CAST(t.dim AS INTEGER) AS dim,
+       |       c$Iters.c[CAST(t.dim AS INTEGER)] AS c,
+       |       coalesce(n.n_members, 0) AS n_members
+       |FROM c$Iters CROSS JOIN range(1, ${Dim + 1}) t(dim)
+       |LEFT JOIN n ON n.cid = c$Iters.cid
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- dedup_semantic ------------------------------------------------------
+
+  /** `dedup_semantic`: SemDeDup prune list — a vector is dropped when a
+    * LOWER-id member of its own cluster is cosine-≥ Tau close (keep-lowest
+    * representative, pairs bounded by the cluster). Reports each dropped
+    * vector with its keeper (lowest such anchor) and how many anchors
+    * matched. */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = VectorOps.kmeansLloyd(e, K, Iters)
+    val assigned = e
+      .withColumn("cid", VectorOps.assignExact(col("embedding"), cents))
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val a = assigned.toDF("cid", "vec_a", "ea")
+    val b = assigned.toDF("cid", "vec_b", "eb")
+    a.join(b, "cid").filter(col("vec_a") < col("vec_b"))
+      .filter(VectorOps.cosine(col("ea"), col("eb")) >= Tau)
+      .groupBy(col("cid"), col("vec_b").as("vec_id"))
+      .agg(min("vec_a").as("anchor_id"), count(lit(1)).as("n_anchors"))
+      .orderBy("cid", "vec_id")
+  }
+
+  private def dedupSemanticSql: String =
+    s"""$lloydCtes,
+       |m AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |      WHERE list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]),
+       |              (u, w) -> u + w)
+       |            / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+       |                 (u, w) -> u + w))
+       |             * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+       |                 (u, w) -> u + w))) >= $Tau)
+       |SELECT cid, vec_b AS vec_id, min(vec_a) AS anchor_id,
+       |       count(*) AS n_anchors
+       |FROM m GROUP BY cid, vec_b
+       |ORDER BY cid, vec_id""".stripMargin
+
+  def all: Seq[(String, Q)] = Seq(
+    "kmeans_assign" -> Q(kmeansAssign, Some(kmeansAssignSql)),
+    "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)))
+}

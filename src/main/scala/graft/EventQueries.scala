@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics over `events` — the funnel / cohort /
+  * anomaly queries a reference user runs on the scraped activity feed
+  * (events.ts is the landed crawl clock; user_id the entity key).
+  *
+  * Scale notes (100 TB): every query here reduces the fact table to a
+  * per-entity (or per-day) aggregate FIRST — one hash shuffle on the
+  * entity key — and every join after that reduction is dimension-sized
+  * (≤ one row per user/day), so AQE broadcasts it. The raw event stream
+  * is never joined to itself and never shuffles twice on the same key.
+  */
+object EventQueries {
+  import Tables._
+
+  // ---- sequential funnel ---------------------------------------------------
+
+  /** `funnel_steps`: view → click → purchase, ORDER ENFORCED — a user counts
+    * for step N only with an event strictly after their step-N−1 time.
+    * Three keyed min-aggregates on the SAME key (user_id): the fact shuffles
+    * once per step but each join input above the first agg is ≤ one row per
+    * user (broadcast), never fact×fact. The strictly-after semantics is the
+    * standard product-funnel definition (no same-timestamp credit). */
+  private def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select("user_id", "event_type", "ts")
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val row = (df: DataFrame, no: Int, nm: String) =>
+      df.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(no).as("step_no"), lit(nm).as("step"), col("n_users"))
+    row(s1, 1, "view").unionAll(row(s2, 2, "click")).unionAll(row(s3, 3, "purchase"))
+      .orderBy("step_no")
+  }
+
+  private val funnelStepsSql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |     s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |            JOIN s1 ON e.user_id = s1.user_id
+      |            WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |            GROUP BY e.user_id),
+      |     s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |            JOIN s2 ON e.user_id = s2.user_id
+      |            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |            GROUP BY e.user_id)
+      |SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+      |ORDER BY step_no""".stripMargin
+
+  // ---- cohort retention ----------------------------------------------------
+
+  /** `cohort_retention`: users grouped by first-seen day; for each cohort ×
+    * day-offset, how many came back. First-seen is ONE keyed agg; the
+    * cohort map (≤ one row per user) broadcasts back onto the fact, so the
+    * retention matrix costs one fact shuffle total. Days truncate
+    * identically on both engines; compared as DATE (tz-free). */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"),
+      date_trunc("day", col("ts")).cast("date").as("day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"))
+      .agg(countDistinct("user_id").cast("long").as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val cohortRetentionSql =
+    """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |           FROM events),
+      |     cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |       CAST(date_diff('day', c.cohort_day, e.day) AS INTEGER) AS day_offset,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM e JOIN cohort c ON e.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- z-score anomaly flag ------------------------------------------------
+
+  /** `anomaly_zscore`: days whose per-type total is > 2σ from that type's
+    * daily mean. The usual stddev formulation is float-order-dependent, so
+    * the 2σ test is CROSS-MULTIPLIED into exact decimals:
+    *   (x − μ)² > 4σ²  ⇔  (n·x − Σ)² > 4·(n·Σx² − Σ²)
+    * with x the 2-dp daily total — every term is an exact DECIMAL on both
+    * engines, so the flag (and the hash) is engine-independent. Two keyed
+    * aggs (type,day → type); the per-type stats row broadcasts back. */
+  private def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("day_total"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("day_total")).as("s1"),
+      sum(col("day_total") * col("day_total")).as("s2"))
+    daily.join(stats, "event_type")
+      .filter {
+        val dx = col("n") * col("day_total") - col("s1")
+        dx * dx > (col("n") * col("s2") - col("s1") * col("s1")) * 4
+      }
+      .select(col("event_type"), col("day"), col("day_total").cast("double"))
+      .orderBy("event_type", "day")
+  }
+
+  private val anomalyZscoreSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         SUM(CAST(value AS DECIMAL(12,2))) AS day_total
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n, SUM(day_total) AS s1,
+      |         SUM(day_total * day_total) AS s2
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.day, CAST(d.day_total AS DOUBLE) AS day_total
+      |FROM daily d JOIN stats s ON d.event_type = s.event_type
+      |WHERE (s.n * d.day_total - s.s1) * (s.n * d.day_total - s.s1)
+      |      > (s.n * s.s2 - s.s1 * s.s1) * 4
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  def all: Seq[(String, Q)] = Seq(
+    "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
+    "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),
+    "anomaly_zscore" -> Q(anomalyZscore, Some(anomalyZscoreSql)))
+}

@@ -39,7 +39,8 @@ object Queries {
   def all: Seq[(String, Q)] =
     RelationalQueries.all ++ ParseQueries.all ++ SkillQueries.all ++
       StreamQueries.all ++ NorthStarQueries.all ++ TrainDataQueries.all ++
-      CorpusQueries.all
+      CorpusQueries.all ++ SubqueryQueries.all ++ EventQueries.all ++
+      ClusterQueries.all
 
   lazy val byName: Map[String, Q] = all.toMap
 

@@ -136,6 +136,58 @@ object VectorOps {
     lloyd(sample, k, iters).zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
   }
 
+  // ---- distributed k-means (Lloyd at corpus scale) -------------------------
+
+  /** Exact squared distance to a centroid literal: per-element (x − c)²
+    * folded in INDEX order from 0.0 — bit-identical to DuckDB's
+    * `list_reduce(list_transform(...))` left fold, which the kmeans oracle
+    * replays step for step. (Deliberately NOT the ‖c‖²−2⟨e,c⟩ shortcut used
+    * for ANN assignment: a different operation order rounds differently,
+    * and here the oracle must reproduce every bit.) */
+  def exactDist2(emb: Column, cvec: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(cvec),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0d), (acc, t) => acc + t)
+
+  /** Map-only nearest-centroid under the exact fold distance (ties → lower
+    * cid, via struct ordering): the corpus streams through k per-row folds,
+    * no join, no shuffle, no row amplification. */
+  def assignExact(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, v) =>
+      struct(exactDist2(emb, v).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Distributed Lloyd — the corpus-scale training loop (vs the bounded
+    * sample-trained [[kmeansCentroids]] used for ANN quantizers): per
+    * iteration ONE corpus scan (map-only assign) + ONE keyed (cid,dim)
+    * aggregate, and only k·dim averaged rows return to the driver to become
+    * the next broadcast literal — the MLlib-style sync point. Deterministic
+    * across engines: init = first k vec_ids (float→double is exact), and
+    * each new centroid component rounds to 4 dp so the ~1e-13 float-sum
+    * order noise of the distributed average can never flip a later argmin.
+    * Empty clusters keep their previous centroid. */
+  def kmeansLloyd(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    var cents: Seq[(Int, Seq[Double])] =
+      e.orderBy("vec_id").limit(k).select("embedding").collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toSeq)
+        .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    require(cents.length == k, s"need >= $k vectors to seed $k clusters")
+    for (_ <- 0 until iters) {
+      val upd = e.withColumn("cid", assignExact(col("embedding"), cents))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("x").cast("double")), 4).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** Bounded deterministic sample: the lowest `sampleSize` vec_ids. */
   private def collectSample(df: DataFrame, sampleSize: Int): Array[Array[Double]] =
     df.orderBy("vec_id").limit(sampleSize)

@@ -275,6 +275,84 @@ class PlanAuditSpec extends SparkSpec {
       s"no exchange on the bucketed join key may appear:\n$p")
   }
 
+  test("subquery_exists / subquery_not_exists: predicate subqueries rewrite to semi/anti joins with subquery-side pushdown") {
+    val pe = plan(q("subquery_exists"))
+    assert(pe.contains("LeftSemi"), s"EXISTS must plan as a LEFT SEMI join:\n$pe")
+    assert(pe.contains("GreaterThanOrEqual(l_quantity,48"),
+      s"the subquery's own predicate must reach the lineitem scan:\n$pe")
+    assert(pe.contains("partial_count"), s"the priority agg must map-side combine:\n$pe")
+    val pn = plan(q("subquery_not_exists"))
+    assert(pn.contains("LeftAnti"), s"NOT EXISTS must plan as a LEFT ANTI join:\n$pn")
+    assert(pn.contains("GreaterThan(o_totalprice,250000"),
+      s"the guard predicate must reach the orders scan before the anti join builds:\n$pn")
+  }
+
+  test("subquery_in: grouped-HAVING membership is ONE aggregate + semi join, not a per-row probe") {
+    val p = finalPlan(q("subquery_in"))
+    assert(p.contains("LeftSemi"), s"IN must plan as a LEFT SEMI join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the HAVING sum must map-side combine before the semi build:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"membership must never be an all-pairs probe:\n$p")
+  }
+
+  test("subquery_scalar: both scalar aggregates execute ONCE and are reused as literals") {
+    val df = q("subquery_scalar")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Subquery subquery"), s"expected a hoisted scalar subquery:\n$p")
+    assert(p.contains("ReusedSubquery"),
+      s"the second scalar over the same frame must REUSE the first's result, not re-scan:\n$p")
+  }
+
+  test("subquery_correlated: correlated scalar aggregates decorrelate to keyed group-bys + joins") {
+    val df = q("subquery_correlated")
+    val opt = df.queryExecution.optimizedPlan
+    // decorrelation proof: no subquery expressions survive optimization —
+    // they become Aggregate(o_custkey) subtrees joined back
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.exists(_.toString.contains("o_custkey")) => a
+    }
+    assert(aggs.nonEmpty, s"per-customer aggregate must exist after decorrelation:\n$opt")
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must not fall back to nested-loop re-scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the decorrelated aggregates must map-side combine:\n$p")
+  }
+
+  test("subquery_lateral: LATERAL ... LIMIT 1 plans as a map-side WindowGroupLimit, never a per-outer-row re-scan") {
+    val p = finalPlan(q("subquery_lateral"))
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-nation top-1 must push a group-limit below the shuffle:\n$p")
+    assert("WindowGroupLimit [\\s\\S]{0,200}?Partial".r.findFirstIn(p).isDefined ||
+      p.contains(", Partial"),
+      s"a PARTIAL group-limit must run map-side before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral must decorrelate, not nested-loop:\n$p")
+  }
+
+  test("funnel_steps: per-step minima broadcast back — the event fact never fact×fact joins") {
+    val p = finalPlan(q("funnel_steps"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"per-user step times are dim-sized and must broadcast onto the fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast step joins:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the step-1 broadcast must be reused by both downstream steps, not rebuilt:\n$p")
+  }
+
+  test("cohort_retention / anomaly_zscore: per-entity reduction first, stats broadcast back") {
+    for (name <- Seq("cohort_retention", "anomaly_zscore")) {
+      val p = finalPlan(q(name))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the reduced per-entity frame must broadcast onto the fact:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name: no fact-sized shuffle join:\n$p")
+      assert(p.contains("partial_"), s"$name: aggregates must map-side combine:\n$p")
+    }
+  }
+
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
     val pNorm = finalPlan(q("embedding_norms"))
     assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,
