@@ -841,6 +841,118 @@ object RelationalQueries {
        |FROM lineitem
        |ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
+  /** O5 `data_skipping_prune`: FILE-level min/max skipping — the
+    * Delta/Iceberg stats-manifest shape with plain Spark + parquet footers.
+    * lineitem is written range-clustered on l_shipdate (each file owns a
+    * narrow date band), the skipping index is built from FOOTER statistics
+    * only ([[graft.ops.LayoutOps.footerRangeIndex]] — O(files) footer
+    * reads, zero data pages, exactly what an Iceberg manifest stores), and
+    * the Jun–Aug 1995 predicate reads ONLY the files whose [min,max]
+    * intersects the box. The oracle runs the same aggregate over the full
+    * table: equality proves skipping is lossless (files without stats are
+    * kept unbounded, so nothing provable-nonempty is ever dropped).
+    * StorageSpec asserts the candidate set is a strict subset of the
+    * layout. At 100 TB this is the difference between reading ~1/24 of the
+    * table and all of it — and composes with zorderWrite for
+    * multi-dimensional boxes. */
+  private def dataSkippingPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft-skipidx-${s.sparkContext.applicationId}-${new java.io.File(d).getName}"
+    lineitem(s, d)
+      .repartitionByRange(16, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    val files = skipIndexCandidates(s, dir)
+    s.read.parquet(files: _*)
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Candidate files for the Jun–Aug 1995 box, from footer stats alone
+    * (micros epoch bounds — TIMESTAMP_MICROS physical encoding). */
+  private[graft] def skipIndexCandidates(s: SparkSession,
+      dir: String): Seq[String] = {
+    def micros(iso: String): Long =
+      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    graft.ops.LayoutOps.pruneByRange(
+      graft.ops.LayoutOps.footerRangeIndex(s, dir, "l_shipdate"),
+      micros("1995-06-01"), micros("1995-09-01") - 1L)
+  }
+
+  private val dataSkippingPruneSql =
+    s"""SELECT l_returnflag, count(*) AS cnt,
+       |       ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+       |  AND l_shipdate < TIMESTAMP '1995-09-01'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- TPC-H flagship shapes (macro-benchmark surface) ---------------------
+
+  /** `tpch_q1`: the TPC-H pricing-summary flagship verbatim over the
+    * testdata — scan-shaped single agg whose every money expression runs in
+    * exact decimals (Det) so the hash is aggregation-order-free. The
+    * benchmark's showcase of map-side combine: 6 aggregates, one exchange
+    * on a 4-group key. */
+  private def tpchQ1(s: SparkSession, d: String): DataFrame = {
+    val discPrice = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val tpchQ1Sql = {
+    val discPrice =
+      "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+       |    AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  ${sqlDavg("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** `tpch_q6`: the forecast-revenue flagship — three conjunctive
+    * predicates ALL pushed to the parquet scan (the pushdown showcase;
+    * plan-audited), one global exact-decimal agg. */
+  private def tpchQ6(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        dec(col("l_discount")).between(
+          new java.math.BigDecimal("0.05"), new java.math.BigDecimal("0.07")) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  private val tpchQ6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   // ---- §2.8 set ops --------------------------------------------------------
 
   /** U1 `set_union_sources`: the two-scraper union (README.md:5). */
@@ -1155,6 +1267,9 @@ object RelationalQueries {
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
     "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
     "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),
+    "data_skipping_prune" -> Q(dataSkippingPrune, Some(dataSkippingPruneSql)),
+    "tpch_q1" -> Q(tpchQ1, Some(tpchQ1Sql)),
+    "tpch_q6" -> Q(tpchQ6, Some(tpchQ6Sql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),
     "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),

@@ -105,6 +105,41 @@ object StreamQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---- T9 stream_interval_join ---------------------------------------------
+
+  /** Batch twin of [[graft.streaming.StreamOps.purchasesWithRecentClicks]]
+    * (stream-stream interval join, watermark-bounded state): each purchase
+    * paired with the same user's clicks in the preceding hour. The
+    * streaming form is asserted row-equal over MemoryStream in
+    * StreamOpsSpec; this registry form pins the SEMANTICS against DuckDB.
+    * Scale: one shuffle on user_id each side; the time band bounds the
+    * per-key pairing exactly like the watermark bounds streaming state. */
+  private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(clicks, "user_id")
+      .filter(col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_secs"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  private val intervalJoinSql =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |       CAST(floor(epoch(p.ts)) AS BIGINT)
+      |         - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_secs
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -112,5 +147,6 @@ object StreamQueries {
     "stream_sliding_avg" -> Q(sliding, Some(slidingSql)),
     "stream_session_window" -> Q(session, Some(sessionSql)),
     "stream_dedup" -> Q(dedup, Some(dedupSql)),
+    "stream_interval_join" -> Q(intervalJoin, Some(intervalJoinSql)),
   )
 }

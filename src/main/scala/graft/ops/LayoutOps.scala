@@ -51,6 +51,50 @@ object LayoutOps {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Per-file [min,max] of an INT64 parquet column, read from FOOTER
+    * statistics only — no data pages touched. This is the real
+    * data-skipping build path (what an Iceberg/Delta manifest stores): the
+    * index costs one footer read per file, not a scan, so rebuilding it
+    * after a layout write is O(files) regardless of table bytes. Returns
+    * (path, min, max) per file; files whose footer lacks stats for the
+    * column are returned as unbounded (Long.Min/Max) so pruning NEVER
+    * drops a file it can't prove empty — skipping stays lossless. */
+  def footerRangeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      column: String): Seq[(String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    fs.listStatus(path).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val ranges = reader.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .filter(_.getPath.toDotString == column)
+              .map { c =>
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue)
+                  (Long.MinValue, Long.MaxValue)
+                else (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              }
+          }
+          if (ranges.isEmpty) (f.getPath.toString, Long.MinValue, Long.MaxValue)
+          else (f.getPath.toString, ranges.map(_._1).min, ranges.map(_._2).max)
+        } finally reader.close()
+      }
+  }
+
+  /** Files whose [min,max] intersects [lo,hi] — the candidate set a range
+    * predicate actually has to read. */
+  def pruneByRange(index: Seq[(String, Long, Long)], lo: Long,
+      hi: Long): Seq[String] =
+    index.collect { case (p, mn, mx) if mx >= lo && mn <= hi => p }
+
   /** Compact a small-files directory to ~`targetFileBytes` files: the
     * standard nightly hygiene pass — a streaming sink or per-batch upsert
     * leaves thousands of KB-sized files whose open/footer overhead dominates

@@ -353,6 +353,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch_q6: all three predicates reach the parquet scan") {
+    val p = plan(q("tpch_q6"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate lower bound must push down:\n$p")
+    assert(p.contains("LessThan(l_shipdate"),
+      s"shipdate upper bound must push down:\n$p")
+    assert(p.contains("LessThan(l_quantity,24"),
+      s"quantity bound must push down:\n$p")
+  }
+
+  test("kmeans_assign / dedup_semantic: assignment is map-only; pairing shuffles ONLY on the cluster id") {
+    val pk = finalPlan(q("kmeans_assign"))
+    assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"),
+      s"centroids ride the plan as a literal — no join for assignment:\n$pk")
+    val ps = finalPlan(q("dedup_semantic"))
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"the semantic prune must pair within clusters, never all-pairs:\n$ps")
+    assert("hashpartitioning\\(cid".r.findFirstIn(ps).isDefined ||
+      ps.contains("BroadcastHashJoin [cid"),
+      s"the self-join must key on cid (cluster-bounded pairing):\n$ps")
+  }
+
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
     val pNorm = finalPlan(q("embedding_norms"))
     assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,

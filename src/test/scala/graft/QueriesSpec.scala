@@ -26,6 +26,14 @@ class QueriesSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("graph_pagerank conserves probability mass (no dangling leakage)") {
+    val total = Queries.byName("graph_pagerank").build(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("rank")).collect().head.getDouble(0)
+    // every nation has out-edges, so after 3 damped rounds the rank vector
+    // still sums to ~1 (up to the 6-dp per-round rounding of N entries)
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted: $total")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()

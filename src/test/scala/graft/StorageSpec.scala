@@ -30,6 +30,39 @@ class StorageSpec extends SparkSpec {
     assert(back.count() == expected)
   }
 
+  test("data skipping: footer index prunes to a strict subset; pruned read touches only kept files") {
+    import graft.ops.LayoutOps
+    val dir = tmp("graft-skip")
+    Tables.lineitem(spark, sfDir)
+      .repartitionByRange(16, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    val index = LayoutOps.footerRangeIndex(spark, dir, "l_shipdate")
+    assert(index.size >= 8, s"range layout should produce many files, got ${index.size}")
+    assert(index.forall { case (_, mn, mx) =>
+      mn != Long.MinValue && mx != Long.MaxValue && mn <= mx },
+      "every footer must carry real min/max stats for the cluster column")
+    def micros(iso: String): Long =
+      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    val kept = LayoutOps.pruneByRange(index,
+      micros("1995-06-01"), micros("1995-09-01") - 1L)
+    assert(kept.nonEmpty && kept.size < index.size,
+      s"a 3-month box over 7 years must skip files: kept ${kept.size}/${index.size}")
+    // the pruned read really only opens the kept files
+    val pruned = spark.read.parquet(kept: _*)
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+    def norm(p: String) = p.replaceFirst("^file:/+", "/")
+    assert(pruned.inputFiles.map(norm).toSet.subsetOf(kept.map(norm).toSet),
+      s"pruned read must open only kept files:\n${pruned.inputFiles.mkString("\n")}")
+    // lossless: pruned result == full-scan result
+    val full = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-09-01").cast("timestamp")).count()
+    assert(pruned.count() == full, "skipping must be lossless")
+  }
+
   test("idempotent DDL: CREATE TABLE IF NOT EXISTS + mode(ignore) writes") {
     val dir = tmp("graft-ddl")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
