@@ -474,6 +474,30 @@ object RelationalQueries {
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_customers"))
   }
 
+  /** A4d `sketch_count_min`: the mergeable FREQUENCY sketch beside A4c's
+    * distinct sketch — a Count-Min over the fact's part key (eps 0.1%,
+    * conf 99%, fixed seed), probed for the 20 hottest exact keys. CMS
+    * counters are commutative sums, so the distributed merge is
+    * order-independent and the estimates fully deterministic — but
+    * engine-specific, so rows-only by design (SketchSpec property-tests
+    * the CMS guarantee: est ≥ exact, overshoot ≤ eps·N). At 100 TB the
+    * sketch is the heavy-hitter path: a few KB summarize the key-frequency
+    * shape of the whole table and merge across any partitioning. */
+  private def sketchCountMin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val bytes = li.select(expr(
+      "count_min_sketch(l_partkey, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+      .as("cms")).collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+    import s.implicits._
+    top.toSeq.toDF("l_partkey", "exact_cnt", "est_cnt")
+      .orderBy("l_partkey")
+  }
+
   /** A5b `agg_cube`: full cube over two low-cardinality dims. */
   private def aggCube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -1272,6 +1296,7 @@ object RelationalQueries {
     "tpch_q6" -> Q(tpchQ6, Some(tpchQ6Sql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),
+    "sketch_count_min" -> Q(sketchCountMin, None),
     "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),
     "unpivot_metrics" -> Q(unpivotMetrics, Some(unpivotMetricsSql)),
     "scd2_intervals" -> Q(scd2Intervals, Some(scd2IntervalsSql)),

@@ -109,4 +109,16 @@ class EdgeCasesSpec extends SparkSpec {
     val row = Queries.byName("agg_hll_mergeable").build(spark, sfDir).collect()(0)
     assert(row.getLong(0) >= 1 && row.getLong(1) == merged)
   }
+
+  test("sketch_count_min: CMS estimates obey the sketch guarantee (est >= exact, overshoot <= eps*N)") {
+    val rows = Queries.byName("sketch_count_min").build(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val n = Tables.lineitem(spark, sfDir).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS can never undercount: key ${r.getLong(0)} est $est < exact $exact")
+      assert(est - exact <= 0.001 * n,
+        s"overshoot ${est - exact} beyond eps*N at key ${r.getLong(0)}")
+    }
+  }
 }
