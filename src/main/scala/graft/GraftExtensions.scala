@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{FloatVectorCosine, FloatVectorDot, LongVectorDot, MinhashSig}
+import graft.functions.{FloatVectorCosine, FloatVectorDot, LongVectorDot, MinhashSig, VecNearestCid}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available to any session built with
@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_qdot"), LongVectorDot.info, LongVectorDot.builder))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"), MinhashSig.info, MinhashSig.builder))
+    ext.injectFunction((
+      FunctionIdentifier("vec_nearest_cid"), VecNearestCid.info,
+      VecNearestCid.builder))
     ext.injectFunction((
       FunctionIdentifier("asof_match"), graft.plans.AsOfMatch.info,
       graft.plans.AsOfMatch.builder))

@@ -87,6 +87,12 @@ object Tables {
         graft.functions.LongVectorDot.info,
         graft.functions.LongVectorDot.builder)
     }
+    registerIfAbsent("vec_nearest_cid") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_nearest_cid"),
+        graft.functions.VecNearestCid.info,
+        graft.functions.VecNearestCid.builder)
+    }
     // term_match: one-pass dictionary-match Generator over the skill taxonomy
     registerIfAbsent("term_match") {
       reg.registerFunction(

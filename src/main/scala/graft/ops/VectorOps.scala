@@ -151,9 +151,23 @@ object VectorOps {
       lit(0.0d), (acc, t) => acc + t)
 
   /** Map-only nearest-centroid under the exact fold distance (ties → lower
-    * cid, via struct ordering): the corpus streams through k per-row folds,
-    * no join, no shuffle, no row amplification. */
-  def assignExact(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    * cid): the corpus streams through one native codegen argmin
+    * ([[graft.functions.VecNearestCid]] — the centroid matrix rides the
+    * plan as an array<array<double>> literal), no join, no shuffle, no row
+    * amplification. Requires cids to be exactly 0..k−1 (the literal's
+    * index IS the id), which [[kmeansLloyd]] guarantees. Bit-identical to
+    * [[assignExactHof]] (spec-asserted) — same fold, same tie rule. */
+  def assignExact(emb: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val ordered = cents.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices, "cids must be 0..k-1")
+    graft.functions.VecNearestCid(emb, typedLit(ordered.map(_._2)))
+  }
+
+  /** The higher-order-function formulation of [[assignExact]] — kept as the
+    * executable spec of the native expression's semantics (per-element
+    * lambda dispatch makes it ~10× slower on the assignment scan, so the
+    * query path uses the codegen form). */
+  def assignExactHof(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
     array_min(array(cents.map { case (cid, v) =>
       struct(exactDist2(emb, v).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")

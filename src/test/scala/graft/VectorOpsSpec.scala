@@ -148,6 +148,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall > 0.2, s"recall $recall vs exact all-pairs")
   }
 
+  test("native vec_nearest_cid assignment is bit-identical to the HOF argmin fold") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = VectorOps.kmeansLloyd(e, 8, 1)
+    val diff = e.select(
+      VectorOps.assignExact(col("embedding"), cents).as("native"),
+      VectorOps.assignExactHof(col("embedding"), cents).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff rows disagree between native and HOF assignment")
+  }
+
   test("centroid UDAF equals manual element-wise average") {
     val df = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 20f)))
       .toDF("label", "embedding")
