@@ -127,8 +127,47 @@ object EventQueries {
       |      > (s.n * s.s2 - s.s1 * s.s1) * 4
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  // ---- exponential moving average ------------------------------------------
+
+  /** `ts_ewma`: per-user exponentially-weighted average of event values —
+    * the decay-feature op of feature engineering (recent activity counts
+    * more). The recurrence s ← 0.8·s + 0.2·x is inherently ordered, so it
+    * runs as a LEFT FOLD over the user's (ts, event_id)-sorted values,
+    * seeded with the first element — exactly DuckDB's seedless
+    * `list_reduce`, making the doubles bit-identical before the final
+    * 6-dp round. One keyed shuffle; per-user state is the bounded event
+    * list (the streaming twin would carry s in mapGroupsWithState with
+    * O(1) state). Decay constants enter both engines as independent
+    * decimal literals. */
+  private def tsEwma(s: SparkSession, d: String): DataFrame = {
+    val vals = transform(
+      sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+      e => e.getField("value").cast("double"))
+    events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), vals.as("vals"))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(
+          slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+          element_at(col("vals"), 1),
+          (acc, x) => lit(0.8) * acc + lit(0.2) * x), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  private val tsEwmaSql =
+    """WITH seq AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |       round(list_reduce(vals,
+      |         (s, x) -> CAST(0.8 AS DOUBLE) * s + CAST(0.2 AS DOUBLE) * x), 6)
+      |         AS ewma
+      |FROM seq ORDER BY user_id""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),
-    "anomaly_zscore" -> Q(anomalyZscore, Some(anomalyZscoreSql)))
+    "anomaly_zscore" -> Q(anomalyZscore, Some(anomalyZscoreSql)),
+    "ts_ewma" -> Q(tsEwma, Some(tsEwmaSql)))
 }
