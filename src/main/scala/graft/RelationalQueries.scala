@@ -206,6 +206,36 @@ object RelationalQueries {
       |                AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** J7b `join_range_binned`: the interval join at SCALE — 125 overlapping
+    * price bands (too many to nested-loop against every fact row at 100 TB)
+    * joined to orders through [[graft.ops.RangeJoinOps.binnedRangeJoin]]:
+    * intervals explode to their covering bins, facts map to one bin, ONE
+    * equi shuffle on the bin id + exact re-check. The oracle is the plain
+    * inequality join, proving the binning rewrite is lossless; the plan
+    * audit proves no nested loop survives. */
+  private def rangeBinned(s: SparkSession, d: String): DataFrame = {
+    val intervals = s.range(125).select(col("id").as("band_id"),
+      (col("id") * 4000).cast("double").as("lo"),
+      (col("id") * 4000 + 8000).cast("double").as("hi"))
+    graft.ops.RangeJoinOps.binnedRangeJoin(
+        orders(s, d), col("o_totalprice"), intervals,
+        col("lo"), col("hi"), binWidth = 4000L)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_value"))
+      .orderBy("band_id")
+  }
+
+  private val rangeBinnedSql =
+    """WITH intervals AS (
+      |  SELECT i AS band_id, CAST(i * 4000 AS DOUBLE) AS lo,
+      |         CAST(i * 4000 + 8000 AS DOUBLE) AS hi
+      |  FROM range(0, 125) t(i))
+      |SELECT band_id, count(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS band_value
+      |FROM orders JOIN intervals
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
   /** J7 `join_range_bands`: salary-band theta join (database.py:61-62 bands).
     * Bands are a tiny literal dim → broadcast nested-loop, the right plan;
     * at scale the fact side still streams through without a shuffle. */
@@ -1286,6 +1316,7 @@ object RelationalQueries {
     "join_left_outer" -> Q(leftOuter, Some(leftOuterSql)),
     "join_left_semi" -> Q(leftSemi, Some(leftSemiSql)),
     "join_range_bands" -> Q(rangeBands, Some(rangeBandsSql)),
+    "join_range_binned" -> Q(rangeBinned, Some(rangeBinnedSql)),
     "join_asof_latest" -> Q(asofLatest, Some(asofLatestSql)),
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),

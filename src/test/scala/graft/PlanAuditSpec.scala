@@ -353,6 +353,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("join_range_binned: the interval join is ONE bin-keyed equi join — no nested loop survives") {
+    val p = finalPlan(q("join_range_binned"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the binning rewrite must replace the inequality nested loop:\n$p")
+    assert(p.contains("__bin"), s"the equi join must key on the bin id:\n$p")
+  }
+
   test("tpch_q6: all three predicates reach the parquet scan") {
     val p = plan(q("tpch_q6"))
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
