@@ -228,10 +228,23 @@ object ScaleProbe {
       ranks.count()
     }
 
+    // binned range join vs the nested-loop plan it replaces: same 125
+    // overlapping intervals, fact side grows — the binned form pays one
+    // bin-keyed shuffle (linear), the BNLJ pays |F|·|I| probes.
+    val rjIntervals = spark.range(125).select(col("id").as("band_id"),
+      (col("id") * 4000).cast("double").as("lo"),
+      (col("id") * 4000 + 8000).cast("double").as("hi")).localCheckpoint()
+    def rangeBinned(o: DataFrame): Long =
+      graft.ops.RangeJoinOps.binnedRangeJoin(o, col("o_totalprice"),
+        rjIntervals, col("lo"), col("hi"), 4000L).count()
+    def rangeBnl(o: DataFrame): Long =
+      o.join(broadcast(rjIntervals),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi")).count()
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
-    kmeans(e1); semdedup(e1); pagerank(o1, li1)
+    kmeans(e1); semdedup(e1); pagerank(o1, li1); rangeBinned(o1); rangeBnl(o1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -259,6 +272,10 @@ object ScaleProbe {
         time(semdedup(e1)), time(semdedup(eN))),
       ("pagerank: fact-join edges + 3 rounds",
         time(pagerank(o1, li1)), time(pagerank(oN, liN))),
+      ("range join binned (125 intervals)",
+        time(rangeBinned(o1)), time(rangeBinned(oN))),
+      ("range join nested-loop (the plan binning replaces)",
+        time(rangeBnl(o1)), time(rangeBnl(oN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
