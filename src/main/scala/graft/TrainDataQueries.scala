@@ -110,6 +110,42 @@ object TrainDataQueries {
       |  count(*) AS total
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // ---- N6b sample_weighted: deterministic weighted reservoir ----------------
+
+  /** Distributed weighted sampling (Efraimidis–Spirakis A-Res): top-5 docs
+    * per language by key u^(1/w), w = n_chars — longer docs proportionally
+    * likelier, yet every engine/retry picks the SAME sample. u comes from a
+    * pure-integer Knuth multiplicative hash of doc_id (exact in any
+    * engine); the only libm op (pow) is rounded to 6 dp BEFORE ranking
+    * (the tfidf round-before-rank rule) with doc_id as the tiebreak. One
+    * scan + one per-stratum top-k window — the W1-bounded shape, never a
+    * global sort. */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+      .cast("double") / lit(2147483647.0)
+    val key = round(pow(u, lit(1.0) / col("n_chars")), 6)
+    val w = Window.partitionBy("lang").orderBy(col("key").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"), key.as("key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  private val sampleWeightedSql =
+    """WITH k AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         round(pow(((doc_id * 2654435761) % 2147483647)
+      |                     / CAST(2147483647 AS DOUBLE),
+      |                   CAST(1 AS DOUBLE) / n_chars), 6) AS key
+      |  FROM documents)
+      |SELECT lang, doc_id, n_chars, key, rn FROM (
+      |  SELECT k.*, row_number() OVER (PARTITION BY lang
+      |                                 ORDER BY key DESC, doc_id) AS rn
+      |  FROM k)
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
   // ---- N7 pack_sequences: token-budget packing -----------------------------
 
   /** Contiguous sequence packing: per language stream, docs in id order
@@ -386,6 +422,7 @@ object TrainDataQueries {
   def all: Seq[(String, Q)] = Seq(
     "decontam_overlap" -> Q(decontamOverlap, Some(decontamOverlapSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
+    "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
     "pack_sequences" -> Q(packSequences, Some(packSequencesSql)),
     "repetition_ratio" -> Q(repetitionRatio, Some(repetitionRatioSql)),
     "tfidf_topk" -> Q(tfidfTopk, Some(tfidfTopkSql)),

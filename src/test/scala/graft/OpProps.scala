@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{RangeJoinOps, VectorOps}
+
+/** Property suite for the round-6 operators: each distributed form must
+  * agree with a trivially-correct driver-side reference on arbitrary random
+  * inputs.
+  */
+object OpProps extends Properties("graft.ops6") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val pointGen = Gen.choose(0.0, 100.0).map(x => math.rint(x * 100) / 100)
+  private val intervalGen = for {
+    lo <- Gen.choose(0.0, 90.0).map(x => math.rint(x * 100) / 100)
+    len <- Gen.choose(0.5, 25.0).map(x => math.rint(x * 100) / 100)
+  } yield (lo, lo + len)
+
+  property("binnedRangeJoin equals the brute-force inequality join") =
+    forAll(Gen.listOfN(30, pointGen), Gen.listOfN(12, intervalGen)) { (xs, ivs) =>
+      val fact = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("fid", "x")
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = RangeJoinOps.binnedRangeJoin(fact, col("x"), intervals,
+          col("lo"), col("hi"), binWidth = 7L)
+        .select("fid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (x, i) <- xs.zipWithIndex
+        ((lo, hi), j) <- ivs.zipWithIndex if x >= lo && x < hi
+      } yield (i.toLong, j.toLong)).toSet
+      got == expected
+    }
+
+  private val vecGen = Gen.listOfN(8, Gen.choose(-4.0, 4.0).map(_.toFloat))
+
+  property("vec_nearest_cid equals the driver-side exact argmin") =
+    forAll(Gen.listOfN(12, vecGen), Gen.chooseNum(2, 5)) { (vecs, k0) =>
+      val k = math.min(k0, vecs.size)
+      val cents: Seq[(Int, Seq[Double])] = vecs.take(k)
+        .map(v => v.map(_.toDouble).toSeq).zipWithIndex.map(_.swap)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = df.select(col("vec_id"),
+          VectorOps.assignExact(col("embedding"), cents).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expected = vecs.zipWithIndex.map { case (v, i) =>
+        val ds = cents.map { case (cid, c) =>
+          val d = v.zip(c).foldLeft(0.0) { case (acc, (x, cc)) =>
+            acc + (x.toDouble - cc) * (x.toDouble - cc)
+          }
+          (d, cid)
+        }
+        i.toLong -> ds.min._2
+      }.toMap
+      got == expected
+    }
+
+  property("ts_ewma fold equals the driver-side recurrence") =
+    forAll(Gen.listOfN(9, Gen.choose(0.0, 50.0).map(x => math.rint(x * 100) / 100))) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(1704067200000L + i * 60000L), i.toLong, v)
+      }.toDF("user_id", "ts", "event_id", "value")
+      df.createOrReplaceTempView("v_ewma_prop")
+      val got = spark.sql(
+        """SELECT round(aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),
+          |  element_at(vals, 1), (s, x) -> 0.8D * s + 0.2D * x), 6) AS e FROM (
+          |  SELECT transform(sort_array(collect_list(struct(ts, event_id, value))),
+          |                   e -> CAST(e.value AS DOUBLE)) AS vals
+          |  FROM v_ewma_prop GROUP BY user_id)""".stripMargin)
+        .collect().head.getDouble(0)
+      val expected = BigDecimal(vals.tail.foldLeft(vals.head)((s, x) => 0.8 * s + 0.2 * x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got == expected
+    }
+}
