@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfMarkerJoin)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBinnedRangeJoin)
   }
 }

@@ -236,6 +236,25 @@ object RelationalQueries {
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band_id ORDER BY band_id""".stripMargin
 
+  /** J7c `join_range_auto`: the SAME plain inequality join a user would
+    * write naively — no manual binning — rewritten to the binned equi plan
+    * by the [[graft.plans.RewriteBinnedRangeJoin]] optimizer rule
+    * (enabled by the binWidth conf; fires only on hint-less pure band
+    * joins). Same oracle as `join_range_binned`: the rewrite is invisible
+    * to results, visible only in the plan (audited: no nested loop). */
+  private def rangeAuto(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.graft.rangeJoin.binWidth", "4000")
+    val intervals = s.range(125).select(col("id").as("band_id"),
+      (col("id") * 4000).cast("double").as("lo"),
+      (col("id") * 4000 + 8000).cast("double").as("hi"))
+    orders(s, d)
+      .join(intervals,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_value"))
+      .orderBy("band_id")
+  }
+
   /** J7 `join_range_bands`: salary-band theta join (database.py:61-62 bands).
     * Bands are a tiny literal dim → broadcast nested-loop, the right plan;
     * at scale the fact side still streams through without a shuffle. */
@@ -1317,6 +1336,7 @@ object RelationalQueries {
     "join_left_semi" -> Q(leftSemi, Some(leftSemiSql)),
     "join_range_bands" -> Q(rangeBands, Some(rangeBandsSql)),
     "join_range_binned" -> Q(rangeBinned, Some(rangeBinnedSql)),
+    "join_range_auto" -> Q(rangeAuto, Some(rangeBinnedSql)),
     "join_asof_latest" -> Q(asofLatest, Some(asofLatestSql)),
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),

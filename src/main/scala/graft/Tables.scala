@@ -124,6 +124,8 @@ object Tables {
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
     if (!exp.extraOptimizations.contains(graft.plans.PruneColumnsThroughAsOfJoin))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PruneColumnsThroughAsOfJoin
+    if (!exp.extraOptimizations.contains(graft.plans.RewriteBinnedRangeJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.RewriteBinnedRangeJoin
     spark
   }
 

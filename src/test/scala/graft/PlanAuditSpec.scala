@@ -360,6 +360,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__bin"), s"the equi join must key on the bin id:\n$p")
   }
 
+  test("RewriteBinnedRangeJoin: the naive inequality join is auto-rewritten; hinted band join is left alone") {
+    val pa = finalPlan(q("join_range_auto"))
+    assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"),
+      s"the optimizer rule must bin the naive band join:\n$pa")
+    assert(pa.contains("__bin_l") && pa.contains("__bin_r"),
+      s"expected the rule's bin keys in the join:\n$pa")
+    // the 3-row broadcast-hinted dim keeps its nested loop — that IS the
+    // right plan for a tiny dim, and the hint guard must respect it
+    val pb = finalPlan(q("join_range_bands"))
+    assert(pb.contains("BroadcastNestedLoopJoin"),
+      s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
+  }
+
   test("tpch_q6: all three predicates reach the parquet scan") {
     val p = plan(q("tpch_q6"))
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
