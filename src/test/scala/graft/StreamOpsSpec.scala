@@ -116,6 +116,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("state-backend agnostic: RocksDB provider reproduces the default provider's results") {
+    // the 100 TB state backend is RocksDB (bounded heap, spill-to-disk);
+    // windowed agg + stream-stream join state must be provider-independent
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def runBoth(name: String): Set[Any] = {
+      val mem = MemoryStream[Ev](spark)
+      mem.addData(evs: _*)
+      val q = StreamOps.tumblingCounts(mem.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect().map(_.toSeq).toSet[Any]
+    }
+    val withDefault = runBoth("t_backend_default")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val withRocks = runBoth("t_backend_rocksdb")
+      assert(withRocks == withDefault,
+        s"RocksDB state store changed results:\n$withRocks\nvs\n$withDefault")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits closed sessions only") {
     val mem = MemoryStream[Ev](spark)
     mem.addData(evs: _*)
