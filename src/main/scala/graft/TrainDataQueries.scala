@@ -342,6 +342,59 @@ object TrainDataQueries {
        |SELECT doc_id, reasons = '' AS keep, reasons FROM r
        |ORDER BY doc_id""".stripMargin
 
+  // ---- N11b curation_e2e: the whole curation pipeline, one oracle ----------
+
+  /** `curation_e2e`: gate → exact-dedup → stratified-sample as ONE query
+    * with ONE DuckDB oracle — the "a user can run the whole pipeline and
+    * get engine-identical output" statement (each stage is also proven
+    * standalone: quality_gate, dedup_exact, sample_stratified).
+    *
+    * 100 TB shape: the gate is scan-shaped (per-row expressions only, no
+    * shuffle); dedup costs one hash shuffle on the normalized-text key
+    * with the surviving ids rejoined as a broadcast semi join (bare longs,
+    * tiny next to text); the sample is a map-side hash gate; the report is
+    * one keyed agg. Net: ONE corpus-sized shuffle end to end. */
+  private def curationE2e(s: SparkSession, d: String): DataFrame = {
+    val gated = documents(s, d)
+      .filter(qualityReasonsOf(col("text")) === "")
+      .withColumn("nt", graft.ops.DedupOps.normalizedText(col("text")))
+    val keepers = gated.groupBy("nt").agg(min("doc_id").as("doc_id"))
+    val kept = gated.join(broadcast(keepers.select("doc_id")), Seq("doc_id"), "left_semi")
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val thresh = when(col("lang") === "en", lit("8")).otherwise(lit("4"))
+    kept.filter(h < thresh)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+"))).cast("long").as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  private val curationE2eSql =
+    s"""WITH ${gramsCte(3)},
+       |m AS (
+       |  SELECT g.doc_id,
+       |    len(t.t) AS n, len(list_distinct(t.t)) AS nd,
+       |    CAST(list_sum(list_transform(t.t, x -> length(x))) AS BIGINT) AS sumlen,
+       |    len(g.grams) AS ngr, len(list_distinct(g.grams)) AS ngd
+       |  FROM gramsrc g JOIN toksrc t USING (doc_id)),
+       |gated AS (
+       |  SELECT doc_id FROM m
+       |  WHERE NOT (nd * 5 < n * 2) AND NOT ((ngr - ngd) * 5 > ngr)
+       |    AND NOT (n < 20) AND NOT (sumlen < n * 3 OR sumlen > n * 10)),
+       |norm AS (
+       |  SELECT d.doc_id, d.lang, d.text,
+       |    trim(regexp_replace(regexp_replace(d.text, '\\bdup\\b', ' ', 'g'),
+       |                        '\\s+', ' ', 'g')) AS nt
+       |  FROM documents d JOIN gated g USING (doc_id)),
+       |keep AS (SELECT nt, min(doc_id) AS doc_id FROM norm GROUP BY 1),
+       |sampled AS (
+       |  SELECT n.lang, n.text FROM norm n JOIN keep k ON n.doc_id = k.doc_id
+       |  WHERE substring(md5(CAST(n.doc_id AS VARCHAR)), 1, 1)
+       |        < CASE WHEN n.lang = 'en' THEN '8' ELSE '4' END)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM sampled GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- N13 corpus_report: the single-scan mixture dashboard ----------------
 
   /** The "what does my training mix look like" report: per language, doc
@@ -423,6 +476,7 @@ object TrainDataQueries {
     "decontam_overlap" -> Q(decontamOverlap, Some(decontamOverlapSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
     "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
+    "curation_e2e" -> Q(curationE2e, Some(curationE2eSql)),
     "pack_sequences" -> Q(packSequences, Some(packSequencesSql)),
     "repetition_ratio" -> Q(repetitionRatio, Some(repetitionRatioSql)),
     "tfidf_topk" -> Q(tfidfTopk, Some(tfidfTopkSql)),
