@@ -373,6 +373,18 @@ class PlanAuditSpec extends SparkSpec {
       s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
   }
 
+  test("curation_e2e: one corpus-sized shuffle end to end; survivors rejoin by broadcast") {
+    val p = finalPlan(q("curation_e2e"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the only joins are broadcast semi (surviving ids are bare longs):\n$p")
+    // corpus-sized exchanges: the dedup group-by on nt and the final lang agg
+    // (plus their partial stages) — no more
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"pipeline must not re-shuffle the corpus per stage (got $exchanges):\n$p")
+    assert(p.contains("partial_count"), s"aggregates must map-side combine:\n$p")
+  }
+
   test("tpch_q6: all three predicates reach the parquet scan") {
     val p = plan(q("tpch_q6"))
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
