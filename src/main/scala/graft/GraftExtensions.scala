@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_nearest_cid"), VecNearestCid.info,
       VecNearestCid.builder))
     ext.injectFunction((
+      FunctionIdentifier("word_grams"), graft.functions.WordGrams.info,
+      graft.functions.WordGrams.builder))
+    ext.injectFunction((
       FunctionIdentifier("asof_match"), graft.plans.AsOfMatch.info,
       graft.plans.AsOfMatch.builder))
     // whole-operator extension: as-of join (logical node + SQL marker

@@ -87,6 +87,12 @@ object Tables {
         graft.functions.LongVectorDot.info,
         graft.functions.LongVectorDot.builder)
     }
+    registerIfAbsent("word_grams") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("word_grams"),
+        graft.functions.WordGrams.info,
+        graft.functions.WordGrams.builder)
+    }
     registerIfAbsent("vec_nearest_cid") {
       reg.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_nearest_cid"),

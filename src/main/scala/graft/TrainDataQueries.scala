@@ -22,14 +22,14 @@ object TrainDataQueries {
 
   /** Word n-grams of a text column as strings ("tok1 tok2 ... tokN"),
     * empty when the doc is shorter than n. Pure per-row array math — no
-    * shuffle. Shared with the streaming form (StreamOps.decontamStream). */
-  private[graft] def gramsOf(text: Column, n: Int): Column = {
-    val t = split(lower(text), "\\s+")
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * shuffle. Shared with the streaming form (StreamOps.decontamStream).
+    * Since r06 the gram build is the native codegen expression
+    * [[graft.functions.WordGrams]] — byte-identical output to the old
+    * `transform(sequence, array_join(slice))` HOF, without its interpreted
+    * per-element lambda dispatch (the gram build dominated every
+    * gate/decontam-shaped corpus pass). */
+  private[graft] def gramsOf(text: Column, n: Int): Column =
+    graft.functions.WordGrams(split(lower(text), "\\s+"), n)
 
   private def grams(n: Int): Column = gramsOf(col("text"), n)
 
@@ -354,12 +354,47 @@ object TrainDataQueries {
     * with the surviving ids rejoined as a broadcast semi join (bare longs,
     * tiny next to text); the sample is a map-side hash gate; the report is
     * one keyed agg. Net: ONE corpus-sized shuffle end to end. */
+  /** The gate as a STAGED filter. [[qualityReasonsOf]] is one expression
+    * tree whose subtrees re-tokenize the doc ~12× per evaluation —
+    * higher-order functions run interpreted, where there is NO common-
+    * subexpression elimination (measured 1.2 ms/doc: the whole sf0.1 gate
+    * pass was 6.1 s). Staging tokens → grams → rule stats as materialized
+    * columns makes each run once; the nondeterministic `__b` columns are
+    * deliberate pushdown barriers — predicate pushdown SUBSTITUTES aliases
+    * while pushing through any deterministic Project, which would inline
+    * the staging right back into one big per-row expression. Results are
+    * identical to `qualityReasonsOf === ""` (spec-asserted). */
+  private[graft] def gateKeepStaged(df: DataFrame): DataFrame = {
+    val t = split(lower(col("text")), "\\s+")
+    val g = graft.functions.WordGrams(col("__t"), 3)
+    df.select(col("*"), t.as("__t"), monotonically_increasing_id().as("__b1"))
+      .select(col("*"), g.as("__g"),
+        size(col("__t")).as("__n"),
+        size(array_distinct(col("__t"))).as("__nd"),
+        aggregate(col("__t"), lit(0L), (acc, x) => acc + length(x)).as("__sumlen"),
+        monotonically_increasing_id().as("__b2"))
+      .select(col("*"), size(col("__g")).as("__ngr"),
+        size(array_distinct(col("__g"))).as("__ngd"),
+        monotonically_increasing_id().as("__b3"))
+      .filter(!(col("__nd") * 5 < col("__n") * 2) &&
+        !((col("__ngr") - col("__ngd")) * 5 > col("__ngr")) &&
+        !(col("__n") < 20) &&
+        !(col("__sumlen") < col("__n") * 3 || col("__sumlen") > col("__n") * 10))
+      .drop("__t", "__g", "__n", "__nd", "__ngr", "__ngd", "__sumlen",
+        "__b1", "__b2", "__b3")
+  }
+
   private def curationE2e(s: SparkSession, d: String): DataFrame = {
-    val gated = documents(s, d)
-      .filter(qualityReasonsOf(col("text")) === "")
+    val gated = gateKeepStaged(fanOut(documents(s, d)))
       .withColumn("nt", graft.ops.DedupOps.normalizedText(col("text")))
-    val keepers = gated.groupBy("nt").agg(min("doc_id").as("doc_id"))
-    val kept = gated.join(broadcast(keepers.select("doc_id")), Seq("doc_id"), "left_semi")
+    // keep-lowest per normalized text as a single-pass argmin aggregate:
+    // a min-ids + semi-join-back formulation would re-evaluate the whole
+    // gate stage for the second branch (plans are trees, not DAGs)
+    val kept = gated.groupBy("nt")
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("text")),
+        col("doc_id")).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.text").as("text"))
     val h = substring(md5(col("doc_id").cast("string")), 1, 1)
     val thresh = when(col("lang") === "en", lit("8")).otherwise(lit("4"))
     kept.filter(h < thresh)
