@@ -42,11 +42,22 @@ object Bench {
     // regressions undiagnosable across rounds (see BENCH_HISTORY.md).
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").trim.toInt)
       .getOrElse(3).max(1)
+    // Materialize FULL rows of the query's own plan (toRdd.count), not
+    // df.count(): count() plans a new aggregate through which Catalyst
+    // prunes every unconsumed column — a projection-heavy query could
+    // "run" without ever evaluating its payload expressions (quality_gate
+    // measured 0.3s under count() vs ~6s when its output was actually
+    // consumed; found via the r06 curation_e2e investigation). toRdd
+    // executes the exact optimized plan and writes every output column
+    // into UnsafeRows, which is what a real consumer pays. (r06 protocol
+    // change — see BENCH_HISTORY.md.)
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // true median: average the two middle elements when reps is even

@@ -46,7 +46,10 @@ object ParseQueries {
           lpad(q.cast("string"), 2, "0"), lit(" zł/h")))
       .otherwise(lit("Do negocjacji"))
     val (mn, mx) = ParseOps.salaryParse(text)
-    o.select(col("o_orderkey"), mn.as("salary_min"), mx.as("salary_max"))
+    // fanOut: the one-row-group testdata would otherwise run the whole
+    // regex chain in a single task (at real scale file splits parallelize)
+    fanOut(o.select(col("o_orderkey")))
+      .select(col("o_orderkey"), mn.as("salary_min"), mx.as("salary_max"))
       .orderBy("o_orderkey")
   }
 
@@ -260,7 +263,9 @@ object ParseQueries {
       lit("</h1><div data-test=\"text-earningAmount\">"),
       a.cast("string"), lit("–"), (a + 4000).cast("string"),
       lit(" zł</div></html>"))
-    val page = orders(s, d).select(col("o_orderkey"), html.as("html"))
+    // fanOut before the synthesize+parse chain (single-row-group testdata)
+    val page = fanOut(orders(s, d).select(col("o_orderkey")))
+      .select(col("o_orderkey"), html.as("html"))
     val (mn, mx) = ParseOps.salaryParse(graft.ops.HtmlOps.earningAmount(col("html")))
     page.select(col("o_orderkey"),
         graft.ops.HtmlOps.positionName(col("html")).as("title"),

@@ -23,9 +23,12 @@ object ProbeQ {
           println(s"[probeq] SKIP unknown query '$n' — known: " +
             Queries.byName.keys.toSeq.sorted.mkString(", "))
         case Some(q) =>
-          q.build(spark, d).count()
+          // full-row materialization, same protocol as Bench (count() would
+          // let Catalyst prune unconsumed projected expressions)
+          def run(): Long = q.build(spark, d).queryExecution.toRdd.count()
+          run()
           val ts = (1 to 3).map { _ =>
-            val t0 = System.nanoTime(); q.build(spark, d).count()
+            val t0 = System.nanoTime(); run()
             (System.nanoTime() - t0) / 1e9
           }.sorted
           println(f"[probeq] $n%-28s med=${ts(1)}%6.2f s  min=${ts.head}%6.2f s")
