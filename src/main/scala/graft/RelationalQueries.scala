@@ -576,6 +576,25 @@ object RelationalQueries {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** A6c `sketch_percentiles`: the 100 TB percentile path realized — the
+    * Greenwald-Khanna sketch (`approx_percentile`, accuracy 10000 ⇒ rank
+    * error ≤ 1/10000) per group. Mergeable partial sketches, bounded
+    * memory, one pass — vs A6b's exact sort-based form whose per-group
+    * buffer is O(group). Rows-only by design (the sketch's picked sample
+    * is engine-specific); EdgeCasesSpec property-tests the rank-error
+    * guarantee against the exact percentiles. */
+  private def sketchPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        col("approx")(0).as("p50"), col("approx")(1).as("p90"),
+        col("approx")(2).as("p99"), col("cnt"))
+      .orderBy("l_returnflag")
+
   private val aggPercentilesSql =
     """SELECT l_returnflag,
       |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
@@ -1358,6 +1377,7 @@ object RelationalQueries {
     "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),
     "agg_approx_distinct" -> Q(aggApproxDistinct, None),
     "agg_percentiles" -> Q(aggPercentiles, Some(aggPercentilesSql)),
+    "sketch_percentiles" -> Q(sketchPercentiles, None),
     "agg_rollup" -> Q(aggRollup, Some(aggRollupSql)),
     "agg_cube" -> Q(aggCube, Some(aggCubeSql)),
     "upsert_dedup" -> Q(upsertDedup, Some(upsertDedupSql)),

@@ -110,6 +110,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(row.getLong(0) >= 1 && row.getLong(1) == merged)
   }
 
+  test("sketch_percentiles: GK sketch lands within its rank-error bound of the exact percentiles") {
+    val approx = Queries.byName("sketch_percentiles").build(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Queries.byName("agg_percentiles").build(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // accuracy 10000 => rank error <= 1e-4; on this value range a loose
+    // VALUE tolerance of 2% of the exact percentile is far outside the
+    // possible rank drift and still catches a broken sketch
+    for ((k, (e50, e90, e99)) <- exact) {
+      val (a50, a90, a99) = approx(k)
+      for (((a, e), tag) <- Seq((a50, e50) -> "p50", (a90, e90) -> "p90", (a99, e99) -> "p99")) {
+        assert(math.abs(a - e) <= 0.02 * e, s"$k $tag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("sketch_count_min: CMS estimates obey the sketch guarantee (est >= exact, overshoot <= eps*N)") {
     val rows = Queries.byName("sketch_count_min").build(spark, sfDir).collect()
     assert(rows.length == 20)
