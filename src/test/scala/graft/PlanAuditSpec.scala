@@ -373,6 +373,12 @@ class PlanAuditSpec extends SparkSpec {
       s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
   }
 
+  test("record_linkage: candidate pairs exist only within blocks — no all-pairs join") {
+    val p = finalPlan(q("record_linkage"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must be blocked (join on blk), never records²:\n$p")
+  }
+
   test("curation_e2e: one corpus-sized shuffle end to end; survivors rejoin by broadcast") {
     val p = finalPlan(q("curation_e2e"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
