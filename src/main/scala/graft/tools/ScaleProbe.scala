@@ -241,10 +241,50 @@ object ScaleProbe {
       o.join(broadcast(rjIntervals),
         col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi")).count()
 
+    // curation pipeline: gate (native word_grams) + argmin dedup + sample +
+    // report — with per-replica text salt dup families stay bounded, so the
+    // one nt-keyed shuffle is the only corpus-sized movement.
+    def curation(docs: DataFrame): Long = {
+      val gated = TrainDataQueries.gateKeepStaged(docs)
+        .withColumn("nt", graft.ops.DedupOps.normalizedText(col("text")))
+      gated.groupBy("nt")
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("text")),
+          col("doc_id")).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+          col("k.text").as("text"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < lit("8"))
+        .groupBy("lang").agg(count(lit(1))).count()
+    }
+    // record linkage with per-replica name salt: blocking keys multiply
+    // with the data (the ER answer to growing blocks — finer keys), so
+    // per-block pair work stays bounded instead of going records².
+    val parts1 = Tables.part(spark, sfDir).localCheckpoint()
+    val partsN = parts1.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+      .withColumn("p_partkey", col("p_partkey") + col("__rep") * 100000000L)
+      .withColumn("p_name", concat(col("__rep"), lit("~"), col("p_name")))
+      .drop("__rep").repartition(64).localCheckpoint()
+    def linkage(p: DataFrame): Long = {
+      val base = p.select((col("p_partkey") * 2).as("rec_id"), col("p_name").as("name"))
+      val variant = p.filter(col("p_partkey") % 3 === 0)
+        .select((col("p_partkey") * 2 + 1).as("rec_id"),
+          concat(substring(col("p_name"), 1, 4),
+            substring(col("p_name"), 6, 1000000)).as("name"))
+      val recs = base.unionAll(variant)
+        .withColumn("blk", substring(col("name"), 1, 4))
+      val a = recs.select(col("blk"), col("rec_id").as("doc_a"), col("name").as("na"))
+      val b = recs.select(col("blk"), col("rec_id").as("doc_b"), col("name").as("nb"))
+      val pairs = a.join(b, "blk")
+        .filter(col("doc_a") < col("doc_b") &&
+          levenshtein(col("na"), col("nb")) <= 2)
+        .select("doc_a", "doc_b")
+      graft.ops.DedupOps.connectedComponents(pairs).count()
+    }
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
     kmeans(e1); semdedup(e1); pagerank(o1, li1); rangeBinned(o1); rangeBnl(o1)
+    curation(d1); linkage(parts1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -276,6 +316,10 @@ object ScaleProbe {
         time(rangeBinned(o1)), time(rangeBinned(oN))),
       ("range join nested-loop (the plan binning replaces)",
         time(rangeBnl(o1)), time(rangeBnl(oN))),
+      ("curation pipeline (gate+dedup+sample)",
+        time(curation(d1)), time(curation(dN))),
+      ("record linkage (salted blocks + CC)",
+        time(linkage(parts1)), time(linkage(partsN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
