@@ -19,12 +19,63 @@ import graft.ops.DedupOps
 object EntityQueries {
   import Tables._
 
+  /** Entity resolution over `(rec_id, name)` records: link within
+    * 4-char-prefix blocks at levenshtein ≤ 2, cluster the link graph,
+    * report each multi-record entity (cluster id = lowest member rec_id).
+    *
+    * The pairwise work runs on the DISTINCT-NAME DICTIONARY, not on
+    * records. Real dirty data is dictionary-heavy — popular exact values
+    * repeat millions of times — and record-level all-pairs blocking goes
+    * quadratic in exactly those hot blocks (measured 29 s at sf0.1 where
+    * 20 000 records share 64 names; 100 TB would never finish). Records
+    * sharing a name are lev-0-linked by definition, so the record graph's
+    * components are exactly the preimage of the name graph's components:
+    * aggregate names once (the only record-scale shuffle, map-side
+    * combined), pair + levenshtein-verify distinct names (bounded 3-arg
+    * band, length prefilter), run CC on name ids, and weight clusters by
+    * name multiplicity. A name's id is its minimum rec_id, so the CC
+    * label is the cluster's global minimum rec_id — same canonical ids as
+    * the record-level graph. Single-record names with no similarity edge
+    * are the one shape with no record-level edge; they are dropped, and
+    * multi-record edgeless names keep their (self-pair) cluster. */
+  /** The distinct-name dictionary: one record-scale aggregation (map-side
+    * combined), everything downstream is dictionary-sized. */
+  def nameDict(records: DataFrame): DataFrame = records
+    .withColumn("blk", substring(col("name"), 1, 4))
+    .groupBy("blk", "name")
+    .agg(count(lit(1)).as("cnt"), min("rec_id").as("name_id"))
+
+  /** Block-scoped levenshtein-verified candidate edges between distinct
+    * names (ids = each name's min rec_id). Exposed so PlanAuditSpec can
+    * audit the pairing plan — the CC loop checkpoints eagerly, so this
+    * subtree is invisible in the final query's plan. */
+  def nameEdges(dict: DataFrame): DataFrame = {
+    val x = dict.select(col("blk"), col("name").as("na"), col("name_id").as("doc_a"))
+    val y = dict.select(col("blk"), col("name").as("nb"), col("name_id").as("doc_b"))
+    x.join(y, "blk")
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(length(col("na")) - length(col("nb"))) <= 2 &&
+        levenshtein(col("na"), col("nb"), 2) >= 0)
+      .select("doc_a", "doc_b")
+  }
+
+  def linkEntities(records: DataFrame): DataFrame = {
+    val dict = nameDict(records)
+    val cc = DedupOps.connectedComponents(nameEdges(dict))
+      .withColumnRenamed("doc_id", "name_id")
+    dict.join(cc, Seq("name_id"), "left")
+      .filter(col("cluster_id").isNotNull || col("cnt") >= 2)
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("name_id")))
+      .groupBy("cluster_id")
+      .agg(sum("cnt").as("n_records"), min("name_id").as("canonical_rec"))
+      .orderBy("cluster_id")
+  }
+
   /** `record_linkage`: part names + a deterministic "typo" variant for
-    * every third part (5th character dropped) are the dirty records; link
-    * within 4-char-prefix blocks at levenshtein ≤ 2, cluster the link
-    * graph, report each multi-record entity with its canonical (lowest)
-    * record id. The oracle replays blocking + levenshtein + a recursive-CTE
-    * closure — linkage output is engine-exact. */
+    * every third part (5th character dropped) are the dirty records. The
+    * oracle replays record-level blocking + levenshtein + a recursive-CTE
+    * closure — the dictionary-level plan must reproduce the record-level
+    * answer engine-exactly. */
   private def recordLinkage(s: SparkSession, d: String): DataFrame = {
     val p = part(s, d)
     val base = p.select((col("p_partkey") * 2).as("rec_id"),
@@ -33,18 +84,7 @@ object EntityQueries {
       .select((col("p_partkey") * 2 + 1).as("rec_id"),
         concat(substring(col("p_name"), 1, 4),
           substring(col("p_name"), 6, 1000000)).as("name"))
-    val recs = base.unionAll(variant)
-      .withColumn("blk", substring(col("name"), 1, 4))
-    val a = recs.select(col("blk"), col("rec_id").as("doc_a"), col("name").as("na"))
-    val b = recs.select(col("blk"), col("rec_id").as("doc_b"), col("name").as("nb"))
-    val pairs = a.join(b, "blk")
-      .filter(col("doc_a") < col("doc_b") &&
-        levenshtein(col("na"), col("nb")) <= 2)
-      .select("doc_a", "doc_b")
-    val cc = DedupOps.connectedComponents(pairs)
-    cc.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_records"), min("doc_id").as("canonical_rec"))
-      .orderBy("cluster_id")
+    linkEntities(base.unionAll(variant))
   }
 
   private val recordLinkageSql =

@@ -269,15 +269,7 @@ object ScaleProbe {
         .select((col("p_partkey") * 2 + 1).as("rec_id"),
           concat(substring(col("p_name"), 1, 4),
             substring(col("p_name"), 6, 1000000)).as("name"))
-      val recs = base.unionAll(variant)
-        .withColumn("blk", substring(col("name"), 1, 4))
-      val a = recs.select(col("blk"), col("rec_id").as("doc_a"), col("name").as("na"))
-      val b = recs.select(col("blk"), col("rec_id").as("doc_b"), col("name").as("nb"))
-      val pairs = a.join(b, "blk")
-        .filter(col("doc_a") < col("doc_b") &&
-          levenshtein(col("na"), col("nb")) <= 2)
-        .select("doc_a", "doc_b")
-      graft.ops.DedupOps.connectedComponents(pairs).count()
+      graft.EntityQueries.linkEntities(base.unionAll(variant)).count()
     }
 
     // warm

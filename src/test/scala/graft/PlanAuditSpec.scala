@@ -373,10 +373,29 @@ class PlanAuditSpec extends SparkSpec {
       s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
   }
 
-  test("record_linkage: candidate pairs exist only within blocks — no all-pairs join") {
-    val p = finalPlan(q("record_linkage"))
+  test("record_linkage: lev verify pairs only within blocks, over the name dictionary") {
+    // The CC loop checkpoints eagerly, so the final query plan no longer
+    // contains the pairing join — audit the candidate-edge subplan itself.
+    // Dictionary-heavy data (64 distinct names over 20k+ records at sf0.1)
+    // made record-level pairing quadratic in the hot blocks (29s); both
+    // sides of the verify join must sit ABOVE the name-dedup Aggregate so
+    // pair work is dictionary² per block, never records².
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.functions.col
+    val recs = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+    val edges = EntityQueries.nameEdges(EntityQueries.nameDict(recs))
+    val p = finalPlan(edges)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"pairing must be blocked (join on blk), never records²:\n$p")
+      s"pairing must be blocked (join on blk), never all-pairs:\n$p")
+    val o = edges.queryExecution.optimizedPlan
+    val levJoins = o.collect {
+      case j: Join if j.condition.exists(_.toString.toLowerCase.contains("levenshtein")) => j
+    }
+    assert(levJoins.nonEmpty, s"expected a levenshtein-verified candidate join:\n$o")
+    assert(levJoins.forall(_.children.forall(
+        c => c.collectFirst { case a: Aggregate => a }.isDefined)),
+      s"verify join inputs must be the aggregated name dictionary:\n$o")
   }
 
   test("curation_e2e: one corpus-sized shuffle end to end; survivors rejoin by broadcast") {
