@@ -367,6 +367,13 @@ object ScaleProbe {
     sb.append("linear, never corpus-quadratic; pagerank pays fact-scale cost only\n")
     sb.append("in the one edge-derivation join — iterations run on the aggregated\n")
     sb.append("graph and are corpus-size-independent.\n\n")
+    sb.append("curation: the pipeline's one corpus-sized movement is the nt-keyed\n")
+    sb.append("dedup shuffle (gate + sample + report ride the same scan/agg), and\n")
+    sb.append("per-replica text salt keeps dup families bounded as the corpus\n")
+    sb.append("grows. record linkage: blocking keys multiply with the data (finer\n")
+    sb.append("keys — the ER answer to growing blocks) and the levenshtein verify\n")
+    sb.append("runs on the distinct-name dictionary, so pair work tracks the\n")
+    sb.append("dictionary, never records².\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")
