@@ -124,13 +124,44 @@ object SubqueryQueries {
       |         ORDER BY c_acctbal DESC, c_name LIMIT 1) t
       |ORDER BY n_name""".stripMargin
 
+  // ---- WITH RECURSIVE (hierarchy walk) ------------------------------------
+
+  /** `sql_recursive_chain`: a referral-forest rollup through Spark 4's
+    * recursive CTE (UnionLoop) — the hierarchy/BOM-walk SQL shape. Parent of
+    * customer k is FLOOR(k/10): a derived forest rooted at keys < 10, walked
+    * breadth-first by the recursion; per (root, level) the cohort size and a
+    * decimal-exact balance sum verify every BFS frontier row-for-row against
+    * DuckDB's recursion over the identical template. Spark's recursive CTE
+    * supports UNION ALL only (cyclic closures like the CC oracle's would not
+    * terminate) — acyclic finite-depth walks are exactly its domain. The
+    * template is dialect-neutral: CAST(FLOOR(x/10) AS BIGINT) is the shared
+    * integer division, and depth is cast to BIGINT so both engines emit
+    * int64. Scale: each recursion level is one equi join of the (pruned)
+    * customer scan against the previous frontier — level count is the key's
+    * digit depth (log10 n), and every join shuffles frontier-sized rows,
+    * never the full table per level. */
+  private val recursiveChainTpl =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth,
+      |         c_acctbal AS bal
+      |  FROM {customer} WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, ch.root, ch.depth + 1, c.c_acctbal
+      |  FROM {customer} c JOIN chain ch
+      |    ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = ch.custkey
+      |  WHERE c.c_custkey >= 10)
+      |SELECT root, CAST(depth AS BIGINT) AS lvl, count(*) AS members,
+      |       CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+      |FROM chain GROUP BY root, depth ORDER BY root, lvl""".stripMargin
+
   private val tpls: Seq[(String, String)] = Seq(
     "subquery_exists" -> existsTpl,
     "subquery_not_exists" -> notExistsTpl,
     "subquery_in" -> inTpl,
     "subquery_scalar" -> scalarTpl,
     "subquery_correlated" -> correlatedTpl,
-    "subquery_lateral" -> lateralTpl)
+    "subquery_lateral" -> lateralTpl,
+    "sql_recursive_chain" -> recursiveChainTpl)
 
   def all: Seq[(String, Q)] = tpls.map { case (k, tpl) =>
     k -> Q((s, d) => run(s, d, tpl), Some(oracleOf(tpl)))

@@ -373,6 +373,20 @@ class PlanAuditSpec extends SparkSpec {
       s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
   }
 
+  test("sql_recursive_chain: recursion executes as UnionLoop; rollup map-side combines") {
+    val df = q("sql_recursive_chain")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"),
+      s"recursive CTE must plan as UnionLoop, not a materialized unrolling:\n$p")
+    // anchor (< 10) and step (>= 10) predicates both sit on the scans inside
+    // the loop body — each level reads the frontier join, never full-table work
+    assert(p.contains("c_custkey#") && p.contains("< 10)") && p.contains(">= 10)"),
+      s"anchor/step filters must reach the loop-body scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"the per-(root,level) rollup must map-side combine:\n$p")
+  }
+
   test("record_linkage: lev verify pairs only within blocks, over the name dictionary") {
     // The CC loop checkpoints eagerly, so the final query plan no longer
     // contains the pairing join — audit the candidate-edge subplan itself.
