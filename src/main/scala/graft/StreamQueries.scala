@@ -140,6 +140,43 @@ object StreamQueries {
       |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- T10 stream_topk_trend -----------------------------------------------
+
+  /** Batch twin of [[graft.streaming.StreamOps.trendingTopK]] — the
+    * "trending now" dashboard: top-3 event types per tumbling day by count
+    * (ties broken by event_type, so the answer is deterministic). The
+    * streaming form keeps ONLY the watermarked windowed count as stateful
+    * work and ranks per trigger in foreachBatch over the delta'd windows;
+    * StreamOpsSpec asserts the streamed store row-equals this query.
+    * Scale: ranking input is (windows × types) — aggregate-sized, never
+    * event-sized, so the per-window sort is over a handful of rows. */
+  private def topkTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("day_epoch"),
+        col("event_type"), col("cnt"))
+    counts
+      .withColumn("rank", row_number().over(Window.partitionBy("day_epoch")
+        .orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rank") <= 3)
+      .orderBy("day_epoch", "rank")
+  }
+
+  private val topkTrendSql =
+    """WITH counts AS (
+      |  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+      |         event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT day_epoch, event_type, cnt,
+      |         CAST(row_number() OVER (PARTITION BY day_epoch
+      |           ORDER BY cnt DESC, event_type) AS INTEGER) AS rank
+      |  FROM counts)
+      |SELECT day_epoch, event_type, cnt, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY day_epoch, rank""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -148,5 +185,6 @@ object StreamQueries {
     "stream_session_window" -> Q(session, Some(sessionSql)),
     "stream_dedup" -> Q(dedup, Some(dedupSql)),
     "stream_interval_join" -> Q(intervalJoin, Some(intervalJoinSql)),
+    "stream_topk_trend" -> Q(topkTrend, Some(topkTrendSql)),
   )
 }

@@ -280,6 +280,52 @@ object StreamOps {
   def idempotentAppend(batch: DataFrame, existingKeys: DataFrame, keyCol: String): DataFrame =
     batch.join(existingKeys.select(keyCol), Seq(keyCol), "left_anti")
 
+  /** T10: serving store for [[trendingTopK]] — the in-memory stand-in for
+    * the keyed MERGE-target table a production deployment maintains (the
+    * JdbcShapedSink shape). Rank is computed on read over the standing
+    * counts: aggregate-sized (windows × types), never event-sized. */
+  final class TrendStore {
+    private val counts = scala.collection.concurrent.TrieMap.empty[(Long, String), Long]
+    private val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def upsertBatch(rows: Seq[(Long, String, Long)]): Unit = synchronized {
+      batchSizes += rows.size
+      rows.foreach { case (day, tpe, cnt) => counts((day, tpe)) = cnt }
+    }
+    /** Rows upserted per trigger — update mode must emit only the windows
+      * whose counts changed, so these stay delta-sized. */
+    def upsertsPerBatch: Seq[Int] = synchronized(batchSizes.toSeq)
+    /** Current top-k per window: (day_epoch, event_type, cnt, rank). */
+    def topK(k: Int): Seq[(Long, String, Long, Int)] =
+      counts.toSeq.groupBy(_._1._1).toSeq.flatMap { case (day, rows) =>
+        rows.map { case ((_, t), c) => (t, c) }
+          .sortBy { case (t, c) => (-c, t) }
+          .take(k).zipWithIndex
+          .map { case ((t, c), i) => (day, t, c, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+  }
+
+  /** T10: "trending now" — tumbling-day event-type counts kept as the ONLY
+    * stateful streaming op (watermarked, UPDATE mode: each trigger emits
+    * just the windows whose counts changed); ranking happens downstream of
+    * the store, per read, over aggregate-sized rows. This is the standard
+    * split for streaming top-k: the rank itself is not incrementally
+    * maintainable as append-mode state, but the counts under it are — so
+    * the stream maintains counts and the serving layer ranks. Returns the
+    * running query; the caller drives triggers and stops it. */
+  def trendingTopK(events: DataFrame, store: TrendStore): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("day_epoch"),
+        col("event_type"), col("cnt"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store.upsertBatch(b.collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+      }
+      .start()
+
   /** Wire a streaming query to memory sink for tests / demos. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -77,6 +77,31 @@ class StreamOpsSpec extends SparkSpec {
       batch.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("trending top-k: counts stream in update mode; store ranks; deltas stay delta-sized") {
+    val mem = MemoryStream[Ev](spark)
+    val store = new StreamOps.TrendStore
+    val q = StreamOps.trendingTopK(mem.toDF(), store)
+    val day = 1704067200L
+    try {
+      mem.addData(Ev(1, ts(0), 10, "click", 1.0), Ev(2, ts(5), 10, "view", 2.0),
+        Ev(3, ts(10), 20, "click", 3.0))
+      q.processAllAvailable()
+      assert(store.topK(2) == Seq((day, "click", 2L, 1), (day, "view", 1L, 2)))
+      // second trigger touches ONLY clicks: update mode must re-emit the
+      // (day, click) row alone, not the whole window's counts
+      mem.addData(Ev(4, ts(20), 20, "click", 4.0), Ev(5, ts(25), 30, "click", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(store.topK(2) == Seq((day, "click", 4L, 1), (day, "view", 1L, 2)))
+    assert(store.upsertsPerBatch.filter(_ > 0) == Seq(2, 1),
+      s"second delta must carry only the changed row: ${store.upsertsPerBatch}")
+    // the registry twin computes the same ranking shape in batch
+    val batch = Queries.byName("stream_topk_trend").build(spark, sfDir)
+    assert(batch.columns.toSeq == Seq("day_epoch", "event_type", "cnt", "rank"))
+    val grouped = batch.collect().groupBy(_.getLong(0))
+    assert(grouped.values.forall(_.length <= 3))
+  }
+
   test("streaming dedup drops the duplicate event_id within the watermark") {
     val streamed = runStream(evs, StreamOps.dedupEvents, "t_dedup", OutputMode.Append())
     assert(streamed.count() == 5)
