@@ -710,6 +710,34 @@ object NorthStarQueries {
       |       CAST(64 + (strlen(text) * 7) % 512 AS INTEGER) AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** N4b `multimodal_frames`: the frame-sampling fan-out — every 3rd fixed
+    * 256-byte "frame" per document payload (deterministic fake demux,
+    * [[graft.ops.MultimodalOps.sampleFrames]]); the oracle replays the
+    * slicing arithmetic over the same bytes, so the distributed flatMap's
+    * row fan-out (indices, pts, tail-frame length) is compared exactly.
+    * Scale: frames explode 1→n map-side with no shuffle at all — the frame
+    * rows land partition-local, ready for a downstream batch featurizer. */
+  private def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        lit("video/fake").as("mime")).as[graft.ops.MultimodalOps.MediaRow]
+    graft.ops.MultimodalOps.sampleFrames(media, 3)
+      .select(col("doc_id"), col("frame_idx"), col("pts_ms"), col("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val multimodalFramesSql =
+    """WITH media AS (
+      |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+      |idx AS (
+      |  SELECT doc_id, n_bytes,
+      |         unnest(range(0, CAST(ceil(n_bytes / 256.0) AS BIGINT), 3)) AS frame_idx
+      |  FROM media)
+      |SELECT doc_id, frame_idx, frame_idx * 40 AS pts_ms,
+      |       CAST(LEAST(256, n_bytes - frame_idx * 256) AS INTEGER) AS frame_len
+      |FROM idx ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
@@ -734,6 +762,7 @@ object NorthStarQueries {
     "quality_score" -> Q(qualityScore, Some(qualityScoreSql)),
     "doc_fingerprint" -> Q(docFingerprint, Some(docFingerprintSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
+    "multimodal_frames" -> Q(multimodalFrames, Some(multimodalFramesSql)),
     "text_chunking" -> Q(textChunking, Some(textChunkingSql)),
     "text_redact" -> Q(textRedact, Some(textRedactSql)),
     "dataset_split" -> Q(datasetSplit, Some(datasetSplitSql)),

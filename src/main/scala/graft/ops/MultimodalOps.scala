@@ -47,4 +47,58 @@ object MultimodalOps {
       }
     }
   }
+
+  /** One sampled "video" frame. `frame` carries the payload slice; the
+    * metadata columns are what the oracle compares. */
+  case class Frame(doc_id: Long, frame_idx: Long, pts_ms: Long, frame_len: Int,
+      frame: Array[Byte])
+
+  /** DETERMINISTIC FAKE demux: fixed 256-byte frames at 25 fps (40 ms pts
+    * step), sampled every `everyNth` starting at frame 0. A real deployment
+    * swaps the byte slicing for a demuxer call; the Spark-side shape is the
+    * part that matters — a lazy per-partition flatMap fan-out (one row in,
+    * 0..n frame rows out, demuxer state initialized once per partition),
+    * never a driver-side loop or a collected frame list. */
+  def sampleFrames(media: Dataset[MediaRow], everyNth: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    media.mapPartitions { rows =>
+      // per-partition setup would initialize a demuxer here, once
+      rows.flatMap { r =>
+        val n = r.media.length
+        val nFrames = (n + 255) / 256
+        Iterator.range(0, nFrames, everyNth).map { i =>
+          val start = i * 256
+          val len = math.min(256, n - start)
+          Frame(r.doc_id, i.toLong, i * 40L, len,
+            java.util.Arrays.copyOfRange(r.media, start, start + len))
+        }
+      }
+    }
+  }
+
+  case class Resized(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+
+  /** DETERMINISTIC FAKE resize into a `maxDim` bounding box: dimensions
+    * scale preserving aspect ratio; the "re-encoded" payload is the byte
+    * prefix proportional to the pixel-count change (a stand-in for the
+    * smaller encoded artifact). Media that already fit pass through
+    * unchanged — byte-identical, no re-encode. */
+  def resizeMedia(media: Dataset[MediaRow], maxDim: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, _) = decodeOne(r.media)
+        val long = math.max(w, h)
+        if (long <= maxDim) Resized(r.doc_id, r.media, w, h)
+        else {
+          val nw = math.max(1, w * maxDim / long)
+          val nh = math.max(1, h * maxDim / long)
+          val keep = math.max(1,
+            (r.media.length.toLong * nw * nh / (w.toLong * h)).toInt)
+          Resized(r.doc_id, java.util.Arrays.copyOfRange(r.media, 0, keep), nw, nh)
+        }
+      }
+    }
+  }
 }

@@ -34,4 +34,54 @@ class MultimodalOpsSpec extends SparkSpec {
     val b = MultimodalOps.decodeOne("abce".getBytes)
     assert(a._4 != b._4 && a._1 == b._1)
   }
+
+  test("frame sampling at every-1 losslessly reassembles the payload") {
+    val media = MultimodalOps.asMedia(Tables.documents(spark, sfDir).limit(20))
+      .as[MediaRow].repartition(3)
+    val byDoc = MultimodalOps.sampleFrames(media, 1).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    val originals = media.collect().map(m => m.doc_id -> m.media).toMap
+    // empty payloads yield zero frames; all testdata docs are non-empty
+    assert(byDoc.keySet == originals.filter(_._2.nonEmpty).keySet)
+    byDoc.foreach { case (id, frames) =>
+      assert(frames.map(_.frame_idx).toSeq == frames.indices.map(_.toLong))
+      assert(frames.map(_.pts_ms).toSeq == frames.indices.map(_ * 40L))
+      assert(frames.flatMap(_.frame).toSeq == originals(id).toSeq,
+        s"doc $id: concatenated frames must equal the original bytes")
+      assert(frames.init.forall(_.frame_len == 256) &&
+        frames.last.frame_len == ((originals(id).length - 1) % 256) + 1)
+    }
+  }
+
+  test("every-3rd sampling keeps exactly the 0,3,6,... frames") {
+    val media = MultimodalOps.asMedia(Tables.documents(spark, sfDir).limit(20))
+      .as[MediaRow]
+    val all = MultimodalOps.sampleFrames(media, 1).collect()
+    val sampled = MultimodalOps.sampleFrames(media, 3).collect()
+    val expect = all.filter(_.frame_idx % 3 == 0)
+      .map(f => (f.doc_id, f.frame_idx, f.frame_len)).sorted.toSeq
+    assert(sampled.map(f => (f.doc_id, f.frame_idx, f.frame_len)).sorted.toSeq == expect)
+  }
+
+  test("resize bounds the long edge, keeps aspect order, passes small media through") {
+    val media = MultimodalOps.asMedia(Tables.documents(spark, sfDir))
+      .as[MediaRow]
+    val dims = media.collect().map(m => m.doc_id -> MultimodalOps.decodeOne(m.media)).toMap
+    val out = MultimodalOps.resizeMedia(media, 128).collect()
+    assert(out.length == dims.size)
+    out.foreach { r =>
+      val (w, h, _, _) = dims(r.doc_id)
+      if (math.max(w, h) <= 128) {
+        assert(r.width == w && r.height == h, "small media must pass through")
+      } else {
+        assert(math.max(r.width, r.height) <= 128)
+        assert((w >= h) == (r.width >= r.height), "aspect order must survive")
+        assert(r.media.length >= 1)
+      }
+    }
+    // deterministic across runs
+    val again = MultimodalOps.resizeMedia(media, 128).collect()
+    assert(out.map(r => (r.doc_id, r.width, r.height, r.media.toSeq)).sortBy(_._1).toSeq ==
+      again.map(r => (r.doc_id, r.width, r.height, r.media.toSeq)).sortBy(_._1).toSeq)
+  }
 }
