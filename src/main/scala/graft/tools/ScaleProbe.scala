@@ -272,11 +272,37 @@ object ScaleProbe {
       graft.EntityQueries.linkEntities(base.unionAll(variant)).count()
     }
 
+    // recursive hierarchy walk (sql_recursive_chain's shape): amplification
+    // widens the forest — every replica carries its OWN roots (keys ≡ 0..9
+    // mod the replica offset), so the per-level frontier grows 20× while the
+    // level count stays the key's digit depth. That is the realistic org/BOM
+    // scale-up: more trees, not deeper ones.
+    val c1 = Tables.customer(spark, sfDir)
+    val cN = amplify(c1, Seq("c_custkey"), factor).localCheckpoint()
+    def chain(c: DataFrame): Long = {
+      c.createOrReplaceTempView("v_probe_cust")
+      c.sparkSession.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth,
+          |         c_acctbal AS bal
+          |  FROM v_probe_cust WHERE c_custkey % 100000000 < 10
+          |  UNION ALL
+          |  SELECT c.c_custkey, ch.root, ch.depth + 1, c.c_acctbal
+          |  FROM v_probe_cust c JOIN chain ch
+          |    ON CAST(FLOOR(c.c_custkey % 100000000 / 10) AS BIGINT)
+          |       + CAST(FLOOR(c.c_custkey / 100000000) AS BIGINT) * 100000000
+          |       = ch.custkey
+          |  WHERE c.c_custkey % 100000000 >= 10)
+          |SELECT root, depth, count(*) AS members,
+          |       CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+          |FROM chain GROUP BY root, depth""".stripMargin).count()
+    }
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
     kmeans(e1); semdedup(e1); pagerank(o1, li1); rangeBinned(o1); rangeBnl(o1)
-    curation(d1); linkage(parts1)
+    curation(d1); linkage(parts1); chain(c1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -312,6 +338,8 @@ object ScaleProbe {
         time(curation(d1)), time(curation(dN))),
       ("record linkage (salted blocks + CC)",
         time(linkage(parts1)), time(linkage(partsN))),
+      ("recursive chain rollup (forest x20, UnionLoop)",
+        time(chain(c1)), time(chain(cN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -373,7 +401,11 @@ object ScaleProbe {
     sb.append("grows. record linkage: blocking keys multiply with the data (finer\n")
     sb.append("keys — the ER answer to growing blocks) and the levenshtein verify\n")
     sb.append("runs on the distinct-name dictionary, so pair work tracks the\n")
-    sb.append("dictionary, never records².\n\n")
+    sb.append("dictionary, never records². recursive chain: amplification\n")
+    sb.append("widens the forest (per-replica roots), so each UnionLoop level\n")
+    sb.append("is one frontier-sized equi join growing with the data while the\n")
+    sb.append("level count stays the key's digit depth — growth must stay\n")
+    sb.append("linear, never level-count-super-linear.\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")
