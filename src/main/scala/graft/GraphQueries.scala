@@ -103,6 +103,52 @@ object GraphQueries {
        |ORDER BY rank DESC, n_name""".stripMargin
   }
 
+  /** `graph_triangles`: triangles per node in the undirected trade graph —
+    * the clustering/community primitive (triangle count ⇒ clustering
+    * coefficient). Canonical id-ordered edges (u < v) make each triangle
+    * appear exactly once as a < b < c in the two-join enumeration
+    * E(a,b) ⋈ E(b,c) ⋈ E(a,c). Scale: this is the standard distributed
+    * triangle join — two shuffles on edge endpoints over the AGGREGATED
+    * graph (the fact-scale work already collapsed in [[tradeEdges]]); at
+    * web scale the same plan runs with degree-ordered orientation (orient
+    * each edge toward the higher-degree endpoint), which bounds the wedge
+    * fan-out to O(E^1.5) — id-ordering here is that trick with ids standing
+    * in for degree rank. */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val ab = und.select(col("u").as("a"), col("v").as("b"))
+    val bc = und.select(col("u").as("b"), col("v").as("c"))
+    val ac = und.select(col("u").as("a"), col("v").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .join(nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("n_triangles"))
+      .orderBy("n_name")
+  }
+
+  private val trianglesSql =
+    """WITH raw AS (
+      |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey),
+      |e AS (SELECT DISTINCT least(cn, sn) AS u, greatest(cn, sn) AS v FROM raw),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pern AS (SELECT node FROM (SELECT unnest([a, b, c]) AS node FROM tri))
+      |SELECT n.n_name, count(*) AS n_triangles
+      |FROM pern JOIN nation n ON pern.node = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
-    "graph_pagerank" -> Q(pagerank, Some(pagerankSql)))
+    "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
+    "graph_triangles" -> Q(triangles, Some(trianglesSql)))
 }
