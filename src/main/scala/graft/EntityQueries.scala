@@ -76,16 +76,8 @@ object EntityQueries {
     * oracle replays record-level blocking + levenshtein + a recursive-CTE
     * closure — the dictionary-level plan must reproduce the record-level
     * answer engine-exactly. */
-  private def recordLinkage(s: SparkSession, d: String): DataFrame = {
-    val p = part(s, d)
-    val base = p.select((col("p_partkey") * 2).as("rec_id"),
-      col("p_name").as("name"))
-    val variant = p.filter(col("p_partkey") % 3 === 0)
-      .select((col("p_partkey") * 2 + 1).as("rec_id"),
-        concat(substring(col("p_name"), 1, 4),
-          substring(col("p_name"), 6, 1000000)).as("name"))
-    linkEntities(base.unionAll(variant))
-  }
+  private def recordLinkage(s: SparkSession, d: String): DataFrame =
+    linkEntities(dirtyRecords(s, d))
 
   private val recordLinkageSql =
     """WITH RECURSIVE recs AS (
@@ -112,6 +104,51 @@ object EntityQueries {
       |FROM cc GROUP BY cluster_id
       |ORDER BY cluster_id""".stripMargin
 
+  /** The dirty-record set both entity queries share. */
+  private def dirtyRecords(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+    val base = p.select((col("p_partkey") * 2).as("rec_id"),
+      col("p_name").as("name"))
+    val variant = p.filter(col("p_partkey") % 3 === 0)
+      .select((col("p_partkey") * 2 + 1).as("rec_id"),
+        concat(substring(col("p_name"), 1, 4),
+          substring(col("p_name"), 6, 1000000)).as("name"))
+    base.unionAll(variant)
+  }
+
+  /** `text_jaro_winkler`: score-ranked fuzzy matching over the same blocked
+    * name dictionary record_linkage links — the native `jaro_winkler`
+    * codegen expression scored against DuckDB's OWN jaro_winkler_similarity,
+    * so two independent implementations of the whole two-phase algorithm
+    * (match window, transposition count, Winkler prefix boost) must agree
+    * to 6 dp on every surviving pair. Thresholded on the ROUNDED score on
+    * both sides, so the cut is engine-exact too. */
+  private def jaroWinklerPairs(s: SparkSession, d: String): DataFrame = {
+    val dict = nameDict(dirtyRecords(s, d)).select("blk", "name")
+    val x = dict.select(col("blk"), col("name").as("na"))
+    val y = dict.select(col("blk"), col("name").as("nb"))
+    x.join(y, "blk")
+      .filter(col("na") < col("nb"))
+      .select(col("na"), col("nb"),
+        round(graft.functions.JaroWinkler(col("na"), col("nb")), 6).as("jw"))
+      .filter(col("jw") >= 0.85)
+      .orderBy("na", "nb")
+  }
+
+  private val jaroWinklerPairsSql =
+    """WITH recs AS (
+      |  SELECT p_name AS name FROM part
+      |  UNION ALL
+      |  SELECT substring(p_name, 1, 4) || substring(p_name, 6)
+      |  FROM part WHERE p_partkey % 3 = 0),
+      |dict AS (SELECT DISTINCT substring(name, 1, 4) AS blk, name FROM recs),
+      |pairs AS (
+      |  SELECT x.name AS na, y.name AS nb,
+      |         round(jaro_winkler_similarity(x.name, y.name), 6) AS jw
+      |  FROM dict x JOIN dict y ON x.blk = y.blk AND x.name < y.name)
+      |SELECT na, nb, jw FROM pairs WHERE jw >= 0.85 ORDER BY na, nb""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
-    "record_linkage" -> Q(recordLinkage, Some(recordLinkageSql)))
+    "record_linkage" -> Q(recordLinkage, Some(recordLinkageSql)),
+    "text_jaro_winkler" -> Q(jaroWinklerPairs, Some(jaroWinklerPairsSql)))
 }

@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_grams"), graft.functions.WordGrams.info,
       graft.functions.WordGrams.builder))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"), graft.functions.JaroWinkler.info,
+      graft.functions.JaroWinkler.builder))
+    ext.injectFunction((
       FunctionIdentifier("asof_match"), graft.plans.AsOfMatch.info,
       graft.plans.AsOfMatch.builder))
     // whole-operator extension: as-of join (logical node + SQL marker

@@ -93,6 +93,12 @@ object Tables {
         graft.functions.WordGrams.info,
         graft.functions.WordGrams.builder)
     }
+    registerIfAbsent("jaro_winkler") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+        graft.functions.JaroWinkler.info,
+        graft.functions.JaroWinkler.builder)
+    }
     registerIfAbsent("vec_nearest_cid") {
       reg.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_nearest_cid"),
