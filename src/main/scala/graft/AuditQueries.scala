@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operational data-integrity queries: the replication-validation and
+  * CDC-regression checks a production pipeline runs around every load
+  * (the reference's SELECT-before-INSERT guard, database.py:116-123, grown
+  * into set-wise auditing).
+  *
+  * Scale notes (100 TB): the checksum is a single scan + one scalar
+  * aggregate (order-independent by construction — commutative sum of
+  * per-row hashes — so it parallelizes and merges freely across partitions
+  * and even across incremental runs); the snapshot diff is ONE full-outer
+  * equi join on the key — with both snapshots bucketed on the key it plans
+  * shuffle-free.
+  */
+object AuditQueries {
+  import Tables._
+
+  /** `audit_checksum`: order-independent content fingerprint of lineitem —
+    * row count plus the sum of each row's md5-prefix hash, over a
+    * cross-engine-stable serialization (integers, strings, and doubles via
+    * DECIMAL(12,2), joined with '|'). Any row added, dropped, or mutated
+    * moves the sum; partition order and merge order cannot. Spark parses
+    * the 8-hex prefix with conv(); DuckDB casts '0x'-prefixed hex — same
+    * 32-bit value, summed in BIGINT (no overflow below 2^31 rows). */
+  private def auditChecksum(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+
+  private val auditChecksumSql =
+    """SELECT count(*) AS n_rows,
+      |       CAST(SUM(CAST('0x' || substring(md5(
+      |         l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|'
+      |           || CAST(l_quantity AS DECIMAL(12,2))), 1, 8) AS BIGINT))
+      |         AS BIGINT) AS checksum
+      |FROM lineitem""".stripMargin
+
+  /** `table_diff`: CDC-style snapshot diff — two deterministic "versions"
+    * of orders (keys % 97 = 0 exist only in the new snapshot, % 101 = 0
+    * only in the old, % 53 = 0 get a price mutation) full-outer-joined on
+    * the key and bucketed into added / removed / changed / same, with a
+    * per-status key sum so the partition itself is verified, not just its
+    * size. The data-regression check every pipeline migration runs. */
+  private def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val oldT = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
+    val newT = o.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 53 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    oldT.join(newT, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  private val tableDiffSql =
+    """WITH old_t AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS old_price
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |new_t AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1
+      |              ELSE o_totalprice END AS new_price
+      |  FROM orders WHERE o_orderkey % 101 <> 0),
+      |diff AS (
+      |  SELECT coalesce(o.k, n.k) AS k,
+      |         CASE WHEN o.k IS NULL THEN 'added'
+      |              WHEN n.k IS NULL THEN 'removed'
+      |              WHEN o.old_price <> n.new_price THEN 'changed'
+      |              ELSE 'same' END AS status
+      |  FROM old_t o FULL OUTER JOIN new_t n ON o.k = n.k)
+      |SELECT status, count(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM diff GROUP BY status ORDER BY status""".stripMargin
+
+  def all: Seq[(String, Q)] = Seq(
+    "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
+    "table_diff" -> Q(tableDiff, Some(tableDiffSql)))
+}

@@ -40,7 +40,8 @@ object Queries {
     RelationalQueries.all ++ ParseQueries.all ++ SkillQueries.all ++
       StreamQueries.all ++ NorthStarQueries.all ++ TrainDataQueries.all ++
       CorpusQueries.all ++ SubqueryQueries.all ++ EventQueries.all ++
-      ClusterQueries.all ++ GraphQueries.all ++ EntityQueries.all
+      ClusterQueries.all ++ GraphQueries.all ++ EntityQueries.all ++
+      AuditQueries.all
 
   lazy val byName: Map[String, Q] = all.toMap
 
