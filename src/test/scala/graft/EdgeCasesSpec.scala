@@ -137,4 +137,56 @@ class EdgeCasesSpec extends SparkSpec {
         s"overshoot ${est - exact} beyond eps*N at key ${r.getLong(0)}")
     }
   }
+
+  test("linkEntities: singleton names drop, exact-dup names cluster without any edge") {
+    // 'alpha one' x2 records (no similar name), 'beta two' x1 (singleton),
+    // 'beta twoX'/'beta twoXY' within lev 2 of each other
+    val recs = Seq(
+      (10L, "alpha one"), (11L, "alpha one"),
+      (20L, "beta two"),
+      (30L, "beta twoX"), (31L, "beta twoXY")
+    ).toDF("rec_id", "name")
+    val out = EntityQueries.linkEntities(recs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 'beta two' IS within lev 2 of 'beta twoX' (1 insert) and 'beta twoXY'
+    // (2 inserts) -> all three beta names link; alpha pair self-clusters
+    assert(out == Seq((10L, 2L, 10L), (20L, 3L, 20L)))
+    // truly isolated singleton: unique name, no neighbors in its block
+    val lone = Seq((1L, "zzzz unique")).toDF("rec_id", "name")
+    assert(EntityQueries.linkEntities(lone).count() == 0)
+  }
+
+  test("linkEntities on empty input is empty, not an error") {
+    assert(EntityQueries.linkEntities(
+      Seq.empty[(Long, String)].toDF("rec_id", "name")).count() == 0)
+  }
+
+  test("TrendStore ranks deterministically under count ties (event_type breaks)") {
+    val store = new graft.streaming.StreamOps.TrendStore
+    store.upsertBatch(Seq((1L, "view", 5L), (1L, "click", 5L), (1L, "purchase", 3L)))
+    assert(store.topK(2) == Seq((1L, "click", 5L, 1), (1L, "view", 5L, 2)))
+  }
+
+  test("sampleFrames with everyNth beyond the frame count keeps only frame 0") {
+    import graft.ops.MultimodalOps
+    val one = Seq((1L, Array.fill[Byte](300)(7), "video/fake"))
+      .toDF("doc_id", "media", "mime").as[MultimodalOps.MediaRow]
+    val frames = MultimodalOps.sampleFrames(one, 100).collect()
+    assert(frames.map(f => (f.frame_idx, f.frame_len)).toSeq == Seq((0L, 256)))
+  }
+
+  test("recursive chain on an anchor-free subset returns no rows, not an error") {
+    // no customers below key 10 -> empty anchor -> recursion yields nothing
+    Tables.customer(spark, sfDir).filter(col("c_custkey") >= 10)
+      .createOrReplaceTempView("v_edge_cust")
+    val out = spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS k, 0 AS depth FROM v_edge_cust WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, ch.depth + 1 FROM v_edge_cust c
+        |  JOIN chain ch ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = ch.k
+        |  WHERE c.c_custkey >= 10)
+        |SELECT * FROM chain""".stripMargin)
+    assert(out.count() == 0)
+  }
 }
