@@ -916,6 +916,55 @@ object RelationalQueries {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** O5 `global_rownum`: stable global row numbers over a total order —
+    * the sharding/pagination primitive. The naive form,
+    * `row_number().over(Window.orderBy(...))`, has an EMPTY partition spec:
+    * Spark coalesces the whole table into ONE task (it even warns) — the
+    * classic at-scale trap. The scalable plan: range-repartition on the
+    * sort key (each partition owns a disjoint key range, in order), sort
+    * within partitions, count rows per partition (32 longs to the driver —
+    * cluster-sized, not data-sized), broadcast the prefix offsets back, and
+    * number each partition locally with one iterator pass. Unique sort key
+    * (orderkey, linenumber) ⇒ a deterministic total order, so the result is
+    * engine-exact against the oracle's window form. PlanAuditSpec asserts
+    * no single-partition Window appears anywhere in the plan.
+    *
+    * The sorted layout is pinned with localCheckpoint BEFORE the count
+    * pass: counting and numbering are two jobs, and each job otherwise
+    * re-plans the range shuffle (bound re-sampling, AQE) — the r06 verify
+    * caught the two layouts disagreeing at sf0.01, which silently corrupts
+    * every offset. Pinning makes both passes read the same partitions
+    * (exactly what RDD.zipWithIndex does internally). */
+  /** The range-sorted stage of [[globalRownum]], exposed (pre-checkpoint)
+    * so PlanAuditSpec can audit the exchange the checkpoint hides. */
+  def rangeSortedPairs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+
+  private def globalRownum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = rangeSortedPairs(s, d)
+      .as[(Long, Int)]
+      .localCheckpoint()
+    val counts = sorted.mapPartitions { it =>
+      Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> it.size)
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
+    val bc = s.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      var rn = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (k, ln) => rn += 1; (k, ln, rn) }
+    }.toDF("l_orderkey", "l_linenumber", "rn")
+      .orderBy("rn")
+  }
+
+  private val globalRownumSql =
+    """SELECT l_orderkey, l_linenumber,
+      |       row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      |FROM lineitem ORDER BY rn""".stripMargin
+
   /** O4 `zorder_cluster`: Morton-code clustering key over two join/filter
     * dimensions — the multi-dimensional file-layout sort (LayoutOps). The
     * query materializes the curve itself (z plus its inputs, first 100 curve
@@ -1394,6 +1443,7 @@ object RelationalQueries {
     "window_cumsum" -> Q(cumSum, Some(cumSumSql)),
     "sort_multi_key" -> Q(sortMultiKey, Some(sortMultiKeySql)),
     "topk_limit" -> Q(topkLimit, Some(topkLimitSql)),
+    "global_rownum" -> Q(globalRownum, Some(globalRownumSql)),
     "set_union_sources" -> Q(unionSources, Some(unionSourcesSql)),
     "set_intersect" -> Q(setIntersect, Some(setIntersectSql)),
     "set_except" -> Q(setExcept, Some(setExceptSql)),

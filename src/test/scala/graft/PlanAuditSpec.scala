@@ -373,6 +373,29 @@ class PlanAuditSpec extends SparkSpec {
       s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
   }
 
+  test("global_rownum: no single-partition Window — numbering stays partition-local") {
+    import org.apache.spark.sql.functions.col
+    val df = q("global_rownum")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"global row numbers must come from range-partition offsets, not an " +
+        s"empty-partition-spec window (one-task coalesce at scale):\n$p")
+    // the checkpoint pins (and hides) the exchange — audit the sorted stage
+    val sp = finalPlan(RelationalQueries.rangeSortedPairs(spark, sfDir))
+    assert(sp.contains("rangepartitioning") && !sp.contains("Window"),
+      s"the total order must come from range partitioning:\n$sp")
+    // and it must actually equal the window form
+    import org.apache.spark.sql.expressions.Window
+    val win = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(Window.orderBy("l_orderkey", "l_linenumber")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got == win)
+  }
+
   test("sql_recursive_chain: recursion executes as UnionLoop; rollup map-side combines") {
     val df = q("sql_recursive_chain")
     df.collect()
