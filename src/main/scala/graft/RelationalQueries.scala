@@ -758,6 +758,37 @@ object RelationalQueries {
       |      FROM customer)
       |GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** W7b `window_rank_family`: the remaining ANSI rank-family functions —
+    * percent_rank, cume_dist, nth_value — per priority over a UNIQUE
+    * ordering (totalprice desc, orderkey), so rank peers can't make the
+    * relative ranks engine-dependent. percent_rank = (rank-1)/(n-1) and
+    * cume_dist = seen/n are integer-over-integer double divisions: both
+    * engines produce the identical IEEE double, no rounding needed.
+    * nth_value(·, 2) under the default running frame is NULL at the frame
+    * head — the null row survives the oracle hash, pinning the ANSI frame
+    * semantics too. Scale: one shuffle on the partition key; per-key frames
+    * stream (no whole-partition buffering for these functions). */
+  private def windowRankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_totalprice"), 2).over(w).as("runner_up"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private val windowRankFamilySql =
+    """SELECT o_orderpriority, o_orderkey,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd,
+      |       nth_value(o_totalprice, 2) OVER w AS runner_up
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** P6 `unpivot_metrics`: wide-to-long reshaping (the inverse of A3's
     * pivot) — per-flag metric columns melted to (flag, metric, value) rows
     * via Dataset.unpivot; oracle is the portable UNION ALL formulation. */
@@ -1421,6 +1452,7 @@ object RelationalQueries {
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),
     "sketch_count_min" -> Q(sketchCountMin, None),
     "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),
+    "window_rank_family" -> Q(windowRankFamily, Some(windowRankFamilySql)),
     "unpivot_metrics" -> Q(unpivotMetrics, Some(unpivotMetricsSql)),
     "scd2_intervals" -> Q(scd2Intervals, Some(scd2IntervalsSql)),
     "ts_gap_fill" -> Q(tsGapFill, Some(tsGapFillSql)),
