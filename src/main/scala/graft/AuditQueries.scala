@@ -85,7 +85,40 @@ object AuditQueries {
       |SELECT status, count(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
       |FROM diff GROUP BY status ORDER BY status""".stripMargin
 
+  /** `profile_table`: the data-profiling scan a pipeline runs on every new
+    * source — per-column null counts, bounds, distinct cardinalities, and a
+    * row count, all in ONE pass (one scan, one scalar aggregate; the
+    * count-distincts expand to Spark's single-pass multi-distinct plan).
+    * Doubles are profiled via DECIMAL bounds so the comparison is exact.
+    * At 100 TB the same query swaps count(DISTINCT) for approx_count_
+    * distinct (the agg_approx_distinct path) — the scan shape is identical. */
+  private def profileTable(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("custkey_nulls"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        min(col("o_orderdate")).cast("date").as("date_lo"),
+        max(col("o_orderdate")).cast("date").as("date_hi"),
+        countDistinct(col("o_orderpriority")).as("priority_distinct"),
+        min(col("o_totalprice").cast("decimal(12,2)")).as("price_lo"),
+        max(col("o_totalprice").cast("decimal(12,2)")).as("price_hi"),
+        sum(col("o_totalprice").isNull.cast("long")).as("price_nulls"))
+
+  private val profileTableSql =
+    """SELECT count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+      |       count(DISTINCT o_custkey) AS custkey_distinct,
+      |       CAST(min(o_orderdate) AS DATE) AS date_lo,
+      |       CAST(max(o_orderdate) AS DATE) AS date_hi,
+      |       count(DISTINCT o_orderpriority) AS priority_distinct,
+      |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS price_lo,
+      |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS price_hi,
+      |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls
+      |FROM orders""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
-    "table_diff" -> Q(tableDiff, Some(tableDiffSql)))
+    "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
+    "profile_table" -> Q(profileTable, Some(profileTableSql)))
 }

@@ -165,9 +165,45 @@ object EventQueries {
       |         AS ewma
       |FROM seq ORDER BY user_id""".stripMargin
 
+  /** `event_transitions`: the first-order Markov transition matrix of user
+    * behavior — counts of consecutive (prev → next) event-type pairs per
+    * user timeline, with transition probabilities as exact integer ratios
+    * (n/row_total, identical IEEE doubles cross-engine). One window over
+    * the user key (per-user lag is frame-free streaming work), one
+    * aggregate on the tiny (type × type) key space. The "what do users do
+    * after X" product question, and the input to any session-path model. */
+  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    pairs.groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_next",
+        col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("prev")).cast("double"))
+      .orderBy("prev", "next")
+  }
+
+  private val eventTransitionsSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |pairs AS (SELECT prev, event_type AS next FROM seq WHERE prev IS NOT NULL),
+      |counts AS (SELECT prev, next, count(*) AS n FROM pairs GROUP BY prev, next)
+      |SELECT prev, next, n,
+      |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE) AS p_next
+      |FROM counts ORDER BY prev, next""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),
     "anomaly_zscore" -> Q(anomalyZscore, Some(anomalyZscoreSql)),
-    "ts_ewma" -> Q(tsEwma, Some(tsEwmaSql)))
+    "ts_ewma" -> Q(tsEwma, Some(tsEwmaSql)),
+    "event_transitions" -> Q(eventTransitions, Some(eventTransitionsSql)))
 }
