@@ -117,8 +117,41 @@ object AuditQueries {
       |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls
       |FROM orders""".stripMargin
 
+  /** `agg_histogram`: 20-bucket equi-width histogram of order value — the
+    * numeric-distribution half of profiling (length_histogram covers the
+    * log2 flavor). Bounds come from one scalar-agg pass broadcast onto the
+    * scan; bucket = floor((x-lo)/w) clamped to the top bucket, computed
+    * with the same IEEE ops in both engines (DuckDB has no width_bucket —
+    * the explicit arithmetic IS the portable form). Per-bucket DECIMAL
+    * bounds verify edge assignment exactly, not just the counts. */
+  private def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val mm = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(mm))
+      .select(least(lit(19), floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 20)).cast("int")).as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice").cast("decimal(12,2)")).as("b_lo"),
+        max(col("o_totalprice").cast("decimal(12,2)")).as("b_hi"))
+      .orderBy("bucket")
+  }
+
+  private val aggHistogramSql =
+    """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |            FROM orders)
+      |SELECT LEAST(19, CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20))
+      |         AS INTEGER)) AS bucket,
+      |       count(*) AS n,
+      |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS b_lo,
+      |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS b_hi
+      |FROM orders, mm GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
-    "profile_table" -> Q(profileTable, Some(profileTableSql)))
+    "profile_table" -> Q(profileTable, Some(profileTableSql)),
+    "agg_histogram" -> Q(aggHistogram, Some(aggHistogramSql)))
 }
