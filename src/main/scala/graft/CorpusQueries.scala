@@ -681,6 +681,125 @@ object CorpusQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- N25b bpe_encode: tokenize the corpus with the trained merges --------
+
+  /** `bpe_encode`: the APPLY half of the BPE story — the 3 merges
+    * bpe_train_n learns (vocabulary-sized training, driver-collected merge
+    * list) are broadcast as literals and applied per word across the whole
+    * corpus: char-split, the same padded-double-replace chain as training
+    * (pad once, all merges, trim once — padding is invariant under the
+    * space-delimited replaces), then per-doc char and token totals — the
+    * "token count under the real tokenizer" every mixture/packing stage
+    * needs. The oracle re-trains AND re-encodes in one unrolled CTE chain.
+    * Scale: training cost is vocabulary-sized; encoding is one map-side
+    * pass over the corpus (merge list ships as literals in the plan — the
+    * broadcast-dictionary shape), one keyed agg per doc. */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rounds = 3
+    var vocab = documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), " ").as("s"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (_ <- 1 to rounds) {
+      val t = split(col("s"), " ")
+      val prs = when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + lit(1)))))
+        .otherwise(array().cast("array<string>"))
+      val pr = vocab.select(col("freq"), explode(prs).as("pr"))
+        .groupBy("pr").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1).collect()(0).getString(0)
+      merges += pr
+      def rep(c: Column): Column =
+        replace(c, lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " "))
+      vocab = vocab
+        .withColumn("s", trim(rep(rep(concat(lit(" "), col("s"), lit(" "))))))
+        .localCheckpoint()
+    }
+    val encodeWord: Column => Column = { w =>
+      val charSplit = array_join(
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), " ")
+      val padded = concat(lit(" "), charSplit, lit(" "))
+      val applied = merges.foldLeft(padded) { (c, pr) =>
+        def rep(x: Column): Column =
+          replace(x, lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " "))
+        rep(rep(c))
+      }
+      size(split(trim(applied), " "))
+    }
+    documents(s, d)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), w => length(w) >= 1).as("ws"))
+      .select(col("doc_id"),
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + encodeWord(w).cast("long")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Re-train (v0..t3, the bpe_train_n chain) then re-encode every word —
+    * one unrolled scripted oracle. */
+  private val bpeEncodeSql = {
+    def pairsOf(v: String, p: String): String =
+      s"""$p AS (
+         |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(t)),
+         |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])) AS pr
+         |    FROM (SELECT string_split(s, ' ') AS t, freq FROM $v))
+         |  GROUP BY 1)""".stripMargin
+    def topOf(p: String, t: String): String =
+      s"$t AS (SELECT pr, cnt FROM $p ORDER BY cnt DESC, pr LIMIT 1)"
+    def mergeOf(v: String, t: String, vNext: String): String =
+      s"""$vNext AS (
+         |  SELECT trim(replace(replace(' ' || s || ' ',
+         |      ' ' || (SELECT pr FROM $t) || ' ',
+         |      ' ' || (SELECT replace(pr, ' ', '') FROM $t) || ' '),
+         |      ' ' || (SELECT pr FROM $t) || ' ',
+         |      ' ' || (SELECT replace(pr, ' ', '') FROM $t) || ' ')) AS s, freq
+         |  FROM $v)""".stripMargin
+    def repOf(x: String, t: String): String =
+      s"""replace(replace($x,
+         |      ' ' || (SELECT pr FROM $t) || ' ',
+         |      ' ' || (SELECT replace(pr, ' ', '') FROM $t) || ' '),
+         |      ' ' || (SELECT pr FROM $t) || ' ',
+         |      ' ' || (SELECT replace(pr, ' ', '') FROM $t) || ' ')""".stripMargin
+    val enc = repOf(repOf(repOf(
+      "' ' || array_to_string(list_transform(range(1, length(w) + 1), " +
+        "i -> substring(w, CAST(i AS INTEGER), 1)), ' ') || ' '",
+      "t1"), "t2"), "t3")
+    s"""WITH words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1),
+       |v0 AS (
+       |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INTEGER), 1)), ' ') AS s, freq
+       |  FROM words),
+       |${pairsOf("v0", "p1")},
+       |${topOf("p1", "t1")},
+       |${mergeOf("v0", "t1", "v1")},
+       |${pairsOf("v1", "p2")},
+       |${topOf("p2", "t2")},
+       |${mergeOf("v1", "t2", "v2")},
+       |${pairsOf("v2", "p3")},
+       |${topOf("p3", "t3")},
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |encw AS (
+       |  SELECT doc_id, length(w) AS nch,
+       |         len(string_split(trim($enc), ' ')) AS ntok
+       |  FROM docw WHERE length(w) >= 1)
+       |SELECT doc_id, CAST(sum(nch) AS BIGINT) AS n_chars,
+       |       CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM encw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[(String, Q)] = Seq(
     "chunk_dedup" -> Q(chunkDedup, Some(chunkDedupSql)),
     "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
@@ -690,6 +809,7 @@ object CorpusQueries {
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "bpe_merge_topk" -> Q(bpeMergeTopk, Some(bpeMergeTopkSql)),
     "bpe_train_n" -> Q(bpeTrainN, Some(bpeTrainNSql)),
+    "bpe_encode" -> Q(bpeEncode, Some(bpeEncodeSql)),
     "dedup_canonical_pick" -> Q(dedupCanonicalPick, Some(dedupCanonicalPickSql)),
     "decontam_verbatim" -> Q(decontamVerbatim, Some(decontamVerbatimSql)),
     "chunk_dedup_rewrite" -> Q(chunkDedupRewrite, Some(chunkDedupRewriteSql)),
