@@ -80,6 +80,48 @@ object NorthStarQueries {
       maxDf = Long.MaxValue, minJaccard = 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** `dedup_prefix_jaccard`: the PPJoin prefix-filter candidate cut
+    * ([[DedupOps.prefixJaccardPairs]]) — same output contract as the full
+    * inverted-index join (the cut is provably lossless at t = 0.8, unlike
+    * the df-cut heuristic), posting lists shrunk to each doc's rare fifth.
+    * The oracle replays prefix selection + verify; OpProps additionally
+    * asserts row-equality with [[dedupJaccard]]'s full-index form. */
+  private def dedupPrefixJaccard(s: SparkSession, d: String): DataFrame =
+    DedupOps.prefixJaccardPairs(
+      fanOut(documents(s, d).filter(regexp_like(col("text"), lit("\\bdup\\b")))), 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupPrefixJaccardSql =
+    """WITH dup_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT t.doc_id, t.tok,
+      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS r,
+      |         s.sz
+      |  FROM toks t JOIN dfreq d USING (tok) JOIN sizes s USING (doc_id)),
+      |prefix AS (SELECT doc_id, tok FROM ranked
+      |           WHERE r <= sz - (sz * 4 + 4) // 5 + 1),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM prefix x JOIN prefix y ON x.tok = y.tok AND x.doc_id < y.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n
+      |  FROM cand c
+      |  JOIN toks a ON a.doc_id = c.doc_a
+      |  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b,
+      |       round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The daily-run shape: dedup TODAY'S batch (every 4th doc stands in for
     * the new crawl) against the EXISTING corpus without ever self-joining
     * either side ([[DedupOps.crossJaccardPairs]]) — the incremental form of
@@ -745,6 +787,7 @@ object NorthStarQueries {
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
+    "dedup_prefix_jaccard" -> Q(dedupPrefixJaccard, Some(dedupPrefixJaccardSql)),
     "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "dedup_pipeline" -> Q(dedupPipeline, Some(dedupPipelineSql)),

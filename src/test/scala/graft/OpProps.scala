@@ -80,4 +80,28 @@ object OpProps extends Properties("graft.ops6") {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       got == expected
     }
+
+  // random near-dup corpora: a handful of base vocabularies with per-doc
+  // token drops, so some pairs land above the 0.8 Jaccard bar and some below
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    nBase <- Gen.chooseNum(2, 4)
+    bases <- Gen.listOfN(nBase, Gen.listOfN(12,
+      Gen.oneOf("alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split(" ").toSeq)))
+    docs <- Gen.listOfN(8, for {
+      b <- Gen.oneOf(bases)
+      drop <- Gen.chooseNum(0, 2)
+    } yield b.distinct.drop(drop).mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.filter(_._2.nonEmpty)
+
+  property("prefix-filter similarity join equals the full inverted-index join") =
+    forAll(corpusGen) { docs =>
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val full = graft.ops.DedupOps.jaccardPairs(df, Long.MaxValue, 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val pref = graft.ops.DedupOps.prefixJaccardPairs(df, 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        pref == full
+      }
+    }
 }
