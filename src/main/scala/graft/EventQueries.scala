@@ -200,10 +200,56 @@ object EventQueries {
       |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE) AS p_next
       |FROM counts ORDER BY prev, next""".stripMargin
 
+  /** `anomaly_mad`: the robust-statistics twin of anomaly_zscore — median /
+    * median-absolute-deviation outlier detection (|x − med| > 3·MAD), the
+    * rule that doesn't let one huge day inflate its own threshold the way
+    * σ does. Medians come from the proven percentile ≡ quantile_cont
+    * interpolation (identical doubles cross-engine, agg_percentiles
+    * precedent); inputs are exact 2-dp decimals cast to double, so every
+    * comparison runs the same IEEE ops in both engines. Three keyed aggs
+    * on the same (type) key; each stats row broadcasts back. */
+  private def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("day_total"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(day_total, 0.5)").as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("adev", abs(col("day_total") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, "event_type")
+      .filter(col("adev") > col("mad") * 3)
+      .select(col("event_type"), col("day"), col("day_total"))
+      .orderBy("event_type", "day")
+  }
+
+  private val anomalyMadSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, quantile_cont(day_total, 0.5) AS med
+      |  FROM daily GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, d.day, d.day_total,
+      |         abs(d.day_total - m.med) AS adev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT v.event_type, v.day, v.day_total
+      |FROM dev v JOIN mad m USING (event_type)
+      |WHERE v.adev > m.mad * 3
+      |ORDER BY v.event_type, v.day""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),
     "anomaly_zscore" -> Q(anomalyZscore, Some(anomalyZscoreSql)),
     "ts_ewma" -> Q(tsEwma, Some(tsEwmaSql)),
+    "anomaly_mad" -> Q(anomalyMad, Some(anomalyMadSql)),
     "event_transitions" -> Q(eventTransitions, Some(eventTransitionsSql)))
 }

@@ -947,6 +947,31 @@ object RelationalQueries {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** J10 `join_null_safe`: the `<=>` (null-safe equality) join — NULL keys
+    * match each other, unlike plain `=` which drops them silently. The
+    * plan property that matters: Spark keeps EqualNullSafe HASHABLE (the
+    * key is effectively (isnull, coalesced-value)), so the join plans as a
+    * broadcast/sort-merge EQUI join, never a nested loop — plan-audited.
+    * One nulled key value per side keeps the null bucket bounded (at real
+    * scale a fat null bucket is a skew key like any other — salt it). */
+  private def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).select(nullif(col("o_custkey"), lit(7)).as("k"),
+      col("o_totalprice"))
+    val b = customer(s, d).select(nullif(col("c_custkey"), lit(7)).as("ck"))
+    a.join(b, col("k") <=> col("ck"))
+      .groupBy(col("k").isNull.as("null_key"))
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("null_key")
+  }
+
+  private val joinNullSafeSql =
+    s"""WITH a AS (SELECT nullif(o_custkey, 7) AS k, o_totalprice FROM orders),
+       |b AS (SELECT nullif(c_custkey, 7) AS ck FROM customer)
+       |SELECT (a.k IS NULL) AS null_key, count(*) AS n_pairs,
+       |       ${sqlDsum("o_totalprice")} AS total
+       |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.ck
+       |GROUP BY 1 ORDER BY null_key""".stripMargin
+
   /** O5 `global_rownum`: stable global row numbers over a total order —
     * the sharding/pagination primitive. The naive form,
     * `row_number().over(Window.orderBy(...))`, has an EMPTY partition spec:
@@ -1487,6 +1512,7 @@ object RelationalQueries {
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
     "partitioned_write_prune" -> Q(partitionedWritePrune, Some(partitionedWritePruneSql)),
     "join_bloom_prefilter" -> Q(bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
+    "join_null_safe" -> Q(joinNullSafe, Some(joinNullSafeSql)),
     "join_bucketed" -> Q(bucketedJoin, Some(bucketedJoinSql)),
   )
 }

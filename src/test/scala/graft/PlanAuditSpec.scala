@@ -373,6 +373,14 @@ class PlanAuditSpec extends SparkSpec {
       s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
   }
 
+  test("join_null_safe: EqualNullSafe stays a hashable equi join, never a nested loop") {
+    val p = finalPlan(q("join_null_safe"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"<=> must keep hash-join planning:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi join:\n$p")
+  }
+
   test("global_rownum: no single-partition Window — numbering stays partition-local") {
     import org.apache.spark.sql.functions.col
     val df = q("global_rownum")
