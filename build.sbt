@@ -28,8 +28,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pinned bench JVM (r07): fixed heap (-Xms == -Xmx, no growth pauses mid
+// rep) and an explicit collector, so builder and driver bench runs share
+// memory behavior instead of inheriting whatever the host JVM defaults to.
+// Recorded in BENCH_HISTORY.md; change both together or minima drift.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseG1GC",
+  "-XX:MaxGCPauseMillis=200",
 )

@@ -87,50 +87,120 @@ object AuditQueries {
 
   /** `profile_table`: the data-profiling scan a pipeline runs on every new
     * source — per-column null counts, bounds, distinct cardinalities, and a
-    * row count, all in ONE pass (one scan, one scalar aggregate; the
-    * count-distincts expand to Spark's single-pass multi-distinct plan).
-    * Doubles are profiled via DECIMAL bounds so the comparison is exact.
-    * At 100 TB the same query swaps count(DISTINCT) for approx_count_
-    * distinct (the agg_approx_distinct path) — the scan shape is identical. */
+    * row count — unpivoted with `stack` into one labeled row per column so
+    * any cross-engine divergence pinpoints the exact (column, measure) cell
+    * (the r06 single-wide-row form failed the driver hash with no way to
+    * tell WHICH of 9 cells differed). Bounds are reported as strings —
+    * bigint/date/decimal all render identically on both engines — and the
+    * double is profiled through its exact DECIMAL(12,2) view. The `_rows`
+    * row carries the table row count in n_distinct.
+    *
+    * Plan shape: the exact count-distincts go in their OWN scalar aggregate,
+    * cross-joined (1 row × 1 row) with the non-distinct measures. Fusing
+    * them puts every min/max/sum through the 5× Expand rows Spark plans for
+    * a 4-way multi-distinct — measured 3× slower than the two-scan split at
+    * sf0.1. At 100 TB the answer is not the split but
+    * `profile_table_approx`: approx_count_distinct needs no Expand, so ALL
+    * measures fuse back into one single-pass scalar aggregate — the
+    * declared scale path. */
+  private def profileAgg(s: SparkSession, d: String, approx: Boolean) = {
+    def nd(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c) else countDistinct(c)
+    val nds = Seq(
+      nd(col("o_custkey")).as("ck_nd"),
+      nd(col("o_orderdate")).as("dt_nd"),
+      nd(col("o_orderpriority")).as("pr_nd"),
+      nd(col("o_totalprice").cast("decimal(12,2)")).as("tp_nd"))
+    val rest = Seq(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_custkey").isNull.cast("long")).as("ck_nulls"),
+      min(col("o_custkey")).cast("string").as("ck_lo"),
+      max(col("o_custkey")).cast("string").as("ck_hi"),
+      sum(col("o_orderdate").isNull.cast("long")).as("dt_nulls"),
+      min(col("o_orderdate")).cast("date").cast("string").as("dt_lo"),
+      max(col("o_orderdate")).cast("date").cast("string").as("dt_hi"),
+      sum(col("o_orderpriority").isNull.cast("long")).as("pr_nulls"),
+      min(col("o_orderpriority")).as("pr_lo"),
+      max(col("o_orderpriority")).as("pr_hi"),
+      sum(col("o_totalprice").isNull.cast("long")).as("tp_nulls"),
+      min(col("o_totalprice").cast("decimal(12,2)")).cast("string").as("tp_lo"),
+      max(col("o_totalprice").cast("decimal(12,2)")).cast("string").as("tp_hi"))
+    val o = orders(s, d)
+    if (approx) o.agg((nds ++ rest).head, (nds ++ rest).tail: _*)
+    else o.agg(rest.head, rest.tail: _*)
+      .crossJoin(o.agg(nds.head, nds.tail: _*))
+  }
+
+  private val profileStack =
+    """stack(5,
+      |  '_rows',           0L,       n_rows, CAST(NULL AS STRING), CAST(NULL AS STRING),
+      |  'o_custkey',       ck_nulls, ck_nd,  ck_lo, ck_hi,
+      |  'o_orderdate',     dt_nulls, dt_nd,  dt_lo, dt_hi,
+      |  'o_orderpriority', pr_nulls, pr_nd,  pr_lo, pr_hi,
+      |  'o_totalprice',    tp_nulls, tp_nd,  tp_lo, tp_hi
+      |) AS (col_name, n_nulls, n_distinct, lo, hi)""".stripMargin
+
   private def profileTable(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("o_custkey").isNull.cast("long")).as("custkey_nulls"),
-        countDistinct(col("o_custkey")).as("custkey_distinct"),
-        min(col("o_orderdate")).cast("date").as("date_lo"),
-        max(col("o_orderdate")).cast("date").as("date_hi"),
-        countDistinct(col("o_orderpriority")).as("priority_distinct"),
-        min(col("o_totalprice").cast("decimal(12,2)")).as("price_lo"),
-        max(col("o_totalprice").cast("decimal(12,2)")).as("price_hi"),
-        sum(col("o_totalprice").isNull.cast("long")).as("price_nulls"))
+    profileAgg(s, d, approx = false)
+      .selectExpr(profileStack).orderBy("col_name")
+
+  /** `profile_table_approx`: same scan, count(DISTINCT) swapped for the
+    * mergeable HLL sketch — the shape that survives 100 TB (no per-group
+    * exact-distinct expansion). No DuckDB oracle (estimator internals
+    * differ by engine); OpProps bounds its error against the exact profile. */
+  private def profileTableApprox(s: SparkSession, d: String): DataFrame =
+    profileAgg(s, d, approx = true)
+      .selectExpr(profileStack).orderBy("col_name")
 
   private val profileTableSql =
-    """SELECT count(*) AS n_rows,
-      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
-      |       count(DISTINCT o_custkey) AS custkey_distinct,
-      |       CAST(min(o_orderdate) AS DATE) AS date_lo,
-      |       CAST(max(o_orderdate) AS DATE) AS date_hi,
-      |       count(DISTINCT o_orderpriority) AS priority_distinct,
-      |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS price_lo,
-      |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS price_hi,
-      |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls
-      |FROM orders""".stripMargin
+    """WITH a AS (SELECT
+      |  count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
+      |  count(DISTINCT o_custkey) AS ck_nd,
+      |  CAST(min(o_custkey) AS VARCHAR) AS ck_lo,
+      |  CAST(max(o_custkey) AS VARCHAR) AS ck_hi,
+      |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dt_nulls,
+      |  count(DISTINCT o_orderdate) AS dt_nd,
+      |  CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS dt_lo,
+      |  CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS dt_hi,
+      |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pr_nulls,
+      |  count(DISTINCT o_orderpriority) AS pr_nd,
+      |  min(o_orderpriority) AS pr_lo,
+      |  max(o_orderpriority) AS pr_hi,
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_nulls,
+      |  count(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS tp_nd,
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS tp_lo,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS tp_hi
+      |FROM orders)
+      |SELECT '_rows' AS col_name, CAST(0 AS BIGINT) AS n_nulls,
+      |       n_rows AS n_distinct, CAST(NULL AS VARCHAR) AS lo,
+      |       CAST(NULL AS VARCHAR) AS hi FROM a
+      |UNION ALL SELECT 'o_custkey', ck_nulls, ck_nd, ck_lo, ck_hi FROM a
+      |UNION ALL SELECT 'o_orderdate', dt_nulls, dt_nd, dt_lo, dt_hi FROM a
+      |UNION ALL SELECT 'o_orderpriority', pr_nulls, pr_nd, pr_lo, pr_hi FROM a
+      |UNION ALL SELECT 'o_totalprice', tp_nulls, tp_nd, tp_lo, tp_hi FROM a
+      |ORDER BY col_name""".stripMargin
 
   /** `agg_histogram`: 20-bucket equi-width histogram of order value — the
     * numeric-distribution half of profiling (length_histogram covers the
     * log2 flavor). Bounds come from one scalar-agg pass broadcast onto the
-    * scan; bucket = floor((x-lo)/w) clamped to the top bucket, computed
-    * with the same IEEE ops in both engines (DuckDB has no width_bucket —
-    * the explicit arithmetic IS the portable form). Per-bucket DECIMAL
-    * bounds verify edge assignment exactly, not just the counts. */
+    * scan. The bucket index is PURE INTEGER arithmetic on the exact
+    * cent-scaled price (`xc = DECIMAL(12,2)·100` as BIGINT):
+    * `least(19, ((xc−lo)·20) div (hi−lo))` — integer division of
+    * non-negative operands is floor, so this IS floor((x−lo)/w) but with
+    * zero float ops. The r06 IEEE form (`floor((x−lo)/((hi−lo)/20))`) moved
+    * an edge row between buckets on a one-ulp engine divergence; integers
+    * cannot. Per-bucket DECIMAL bounds verify edge assignment exactly, not
+    * just the counts. */
   private def aggHistogram(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
-    val mm = o.agg(min(col("o_totalprice")).as("lo"),
-      max(col("o_totalprice")).as("hi"))
+    val o = orders(s, d).select(
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("xc"),
+      col("o_totalprice"))
+    val mm = o.agg(min(col("xc")).as("lo_c"), max(col("xc")).as("hi_c"))
     o.crossJoin(broadcast(mm))
-      .select(least(lit(19), floor((col("o_totalprice") - col("lo")) /
-          ((col("hi") - col("lo")) / 20)).cast("int")).as("bucket"),
+      .select(least(lit(19L),
+          expr("((xc - lo_c) * 20) div greatest(hi_c - lo_c, 1)"))
+          .cast("int").as("bucket"),
         col("o_totalprice"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -140,18 +210,21 @@ object AuditQueries {
   }
 
   private val aggHistogramSql =
-    """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
-      |            FROM orders)
-      |SELECT LEAST(19, CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20))
-      |         AS INTEGER)) AS bucket,
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+      |                  o_totalprice
+      |           FROM orders),
+      |mm AS (SELECT min(xc) AS lo_c, max(xc) AS hi_c FROM c)
+      |SELECT CAST(LEAST(19, ((xc - lo_c) * 20) // GREATEST(hi_c - lo_c, 1))
+      |         AS INTEGER) AS bucket,
       |       count(*) AS n,
       |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS b_lo,
       |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS b_hi
-      |FROM orders, mm GROUP BY 1 ORDER BY bucket""".stripMargin
+      |FROM c, mm GROUP BY 1 ORDER BY bucket""".stripMargin
 
   def all: Seq[(String, Q)] = Seq(
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
+    "profile_table_approx" -> Q(profileTableApprox, None),
     "agg_histogram" -> Q(aggHistogram, Some(aggHistogramSql)))
 }

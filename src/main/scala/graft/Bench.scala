@@ -53,7 +53,28 @@ object Bench {
     // change — see BENCH_HISTORY.md.)
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
+    // Reset cross-query state so every query is timed from the same
+    // block-manager baseline (r07 protocol; see BENCH_HISTORY.md).
+    // Builder-side localCheckpoints (CC loops, layout pins) leave their
+    // blocks pinned until the ContextCleaner's next GC-driven sweep, so in
+    // a 164-query sequential run the late-alphabet dedup/CC/vector family
+    // inherited up to 163 predecessors' worth of retained blocks — the
+    // likely cause of the r06 driver-bench 5.6x on knn_q8_rescore while
+    // the same commit ran 0.4s in isolation. Unpersist synchronously,
+    // clear any cached plans, drop leaked spark.graft.* optimizer knobs,
+    // and give the cleaner one GC tick; all of it OUTSIDE the timed reps.
+    def resetState(): Unit = {
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+          .foreach(spark.conf.unset)
+        System.gc()
+      } catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      resetState()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

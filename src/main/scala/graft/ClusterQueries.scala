@@ -16,9 +16,11 @@ import graft.ops.VectorOps
   * plus one (cid,dim)-keyed partial-agg'd shuffle; only k·dim rows ever
   * reach the driver. The semantic prune then pairs vectors ONLY within a
   * cluster — O(Σ s_c²) vs the O(n²) corpus self-join, with cluster count
-  * the knob that bounds s_c. Every float op is an index-order fold and every
-  * centroid rounds to 4 dp, so DuckDB replays the whole computation
-  * bit-for-bit (scripted-iteration oracle, the `bpe_train_n` pattern).
+  * the knob that bounds s_c. Every distance is an index-order IEEE fold,
+  * every centroid mean is an order-independent DECIMAL sum rounded to 4 dp
+  * in exact arithmetic (partitioning can never move a result — the r06
+  * lesson), so DuckDB replays the whole computation bit-for-bit
+  * (scripted-iteration oracle, the `bpe_train_n` pattern).
   */
 object ClusterQueries {
   import Tables._
@@ -45,12 +47,27 @@ object ClusterQueries {
        |  FROM e CROSS JOIN $cen) WHERE rn = 1)""".stripMargin
 
   /** Update CTE pair: per-(cid,dim) 4-dp-rounded mean over the assignment,
-    * reassembled into centroid arrays; empty clusters keep `prev`'s row. */
+    * reassembled into centroid arrays; empty clusters keep `prev`'s row.
+    *
+    * Replays [[graft.ops.VectorOps.kmeansLloyd]]'s order-independent mean
+    * exactly: elements quantize to DECIMAL(18,7) (exact integer sum `si` at
+    * scale 1e7), and the 4-dp half-away-from-zero mean is pure integer
+    * arithmetic — m·1e4 = round(si/(1000·n)) = sign·((2·|si| + d) // (2·d))
+    * with d = 1000·n (`//` truncates; operands are kept non-negative so
+    * truncation IS floor, and floor((2a+b)/2b) IS round-half-up(a/b)).
+    * The only float op left is the final /10000.0 — one correctly-rounded
+    * IEEE division on both engines. */
   private def updateCte(outU: String, outC: String, assign: String,
       prev: String): String =
-    s"""$outU AS (SELECT cid, CAST(dim AS INTEGER) AS dim,
-       |          round(avg(v[CAST(dim AS INTEGER)]), 4) AS m
-       |        FROM $assign, range(1, ${Dim + 1}) t(dim) GROUP BY 1, 2),
+    s"""$outU AS (SELECT cid, dim,
+       |          CAST((CASE WHEN si < 0 THEN -1 ELSE 1 END)
+       |               * ((2 * abs(si) + n * 1000) // (2 * n * 1000))
+       |               AS DOUBLE) / 10000.0 AS m
+       |        FROM (SELECT cid, CAST(dim AS INTEGER) AS dim,
+       |                CAST(SUM(CAST(v[CAST(dim AS INTEGER)] AS DECIMAL(18,7)))
+       |                     * 10000000 AS BIGINT) AS si,
+       |                COUNT(*) AS n
+       |              FROM $assign, range(1, ${Dim + 1}) t(dim) GROUP BY 1, 2)),
        |$outC AS (SELECT p.cid, coalesce(u.c, p.c) AS c
        |        FROM $prev p LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS c
        |                                FROM $outU GROUP BY cid) u

@@ -243,16 +243,26 @@ object RelationalQueries {
     * joins). Same oracle as `join_range_binned`: the rewrite is invisible
     * to results, visible only in the plan (audited: no nested loop). */
   private def rangeAuto(s: SparkSession, d: String): DataFrame = {
+    // Arm the rewrite for THIS build only: the rule reads the conf at
+    // optimization time, so force the plan while armed, then unset in a
+    // finally — a leaked conf would silently re-plan every later hint-less
+    // band join in the session (bench/verify run all queries through one
+    // session). The forced QueryExecution is cached inside the returned
+    // Dataset, so execution after the unset still runs the rewritten plan.
     s.conf.set("spark.graft.rangeJoin.binWidth", "4000")
-    val intervals = s.range(125).select(col("id").as("band_id"),
-      (col("id") * 4000).cast("double").as("lo"),
-      (col("id") * 4000 + 8000).cast("double").as("hi"))
-    orders(s, d)
-      .join(intervals,
-        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
-      .groupBy("band_id")
-      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_value"))
-      .orderBy("band_id")
+    try {
+      val intervals = s.range(125).select(col("id").as("band_id"),
+        (col("id") * 4000).cast("double").as("lo"),
+        (col("id") * 4000 + 8000).cast("double").as("hi"))
+      val df = orders(s, d)
+        .join(intervals,
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_value"))
+        .orderBy("band_id")
+      df.queryExecution.executedPlan
+      df
+    } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
   /** J7 `join_range_bands`: salary-band theta join (database.py:61-62 bands).

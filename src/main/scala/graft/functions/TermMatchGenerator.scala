@@ -9,16 +9,18 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** SURVEY.md §2.10 X3 stretch (+ §2.4 F6 "v2 perf" path): a custom Catalyst
   * `Generator` that emits every dictionary term found in a document in ONE
-  * pass over its tokens — the reference's 348-compiled-regexes-per-document
-  * loop (pracuj_scraper.py:183-197) and the engine's v1
-  * broadcast-join-per-term formulation both do O(terms) work per document;
-  * this does O(tokens).
+  * pass — the reference's 348-compiled-regexes-per-document loop
+  * (pracuj_scraper.py:183-197) and the engine's v1 broadcast-join-per-term
+  * formulation both do O(terms) work per document; this does O(chars).
   *
-  * Matching semantics equal the v1 word-boundary semantics on
-  * whitespace-tokenized text: single-word terms hit when the token equals
-  * the term; multi-word terms hit when their tokens appear adjacently.
-  * Matches are emitted as a distinct set per document (the reference's
-  * per-listing `set()`).
+  * Matching semantics equal the v1 [[graft.ops.SkillOps.matchesWith]]
+  * semantics exactly: single-word terms hit when a whitespace token equals
+  * the term; multi-word terms hit when the lowered text contains a
+  * `\b`-bounded literal occurrence — reproduced by the character-level
+  * [[AhoCorasick]] automaton instead of a per-term regex bank (r07; until
+  * then multi-word matching was token-adjacency, a slightly LOOSER relation
+  * than the regexes the v1 path and the oracles use). Matches are emitted
+  * as a distinct set per document (the reference's per-listing `set()`).
   */
 case class TermMatchGenerator(child: Expression, terms: Seq[String])
     extends UnaryExpression with Generator with CodegenFallback {
@@ -31,36 +33,29 @@ case class TermMatchGenerator(child: Expression, terms: Seq[String])
     else TypeCheckResult.TypeCheckFailure(
       s"term_match expects a string column, got ${child.dataType.catalogString}")
 
-  // Matching state built once per executor (case-class field would serialize
-  // fine too, but lazy keeps construction off the driver's plan-copy path).
+  // Matching state built once per deserialized expression (lazy keeps
+  // construction off the driver's plan-copy path; rebuild per task is
+  // microseconds against any real task).
   @transient private lazy val singleTerms: Set[String] =
     terms.filterNot(_.contains(" ")).toSet
-  @transient private lazy val multiTerms: Seq[Array[String]] =
-    terms.filter(_.contains(" ")).map(_.split(" "))
+  @transient private lazy val multiAc: AhoCorasick =
+    new AhoCorasick(terms.filter(_.contains(" ")).toArray)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val text = child.eval(input)
     if (text == null) return Iterator.empty
-    val tokens = text.asInstanceOf[UTF8String].toString
-      .toLowerCase.split("\\s+")
+    val lowered = text.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val found = scala.collection.mutable.LinkedHashSet.empty[String]
-    var i = 0
-    while (i < tokens.length) {
-      if (singleTerms.contains(tokens(i))) found += tokens(i)
-      i += 1
-    }
-    // multi-word adjacency (few terms; tokens scanned once per term length)
-    for (mt <- multiTerms) {
-      var j = 0
-      var hit = false
-      while (!hit && j + mt.length <= tokens.length) {
-        var k = 0
-        while (k < mt.length && tokens(j + k) == mt(k)) k += 1
-        if (k == mt.length) hit = true
-        j += 1
+    if (singleTerms.nonEmpty) {
+      val tokens = lowered.split("\\s+")
+      var i = 0
+      while (i < tokens.length) {
+        if (singleTerms.contains(tokens(i))) found += tokens(i)
+        i += 1
       }
-      if (hit) found += mt.mkString(" ")
     }
+    if (multiAc.patterns.nonEmpty) found ++= multiAc.matchedPatterns(lowered)
     found.iterator.map(t => InternalRow(UTF8String.fromString(t)))
   }
 

@@ -33,29 +33,37 @@ case class VecNearestCid(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // Registered as a general SQL function, so malformed input must degrade
+  // to null, not NPE: an empty centroid matrix (or one whose inner arrays
+  // are all null) has no nearest centroid → result is null. Internal
+  // callers (assignExact) always pass a non-empty null-free literal.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_nearest_cid"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val cents = b.asInstanceOf[ArrayData]
-    var best = 0
+    var best = -1
     var bestD = Double.PositiveInfinity
     var c = 0
     val k = cents.numElements()
     while (c < k) {
-      val cv = cents.getArray(c)
-      val n = math.min(x.numElements(), cv.numElements())
-      var d = 0.0
-      var i = 0
-      while (i < n) {
-        val t = x.getFloat(i).toDouble - cv.getDouble(i)
-        d += t * t
-        i += 1
+      if (!cents.isNullAt(c)) {
+        val cv = cents.getArray(c)
+        val n = math.min(x.numElements(), cv.numElements())
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val t = x.getFloat(i).toDouble - cv.getDouble(i)
+          d += t * t
+          i += 1
+        }
+        if (best < 0 || d < bestD) { bestD = d; best = c }
       }
-      if (d < bestD) { bestD = d; best = c }
       c += 1
     }
-    best
+    if (best < 0) null else best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,10 +78,11 @@ case class VecNearestCid(left: Expression, right: Expression)
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       s"""
-         |int $best = 0;
+         |int $best = -1;
          |double $bestD = Double.POSITIVE_INFINITY;
          |int $k = $b.numElements();
          |for (int $c = 0; $c < $k; $c++) {
+         |  if ($b.isNullAt($c)) continue;
          |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $b.getArray($c);
          |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
          |  double $d = 0.0;
@@ -81,9 +90,9 @@ case class VecNearestCid(left: Expression, right: Expression)
          |    double $t = (double) $a.getFloat($i) - $cv.getDouble($i);
          |    $d += $t * $t;
          |  }
-         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  if ($best < 0 || $d < $bestD) { $bestD = $d; $best = $c; }
          |}
-         |${ev.value} = $best;
+         |if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
        """.stripMargin
     })
 

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: single-word terms are matched by token-explode + broadcast
   * hash join (no per-term regex scans — the reference's O(terms×text) regex
-  * loop is the #1 thing NOT to port, SURVEY.md §4.2). Multi-word terms, which
-  * are few, use one broadcast theta-join with a word-boundary regex. At
+  * loop is the #1 thing NOT to port, SURVEY.md §4.2). Multi-word terms are
+  * matched in ONE pass per document by the character-level Aho-Corasick
+  * automaton ([[graft.functions.AhoCorasick]], r07 — same `\b` semantics as
+  * the regex bank it replaced, O(chars) instead of O(terms·chars)). At
   * 100 TB both sides stream: no shuffle until the final aggregation.
   */
 object SkillOps {
@@ -144,15 +146,17 @@ object SkillOps {
       .select("doc_id", "term")
     if (multi.isEmpty) singleMatches
     else {
-      // multi-word terms as ONE per-row expression (each term its own
-      // word-boundary regex, literal so codegen precompiles it) — same
-      // per-term-independent semantics as a regex theta-join, without
-      // materializing a docs × terms join
+      // multi-word terms in ONE text pass via the character-level
+      // Aho-Corasick Generator (r07; replaced a bank of per-term
+      // word-boundary regexes — O(terms) scans per document, the
+      // reference's pracuj_scraper.py:183-197 shape, and the dominant CPU
+      // cost of dictionary matching at corpus scale). Semantics are
+      // unchanged: the automaton reproduces `\b<escaped term>\b` exactly.
       val multiMatches = docs.select(col("doc_id"),
-        explode(array_compact(array(multi.map { mt =>
-          val esc = mt.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
-          when(regexp_like(lower(col("text")), lit("\\b" + esc + "\\b")), lit(mt))
-        }: _*))).as("term"))
+        org.apache.spark.sql.GraftSqlShim.column(
+          graft.functions.TermMatchGenerator(
+            org.apache.spark.sql.GraftSqlShim.expression(col("text")),
+            multi)).as("term"))
       singleMatches.unionByName(multiMatches)
     }
   }

@@ -175,12 +175,16 @@ object VectorOps {
   /** Distributed Lloyd — the corpus-scale training loop (vs the bounded
     * sample-trained [[kmeansCentroids]] used for ANN quantizers): per
     * iteration ONE corpus scan (map-only assign) + ONE keyed (cid,dim)
-    * aggregate, and only k·dim averaged rows return to the driver to become
+    * aggregate, and only k·dim summed rows return to the driver to become
     * the next broadcast literal — the MLlib-style sync point. Deterministic
-    * across engines: init = first k vec_ids (float→double is exact), and
-    * each new centroid component rounds to 4 dp so the ~1e-13 float-sum
-    * order noise of the distributed average can never flip a later argmin.
-    * Empty clusters keep their previous centroid. */
+    * across engines AND across partitionings: each element is quantized to
+    * DECIMAL(18,7) (exact, order-independent integer sum — the Det.dsum
+    * pattern; a 4-dp IEEE round of an order-dependent double `avg` flipped
+    * a .00005 boundary under the driver's partitioning, the r06
+    * `kmeans_assign` hash fail), the per-dimension mean is then rounded
+    * half-up to 4 dp in exact BigDecimal arithmetic on the driver, and only
+    * that 4-dp value becomes a double. Empty clusters keep their previous
+    * centroid. */
   def kmeansLloyd(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] =
       e.orderBy("vec_id").limit(k).select("embedding").collect()
@@ -191,11 +195,17 @@ object VectorOps {
       val upd = e.withColumn("cid", assignExact(col("embedding"), cents))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(round(avg(col("x").cast("double")), 4).as("m"))
+        .agg(sum(col("x").cast("decimal(18,7)")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          cid -> rows.sortBy(_.getInt(1)).map { r =>
+            r.getDecimal(2)
+              .divide(java.math.BigDecimal.valueOf(r.getLong(3)), 4,
+                java.math.RoundingMode.HALF_UP)
+              .doubleValue()
+          }.toSeq
         }
       cents = cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
     }

@@ -72,10 +72,18 @@ object RewriteBinnedRangeJoin extends Rule[LogicalPlan] {
             val leftP = Project(left.output :+ binL, left)
             // Sequence is TimeZoneAwareExpression: it is only `resolved`
             // with a timezone bound, even for numeric sequences
-            val seq = Sequence(
-              Cast(Floor(Divide(lo, width)), LongType),
-              Subtract(Cast(Ceil(Divide(hi, width)), LongType), Literal(1L)),
-              Some(Literal(1L)), Some(SQLConf.get.sessionLocalTimeZone))
+            val start = Cast(Floor(Divide(lo, width)), LongType)
+            val stop = Subtract(Cast(Ceil(Divide(hi, width)), LongType), Literal(1L))
+            // Degenerate/inverted intervals (hi <= lo, e.g. lo == hi on a
+            // bin boundary) make start > stop, and Sequence with step=1
+            // throws at runtime instead of yielding no rows. Null bounds
+            // route here too (condition is null), matching the original
+            // join, which emits nothing for them.
+            val seq = If(LessThanOrEqual(start, stop),
+              Sequence(start, stop, Some(Literal(1L)),
+                Some(SQLConf.get.sessionLocalTimeZone)),
+              Literal.create(Seq.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
             val binR = AttributeReference("__bin_r", LongType, nullable = false)()
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,

@@ -373,6 +373,36 @@ class PlanAuditSpec extends SparkSpec {
       s"hinted tiny-dim band join must stay a broadcast nested loop:\n$pb")
   }
 
+  test("RewriteBinnedRangeJoin: degenerate/inverted intervals yield no rows, not a Sequence crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "4000")
+    try {
+      val facts = Seq(4000.0, 8000.0).toDF("x")
+      val intervals = Seq(
+        ("empty_on_boundary", 8000.0, 8000.0), // lo == hi on a bin edge
+        ("inverted", 9000.0, 1000.0),
+        ("real", 0.0, 5000.0)
+      ).toDF("name", "lo", "hi")
+      val joined = facts.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val got = joined.select("name", "x").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == Set(("real", 4000.0)), s"wrong rows: $got")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("__bin_l"), s"rewrite should have fired:\n$p")
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("join_range_auto: builder leaves no spark.graft conf armed; plan stays rewritten") {
+    val df = q("join_range_auto")
+    assert(spark.conf.getOption("spark.graft.rangeJoin.binWidth").isEmpty,
+      "binWidth conf leaked from the builder")
+    val p = finalPlan(df)
+    assert(p.contains("__bin_l") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rewritten plan must survive the conf unset:\n$p")
+  }
+
   test("join_null_safe: EqualNullSafe stays a hashable equi join, never a nested loop") {
     val p = finalPlan(q("join_null_safe"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -26,6 +26,21 @@ class QueriesSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("profile_table_approx n_distinct lands within HLL error of the exact profile") {
+    def byCol(name: String) =
+      Queries.byName(name).build(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = byCol("profile_table")
+    val approx = byCol("profile_table_approx")
+    assert(exact.keySet == approx.keySet)
+    for ((c, e) <- exact if c != "_rows") {
+      val a = approx(c)
+      // default rsd = 5%; allow 3 sigma
+      assert(math.abs(a - e).toDouble / math.max(e, 1L) < 0.15,
+        s"$c: approx=$a exact=$e")
+    }
+  }
+
   test("graph_pagerank conserves probability mass (no dangling leakage)") {
     val total = Queries.byName("graph_pagerank").build(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("rank")).collect().head.getDouble(0)

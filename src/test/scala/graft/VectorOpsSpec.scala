@@ -158,6 +158,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows disagree between native and HOF assignment")
   }
 
+  test("vec_nearest_cid SQL surface degrades to null on malformed centroid matrices") {
+    Tables.tune(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_nearest_cid(array(CAST(1.0 AS FLOAT)),
+        |    array(CAST(NULL AS ARRAY<DOUBLE>), array(CAST(1.5 AS DOUBLE)))) AS skip_null,
+        |  vec_nearest_cid(array(CAST(1.0 AS FLOAT)),
+        |    CAST(array() AS ARRAY<ARRAY<DOUBLE>>)) AS empty_m,
+        |  vec_nearest_cid(array(CAST(1.0 AS FLOAT)),
+        |    array(CAST(NULL AS ARRAY<DOUBLE>))) AS all_null
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 1, "null inner array must be skipped, not NPE")
+    assert(r.isNullAt(1), "empty centroid matrix must yield null, not cid 0")
+    assert(r.isNullAt(2), "all-null centroid matrix must yield null")
+  }
+
   test("centroid UDAF equals manual element-wise average") {
     val df = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 20f)))
       .toDF("label", "embedding")
