@@ -25,13 +25,15 @@ object AuditQueries {
     * moves the sum; partition order and merge order cannot. Spark parses
     * the 8-hex prefix with conv(); DuckDB casts '0x'-prefixed hex — same
     * 32-bit value, summed in BIGINT (no overflow below 2^31 rows). */
-  private def auditChecksum(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .select(conv(substring(md5(concat_ws("|",
+  private[graft] def auditChecksumOf(li: DataFrame): DataFrame =
+    li.select(conv(substring(md5(concat_ws("|",
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity").cast("decimal(12,2)"))), 1, 8), 16, 10)
         .cast("long").as("h"))
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+
+  private def auditChecksum(s: SparkSession, d: String): DataFrame =
+    auditChecksumOf(lineitem(s, d))
 
   private val auditChecksumSql =
     """SELECT count(*) AS n_rows,
@@ -47,8 +49,7 @@ object AuditQueries {
     * the key and bucketed into added / removed / changed / same, with a
     * per-status key sum so the partition itself is verified, not just its
     * size. The data-regression check every pipeline migration runs. */
-  private def tableDiff(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
+  private[graft] def tableDiffOf(o: DataFrame): DataFrame = {
     val oldT = o.filter(col("o_orderkey") % 97 =!= 0)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
     val newT = o.filter(col("o_orderkey") % 101 =!= 0)
@@ -65,6 +66,9 @@ object AuditQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
       .orderBy("status")
   }
+
+  private def tableDiff(s: SparkSession, d: String): DataFrame =
+    tableDiffOf(orders(s, d))
 
   private val tableDiffSql =
     """WITH old_t AS (
@@ -192,8 +196,8 @@ object AuditQueries {
     * an edge row between buckets on a one-ulp engine divergence; integers
     * cannot. Per-bucket DECIMAL bounds verify edge assignment exactly, not
     * just the counts. */
-  private def aggHistogram(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d).select(
+  private[graft] def aggHistogramOf(ordersDf: DataFrame): DataFrame = {
+    val o = ordersDf.select(
       (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("xc"),
       col("o_totalprice"))
     val mm = o.agg(min(col("xc")).as("lo_c"), max(col("xc")).as("hi_c"))
@@ -208,6 +212,9 @@ object AuditQueries {
         max(col("o_totalprice").cast("decimal(12,2)")).as("b_hi"))
       .orderBy("bucket")
   }
+
+  private def aggHistogram(s: SparkSession, d: String): DataFrame =
+    aggHistogramOf(orders(s, d))
 
   private val aggHistogramSql =
     """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,

@@ -694,10 +694,12 @@ object CorpusQueries {
     * Scale: training cost is vocabulary-sized; encoding is one map-side
     * pass over the corpus (merge list ships as literals in the plan — the
     * broadcast-dictionary shape), one keyed agg per doc. */
-  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOf(documents(s, d))
+
+  private[graft] def bpeEncodeOf(docs: DataFrame): DataFrame = {
     val rounds = 3
-    var vocab = documents(s, d)
+    var vocab = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -732,7 +734,7 @@ object CorpusQueries {
       }
       size(split(trim(applied), " "))
     }
-    documents(s, d)
+    docs
       .select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), w => length(w) >= 1).as("ws"))
       .select(col("doc_id"),

@@ -241,6 +241,25 @@ object ScaleProbe {
       o.join(broadcast(rjIntervals),
         col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi")).count()
 
+    // audit family (r07 rows): checksum is one scan + a commutative scalar
+    // agg; table diff is ONE full-outer equi join on the key; the histogram
+    // is a scalar min/max agg broadcast back onto a second scan. All three
+    // must track the scan, never the shuffle.
+    // toRdd.count (not count()): count() over a scalar aggregate lets the
+    // optimizer prune the aggregate's payload expressions (the md5 fold
+    // here), which would time the bare scan instead of the operator.
+    def checksum(li: DataFrame): Long =
+      graft.AuditQueries.auditChecksumOf(li).queryExecution.toRdd.count()
+    def diffT(o: DataFrame): Long =
+      graft.AuditQueries.tableDiffOf(o).queryExecution.toRdd.count()
+    def histo(o: DataFrame): Long =
+      graft.AuditQueries.aggHistogramOf(o).queryExecution.toRdd.count()
+    // bpe encode: training is vocabulary-sized (3 driver argmax rounds over
+    // the word-frequency agg); encoding is one map-side pass with the merge
+    // list shipped as plan literals.
+    def bpeEnc(docs: DataFrame): Long =
+      graft.CorpusQueries.bpeEncodeOf(docs).queryExecution.toRdd.count()
+
     // curation pipeline: gate (native word_grams) + argmin dedup + sample +
     // report — with per-replica text salt dup families stay bounded, so the
     // one nt-keyed shuffle is the only corpus-sized movement.
@@ -303,6 +322,7 @@ object ScaleProbe {
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
     kmeans(e1); semdedup(e1); pagerank(o1, li1); rangeBinned(o1); rangeBnl(o1)
     curation(d1); linkage(parts1); chain(c1)
+    checksum(li1); diffT(o1); histo(o1); bpeEnc(d1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -340,6 +360,14 @@ object ScaleProbe {
         time(linkage(parts1)), time(linkage(partsN))),
       ("recursive chain rollup (forest x20, UnionLoop)",
         time(chain(c1)), time(chain(cN))),
+      ("audit checksum (commutative hash-sum)",
+        time(checksum(li1)), time(checksum(liN))),
+      ("cdc table diff (full-outer on key)",
+        time(diffT(o1)), time(diffT(oN))),
+      ("equi-width histogram (integer buckets)",
+        time(histo(o1)), time(histo(oN))),
+      ("bpe encode (train 3 merges + map-side encode)",
+        time(bpeEnc(d1)), time(bpeEnc(dN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -406,6 +434,18 @@ object ScaleProbe {
     sb.append("is one frontier-sized equi join growing with the data while the\n")
     sb.append("level count stays the key's digit depth — growth must stay\n")
     sb.append("linear, never level-count-super-linear.\n\n")
+    sb.append("audit rows (r07): the checksum is one scan + one commutative scalar\n")
+    sb.append("aggregate (merge-order-free by construction) — pure per-row md5 CPU\n")
+    sb.append("with no shuffle, so its ratio approaches the amplification factor\n")
+    sb.append("(the 1x run can't saturate 32 cores); that IS linear scaling for an\n")
+    sb.append("embarrassingly parallel audit, and executors add capacity 1:1. The\n")
+    sb.append("CDC diff is ONE full-outer equi join on the snapshot key (bucket\n")
+    sb.append("both snapshots on the key at scale and it plans shuffle-free); the\n")
+    sb.append("histogram is a scalar min/max broadcast onto a second scan with\n")
+    sb.append("pure-integer bucket arithmetic. bpe encode: training cost is\n")
+    sb.append("vocabulary-sized (the word-frequency agg + 3 driver argmax rounds),\n")
+    sb.append("encoding ships the merge list as plan literals — one map-side pass,\n")
+    sb.append("scan-linear.\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")
