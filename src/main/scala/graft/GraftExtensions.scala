@@ -33,6 +33,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("asof_match"), graft.plans.AsOfMatch.info,
       graft.plans.AsOfMatch.builder))
+    // dictionary matching over the built-in skill taxonomy: generator
+    // (one row per found term) and scalar (array<string>) forms
+    ext.injectFunction((
+      FunctionIdentifier("term_match"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TermMatchGenerator].getCanonicalName, "term_match"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TermMatchGenerator(args.head,
+          graft.ops.SkillOps.taxonomyRows.map(_._1).distinct)))
+    ext.injectFunction((
+      FunctionIdentifier("term_match_array"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TermMatchArray].getCanonicalName, "term_match_array"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TermMatchArray(args.head,
+          graft.ops.SkillOps.taxonomyRows.map(_._1).distinct)))
     // whole-operator extension: as-of join (logical node + SQL marker
     // rewrite + pushdown/pruning rules + planning strategy,
     // graft.plans.AsOfJoin / graft.plans.SqlAsOf)

@@ -115,6 +115,17 @@ object Tables {
           graft.functions.TermMatchGenerator(args.head,
             graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
     }
+    // term_match_array: the scalar (array<string>) form of the same
+    // dictionary match, for use inside per-row conditional cascades
+    registerIfAbsent("term_match_array") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("term_match_array"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.TermMatchArray].getCanonicalName, "term_match_array"),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.TermMatchArray(args.head,
+            graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
+    }
     // asof_match: SQL marker predicate for the as-of join (rewritten to the
     // AsOfJoin node by RewriteAsOfMarkerJoin; Unevaluable if left in place)
     registerIfAbsent("asof_match") {

@@ -85,17 +85,15 @@ object SkillOps {
     textMatchArrayWith(text, taxonomyRows.map(_._1).distinct)
 
   /** textMatchArray over an arbitrary term list — the real reference
-    * dictionary plugs in here (see ReferenceTaxonomySpec). */
-  def textMatchArrayWith(text: Column, terms: Seq[String]): Column = {
-    val (multi, single) = terms.distinct.partition(_.contains(" "))
-    val toks = filter(array_distinct(split(lower(text), "\\s+")),
-      t => t.isin(single: _*))
-    val multiHits = array_compact(array(multi.map { mt =>
-      val esc = mt.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
-      when(regexp_like(lower(text), lit("\\b" + esc + "\\b")), lit(mt))
-    }: _*))
-    array_union(toks, multiHits)
-  }
+    * dictionary plugs in here (see ReferenceTaxonomySpec). One codegen'd
+    * text pass per row ([[graft.functions.TermMatchArray]]: token-set for
+    * single-word terms, Aho-Corasick with exact `\b` semantics for
+    * multi-word — r07; replaced an `array_union(token filter, per-term
+    * regex bank)` with identical output, order included). */
+  def textMatchArrayWith(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.TermMatchArray(
+        org.apache.spark.sql.GraftSqlShim.expression(text), terms.distinct))
 
   /** The reference's 3-tier skills-extraction cascade
     * (pracuj_scraper.py:153-181) as a when/coalesce short-circuit chain

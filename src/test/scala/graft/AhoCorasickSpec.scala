@@ -77,4 +77,31 @@ class AhoCorasickSpec extends AnyFunSuite {
   test("empty pattern set matches nothing") {
     assert(new AhoCorasick(Array.empty[String]).matchedIds("anything").isEmpty)
   }
+
+  test("TermMatchArray column equals the old array_union(token filter, regex bank) form, order included") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    val terms = ReferenceTaxonomy.allTerms
+    // the pre-r07 formulation, inlined as the semantic reference
+    def oldForm(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val (multi, single) = terms.distinct.partition(_.contains(" "))
+      val toks = filter(array_distinct(split(lower(text), "\\s+")),
+        t => t.isin(single: _*))
+      val multiHits = array_compact(array(multi.map { mt =>
+        val esc = mt.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
+        when(regexp_like(lower(text), lit("\\b" + esc + "\\b")), lit(mt))
+      }: _*))
+      array_union(toks, multiHits)
+    }
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(
+        graft.ops.SkillOps.textMatchArrayWith(col("text"), terms).as("ac"),
+        oldForm(col("text")).as("old"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"ac=${r.getSeq[String](0)} old=${r.getSeq[String](1)}")
+    }
+  }
 }
