@@ -228,10 +228,83 @@ object AuditQueries {
       |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS b_hi
       |FROM c, mm GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** `drift_psi`: population-stability-index between two table snapshots —
+    * the distribution-drift check a training pipeline runs on every feature
+    * column before trusting a new data drop (the monitoring complement of
+    * `table_diff`'s row-level CDC view; same deterministic snapshot pair).
+    * Both snapshots bucket through `agg_histogram`'s pure-integer bucket
+    * arithmetic on SHARED bounds (cent-scaled min/max over the union), then
+    * per bucket PSI_i = (p_i − q_i)·ln(p_i/q_i) with p/q the old/new share.
+    * Determinism: shares are correctly-rounded IEEE divisions of exact
+    * longs (identical cross-engine), the one libm call (ln) is rounded to
+    * 6 dp before the multiply (the lm_bigram_score recipe), and the term
+    * rounds to 6 dp. A side with zero mass yields NULL (real pipelines
+    * epsilon-smooth; NULL keeps the oracle exact). Every non-null term is
+    * ≥ 0 by construction — (p−q) and ln(p/q) always share a sign.
+    * Scale: one scan (each row explodes to its ≤2 snapshot memberships),
+    * one scalar-agg bounds pass broadcast back, one 20-key aggregate. */
+  private def driftPsi(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val rows = o.select(explode(array_compact(array(
+        when(col("o_orderkey") % 97 =!= 0,
+          struct(lit("old").as("side"), col("o_totalprice").as("x"))),
+        when(col("o_orderkey") % 101 =!= 0,
+          struct(lit("new").as("side"),
+            when(col("o_orderkey") % 53 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")).as("x")))))).as("r"))
+      .select(col("r.side").as("side"),
+        (col("r.x").cast("decimal(12,2)") * 100).cast("long").as("xc"))
+    val mm = rows.agg(min(col("xc")).as("lo_c"), max(col("xc")).as("hi_c"))
+    val counts = rows.crossJoin(broadcast(mm))
+      .select(col("side"), least(lit(19L),
+          expr("((xc - lo_c) * 20) div greatest(hi_c - lo_c, 1)"))
+          .cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("side") === "new", 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"))
+    val p = col("n_old").cast("double") / col("t_old")
+    val q = col("n_new").cast("double") / col("t_new")
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        when(col("n_old") > 0 && col("n_new") > 0,
+          round((p - q) * round(log(p / q), 6), 6)).as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  private val driftPsiSql =
+    """WITH src AS (
+      |  SELECT 'old' AS side, o_totalprice AS x
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT 'new', CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1
+      |                     ELSE o_totalprice END
+      |  FROM orders WHERE o_orderkey % 101 <> 0),
+      |c AS (SELECT side, CAST(CAST(x AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+      |      FROM src),
+      |mm AS (SELECT min(xc) AS lo_c, max(xc) AS hi_c FROM c),
+      |counts AS (
+      |  SELECT CAST(LEAST(19, ((xc - lo_c) * 20) // GREATEST(hi_c - lo_c, 1))
+      |           AS INTEGER) AS bucket,
+      |         CAST(count(*) FILTER (WHERE side = 'old') AS BIGINT) AS n_old,
+      |         CAST(count(*) FILTER (WHERE side = 'new') AS BIGINT) AS n_new
+      |  FROM c, mm GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+      |               CAST(sum(n_new) AS BIGINT) AS t_new FROM counts)
+      |SELECT bucket, n_old, n_new,
+      |  CASE WHEN n_old > 0 AND n_new > 0 THEN
+      |    round((CAST(n_old AS DOUBLE) / t_old - CAST(n_new AS DOUBLE) / t_new)
+      |      * round(ln((CAST(n_old AS DOUBLE) / t_old)
+      |                 / (CAST(n_new AS DOUBLE) / t_new)), 6), 6)
+      |  END AS psi_term
+      |FROM counts, tot ORDER BY bucket""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
-    "agg_histogram" -> Q(aggHistogram, Some(aggHistogramSql)))
+    "agg_histogram" -> Q(aggHistogram, Some(aggHistogramSql)),
+    "drift_psi" -> Q(driftPsi, Some(driftPsiSql)))
 }

@@ -375,6 +375,53 @@ object RelationalQueries {
        |FROM purchases p ASOF LEFT JOIN clicks c
        |  ON p.user_id = c.c_user AND c.c_ts <= p.ts""".stripMargin
 
+  /** J8 tolerance flavor: as-of with a max staleness — each purchase takes
+    * the user's latest click at-or-before it ONLY if that click is within
+    * 1 hour (the pandas merge_asof `tolerance` semantics; in a training
+    * pipeline this is the point-in-time feature-staleness guard: a feature
+    * older than the budget is no feature; the 36-hour budget here keeps a
+    * realistic matched/stale mix on the event stream). Implementation is the native
+    * [[graft.plans.AsOfJoin]] outer form + post-filter, which IS exact
+    * tolerance semantics: the as-of match is the LATEST candidate, so if it
+    * falls outside the window every earlier candidate does too. Staleness
+    * compares exact integer microseconds — no float time arithmetic. */
+  private def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val purchases = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(dsum(col("value")).as("click_value"))
+    val within = col("c_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("c_ts")) <= lit(36L * 3600L * 1000000L)
+    graft.plans.AsOfJoinOps.asofJoin(
+        purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts",
+        leftOuter = true)
+      .select(col("user_id"), col("event_id"),
+        when(within, unix_micros(col("c_ts"))).as("click_us"),
+        when(within, col("click_value")).as("click_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceSql =
+    s"""WITH purchases AS (
+       |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id AS c_user, ts AS c_ts,
+       |         ${sqlDsum("value")} AS click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT p.user_id, p.event_id,
+       |  CASE WHEN c.c_ts IS NOT NULL
+       |        AND epoch_us(p.ts) - epoch_us(c.c_ts) <= 129600000000
+       |       THEN epoch_us(c.c_ts) END AS click_us,
+       |  CASE WHEN c.c_ts IS NOT NULL
+       |        AND epoch_us(p.ts) - epoch_us(c.c_ts) <= 129600000000
+       |       THEN c.click_value END AS click_value
+       |FROM purchases p ASOF LEFT JOIN clicks c
+       |  ON p.user_id = c.c_user AND c.c_ts <= p.ts
+       |ORDER BY event_id""".stripMargin
+
   /** J8 via pure SQL: the same as-of join reached through `spark.sql` and the
     * `asof_match(left_ts, right_ts)` marker predicate, which
     * [[graft.plans.RewriteAsOfMarkerJoin]] rewrites into the whole-operator
@@ -1478,6 +1525,7 @@ object RelationalQueries {
     "join_asof_latest" -> Q(asofLatest, Some(asofLatestSql)),
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
+    "join_asof_tolerance" -> Q(asofTolerance, Some(asofToleranceSql)),
     "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
     "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),
     "data_skipping_prune" -> Q(dataSkippingPrune, Some(dataSkippingPruneSql)),

@@ -41,6 +41,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("drift_psi: 20 buckets, non-null terms are >= 0, null only when a side is empty") {
+    val rows = Queries.byName("drift_psi").build(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      val (nOld, nNew) = (r.getLong(1), r.getLong(2))
+      if (nOld > 0 && nNew > 0) {
+        // (p-q) and ln(p/q) always share a sign, so every PSI term is >= 0
+        assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0, s"bad term: $r")
+      } else assert(r.isNullAt(3), s"zero-mass bucket must yield null: $r")
+    }
+  }
+
   test("graph_pagerank conserves probability mass (no dangling leakage)") {
     val total = Queries.byName("graph_pagerank").build(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("rank")).collect().head.getDouble(0)
