@@ -245,11 +245,81 @@ object EventQueries {
       |WHERE v.adev > m.mad * 3
       |ORDER BY v.event_type, v.day""".stripMargin
 
+  // ---- windowed distribution drift -----------------------------------------
+
+  /** `ts_dist_drift`: per 6-hour window, PSI of the event-type distribution
+    * against the PREVIOUS window — the streaming monitor that pages before
+    * a data drop poisons a training mixture (the batch-window twin of
+    * `drift_psi`'s snapshot form; on a live feed the same aggregate runs
+    * per trigger and the lag becomes keyed state). Windows are exact
+    * integer-microsecond buckets (`unix_micros div 6h`). The (window, type)
+    * grid is DENSIFIED (distinct windows × distinct types, absent counts
+    * = 0) so `lag(share)` means "previous window" even when a type skips a
+    * window — without the grid the lag silently reaches further back and
+    * the drift is wrong. Shares are exact-long IEEE divisions; ln rounds
+    * 6 dp before the multiply (the drift_psi recipe); a zero-mass side or
+    * the first window yields NULL.
+    * Scale: one keyed (window,type) count agg; the grid and lag run on
+    * aggregate-sized data (windows × types), never on the fact stream. */
+  private def tsDistDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .select(expr("unix_micros(ts) div 21600000000").as("win"),
+        col("event_type"))
+      .groupBy("win", "event_type").agg(count(lit(1)).as("n"))
+    val grid = counts.select("win").distinct()
+      .crossJoin(counts.select("event_type").distinct())
+    val dense = grid.join(counts, Seq("win", "event_type"), "left_outer")
+      .select(col("win"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.groupBy("win").agg(sum(col("n")).as("t"))
+    val shared = dense.join(tot, Seq("win"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("win")
+    val p = col("n").cast("double") / col("t")
+    val withPrev = shared
+      .withColumn("n_prev", lag(col("n"), 1).over(w))
+      .withColumn("t_prev", lag(col("t"), 1).over(w))
+    val q = col("n_prev").cast("double") / col("t_prev")
+    withPrev
+      .select(col("win"), col("event_type"), col("n"),
+        when(col("n") > 0 && col("n_prev") > 0,
+          round((p - q) * round(log(p / q), 6), 6)).as("psi_term"))
+      .orderBy("win", "event_type")
+  }
+
+  private val tsDistDriftSql =
+    """WITH counts AS (
+      |  SELECT epoch_us(ts) // 21600000000 AS win, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT w.win, t.event_type
+      |  FROM (SELECT DISTINCT win FROM counts) w
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM counts) t),
+      |dense AS (
+      |  SELECT g.win, g.event_type,
+      |         CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |  FROM grid g LEFT JOIN counts c
+      |    ON g.win = c.win AND g.event_type = c.event_type),
+      |tot AS (SELECT win, CAST(sum(n) AS BIGINT) AS t FROM dense GROUP BY 1),
+      |prev AS (
+      |  SELECT d.win, d.event_type, d.n, t.t,
+      |    lag(d.n) OVER (PARTITION BY d.event_type ORDER BY d.win) AS n_prev,
+      |    lag(t.t) OVER (PARTITION BY d.event_type ORDER BY d.win) AS t_prev
+      |  FROM dense d JOIN tot t USING (win))
+      |SELECT win, event_type, n,
+      |  CASE WHEN n > 0 AND n_prev > 0 THEN
+      |    round((CAST(n AS DOUBLE) / t - CAST(n_prev AS DOUBLE) / t_prev)
+      |      * round(ln((CAST(n AS DOUBLE) / t)
+      |                 / (CAST(n_prev AS DOUBLE) / t_prev)), 6), 6)
+      |  END AS psi_term
+      |FROM prev ORDER BY win, event_type""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),
     "anomaly_zscore" -> Q(anomalyZscore, Some(anomalyZscoreSql)),
     "ts_ewma" -> Q(tsEwma, Some(tsEwmaSql)),
     "anomaly_mad" -> Q(anomalyMad, Some(anomalyMadSql)),
-    "event_transitions" -> Q(eventTransitions, Some(eventTransitionsSql)))
+    "event_transitions" -> Q(eventTransitions, Some(eventTransitionsSql)),
+    "ts_dist_drift" -> Q(tsDistDrift, Some(tsDistDriftSql)))
 }

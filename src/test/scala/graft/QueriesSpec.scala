@@ -53,6 +53,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_dist_drift: dense (window x type) grid, first window null, terms >= 0") {
+    val rows = Queries.byName("ts_dist_drift").build(spark, sfDir).collect()
+    val wins = rows.map(_.getLong(0)).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct
+    assert(rows.length == wins.length * types.length, "grid must be dense")
+    val firstWin = wins.head
+    rows.foreach { r =>
+      if (r.getLong(0) == firstWin) assert(r.isNullAt(3), s"first window must be null: $r")
+      else if (!r.isNullAt(3)) assert(r.getDouble(3) >= 0.0, s"negative PSI term: $r")
+    }
+  }
+
   test("graph_pagerank conserves probability mass (no dangling leakage)") {
     val total = Queries.byName("graph_pagerank").build(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("rank")).collect().head.getDouble(0)
