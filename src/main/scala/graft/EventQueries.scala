@@ -245,6 +245,55 @@ object EventQueries {
       |WHERE v.adev > m.mad * 3
       |ORDER BY v.event_type, v.day""".stripMargin
 
+  // ---- batch sessionization ------------------------------------------------
+
+  /** `sessionize_events`: gap-based sessionization in batch — a new session
+    * starts at any event > 30 min after the user's previous one; per
+    * (user, session): event count, exact start/end micros, decimal-exact
+    * value sum. The behavioral-sequence builder of a training pipeline (and
+    * the batch twin of `stream_session_window`'s native session windows —
+    * same 30-min gap rule, so the two formulations cross-check). Gap test
+    * and bounds are exact integer microseconds; the boundary-flag running
+    * sum is the classic lag+cumsum shape — one keyed shuffle, per-user sort,
+    * no self-join. Ties can't bend the RANGE frame: (ts, event_id) is
+    * unique per user. */
+  private def sessionizeEvents(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(w))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("t_start_us"),
+        max(unix_micros(col("ts"))).as("t_end_us"),
+        Det.dsum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  private val sessionizeEventsSql =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |f AS (SELECT *, CASE WHEN prev_us IS NULL
+       |        OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+       |      FROM o),
+       |ss AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+       |         ORDER BY ts, event_id) AS BIGINT) AS session_no
+       |       FROM f)
+       |SELECT user_id, session_no, count(*) AS n_events,
+       |  CAST(min(epoch_us(ts)) AS BIGINT) AS t_start_us,
+       |  CAST(max(epoch_us(ts)) AS BIGINT) AS t_end_us,
+       |  ${Det.sqlDsum("value")} AS session_value
+       |FROM ss GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- windowed distribution drift -----------------------------------------
 
   /** `ts_dist_drift`: per 6-hour window, PSI of the event-type distribution
@@ -321,5 +370,6 @@ object EventQueries {
     "ts_ewma" -> Q(tsEwma, Some(tsEwmaSql)),
     "anomaly_mad" -> Q(anomalyMad, Some(anomalyMadSql)),
     "event_transitions" -> Q(eventTransitions, Some(eventTransitionsSql)),
-    "ts_dist_drift" -> Q(tsDistDrift, Some(tsDistDriftSql)))
+    "ts_dist_drift" -> Q(tsDistDrift, Some(tsDistDriftSql)),
+    "sessionize_events" -> Q(sessionizeEvents, Some(sessionizeEventsSql)))
 }

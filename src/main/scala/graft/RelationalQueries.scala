@@ -291,6 +291,44 @@ object RelationalQueries {
        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY band ORDER BY band""".stripMargin
 
+  /** J7d `join_interval_overlap`: interval × interval overlap join — both
+    * sides LARGE (probe windows × every order's 7-day activity window), the
+    * shape point-in-interval binning can't express. Both sides explode to
+    * their covered bins and equi-join on the bin id; a pair sharing k bins
+    * would surface k times, so the join keeps each pair only in its
+    * CANONICAL bin (the bin of `greatest(a_lo, b_lo)` — where the overlap
+    * starts, which every overlapping pair has exactly one of). The
+    * emit-once invariant is algebraic — NO pair-volume distinct shuffle,
+    * the thing that kills naive interval joins at 100 TB. Intervals are
+    * exact epoch-day integers; oracle is the direct theta join. */
+  private def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def ivals(keyName: String, loName: String, hiName: String) = o
+      .select(col("o_orderkey").as(keyName),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as(loName))
+      .withColumn(hiName, col(loName) + 7)
+    val a = ivals("a_key", "a_lo", "a_hi").filter(col("a_key") % 97 === 0)
+    val b = ivals("b_key", "b_lo", "b_hi")
+    graft.ops.RangeJoinOps.binnedIntervalOverlapJoin(
+        a, col("a_lo"), col("a_hi"), b, col("b_lo"), col("b_hi"), 7L)
+      .filter(col("a_key") =!= col("b_key"))
+      .groupBy("a_key")
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("b_key")).as("key_sum"))
+      .orderBy("a_key")
+  }
+
+  private val intervalOverlapSql =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS k,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+      |  FROM orders),
+      |a AS (SELECT k AS a_key, lo AS a_lo, lo + 7 AS a_hi FROM iv WHERE k % 97 = 0),
+      |b AS (SELECT k AS b_key, lo AS b_lo, lo + 7 AS b_hi FROM iv)
+      |SELECT a_key, count(*) AS n_overlaps, CAST(sum(b_key) AS BIGINT) AS key_sum
+      |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi AND a_key <> b_key
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** J8 `join_asof_latest`: latest status per key over time
     * (database.py:69-70) — latest event per user via window dedup. */
   private def asofLatest(s: SparkSession, d: String): DataFrame = {
@@ -1526,6 +1564,7 @@ object RelationalQueries {
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
     "join_asof_tolerance" -> Q(asofTolerance, Some(asofToleranceSql)),
+    "join_interval_overlap" -> Q(intervalOverlap, Some(intervalOverlapSql)),
     "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
     "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),
     "data_skipping_prune" -> Q(dataSkippingPrune, Some(dataSkippingPruneSql)),

@@ -32,4 +32,29 @@ object RangeJoinOps {
       .filter(x >= lo && x < hi)
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join (`a.lo < b.hi AND b.lo < a.hi`,
+    * half-open intervals on an integer axis) — both sides large, so both
+    * sides bin. A pair sharing k bins would surface k times; instead of a
+    * (pair-volume-sized!) distinct shuffle, the join keeps a pair only in
+    * its CANONICAL bin — the bin of `greatest(a.lo, b.lo)`, i.e. where the
+    * overlap STARTS, which every overlapping pair has exactly one of. Cost
+    * is one hash shuffle on the bin key and zero dedup; the emit-once
+    * invariant is algebraic, not a post-pass.
+    *
+    * Left/right columns must be pre-aliased disjoint; `aLo/aHi/bLo/bHi`
+    * are integer (e.g. epoch-day) columns, `hi` exclusive. */
+  def binnedIntervalOverlapJoin(a: DataFrame, aLo: Column, aHi: Column,
+      b: DataFrame, bLo: Column, bHi: Column, binWidth: Long): DataFrame = {
+    val ab = a.withColumn("__bin",
+      explode(sequence(floor(aLo / binWidth).cast("long"),
+        ceil(aHi / binWidth).cast("long") - 1L)))
+    val bb = b.withColumn("__bin",
+      explode(sequence(floor(bLo / binWidth).cast("long"),
+        ceil(bHi / binWidth).cast("long") - 1L)))
+    ab.join(bb, "__bin")
+      .filter(aLo < bHi && bLo < aHi &&
+        col("__bin") === floor(greatest(aLo, bLo) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -39,6 +39,31 @@ object OpProps extends Properties("graft.ops6") {
       got == expected
     }
 
+  // Integer half-open intervals, lengths 0-3 bins, including degenerate
+  // (empty, len 0) and bin-boundary-straddling shapes.
+  private val intIntervalGen = for {
+    lo <- Gen.choose(0L, 60L)
+    len <- Gen.choose(0L, 20L)
+  } yield (lo, lo + len)
+
+  property("binnedIntervalOverlapJoin emits each overlapping pair exactly once (vs brute force)") =
+    forAll(Gen.listOfN(14, intIntervalGen), Gen.listOfN(14, intIntervalGen)) { (as, bs) =>
+      val a = as.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("a_key", "a_lo", "a_hi")
+      val b = bs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("b_key", "b_lo", "b_hi")
+      val got = RangeJoinOps.binnedIntervalOverlapJoin(a, col("a_lo"), col("a_hi"),
+          b, col("b_lo"), col("b_hi"), binWidth = 7L)
+        .select("a_key", "b_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      val expected = (for {
+        ((alo, ahi), i) <- as.zipWithIndex
+        ((blo, bhi), j) <- bs.zipWithIndex if alo < bhi && blo < ahi
+      } yield (i.toLong, j.toLong)).toList
+      // exactly once: compare as multisets, not sets — a duplicate emit is a bug
+      got.sorted == expected.sorted
+    }
+
   private val vecGen = Gen.listOfN(8, Gen.choose(-4.0, 4.0).map(_.toFloat))
 
   property("vec_nearest_cid equals the driver-side exact argmin") =
