@@ -628,18 +628,84 @@ object NorthStarQueries {
       |       'contact <EMAIL> balance ' || CAST(c_acctbal AS VARCHAR) AS redacted
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** The deterministic split rule shared by `dataset_split` and
+    * `dedup_split_leak`: first md5 hex digit of the doc id — 12/16 train,
+    * 2/16 val, 2/16 test, reproducible on any engine (unlike rand(seed)). */
+  private def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = substring(md5(docId.cast("string")), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
+
   /** Deterministic train/val/test split on a stable content hash (md5 —
     * reproducible on any engine, unlike rand(seed)); the sampling op every
     * dataset build needs. */
-  private def datasetSplit(s: SparkSession, d: String): DataFrame = {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val split_ = when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  private def datasetSplit(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("lang"), split_.as("split"))
+      .select(col("lang"), splitOf(col("doc_id")).as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "split")
+
+  /** `dedup_split_leak`: near-dup LEAKAGE across train/val/test — the audit
+    * that catches eval contamination the split itself creates: a hash split
+    * scatters near-duplicate families across splits by construction, so a
+    * model "generalizes" to test docs it effectively trained on. Candidate
+    * pairs come from the same inverted-index + exact-Jaccard machinery as
+    * dedup_ngram_jaccard; pairs whose splits DIFFER aggregate per ordered
+    * split pair (count + key checksum, so membership is verified, not just
+    * counted). The fix a pipeline applies downstream is family-atomic
+    * splitting (hash the dedup-cluster id, not the doc id); this op is the
+    * detector that says you must. Scale: candidate generation is the
+    * banded/bucketed story (MinHash at corpus scale), the split map is a
+    * per-doc expression — no extra shuffle beyond the pair join. */
+  private def dedupSplitLeak(s: SparkSession, d: String): DataFrame = {
+    val fam = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+    val pairs = DedupOps.jaccardPairs(fam, maxDf = Long.MaxValue, minJaccard = 0.8)
+    pairs
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("doc_a") + col("doc_b")).as("key_sum"))
+      .orderBy("split_a", "split_b")
   }
+
+  private val dedupSplitLeakSql =
+    """WITH dup_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n
+      |  FROM cand c
+      |  JOIN toks a ON a.doc_id = c.doc_a
+      |  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i.doc_a, i.doc_b
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.doc_a
+      |  JOIN sizes sb ON sb.doc_id = i.doc_b
+      |  WHERE round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) >= 0.8),
+      |labeled AS (
+      |  SELECT doc_a, doc_b,
+      |    CASE WHEN substring(md5(CAST(doc_a AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_a AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split_a,
+      |    CASE WHEN substring(md5(CAST(doc_b AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_b AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split_b
+      |  FROM pairs)
+      |SELECT split_a, split_b, count(*) AS n_pairs,
+      |       CAST(sum(doc_a + doc_b) AS BIGINT) AS key_sum
+      |FROM labeled WHERE split_a <> split_b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val datasetSplitSql =
     """SELECT lang,
@@ -809,6 +875,7 @@ object NorthStarQueries {
     "text_chunking" -> Q(textChunking, Some(textChunkingSql)),
     "text_redact" -> Q(textRedact, Some(textRedactSql)),
     "dataset_split" -> Q(datasetSplit, Some(datasetSplitSql)),
+    "dedup_split_leak" -> Q(dedupSplitLeak, Some(dedupSplitLeakSql)),
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
   )
 }
