@@ -646,6 +646,62 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "split")
 
+  /** `dataset_split_atomic`: the FIX `dedup_split_leak` mandates —
+    * family-atomic train/val/test assignment. Near-dup clusters (the same
+    * pair machinery + connected components as dedup_clusters) hash by
+    * their CLUSTER id (min member), singletons by their own id, so a whole
+    * dup family lands in ONE split and cross-split leakage is structurally
+    * impossible (every pair's endpoints share a cluster, hence a split).
+    * Output is dataset_split's (lang, split) census under the atomic rule —
+    * the drift between the two censuses is the price of leak-proofing.
+    * Scale: the CC runs on the PAIR graph only (family-sized); the corpus
+    * just left-joins the cluster map and hashes. */
+  private def datasetSplitAtomic(s: SparkSession, d: String): DataFrame = {
+    val fam = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+    val pairs = DedupOps.jaccardPairs(fam, maxDf = Long.MaxValue, minJaccard = 0.8)
+      .select("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs)
+    documents(s, d).join(cc, Seq("doc_id"), "left_outer")
+      .select(col("lang"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "split")
+  }
+
+  private val datasetSplitAtomicSql =
+    """WITH RECURSIVE pairs AS (
+      |  WITH dup_docs AS (
+      |    SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |  toks AS (
+      |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |  sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |  cand AS (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+      |    FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      |    GROUP BY 1, 2)
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+      |lab AS (
+      |  SELECT d.lang,
+      |    CASE WHEN substring(md5(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |         WHEN substring(md5(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+      |SELECT lang, split, count(*) AS cnt FROM lab
+      |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   /** `dedup_split_leak`: near-dup LEAKAGE across train/val/test — the audit
     * that catches eval contamination the split itself creates: a hash split
     * scatters near-duplicate families across splits by construction, so a
@@ -876,6 +932,7 @@ object NorthStarQueries {
     "text_redact" -> Q(textRedact, Some(textRedactSql)),
     "dataset_split" -> Q(datasetSplit, Some(datasetSplitSql)),
     "dedup_split_leak" -> Q(dedupSplitLeak, Some(dedupSplitLeakSql)),
+    "dataset_split_atomic" -> Q(datasetSplitAtomic, Some(datasetSplitAtomicSql)),
     "vocab_topk" -> Q(vocabTopk, Some(vocabTopkSql)),
   )
 }

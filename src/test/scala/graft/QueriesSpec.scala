@@ -41,6 +41,17 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dataset_split_atomic: leak detector fires on the hash split, never on the atomic one") {
+    // the per-doc hash split demonstrably leaks on this corpus...
+    val leaked = Queries.byName("dedup_split_leak").build(spark, sfDir).collect()
+    assert(leaked.nonEmpty, "planted family should leak under the per-doc split")
+    // ...and the atomic census still covers every document exactly once
+    val n = Queries.byName("dataset_split_atomic").build(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect().head.getLong(0)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(n == total, s"atomic census covers $n of $total docs")
+  }
+
   test("drift_psi: 20 buckets, non-null terms are >= 0, null only when a side is empty") {
     val rows = Queries.byName("drift_psi").build(spark, sfDir).collect()
     assert(rows.length <= 20 && rows.nonEmpty)
