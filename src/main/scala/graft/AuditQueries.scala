@@ -243,8 +243,10 @@ object AuditQueries {
     * ≥ 0 by construction — (p−q) and ln(p/q) always share a sign.
     * Scale: one scan (each row explodes to its ≤2 snapshot memberships),
     * one scalar-agg bounds pass broadcast back, one 20-key aggregate. */
-  private def driftPsi(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
+  private def driftPsi(s: SparkSession, d: String): DataFrame =
+    driftPsiOf(orders(s, d))
+
+  private[graft] def driftPsiOf(o: DataFrame): DataFrame = {
     val rows = o.select(explode(array_compact(array(
         when(col("o_orderkey") % 97 =!= 0,
           struct(lit("old").as("side"), col("o_totalprice").as("x"))),

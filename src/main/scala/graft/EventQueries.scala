@@ -257,10 +257,13 @@ object EventQueries {
     * sum is the classic lag+cumsum shape — one keyed shuffle, per-user sort,
     * no self-join. Ties can't bend the RANGE frame: (ts, event_id) is
     * unique per user. */
-  private def sessionizeEvents(s: SparkSession, d: String): DataFrame = {
+  private def sessionizeEvents(s: SparkSession, d: String): DataFrame =
+    sessionizeEventsOf(events(s, d))
+
+  private[graft] def sessionizeEventsOf(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    events(s, d)
+    ev
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_s",
@@ -310,8 +313,11 @@ object EventQueries {
     * the first window yields NULL.
     * Scale: one keyed (window,type) count agg; the grid and lag run on
     * aggregate-sized data (windows × types), never on the fact stream. */
-  private def tsDistDrift(s: SparkSession, d: String): DataFrame = {
-    val counts = events(s, d)
+  private def tsDistDrift(s: SparkSession, d: String): DataFrame =
+    tsDistDriftOf(events(s, d))
+
+  private[graft] def tsDistDriftOf(ev: DataFrame): DataFrame = {
+    val counts = ev
       .select(expr("unix_micros(ts) div 21600000000").as("win"),
         col("event_type"))
       .groupBy("win", "event_type").agg(count(lit(1)).as("n"))

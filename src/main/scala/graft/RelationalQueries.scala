@@ -301,8 +301,10 @@ object RelationalQueries {
     * emit-once invariant is algebraic — NO pair-volume distinct shuffle,
     * the thing that kills naive interval joins at 100 TB. Intervals are
     * exact epoch-day integers; oracle is the direct theta join. */
-  private def intervalOverlap(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
+  private def intervalOverlap(s: SparkSession, d: String): DataFrame =
+    intervalOverlapOf(orders(s, d))
+
+  private[graft] def intervalOverlapOf(o: DataFrame): DataFrame = {
     def ivals(keyName: String, loName: String, hiName: String) = o
       .select(col("o_orderkey").as(keyName),
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))

@@ -260,6 +260,19 @@ object ScaleProbe {
     def bpeEnc(docs: DataFrame): Long =
       graft.CorpusQueries.bpeEncodeOf(docs).queryExecution.toRdd.count()
 
+    // r07 additions: snapshot PSI (scan + 20-key agg), canonical-bin
+    // interval overlap (probe subset grows with the data), gap
+    // sessionization (one keyed shuffle + per-user sort), windowed
+    // distribution drift (aggregate-sized grid + lag).
+    def psi(o: DataFrame): Long =
+      graft.AuditQueries.driftPsiOf(o).queryExecution.toRdd.count()
+    def ivOverlap(o: DataFrame): Long =
+      graft.RelationalQueries.intervalOverlapOf(o).queryExecution.toRdd.count()
+    def sess(ev: DataFrame): Long =
+      graft.EventQueries.sessionizeEventsOf(ev).queryExecution.toRdd.count()
+    def distDrift(ev: DataFrame): Long =
+      graft.EventQueries.tsDistDriftOf(ev).queryExecution.toRdd.count()
+
     // curation pipeline: gate (native word_grams) + argmin dedup + sample +
     // report — with per-replica text salt dup families stay bounded, so the
     // one nt-keyed shuffle is the only corpus-sized movement.
@@ -323,6 +336,7 @@ object ScaleProbe {
     kmeans(e1); semdedup(e1); pagerank(o1, li1); rangeBinned(o1); rangeBnl(o1)
     curation(d1); linkage(parts1); chain(c1)
     checksum(li1); diffT(o1); histo(o1); bpeEnc(d1)
+    psi(o1); ivOverlap(o1); sess(ev1); distDrift(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -368,6 +382,14 @@ object ScaleProbe {
         time(histo(o1)), time(histo(oN))),
       ("bpe encode (train 3 merges + map-side encode)",
         time(bpeEnc(d1)), time(bpeEnc(dN))),
+      ("snapshot psi drift (integer buckets)",
+        time(psi(o1)), time(psi(oN))),
+      ("interval overlap join (canonical bin)",
+        time(ivOverlap(o1)), time(ivOverlap(oN))),
+      ("gap sessionization (lag+cumsum)",
+        time(sess(ev1)), time(sess(evN))),
+      ("windowed dist drift (dense grid + lag)",
+        time(distDrift(ev1)), time(distDrift(evN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -446,6 +468,13 @@ object ScaleProbe {
     sb.append("vocabulary-sized (the word-frequency agg + 3 driver argmax rounds),\n")
     sb.append("encoding ships the merge list as plan literals — one map-side pass,\n")
     sb.append("scan-linear.\n\n")
+    sb.append("r07 rows: psi drift is two scans (bounds, then buckets) + a 20-key\n")
+    sb.append("agg; interval overlap explodes both sides to covered bins and keeps\n")
+    sb.append("each pair only in its canonical bin — no pair-volume distinct, so\n")
+    sb.append("growth tracks the true pair count (probe windows x density, both\n")
+    sb.append("scale with the data); sessionization is one keyed shuffle + per-user\n")
+    sb.append("sort (parallelism = users, which scale with the data); windowed dist\n")
+    sb.append("drift does its grid+lag on aggregate-sized data (windows x types).\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")
