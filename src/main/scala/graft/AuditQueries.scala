@@ -302,11 +302,86 @@ object AuditQueries {
       |  END AS psi_term
       |FROM counts, tot ORDER BY bucket""".stripMargin
 
+  /** `drift_ks`: exact Kolmogorov–Smirnov statistic between the same two
+    * snapshots drift_psi buckets — D = max |F_old(x) − F_new(x)| over the
+    * observed value domain (the CDF is constant between observed points, so
+    * the max over them IS the exact KS). PSI needs bucketing choices and a
+    * log; KS needs neither — counts, two prefix sums, exact IEEE divisions
+    * of longs, one max. Ties on D resolve to the smallest value (min_by with
+    * a cross-engine total order). The ordered prefix-sum window runs over
+    * the DISTINCT-VALUE aggregate (bounded by the DECIMAL(12,2) domain,
+    * ~150k points here — never the corpus); at 100 TB the same two-pass
+    * range-partitioned prefix sum as `global_rownum` replaces the single
+    * global window. */
+  private def driftKs(s: SparkSession, d: String): DataFrame =
+    driftKsOf(orders(s, d))
+
+  private[graft] def driftKsOf(o: DataFrame): DataFrame = {
+    val rows = o.select(explode(array_compact(array(
+        when(col("o_orderkey") % 97 =!= 0,
+          struct(lit("old").as("side"), col("o_totalprice").as("x"))),
+        when(col("o_orderkey") % 101 =!= 0,
+          struct(lit("new").as("side"),
+            when(col("o_orderkey") % 53 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")).as("x")))))).as("r"))
+      .select(col("r.side").as("side"),
+        (col("r.x").cast("decimal(12,2)") * 100).cast("long").as("xc"))
+    val counts = rows.groupBy("xc")
+      .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("side") === "new", 1L).otherwise(0L)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("xc")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = counts.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"))
+    counts
+      .withColumn("c_old", sum(col("n_old")).over(w))
+      .withColumn("c_new", sum(col("n_new")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("xc"),
+        abs(col("c_old").cast("double") / col("t_old") -
+          col("c_new").cast("double") / col("t_new")).as("diff"))
+      .agg(round(max(col("diff")), 6).as("ks_stat"),
+        min_by(col("xc"), struct((-col("diff")).as("d"), col("xc"))).as("at_cents"))
+  }
+
+  private val driftKsSql =
+    """WITH src AS (
+      |  SELECT 'old' AS side, o_totalprice AS x
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT 'new', CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1
+      |                     ELSE o_totalprice END
+      |  FROM orders WHERE o_orderkey % 101 <> 0),
+      |c AS (SELECT side, CAST(CAST(x AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+      |      FROM src),
+      |counts AS (
+      |  SELECT xc,
+      |    CAST(count(*) FILTER (WHERE side = 'old') AS BIGINT) AS n_old,
+      |    CAST(count(*) FILTER (WHERE side = 'new') AS BIGINT) AS n_new
+      |  FROM c GROUP BY 1),
+      |cum AS (
+      |  SELECT xc,
+      |    sum(n_old) OVER (ORDER BY xc) AS c_old,
+      |    sum(n_new) OVER (ORDER BY xc) AS c_new
+      |  FROM counts),
+      |tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+      |               CAST(sum(n_new) AS BIGINT) AS t_new FROM counts),
+      |diffs AS (
+      |  SELECT xc, abs(CAST(c_old AS DOUBLE) / t_old
+      |              - CAST(c_new AS DOUBLE) / t_new) AS diff
+      |  FROM cum, tot)
+      |SELECT round(max(diff), 6) AS ks_stat,
+      |       (SELECT xc FROM diffs
+      |        ORDER BY diff DESC, xc ASC LIMIT 1) AS at_cents
+      |FROM diffs""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
     "agg_histogram" -> Q(aggHistogram, Some(aggHistogramSql)),
-    "drift_psi" -> Q(driftPsi, Some(driftPsiSql)))
+    "drift_psi" -> Q(driftPsi, Some(driftPsiSql)),
+    "drift_ks" -> Q(driftKs, Some(driftKsSql)))
 }

@@ -57,6 +57,53 @@ object EventQueries {
       |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
       |ORDER BY step_no""".stripMargin
 
+  /** `funnel_windowed`: the conversion-window funnel — step N counts only
+    * within 24 h of the user's step-N−1 time (strictly after it, same
+    * order rule as `funnel_steps`; the unbounded variant is the contrast).
+    * Product analytics' standard "converted within a day". Same plan
+    * geometry as funnel_steps — three keyed min-aggs, each join input above
+    * the first agg ≤ one row per user — with the window test in exact
+    * integer microseconds. */
+  private def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + dayUs)
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + dayUs)
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val row = (df: DataFrame, no: Int, nm: String) =>
+      df.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(no).as("step_no"), lit(nm).as("step"), col("n_users"))
+    row(s1, 1, "view").unionAll(row(s2, 2, "click")).unionAll(row(s3, 3, "purchase"))
+      .orderBy("step_no")
+  }
+
+  private val funnelWindowedSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click'
+      |         AND e.us > s1.t1 AND e.us <= s1.t1 + 86400000000
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase'
+      |         AND e.us > s2.t2 AND e.us <= s2.t2 + 86400000000
+      |       GROUP BY e.user_id)
+      |SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+      |ORDER BY step_no""".stripMargin
+
   // ---- cohort retention ----------------------------------------------------
 
   /** `cohort_retention`: users grouped by first-seen day; for each cohort ×
@@ -377,5 +424,6 @@ object EventQueries {
     "anomaly_mad" -> Q(anomalyMad, Some(anomalyMadSql)),
     "event_transitions" -> Q(eventTransitions, Some(eventTransitionsSql)),
     "ts_dist_drift" -> Q(tsDistDrift, Some(tsDistDriftSql)),
-    "sessionize_events" -> Q(sessionizeEvents, Some(sessionizeEventsSql)))
+    "sessionize_events" -> Q(sessionizeEvents, Some(sessionizeEventsSql)),
+    "funnel_windowed" -> Q(funnelWindowed, Some(funnelWindowedSql)))
 }
