@@ -64,9 +64,12 @@ object EventQueries {
     * geometry as funnel_steps — three keyed min-aggs, each join input above
     * the first agg ≤ one row per user — with the window test in exact
     * integer microseconds. */
-  private def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+  private def funnelWindowed(s: SparkSession, d: String): DataFrame =
+    funnelWindowedOf(events(s, d))
+
+  private[graft] def funnelWindowedOf(ev: DataFrame): DataFrame = {
     val dayUs = 86400000000L
-    val e = events(s, d).select(col("user_id"), col("event_type"),
+    val e = ev.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
     val s1 = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("t1"))

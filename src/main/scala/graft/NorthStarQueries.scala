@@ -656,13 +656,15 @@ object NorthStarQueries {
     * the drift between the two censuses is the price of leak-proofing.
     * Scale: the CC runs on the PAIR graph only (family-sized); the corpus
     * just left-joins the cluster map and hashes. */
-  private def datasetSplitAtomic(s: SparkSession, d: String): DataFrame = {
-    val fam = fanOut(documents(s, d)
-      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+  private def datasetSplitAtomic(s: SparkSession, d: String): DataFrame =
+    datasetSplitAtomicOf(fanOut(documents(s, d)))
+
+  private[graft] def datasetSplitAtomicOf(docs: DataFrame): DataFrame = {
+    val fam = docs.filter(regexp_like(col("text"), lit("\\bdup\\b")))
     val pairs = DedupOps.jaccardPairs(fam, maxDf = Long.MaxValue, minJaccard = 0.8)
       .select("doc_a", "doc_b")
     val cc = DedupOps.connectedComponents(pairs)
-    documents(s, d).join(cc, Seq("doc_id"), "left_outer")
+    docs.join(cc, Seq("doc_id"), "left_outer")
       .select(col("lang"),
         splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"))
       .groupBy("lang", "split")
@@ -714,9 +716,11 @@ object NorthStarQueries {
     * detector that says you must. Scale: candidate generation is the
     * banded/bucketed story (MinHash at corpus scale), the split map is a
     * per-doc expression — no extra shuffle beyond the pair join. */
-  private def dedupSplitLeak(s: SparkSession, d: String): DataFrame = {
-    val fam = fanOut(documents(s, d)
-      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+  private def dedupSplitLeak(s: SparkSession, d: String): DataFrame =
+    dedupSplitLeakOf(fanOut(documents(s, d)))
+
+  private[graft] def dedupSplitLeakOf(docs: DataFrame): DataFrame = {
+    val fam = docs.filter(regexp_like(col("text"), lit("\\bdup\\b")))
     val pairs = DedupOps.jaccardPairs(fam, maxDf = Long.MaxValue, minJaccard = 0.8)
     pairs
       .withColumn("split_a", splitOf(col("doc_a")))

@@ -1251,6 +1251,77 @@ object RelationalQueries {
       |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** `tpch_q3`: the shipping-priority flagship — the canonical
+    * dim→fact→fact join funnel (customer ⋈ orders ⋈ lineitem) with
+    * opposing date predicates and a top-10 by revenue. Adapted to the
+    * testdata's columns (no o_shippriority; o_orderpriority carried
+    * instead). 100 TB shape: both dim filters cut BEFORE their joins and
+    * push to the scans; customer broadcasts; the one big shuffle is
+    * lineitem⋈orders on orderkey, whose partitioning the groupBy reuses
+    * (group key starts with l_orderkey ⇒ no second Exchange). Revenue sums
+    * in exact decimals; ties broken by orderkey so the top-10 is total. */
+  private def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-06-15").cast("timestamp")
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, d).filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem(s, d).filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val tpchQ3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** `join_bloom_prefilter`: explicit Bloom semi-join reduction
+    * ([[graft.ops.BloomOps]]) — the build side (selective dim: urgent
+    * half-million-dollar orders) folds into a distributed Bloom filter,
+    * and the fact scan drops non-candidate rows MAP-SIDE through
+    * `might_contain` before the join shuffle. The join is hinted
+    * shuffle-merge to model the 100 TB regime where the dim outgrows
+    * broadcast: there the prefilter cuts fact shuffle volume by the dim's
+    * selectivity (here ~2% survives), which is the whole point — Spark's
+    * own InjectRuntimeFilter makes the same move only when its size
+    * thresholds fire. False positives are re-checked by the exact join,
+    * so the result is oracle-identical to the plain join. */
+  private def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val dim = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000)
+      .select("o_orderkey", "o_orderpriority")
+    val bloom = graft.ops.BloomOps.build(dim, col("o_orderkey"), expectedItems = 4096)
+    lineitem(s, d)
+      .filter(graft.ops.BloomOps.mightContain(bloom, col("l_orderkey")))
+      .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val joinBloomPrefilterSql =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |  ${sqlDsum("l_extendedprice")} AS total_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- §2.8 set ops --------------------------------------------------------
 
   /** U1 `set_union_sources`: the two-scraper union (README.md:5). */
@@ -1466,40 +1537,6 @@ object RelationalQueries {
        |FROM orders WHERE year(o_orderdate) = 1996
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // ---- bloom-prefiltered join (runtime-filter technique) --------------------
-
-  /** The runtime-filter join: build a Bloom filter over the SELECTIVE dim
-    * side's keys, prefilter the fact scan with it, then join — the manual
-    * form of Spark's own InjectRuntimeFilter, registered so the technique
-    * is part of the engine's surface. Correctness is exact DESPITE the
-    * probabilistic filter: Bloom filters have no false negatives (no
-    * matching fact row is dropped) and the join itself discards the false
-    * positives — so the oracle is simply the plain join. At 100 TB the win
-    * is that ~all non-matching fact rows die at the scan instead of
-    * crossing the shuffle. The one UDF here is the mightContain probe; the
-    * production path is spark.sql.optimizer.runtime.bloomFilter.enabled,
-    * which injects the same shape without a UDF. */
-  private def bloomPrefilterJoin(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d).filter(col("o_totalprice") > 400000.0)
-      .select("o_orderkey", "o_orderstatus")
-    val bf = o.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
-    lineitem(s, d)
-      .filter(mightContain(col("l_orderkey")))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("total"))
-      .orderBy("o_orderstatus")
-  }
-
-  private val bloomPrefilterJoinSql =
-    s"""SELECT o_orderstatus, count(*) AS cnt,
-       |       ${sqlDsum("l_extendedprice")} AS total
-       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |WHERE o_totalprice > 400000.0
-       |GROUP BY 1 ORDER BY 1""".stripMargin
-
   // ---- bucketed repeated join (shuffle-free fact⋈dim) -----------------------
 
   /** J9 `join_bucketed`: the daily-dashboard repeated join (the reference's
@@ -1571,7 +1608,9 @@ object RelationalQueries {
     "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),
     "data_skipping_prune" -> Q(dataSkippingPrune, Some(dataSkippingPruneSql)),
     "tpch_q1" -> Q(tpchQ1, Some(tpchQ1Sql)),
+    "tpch_q3" -> Q(tpchQ3, Some(tpchQ3Sql)),
     "tpch_q6" -> Q(tpchQ6, Some(tpchQ6Sql)),
+    "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),
     "sketch_count_min" -> Q(sketchCountMin, None),
@@ -1610,7 +1649,6 @@ object RelationalQueries {
     "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
     "partitioned_write_prune" -> Q(partitionedWritePrune, Some(partitionedWritePruneSql)),
-    "join_bloom_prefilter" -> Q(bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
     "join_null_safe" -> Q(joinNullSafe, Some(joinNullSafeSql)),
     "join_bucketed" -> Q(bucketedJoin, Some(bucketedJoinSql)),
   )

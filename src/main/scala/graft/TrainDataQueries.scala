@@ -84,6 +84,47 @@ object TrainDataQueries {
        |WHERE g.doc_id % 53 <> 0
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- N5b decontam_bloom: Bloom-prefiltered exact decontamination ---------
+
+  /** `decontam_overlap`'s answer through the industrial-scale plan: the
+    * eval set's distinct 5-grams fold into a distributed Bloom filter
+    * ([[graft.ops.BloomOps]], ~8 bits/gram), and the corpus scan tests its
+    * grams against it PER ROW — `exists(grams, might_contain)` — so a doc
+    * sharing no gram (the overwhelming case on a clean corpus) is dropped
+    * before anything explodes or shuffles, and surviving docs explode only
+    * their candidate grams. Candidates then exact-verify against the real
+    * gram set (broadcast), so Bloom false positives die there and the
+    * result is oracle-identical to `decontam_overlap` (spec-asserted).
+    *
+    * 100 TB shape vs N5: N5 ships every corpus gram into a broadcast-hash
+    * probe AFTER a full explode — fine, but the explode is ~|doc| rows per
+    * doc; here the non-candidate 98% of docs never leave their scan batch,
+    * and the filter stays hundreds of KB where a big eval set's raw gram
+    * strings could strain a broadcast. */
+  private[graft] def decontamBloomOf(corpus: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val bench = benchDocs
+      .select(explode(array_distinct(grams(5))).as("gram")).distinct()
+    // The eval set is tiny by definition: one count job sizes the filter.
+    val bloom = graft.ops.BloomOps.build(bench, col("gram"),
+      expectedItems = math.max(bench.count(), 1L), fpp = 0.01)
+    val cand = corpus
+      .select(col("doc_id"),
+        filter(array_distinct(grams(5)),
+          g => graft.ops.BloomOps.mightContain(bloom, g)).as("cand"))
+      .filter(size(col("cand")) > 0)
+      .select(col("doc_id"), explode(col("cand")).as("gram"))
+    cand.join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  private def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = fanOut(documents(s, d))
+    decontamBloomOf(
+      docs.filter(col("doc_id") % 53 =!= 0),
+      docs.filter(col("doc_id") % 53 === 0)).orderBy("doc_id")
+  }
+
   // ---- N6 sample_stratified: deterministic per-stratum sampling ------------
 
   /** Language-stratified downsampling with an engine-portable decision:
@@ -509,6 +550,7 @@ object TrainDataQueries {
 
   def all: Seq[(String, Q)] = Seq(
     "decontam_overlap" -> Q(decontamOverlap, Some(decontamOverlapSql)),
+    "decontam_bloom" -> Q(decontamBloom, Some(decontamOverlapSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
     "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
     "curation_e2e" -> Q(curationE2e, Some(curationE2eSql)),

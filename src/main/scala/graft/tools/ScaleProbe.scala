@@ -273,6 +273,28 @@ object ScaleProbe {
     def distDrift(ev: DataFrame): Long =
       graft.EventQueries.tsDistDriftOf(ev).queryExecution.toRdd.count()
 
+    // r07b additions: exact KS drift (the prefix-sum window runs over the
+    // DISTINCT-VALUE aggregate, not the corpus), 24h conversion funnel
+    // (three keyed min-aggs), and the split-leak family. The split corpus
+    // salts EVERY token with a per-replica "._N" suffix — within-replica
+    // near-dup families keep their Jaccard (identical salt) while
+    // cross-replica token sets are disjoint, so dup families grow in COUNT
+    // with the data, never in membership — and `\bdup\b` still matches
+    // ("." is a word boundary).
+    def ks(o: DataFrame): Long =
+      graft.AuditQueries.driftKsOf(o).queryExecution.toRdd.count()
+    def funnelW(ev: DataFrame): Long =
+      graft.EventQueries.funnelWindowedOf(ev).queryExecution.toRdd.count()
+    val dSN = d1.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * 100000000L)
+      .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1."), col("__rep"))))
+      .drop("__rep").repartition(64).localCheckpoint()
+    def leak(docs: DataFrame): Long =
+      graft.NorthStarQueries.dedupSplitLeakOf(docs).queryExecution.toRdd.count()
+    def atomicSplit(docs: DataFrame): Long =
+      graft.NorthStarQueries.datasetSplitAtomicOf(docs).queryExecution.toRdd.count()
+
     // curation pipeline: gate (native word_grams) + argmin dedup + sample +
     // report — with per-replica text salt dup families stay bounded, so the
     // one nt-keyed shuffle is the only corpus-sized movement.
@@ -337,6 +359,7 @@ object ScaleProbe {
     curation(d1); linkage(parts1); chain(c1)
     checksum(li1); diffT(o1); histo(o1); bpeEnc(d1)
     psi(o1); ivOverlap(o1); sess(ev1); distDrift(ev1)
+    ks(o1); funnelW(ev1); leak(d1); atomicSplit(d1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -390,6 +413,14 @@ object ScaleProbe {
         time(sess(ev1)), time(sess(evN))),
       ("windowed dist drift (dense grid + lag)",
         time(distDrift(ev1)), time(distDrift(evN))),
+      ("ks drift (distinct-value window)",
+        time(ks(o1)), time(ks(oN))),
+      ("windowed funnel (3 keyed min-aggs)",
+        time(funnelW(ev1)), time(funnelW(evN))),
+      ("split leakage audit (pairs x split map)",
+        time(leak(d1)), time(leak(dSN))),
+      ("atomic split (family CC + census)",
+        time(atomicSplit(d1)), time(atomicSplit(dSN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -475,6 +506,15 @@ object ScaleProbe {
     sb.append("scale with the data); sessionization is one keyed shuffle + per-user\n")
     sb.append("sort (parallelism = users, which scale with the data); windowed dist\n")
     sb.append("drift does its grid+lag on aggregate-sized data (windows x types).\n\n")
+    sb.append("r07b rows: ks drift counts per distinct cent value (corpus-sized\n")
+    sb.append("scan, distinct-value-sized window — the window input is the VALUE\n")
+    sb.append("DOMAIN, which saturates while the data grows); the windowed funnel\n")
+    sb.append("is three keyed min-aggs where every join input above the first agg\n")
+    sb.append("is at most one row per user. The split-leak probes salt every token\n")
+    sb.append("with a per-replica suffix, so dup families grow in COUNT, never\n")
+    sb.append("membership: leakage audit = candidate pairs x a per-doc split map\n")
+    sb.append("(no extra shuffle beyond the pair join); atomic split adds the\n")
+    sb.append("family-sized CC + one broadcastable cluster-map join on the census.\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")
