@@ -507,6 +507,38 @@ class PlanAuditSpec extends SparkSpec {
       s"the self-join must key on cid (cluster-bounded pairing):\n$ps")
   }
 
+  test("tpch_q3: dates push to both scans, customer broadcasts, top-10 never global-sorts") {
+    val p = plan(q("tpch_q3"))
+    assert(p.contains("GreaterThan(l_shipdate"), s"shipdate must push down:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), s"orderdate must push down:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+    // SMJ: one exchange per side; the groupBy's keys start with l_orderkey,
+    // so the aggregation reuses the join partitioning (no third exchange)
+    val f = finalPlan(q("tpch_q3"))
+    val keyed = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(keyed <= 2, s"groupBy must reuse the orderkey shuffle, got $keyed:\n$f")
+  }
+
+  test("join_bloom_prefilter: might_contain gates the fact scan below the shuffle join") {
+    val p = finalPlan(q("join_bloom_prefilter"))
+    assert(p.contains("might_contain"), s"Bloom probe must appear in the fact filter:\n$p")
+    assert(p.contains("SortMergeJoin"), s"the demo models the no-broadcast regime:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"dim must not broadcast here:\n$p")
+    // the probe must run BELOW the join (map-side, pre-exchange): in the
+    // printed tree the join is the root, so it appears before the filter
+    assert(p.indexOf("SortMergeJoin") < p.indexOf("might_contain"),
+      s"probe must be on the scan side of the exchange:\n$p")
+  }
+
+  test("decontam_bloom: per-row Bloom gate, explode only over candidate grams") {
+    val p = finalPlan(q("decontam_bloom"))
+    assert(p.contains("might_contain"), s"Bloom gate must appear per row:\n$p")
+    assert("Generate explode\\(cand".r.findFirstIn(p).isDefined,
+      s"only the candidate grams may explode:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
     val pNorm = finalPlan(q("embedding_norms"))
     assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,
