@@ -64,6 +64,29 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("theta sketches: exact at driver SFs, estimate-mode error bounded at 200k ids") {
+    import org.apache.spark.sql.functions._
+    // exact regime (the oracle's premise): every estimate == exact count
+    val row = Queries.byName("sketch_theta_overlap").build(spark, sfDir).collect().head
+    val inter = row.getAs[Long]("est_overlap")
+    assert(row.getAs[Long]("est_union") ==
+      row.getAs[Long]("est_buyers") + row.getAs[Long]("est_viewers") - inter,
+      s"inclusion-exclusion must hold exactly in exact mode: $row")
+    assert(row.getAs[Long]("est_buyers_only") == row.getAs[Long]("est_buyers") - inter)
+    // estimate regime (the 100 TB behavior): 200k ids >> 4096 retained
+    val est = spark.range(0, 200000).agg(
+        theta_sketch_agg(when(col("id") < 150000, col("id"))).as("a"),
+        theta_sketch_agg(when(col("id") >= 100000, col("id"))).as("b"))
+      .select(
+        theta_sketch_estimate(theta_union(col("a"), col("b"))).as("u"),
+        theta_sketch_estimate(theta_intersection(col("a"), col("b"))).as("i"))
+      .collect().head
+    assert(math.abs(est.getLong(0) - 200000L) / 200000.0 < 0.05,
+      s"union estimate off: ${est.getLong(0)}")
+    assert(math.abs(est.getLong(1) - 50000L) / 50000.0 < 0.10,
+      s"intersection estimate off: ${est.getLong(1)}")
+  }
+
   test("ts_dist_drift: dense (window x type) grid, first window null, terms >= 0") {
     val rows = Queries.byName("ts_dist_drift").build(spark, sfDir).collect()
     val wins = rows.map(_.getLong(0)).distinct.sorted
