@@ -179,8 +179,29 @@ object StreamQueries {
 
   // ---- registry ------------------------------------------------------------
 
+  // ---- stream_distinct_sketch: per-window approx-distinct state ------------
+
+  /** Per-day distinct users through the THETA sketch in streaming state
+    * ([[graft.streaming.StreamOps.distinctUsersDaily]] — the sketch is the
+    * agg buffer, merged losslessly across micro-batches; KBs of state per
+    * window instead of O(users)). This batch form shares the transform
+    * (watermark eliminates in batch); oracle-exact because the sketch is
+    * exact below 4096 retained keys — the driver SFs top out at 1 500. */
+  private def distinctSketch(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamOps.distinctUsersDaily(events(s, d))
+      .select(unix_timestamp(col("day_start")).as("day_epoch"),
+        col("n_users"), col("n_events"))
+      .orderBy("day_epoch")
+
+  private val distinctSketchSql =
+    """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY day_epoch""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "stream_tumbling_count" -> Q(tumbling, Some(tumblingSql)),
+    "stream_distinct_sketch" -> Q(distinctSketch, Some(distinctSketchSql)),
     "stream_sliding_avg" -> Q(sliding, Some(slidingSql)),
     "stream_session_window" -> Q(session, Some(sessionSql)),
     "stream_dedup" -> Q(dedup, Some(dedupSql)),

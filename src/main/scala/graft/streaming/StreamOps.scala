@@ -41,6 +41,21 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Per-day DISTINCT USERS with a mergeable THETA sketch as the streaming
+    * state: the sketch IS the agg buffer, so each micro-batch folds its
+    * partial sketch into the stored one losslessly — the streaming form of
+    * the A4e rollup, where exact per-window distinct state would be
+    * O(users-per-window) and the sketch is KBs flat. Exact below 4096
+    * retained keys (all test SFs), ±1.6% beyond with the same plan. */
+  def distinctUsersDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(theta_sketch_estimate(theta_sketch_agg(col("user_id")))
+             .cast("long").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("day_start"), col("n_users"), col("n_events"))
+
   /** T6: streaming dedup on event_id within the watermark horizon —
     * the DB unique-constraint (database.py:71) as streaming state. */
   def dedupEvents(events: DataFrame): DataFrame =

@@ -67,6 +67,17 @@ class StreamOpsSpec extends SparkSpec {
       batch.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("theta distinct sketch: stream equals batch; exact at fixture scale") {
+    val streamed = runStream(evs, StreamOps.distinctUsersDaily,
+      "t_theta_daily", OutputMode.Complete())
+    val batch = StreamOps.distinctUsersDaily(evs.toDF())
+    assert(streamed.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+    val row = streamed.collect().head
+    assert(row.getLong(1) == 2L, s"sketch must be exact here: $row")
+    assert(row.getLong(2) == 6L)
+  }
+
   test("session window: 45-minute gap splits sessions; stream equals batch") {
     val streamed = runStream(evs, StreamOps.sessionCounts, "t_session", OutputMode.Complete())
     val rows = streamed.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
