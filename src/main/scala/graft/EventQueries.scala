@@ -438,10 +438,13 @@ object EventQueries {
     * synthetic ids. The 100 TB pattern this models: per-partition sketch
     * rows materialized once, audience algebra served from sketches without
     * re-scanning the fact (the A4c rollup story plus intersection). */
-  private def sketchThetaOverlap(s: SparkSession, d: String): DataFrame = {
+  private def sketchThetaOverlap(s: SparkSession, d: String): DataFrame =
+    sketchThetaOverlapOf(events(s, d))
+
+  private[graft] def sketchThetaOverlapOf(ev: DataFrame): DataFrame = {
     val buyer = col("event_type") === "purchase" && col("value") > 150
     val viewer = col("event_type") === "view" && col("value") > 180
-    events(s, d)
+    ev
       .agg(
         theta_sketch_agg(when(buyer, col("user_id"))).as("a"),
         theta_sketch_agg(when(viewer, col("user_id"))).as("b"))

@@ -1302,12 +1302,15 @@ object RelationalQueries {
     * own InjectRuntimeFilter makes the same move only when its size
     * thresholds fire. False positives are re-checked by the exact join,
     * so the result is oracle-identical to the plain join. */
-  private def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
-    val dim = orders(s, d)
+  private def joinBloomPrefilter(s: SparkSession, d: String): DataFrame =
+    joinBloomPrefilterOf(lineitem(s, d), orders(s, d))
+
+  private[graft] def joinBloomPrefilterOf(fact: DataFrame, ordersSrc: DataFrame): DataFrame = {
+    val dim = ordersSrc
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000)
       .select("o_orderkey", "o_orderpriority")
     val bloom = graft.ops.BloomOps.build(dim, col("o_orderkey"), expectedItems = 4096)
-    lineitem(s, d)
+    fact
       .filter(graft.ops.BloomOps.mightContain(bloom, col("l_orderkey")))
       .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")

@@ -55,4 +55,23 @@ object BloomOps {
     GraftSqlShim.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
       new XxHash64(Seq(GraftSqlShim.expression(key)))))
+
+  /** One-execution form: the filter builds as a SCALAR SUBQUERY inside the
+    * consuming query — `InjectRuntimeFilter`'s exact shape — so there is no
+    * separate build job and no driver round trip; the subquery runs once
+    * and its result ships to probe tasks. Prefer this when the probe query
+    * is one-shot; prefer [[build]]+[[mightContain]] when the same filter
+    * serves several queries (build once, literal everywhere). */
+  def mightContainSubquery(buildDf: DataFrame, buildKey: Column, probeKey: Column,
+      expectedItems: Long, fpp: Double = 0.01): Column = {
+    val n = math.max(expectedItems, 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftSqlShim.expression(xxhash64(buildKey)),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    val bloomScalar = buildDf.select(GraftSqlShim.column(agg).as("bf")).scalar()
+    GraftSqlShim.column(BloomFilterMightContain(
+      GraftSqlShim.expression(bloomScalar),
+      new XxHash64(Seq(GraftSqlShim.expression(probeKey)))))
+  }
 }

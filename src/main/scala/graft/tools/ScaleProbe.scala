@@ -295,6 +295,22 @@ object ScaleProbe {
     def atomicSplit(docs: DataFrame): Long =
       graft.NorthStarQueries.datasetSplitAtomicOf(docs).queryExecution.toRdd.count()
 
+    // r07c additions: Bloom prefilter join (the fact scan is gated map-side
+    // by the dim-key filter, so only candidate rows cross the shuffle — the
+    // filter saturates past its 4096-item estimate at 20x, which only
+    // raises fpp, never drops a match), Bloom decontam (pinned eval set,
+    // growing corpus — clean docs die per-row before any explode), and
+    // theta audience algebra (one scan, two conditional sketches, scalar
+    // set ops on the 1x1 reduce).
+    def bloomJ(li: DataFrame, o: DataFrame): Long =
+      graft.RelationalQueries.joinBloomPrefilterOf(li, o)
+        .queryExecution.toRdd.count()
+    def decontamB(corpus: DataFrame): Long =
+      TrainDataQueries.decontamBloomOf(
+        corpus.filter(col("doc_id") % 53 =!= 0), bench1).count()
+    def theta(ev: DataFrame): Long =
+      graft.EventQueries.sketchThetaOverlapOf(ev).queryExecution.toRdd.count()
+
     // curation pipeline: gate (native word_grams) + argmin dedup + sample +
     // report — with per-replica text salt dup families stay bounded, so the
     // one nt-keyed shuffle is the only corpus-sized movement.
@@ -360,6 +376,7 @@ object ScaleProbe {
     checksum(li1); diffT(o1); histo(o1); bpeEnc(d1)
     psi(o1); ivOverlap(o1); sess(ev1); distDrift(ev1)
     ks(o1); funnelW(ev1); leak(d1); atomicSplit(d1)
+    bloomJ(li1, o1); decontamB(d1); theta(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -421,6 +438,12 @@ object ScaleProbe {
         time(leak(d1)), time(leak(dSN))),
       ("atomic split (family CC + census)",
         time(atomicSplit(d1)), time(atomicSplit(dSN))),
+      ("bloom prefilter join (map-side fact gate)",
+        time(bloomJ(li1, o1)), time(bloomJ(liN, oN))),
+      ("bloom decontam (pinned evals, per-row gate)",
+        time(decontamB(d1)), time(decontamB(dN))),
+      ("theta audience algebra (1 scan, 2 sketches)",
+        time(theta(ev1)), time(theta(evN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -515,6 +538,13 @@ object ScaleProbe {
     sb.append("membership: leakage audit = candidate pairs x a per-doc split map\n")
     sb.append("(no extra shuffle beyond the pair join); atomic split adds the\n")
     sb.append("family-sized CC + one broadcastable cluster-map join on the census.\n\n")
+    sb.append("r07c rows: the bloom prefilter join gates the fact scan map-side\n")
+    sb.append("with a KB-sized filter literal (the 4096-item estimate saturates\n")
+    sb.append("at 20x, raising fpp but never dropping a match — the safe failure\n")
+    sb.append("direction); bloom decontam drops clean docs per row before any\n")
+    sb.append("explode, so growth tracks the corpus scan, not the gram volume;\n")
+    sb.append("theta audience algebra is one scan + two conditional sketches\n")
+    sb.append("merged to a 1x1 row — the set ops are scalar work on KB sketches.\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")

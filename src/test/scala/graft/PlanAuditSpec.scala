@@ -531,11 +531,14 @@ class PlanAuditSpec extends SparkSpec {
       s"probe must be on the scan side of the exchange:\n$p")
   }
 
-  test("decontam_bloom: per-row Bloom gate, explode only over candidate grams") {
+  test("decontam_bloom: codegen Bloom gate between the explode and the verify join") {
     val p = finalPlan(q("decontam_bloom"))
-    assert(p.contains("might_contain"), s"Bloom gate must appear per row:\n$p")
-    assert("Generate explode\\(cand".r.findFirstIn(p).isDefined,
-      s"only the candidate grams may explode:\n$p")
+    assert(p.contains("might_contain"), s"Bloom gate must appear in the plan:\n$p")
+    // tree prints root-first: the gate (above Generate, below the join)
+    // must appear after the join and before the explode
+    assert(p.indexOf("BroadcastHashJoin") < p.indexOf("might_contain") &&
+      p.indexOf("might_contain") < p.indexOf("Generate"),
+      s"gate must sit between explode and verify join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
   }
 
