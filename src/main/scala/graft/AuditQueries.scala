@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operational data-integrity queries: the replication-validation and
@@ -376,12 +377,246 @@ object AuditQueries {
       |        ORDER BY diff DESC, xc ASC LIMIT 1) AS at_cents
       |FROM diffs""".stripMargin
 
+  /** `corr_pearson`: exact-input Pearson correlation between quantity and
+    * extended price — the column-pair association scan of data profiling
+    * (is this feature redundant / is this metric drifting with that one).
+    * All six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * DECIMAL — exact and order-independent, so partial aggregation and AQE
+    * cannot move the result — and only then collapse to double for the
+    * closed-form corr, a fixed sequence of correctly-rounded IEEE ops
+    * (+,−,×,÷,sqrt only; no libm) that is bit-identical on any engine.
+    * Scale: one scan, one scalar agg with map-side combine — the ideal
+    * 100 TB shape (bytes crossing the cluster: 6 numbers per partition). */
+  private[graft] def corrPearsonOf(li: DataFrame): DataFrame = {
+    val xd = col("l_quantity").cast("decimal(12,2)")
+    val yd = col("l_extendedprice").cast("decimal(12,2)")
+    li.select(xd.as("xd"), yd.as("yd"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+        sum((col("xd") * col("yd")).cast("decimal(30,4)")).as("sxy"),
+        sum((col("xd") * col("xd")).cast("decimal(30,4)")).as("sxx"),
+        sum((col("yd") * col("yd")).cast("decimal(30,4)")).as("syy"))
+      .select(col("n").as("n_rows"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr"))
+  }
+
+  private def corrPearson(s: SparkSession, d: String): DataFrame =
+    corrPearsonOf(lineitem(s, d))
+
+  private val corrPearsonSql =
+    """WITH s AS (SELECT
+      |  count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |  sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+      |        * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS sxy,
+      |  sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+      |        * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS sxx,
+      |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |        * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS syy
+      |FROM lineitem)
+      |SELECT n AS n_rows,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+      |FROM s""".stripMargin
+
+  /** `corr_spearman`: rank correlation between the same pair — the
+    * monotone-association complement (robust to the price tail). Ties take
+    * AVERAGE ranks, held exact as 2×rank integers: for a distinct value v,
+    * 2·avgrank(v) = 2·|{x < v}| + |{x = v}| + 1, computed from per-value
+    * counts + one prefix sum over the DISTINCT-VALUE aggregate (bounded by
+    * the value domain, never corpus-sized — the drift_ks recipe; at 100 TB
+    * the range-partitioned two-pass prefix sum replaces the single window).
+    * Spearman ρ is then Pearson over the 2×ranks — scale-invariant, so the
+    * doubling cancels — with sufficient statistics summed in DECIMAL(38,0)
+    * (exact at any corpus size; BIGINT Σ(2r)² overflows past ~2e9 rows). */
+  private[graft] def corrSpearmanOf(li: DataFrame): DataFrame = {
+    val rows = li.select(
+      (col("l_quantity").cast("decimal(12,2)") * 100).cast("long").as("xc"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("yc"))
+    def ranks2(c: String) = {
+      val w = Window.orderBy(c)
+      rows.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col(c), (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+          .as(s"r2_$c"))
+    }
+    rows.join(ranks2("xc"), Seq("xc")).join(ranks2("yc"), Seq("yc"))
+      .select(col("r2_xc").as("rx"), col("r2_yc").as("ry"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"))
+      .select(col("n").as("n_rows"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("rho"))
+  }
+
+  private def corrSpearman(s: SparkSession, d: String): DataFrame =
+    corrSpearmanOf(lineitem(s, d))
+
+  private val corrSpearmanSql =
+    """WITH rows_c AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+      |  FROM lineitem),
+      |rx AS (SELECT xc, 2 * (sum(cnt) OVER (ORDER BY xc) - cnt) + cnt + 1 AS r2x
+      |       FROM (SELECT xc, count(*) AS cnt FROM rows_c GROUP BY 1)),
+      |ry AS (SELECT yc, 2 * (sum(cnt) OVER (ORDER BY yc) - cnt) + cnt + 1 AS r2y
+      |       FROM (SELECT yc, count(*) AS cnt FROM rows_c GROUP BY 1)),
+      |j AS (SELECT r2x AS rx, r2y AS ry
+      |      FROM rows_c JOIN rx USING (xc) JOIN ry USING (yc)),
+      |s AS (SELECT count(*) AS n,
+      |  sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+      |  sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+      |  sum(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+      |  sum(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+      |  sum(CAST(ry * ry AS DECIMAL(38,0))) AS syy FROM j)
+      |SELECT n AS n_rows,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+      |FROM s""".stripMargin
+
+  /** Exact discrete percentile thresholds over the cent-scaled price domain:
+    * p = smallest value whose cumulative count reaches ceil(q·n), with the
+    * ceiling in PURE INTEGER arithmetic ((q100·n + 99) div 100) — the
+    * percentile_disc definition, no interpolation, no float. The prefix sum
+    * runs over the distinct-value aggregate (domain-bounded, ~150k cents
+    * values — never the corpus). */
+  private def discThresholds(xc: DataFrame, qLo: Int, qHi: Int): DataFrame = {
+    val w = Window.orderBy("xc")
+    xc.groupBy("xc").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(xc.agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") >= expr(s"($qLo * n + 99) div 100"),
+          col("xc"))).as("lo_c"),
+        min(when(col("cum") >= expr(s"($qHi * n + 99) div 100"),
+          col("xc"))).as("hi_c"))
+  }
+
+  /** `winsorize_stats`: tail-clipping audit — exact p05/p95 order statistics
+    * of order value, the row counts each tail clips, and the winsorized
+    * mean. The outlier-robust location estimate a feature pipeline reports
+    * next to the raw mean (and the guard before z-scoring a heavy-tailed
+    * metric). Mean is exact: clamped cents sum in BIGINT (≤ 2^53 ⇒ the
+    * double divide is the only float op, identical on both engines).
+    * Scale: one distinct-value prefix sum for the thresholds (broadcast
+    * back as two scalars), one clamping scan with a scalar agg. */
+  private[graft] def winsorizeStatsOf(ordersDf: DataFrame): DataFrame = {
+    val xc = ordersDf.select(
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("xc"))
+    val th = discThresholds(xc, 5, 95)
+    xc.crossJoin(broadcast(th))
+      .select(col("xc"), col("lo_c"), col("hi_c"),
+        greatest(col("lo_c"), least(col("hi_c"), col("xc"))).as("wc"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("lo_c")).as("p05_cents"),
+        min(col("hi_c")).as("p95_cents"),
+        sum((col("xc") < col("lo_c")).cast("long")).as("n_clipped_lo"),
+        sum((col("xc") > col("hi_c")).cast("long")).as("n_clipped_hi"),
+        round(sum(col("wc")).cast("double") /
+          (count(lit(1)) * 100).cast("double"), 6).as("mean_winsorized"))
+  }
+
+  private def winsorizeStats(s: SparkSession, d: String): DataFrame =
+    winsorizeStatsOf(orders(s, d))
+
+  private val winsorizeStatsSql =
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+      |           FROM orders),
+      |cum AS (SELECT xc, cnt, sum(cnt) OVER (ORDER BY xc) AS cum
+      |        FROM (SELECT xc, count(*) AS cnt FROM c GROUP BY 1)),
+      |tot AS (SELECT count(*) AS n FROM c),
+      |th AS (SELECT
+      |  min(CASE WHEN cum >= (5 * n + 99) // 100 THEN xc END) AS lo_c,
+      |  min(CASE WHEN cum >= (95 * n + 99) // 100 THEN xc END) AS hi_c
+      |FROM cum, tot)
+      |SELECT count(*) AS n_rows,
+      |  min(lo_c) AS p05_cents,
+      |  min(hi_c) AS p95_cents,
+      |  CAST(count(*) FILTER (WHERE xc < lo_c) AS BIGINT) AS n_clipped_lo,
+      |  CAST(count(*) FILTER (WHERE xc > hi_c) AS BIGINT) AS n_clipped_hi,
+      |  round(CAST(sum(greatest(lo_c, least(hi_c, xc))) AS DOUBLE)
+      |        / CAST(count(*) * 100 AS DOUBLE), 6) AS mean_winsorized
+      |FROM c, th""".stripMargin
+
+  /** `agg_histogram_eqdepth`: 10-bucket equi-DEPTH histogram of order value
+    * — the quantile-bin complement of `agg_histogram`'s equi-width view
+    * (equi-width shows shape, equi-depth shows quantile boundaries; a data
+    * profile wants both). Bucket of a distinct value v is pure integer
+    * arithmetic on the prefix sum: (count_below(v)·10) div n, capped at 9 —
+    * every row of a tied value lands in ONE bucket (no ntile row-splitting
+    * ambiguity), buckets are equal-count up to tie granularity. Prefix sum
+    * over the distinct-value aggregate; rows then join their value's bucket
+    * by the same keyed lookup — never a corpus-wide row-ordered window. */
+  private[graft] def aggHistogramEqdepthOf(ordersDf: DataFrame): DataFrame = {
+    val xc = ordersDf.select(
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("xc"))
+    val w = Window.orderBy("xc")
+    xc.groupBy("xc").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(xc.agg(count(lit(1)).as("n"))))
+      .select(col("xc"), col("cnt"),
+        expr("least(9L, ((cum - cnt) * 10) div n)").cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).as("n"),
+        min(col("xc")).as("b_lo_cents"),
+        max(col("xc")).as("b_hi_cents"))
+      .orderBy("bucket")
+  }
+
+  private def aggHistogramEqdepth(s: SparkSession, d: String): DataFrame =
+    aggHistogramEqdepthOf(orders(s, d))
+
+  private val aggHistogramEqdepthSql =
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+      |           FROM orders),
+      |cum AS (SELECT xc, cnt, sum(cnt) OVER (ORDER BY xc) AS cum
+      |        FROM (SELECT xc, count(*) AS cnt FROM c GROUP BY 1)),
+      |tot AS (SELECT count(*) AS n FROM c)
+      |SELECT CAST(least(9, ((cum - cnt) * 10) // n) AS INTEGER) AS bucket,
+      |       CAST(sum(cnt) AS BIGINT) AS n,
+      |       min(xc) AS b_lo_cents,
+      |       max(xc) AS b_hi_cents
+      |FROM cum, tot GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
     "agg_histogram" -> Q(aggHistogram, Some(aggHistogramSql)),
+    "agg_histogram_eqdepth" -> Q(aggHistogramEqdepth, Some(aggHistogramEqdepthSql)),
     "drift_psi" -> Q(driftPsi, Some(driftPsiSql)),
-    "drift_ks" -> Q(driftKs, Some(driftKsSql)))
+    "drift_ks" -> Q(driftKs, Some(driftKsSql)),
+    "corr_pearson" -> Q(corrPearson, Some(corrPearsonSql)),
+    "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
+    "winsorize_stats" -> Q(winsorizeStats, Some(winsorizeStatsSql)))
 }

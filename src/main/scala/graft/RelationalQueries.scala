@@ -1291,6 +1291,57 @@ object RelationalQueries {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** `tpch_q18`: the large-volume-customer flagship — a HAVING subquery
+    * over the biggest fact table (which orders exceed 300 total units),
+    * semi-joined back and re-aggregated with the customer dim attached.
+    * The classic "aggregate, filter on the aggregate, join the survivors"
+    * funnel every analytics stack runs.
+    *
+    * 100 TB shape: the qualifying-keys subquery is ONE keyed agg on
+    * l_orderkey with map-side partials (the HAVING cut happens on the
+    * agg output — order-count-sized, not lineitem-sized); it semi-joins
+    * lineitem on the SAME key, so the agg's partitioning is reused and
+    * the second aggregation adds no Exchange; orders attaches by the same
+    * orderkey; only customer (smallest rel) broadcasts. Quantity sums in
+    * exact decimals; the top-100 ties break on o_orderkey so the limit is
+    * a total order. */
+  private def tpchQ18(s: SparkSession, d: String): DataFrame =
+    tpchQ18Of(lineitem(s, d), orders(s, d), customer(s, d))
+
+  private[graft] def tpchQ18Of(liSrc: DataFrame, oSrc: DataFrame,
+      cSrc: DataFrame): DataFrame = {
+    val l = liSrc.select("l_orderkey", "l_quantity")
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 300)
+      .select("l_orderkey")
+    l.join(big, Seq("l_orderkey"), "left_semi")
+      .join(oSrc.select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cSrc.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+      .agg(max(dec(col("o_totalprice"))).as("o_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("o_price").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val tpchQ18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  max(CAST(o_totalprice AS DECIMAL(12,2))) AS o_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY o_price DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** `join_bloom_prefilter`: explicit Bloom semi-join reduction
     * ([[graft.ops.BloomOps]]) — the build side (selective dim: urgent
     * half-million-dollar orders) folds into a distributed Bloom filter,
@@ -1613,6 +1664,7 @@ object RelationalQueries {
     "tpch_q1" -> Q(tpchQ1, Some(tpchQ1Sql)),
     "tpch_q3" -> Q(tpchQ3, Some(tpchQ3Sql)),
     "tpch_q6" -> Q(tpchQ6, Some(tpchQ6Sql)),
+    "tpch_q18" -> Q(tpchQ18, Some(tpchQ18Sql)),
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),

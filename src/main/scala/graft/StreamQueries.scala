@@ -199,8 +199,28 @@ object StreamQueries {
       |       count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY day_epoch""".stripMargin
 
+  // ---- T11 stream_static_join ----------------------------------------------
+
+  /** Batch twin of [[graft.streaming.StreamOps.staticEnrich]] — events
+    * enriched with the nation dim (user_id-keyed lookup) and rolled into
+    * per-day per-nation counts and exact-decimal value totals. The oracle
+    * replays the identical join + epoch-aligned bucketing; StreamOpsSpec
+    * asserts the MemoryStream form row-equals this one. */
+  private def staticJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamOps.staticEnrich(events(s, d), nation(s, d))
+      .select(unix_timestamp(col("day_start")).as("day_epoch"),
+        col("n_name"), col("cnt"), col("total_value"))
+      .orderBy("day_epoch", "n_name")
+
+  private val staticJoinSql =
+    s"""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+       |       n_name, count(*) AS cnt, ${sqlDsum("value")} AS total_value
+       |FROM events JOIN nation ON user_id % 25 = n_nationkey
+       |GROUP BY 1, 2 ORDER BY day_epoch, n_name""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "stream_tumbling_count" -> Q(tumbling, Some(tumblingSql)),
+    "stream_static_join" -> Q(staticJoin, Some(staticJoinSql)),
     "stream_distinct_sketch" -> Q(distinctSketch, Some(distinctSketchSql)),
     "stream_sliding_avg" -> Q(sliding, Some(slidingSql)),
     "stream_session_window" -> Q(session, Some(sessionSql)),

@@ -194,6 +194,93 @@ object TrainDataQueries {
       |  FROM k)
       |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
 
+  // ---- N6c sample_reservoir: deterministic bottom-k uniform sample ---------
+
+  /** Fixed-size uniform corpus sample via bottom-k hashing: the 64 docs
+    * with the smallest md5(doc_id) — equivalent to a uniform reservoir
+    * sample but fully deterministic and MERGEABLE (the bottom-k of a union
+    * is the bottom-k of the per-shard bottom-ks), which is what makes it a
+    * one-pass distributed primitive: each partition keeps ≤ 64 rows, one
+    * reducer merges (TakeOrdered — the corpus never shuffles). The same
+    * sketch doubles as the KMV cardinality estimator and, re-run after any
+    * pipeline stage, as a stable eyeball-diff panel (the sample only
+    * changes where the corpus did). */
+  private def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val top = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      .orderBy("h", "doc_id").limit(64)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy("h", "doc_id")))
+  }
+
+  private val sampleReservoirSql =
+    """SELECT doc_id, lang, source, h,
+      |       CAST(row_number() OVER (ORDER BY h, doc_id) AS INTEGER) AS rank
+      |FROM (SELECT doc_id, lang, source,
+      |             md5(CAST(doc_id AS VARCHAR)) AS h
+      |      FROM documents
+      |      ORDER BY h, doc_id LIMIT 64)
+      |ORDER BY rank""".stripMargin
+
+  // ---- N3b text_entropy: per-doc token Shannon entropy ---------------------
+
+  /** Unigram Shannon entropy per document (bits) — the vocabulary-diversity
+    * quality signal (low entropy ⇒ repetitive/boilerplate, the cheap
+    * complement of `repetition_ratio`; high ⇒ diverse text). Computed as
+    * H = log2(n) − (Σ c·log2(c))/n over the doc's token counts c.
+    * Determinism: the one libm call (log2) rounds to 6 dp per DISTINCT
+    * count value, the term c·log2(c) is then an exact decimal×integer
+    * product (NO round after the multiply — the −p·log2 p formulation
+    * rounded each p·r product, whose small-denominator decimal expansions
+    * sit exactly on .0000005 boundaries where Spark's string-based round
+    * and DuckDB's binary round disagree; 3/500 docs hit it), the per-doc
+    * sum runs in exact DECIMAL, and only the final quotient rounds (4 dp,
+    * the lm_bigram precedent).
+    *
+    * 100 TB shape: one explode to (doc, token) pairs, one keyed agg on
+    * (doc_id, w) with map-side combine, then a re-key to doc_id shared by
+    * the totals agg and the join (both sides hash-partition on doc_id, so
+    * the join itself adds no third Exchange). Text crosses the cluster as
+    * tokens once; nothing is corpus-global. */
+  private[graft] def textEntropyOf(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(toks).as("w"))
+    val counts = occ.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    counts
+      .select(col("doc_id"),
+        (col("c") * round(log2(col("c").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("term")).as("s"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        round(round(log2(col("n").cast("double")), 6) -
+          col("s").cast("double") / col("n"), 4).as("entropy_bits"))
+  }
+
+  private def textEntropy(s: SparkSession, d: String): DataFrame =
+    textEntropyOf(documents(s, d)).orderBy("doc_id")
+
+  private val textEntropySql =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |occ AS (SELECT doc_id, unnest(t) AS w FROM toksrc),
+      |counts AS (SELECT doc_id, w, count(*) AS c FROM occ GROUP BY 1, 2),
+      |totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |                  count(*) AS n_distinct
+      |           FROM counts GROUP BY 1),
+      |sums AS (
+      |  SELECT doc_id,
+      |    sum(c * CAST(round(log2(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))) AS s
+      |  FROM counts GROUP BY 1)
+      |SELECT doc_id, n AS n_tokens, n_distinct,
+      |       round(round(log2(CAST(n AS DOUBLE)), 6)
+      |             - CAST(s AS DOUBLE) / n, 4) AS entropy_bits
+      |FROM sums JOIN totals USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- N7 pack_sequences: token-budget packing -----------------------------
 
   /** Contiguous sequence packing: per language stream, docs in id order
@@ -560,6 +647,8 @@ object TrainDataQueries {
     "decontam_bloom" -> Q(decontamBloom, Some(decontamOverlapSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),
     "sample_weighted" -> Q(sampleWeighted, Some(sampleWeightedSql)),
+    "sample_reservoir" -> Q(sampleReservoir, Some(sampleReservoirSql)),
+    "text_entropy" -> Q(textEntropy, Some(textEntropySql)),
     "curation_e2e" -> Q(curationE2e, Some(curationE2eSql)),
     "pack_sequences" -> Q(packSequences, Some(packSequencesSql)),
     "repetition_ratio" -> Q(repetitionRatio, Some(repetitionRatioSql)),

@@ -56,6 +56,26 @@ object StreamOps {
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("day_start"), col("n_users"), col("n_events"))
 
+  /** T11: stream-static dimension enrich — the live event feed joins a
+    * BROADCAST static dim (the reference's category lookup shape) before
+    * its windowed aggregation. Stream-static joins are stateless in
+    * Structured Streaming (the static side re-resolves per micro-batch, so
+    * a dim refresh on disk is picked up without restarting the query); the
+    * only stateful work remains the watermarked windowed count. At 100 TB/
+    * day the dim broadcasts to every executor once per batch and the fact
+    * stream never shuffles before the window agg keys it. */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("n_nationkey", (col("user_id") % 25).cast("int"))
+      .join(broadcast(dim.select(col("n_nationkey"), col("n_name"))),
+        Seq("n_nationkey"))
+      .groupBy(window(col("ts"), "1 day"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("day_start"), col("n_name"),
+        col("cnt"), col("total_value"))
+
   /** T6: streaming dedup on event_id within the watermark horizon —
     * the DB unique-constraint (database.py:71) as streaming state. */
   def dedupEvents(events: DataFrame): DataFrame =

@@ -368,6 +368,26 @@ object ScaleProbe {
           |FROM chain GROUP BY root, depth""".stripMargin).count()
     }
 
+    // r07d stats/sampling/flagship shapes: exact-decimal sufficient-stat
+    // correlation (one scalar agg), distinct-domain rank prefix sums
+    // (the window input is the VALUE DOMAIN, not the corpus), clamp-scan
+    // winsorization, bottom-k reservoir (TakeOrdered: <= k rows leave any
+    // partition), token-entropy keyed aggs, and the Q18 HAVING funnel
+    // (the big agg's orderkey partitioning reused by semi-join + re-agg).
+    import graft.{AuditQueries, RelationalQueries}
+    def pearson(li: DataFrame): Long = AuditQueries.corrPearsonOf(li).count()
+    def spearman(li: DataFrame): Long = AuditQueries.corrSpearmanOf(li).count()
+    def winsor(o: DataFrame): Long = AuditQueries.winsorizeStatsOf(o).count()
+    def reservoir(docs: DataFrame): Long = {
+      val h = md5(col("doc_id").cast("string"))
+      docs.select(col("doc_id"), h.as("h")).orderBy("h", "doc_id")
+        .limit(64).count()
+    }
+    def entropy(docs: DataFrame): Long =
+      TrainDataQueries.textEntropyOf(docs).count()
+    def q18(li: DataFrame, o: DataFrame, c: DataFrame): Long =
+      RelationalQueries.tpchQ18Of(li, o, c).count()
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
@@ -377,6 +397,7 @@ object ScaleProbe {
     psi(o1); ivOverlap(o1); sess(ev1); distDrift(ev1)
     ks(o1); funnelW(ev1); leak(d1); atomicSplit(d1)
     bloomJ(li1, o1); decontamB(d1); theta(ev1)
+    pearson(li1); spearman(li1); winsor(o1); reservoir(d1); entropy(d1); q18(li1, o1, c1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -444,6 +465,18 @@ object ScaleProbe {
         time(decontamB(d1)), time(decontamB(dN))),
       ("theta audience algebra (1 scan, 2 sketches)",
         time(theta(ev1)), time(theta(evN))),
+      ("pearson corr (decimal sufficient stats, 1 agg)",
+        time(pearson(li1)), time(pearson(liN))),
+      ("spearman corr (distinct-domain rank prefix sums)",
+        time(spearman(li1)), time(spearman(liN))),
+      ("winsorized stats (distinct prefix sum + clamp scan)",
+        time(winsor(o1)), time(winsor(oN))),
+      ("bottom-k reservoir (TakeOrdered merge)",
+        time(reservoir(d1)), time(reservoir(dN))),
+      ("token entropy (doc/token keyed aggs)",
+        time(entropy(d1)), time(entropy(dN))),
+      ("tpch q18 funnel (agg -> reused-shuffle semi-join)",
+        time(q18(li1, o1, c1)), time(q18(liN, oN, cN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -545,6 +578,19 @@ object ScaleProbe {
     sb.append("explode, so growth tracks the corpus scan, not the gram volume;\n")
     sb.append("theta audience algebra is one scan + two conditional sketches\n")
     sb.append("merged to a 1x1 row — the set ops are scalar work on KB sketches.\n\n")
+    sb.append("r07d rows: pearson is ONE scalar agg whose six decimal sufficient\n")
+    sb.append("statistics partial-aggregate map-side (6 numbers per partition cross\n")
+    sb.append("the cluster) — its ratio is the pure scan-CPU bound; spearman adds\n")
+    sb.append("two distinct-VALUE prefix sums (the window input is the value domain,\n")
+    sb.append("which saturates while the corpus grows) + two keyed join-backs;\n")
+    sb.append("winsorize/equi-depth share that distinct-domain geometry with a\n")
+    sb.append("two-scalar broadcast clamp scan on top. The reservoir is TakeOrdered:\n")
+    sb.append("<= 64 rows leave any partition regardless of corpus size, so its\n")
+    sb.append("wall-clock is the scan floor; entropy is the tfidf agg geometry\n")
+    sb.append("(doc-token keyed agg -> doc re-key) and must track it. q18's HAVING\n")
+    sb.append("funnel reuses the big agg's orderkey partitioning for BOTH the\n")
+    sb.append("semi-join back and the final re-aggregation (one Exchange for the\n")
+    sb.append("whole fact path; customer broadcasts).\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")

@@ -74,6 +74,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"groupBy must reuse join partitioning:\n$p")
   }
 
+  test("tpch_q18: one fact Exchange reused by semi-join and re-agg; customer broadcasts") {
+    val p = finalPlan(q("tpch_q18"))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(p.contains("ReusedExchange") || {
+      // the HAVING agg, the semi-join probe, and the final agg all key on
+      // l_orderkey: at most the two fact-side hash exchanges (lineitem +
+      // orders) may exist; a third means the funnel re-shuffled
+      "Exchange hashpartitioning".r.findAllIn(p).length <= 2
+    }, s"HAVING funnel must reuse the orderkey partitioning:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+  }
+
+  test("corr_pearson: single scalar aggregate with map-side partials, no join, no window") {
+    val p = finalPlan(q("corr_pearson"))
+    assert(p.contains("partial_"), s"sufficient stats must partial-aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"one-pass scalar agg expected:\n$p")
+    // exactly the one single-partition exchange that merges the partials
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$p")
+  }
+
+  test("sample_reservoir: bottom-k plans as TakeOrderedAndProject (corpus never shuffles)") {
+    val p = finalPlan(q("sample_reservoir"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k hashing must be a per-partition top-k merge:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val p = finalPlan(q("scan_parquet"))
     assert(p.contains("*(1)"), s"pipeline must run inside WholeStageCodegen (the *(n) marker):\n$p")

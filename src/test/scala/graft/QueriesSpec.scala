@@ -107,6 +107,78 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted: $total")
   }
 
+  test("corr_pearson matches Spark's built-in corr on the same pair") {
+    val got = Queries.byName("corr_pearson").build(spark, sfDir)
+      .collect().head.getDouble(1)
+    val builtin = Tables.lineitem(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.corr("l_quantity", "l_extendedprice"))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - builtin) < 1e-5, s"got=$got builtin=$builtin")
+  }
+
+  test("corr_spearman is exactly 1 on a perfectly monotone pair, and in [-1,1] on data") {
+    import spark.implicits._
+    val mono = Seq.tabulate(50)(i => (i + 1.0, (i + 1) * 7.5))
+      .toDF("l_quantity", "l_extendedprice")
+    val rho1 = AuditQueries.corrSpearmanOf(mono).collect().head.getDouble(1)
+    assert(rho1 == 1.0, s"monotone pair must give rho=1, got $rho1")
+    // quantity and price are independent in the synthetic testdata, so the
+    // data assertion is only the range invariant (near 0 is the truth here)
+    val rho = Queries.byName("corr_spearman").build(spark, sfDir)
+      .collect().head.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+  }
+
+  test("winsorize_stats: thresholds ordered, each tail clips < 5%, mean inside clip range") {
+    val r = Queries.byName("winsorize_stats").build(spark, sfDir).collect().head
+    val (n, p05, p95) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (nLo, nHi, mean) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(p05 <= p95)
+    // < ceil(5% of n) rows strictly below the p05 order statistic (disc defn)
+    assert(nLo < (5 * n + 99) / 100, s"lo tail $nLo of $n")
+    assert(nHi <= n - (95 * n + 99) / 100, s"hi tail $nHi of $n")
+    assert(mean >= p05 / 100.0 && mean <= p95 / 100.0, s"mean $mean outside clip range")
+  }
+
+  test("agg_histogram_eqdepth: partitions all rows into ordered non-overlapping buckets") {
+    val rows = Queries.byName("agg_histogram_eqdepth").build(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "bucket counts must cover the table")
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).sorted.toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) < b.getLong(2),
+          s"bucket ranges overlap: ${a.getLong(3)} vs ${b.getLong(2)}")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+  }
+
+  test("text_entropy: 0 bits for a one-token doc, exactly log2(k) for k uniform tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a"),                 // 1 distinct -> H = 0
+      (2L, "a b c d a b c d"),                 // 4 uniform  -> H = 2
+      (3L, "a b c d e f g h")                  // 8 uniform  -> H = 3
+    ).toDF("doc_id", "text")
+    val got = TrainDataQueries.textEntropyOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.0 && got(2L) == 2.0 && got(3L) == 3.0, got.toString)
+  }
+
+  test("sample_reservoir: bottom-k hashing is mergeable (bottom-k of shard bottom-ks)") {
+    import org.apache.spark.sql.functions._
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+    val full = hashed.orderBy("h", "doc_id").limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    val merged = (hashed.filter(col("doc_id") % 2 === 0).orderBy("h", "doc_id").limit(64)
+        .unionAll(hashed.filter(col("doc_id") % 2 =!= 0).orderBy("h", "doc_id").limit(64)))
+      .orderBy("h", "doc_id").limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == merged, "bottom-k must merge losslessly across shards")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()

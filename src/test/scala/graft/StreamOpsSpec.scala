@@ -67,6 +67,20 @@ class StreamOpsSpec extends SparkSpec {
       batch.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("stream-static enrich: broadcast dim join in a stream equals the batch form") {
+    val dim = Seq((10, "ALPHA"), (20, "BETA"), (0, "GAMMA"))
+      .toDF("n_nationkey", "n_name")
+    val streamed = runStream(evs,
+      df => StreamOps.staticEnrich(df, dim), "t_static", OutputMode.Complete())
+    val batch = StreamOps.staticEnrich(evs.toDF(), dim)
+    assert(streamed.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+    // user 10 -> ALPHA (3 events + the duplicated id: enrich does not dedup),
+    // user 20 -> BETA (2); GAMMA has no events and must not appear
+    val byName = batch.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byName == Map("ALPHA" -> 4L, "BETA" -> 2L), byName.toString)
+  }
+
   test("theta distinct sketch: stream equals batch; exact at fixture scale") {
     val streamed = runStream(evs, StreamOps.distinctUsersDaily,
       "t_theta_daily", OutputMode.Complete())
