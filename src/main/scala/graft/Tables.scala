@@ -31,14 +31,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects; we read it as a nanos long (legacy conf in [[tune]]) and
-    * truncate to micros — the same truncation DuckDB's micro TIMESTAMP
-    * applies, so oracle comparisons stay aligned. Integer `DIV` (not `/`)
-    * because 2024 epoch-nanos ≈ 1.7e18 overflows double precision. */
+  /** `events.ts` must come out as a session-TZ TIMESTAMP (UTC) whatever the
+    * generator wrote. The driver has shipped two encodings across rounds:
+    * TIMESTAMP(NANOS) (unreadable by the vectorized reader — [[tune]]'s
+    * legacy conf surfaces it as a nanos long, truncated here to micros with
+    * integer `DIV`, since 2024 epoch-nanos ≈ 1.7e18 overflows double), and
+    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark infers
+    * as TIMESTAMP_NTZ — cast to TIMESTAMP under the pinned UTC session, the
+    * identical instants. Dispatch on the footer schema so both keep working
+    * and both land on the same micros values DuckDB reads. */
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    convertEventTs(table(s, d, "events"))
+
+  /** The ts normalization of [[events]], exposed for readers that build the
+    * events DataFrame themselves (e.g. the streaming file source). */
+  def convertEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already session-TZ TIMESTAMP
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -41,13 +41,13 @@ object StreamDemo {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"))
-    // raw footer schema (ts as nanos-long under nanosAsLong) — the micros
-    // conversion happens below, same as Tables.events
+    // raw footer schema (nanos-long or TIMESTAMP_NTZ depending on the
+    // generator's encoding) — ts normalizes below, same as Tables.events
     val schema = Tables.table(spark, sfDir, "events").schema
-    val stream = spark.readStream
-      .schema(schema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = Tables.convertEventTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(srcDir.toString))
     val daily = StreamOps.tumblingCounts(stream)
     val q = daily.writeStream
       .trigger(Trigger.AvailableNow())
