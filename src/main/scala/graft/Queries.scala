@@ -41,7 +41,7 @@ object Queries {
       StreamQueries.all ++ NorthStarQueries.all ++ TrainDataQueries.all ++
       CorpusQueries.all ++ SubqueryQueries.all ++ EventQueries.all ++
       ClusterQueries.all ++ GraphQueries.all ++ EntityQueries.all ++
-      AuditQueries.all
+      AuditQueries.all ++ SearchQueries.all
 
   lazy val byName: Map[String, Q] = all.toMap
 

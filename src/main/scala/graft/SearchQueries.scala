@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the documents corpus: the index-build and
+  * query-scoring half of a search system (the reference IS a job-search
+  * pipeline — its scraped postings feed a search index; pracuj_scraper.py
+  * lowers + tokenizes text for exactly this, JobScraper/scrapers/
+  * pracuj_scraper.py:183-197), plus the deterministic shuffle-shard layout a
+  * training pipeline writes before epoch streaming.
+  *
+  * Scale notes (100 TB): the inverted index is two keyed map-side-combine
+  * aggregations — (doc,term) then (term) — i.e. the word-count shape Spark
+  * is built around; posting lists stay distributed (capped array heads here
+  * only because the REGISTRY result must be bounded; the real write is the
+  * partitioned-write path keyed by term). BM25 reuses the same (doc,term)
+  * aggregate, keeps only query-term rows (a broadcast-sized semi filter
+  * BEFORE any shuffle), and ranks a per-doc aggregate — no global window,
+  * no corpus-wide sort. The shuffle-shard is one scan + one 8-key aggregate:
+  * the md5-based permutation is embarrassingly parallel and reproducible on
+  * any cluster layout (no rand(), no partition-index dependence).
+  */
+object SearchQueries {
+  import Tables._
+
+  private def toks: Column = split(lower(col("text")), "\\s+")
+
+  /** Fixed query-term set for the retrieval queries: present across the
+    * corpus at different document frequencies, so idf actually
+    * discriminates. */
+  private val queryTerms = Seq("spark", "join", "stream")
+
+  // ---- index_postings: inverted-index build --------------------------------
+
+  /** `index_postings`: the inverted index over documents — per term its
+    * document frequency, collection frequency, and the head of its postings
+    * (first 10 doc_ids ascending; the full list is the distributed value,
+    * capped here only to keep the registry result bounded). Two keyed
+    * aggregations, both with map-side combine; nothing corpus-sized ever
+    * sits on one node. */
+  private[graft] def indexPostingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings_head"))
+      .orderBy("term")
+
+  private def indexPostings(s: SparkSession, d: String): DataFrame =
+    indexPostingsOf(documents(s, d))
+
+  private val indexPostingsSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+      |       (list(doc_id ORDER BY doc_id))[1:10] AS postings_head
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  // ---- search_bm25: query scoring over the index ---------------------------
+
+  /** `search_bm25`: Okapi BM25 top-10 for a fixed 3-term query
+    * (k1 = 1.2, b = 0.75, the standard parameters). Determinism across
+    * engines, piece by piece: idf = round(ln((N − df + 0.5)/(df + 0.5) + 1), 6)
+    * — the one libm call, rounded before use (the lm_bigram_score recipe);
+    * the length ratio dl·N / total_tokens divides exact longs (one
+    * correctly-rounded IEEE op) and rounds to 6 dp; the tf normalization is
+    * then a fixed sequence of +,×,÷ on those pinned values — identical
+    * float64 on any engine — rounded per term to 6 dp; per-doc summation
+    * happens in DECIMAL(18,6) (exact, order-independent) with the rank
+    * ordered on the decimal, never the float. Docs containing no query term
+    * drop out via the inner join — the index does the candidate cut, the
+    * scorer never scans non-matching docs. */
+  private[graft] def searchBm25Of(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .filter(col("term").isin(queryTerms: _*))
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = docs.select(size(toks).cast("long").as("n_toks"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = round(log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).as("idf")
+    val r = round((col("dl") * col("n_docs")).cast("double") /
+      col("total_tokens").cast("double"), 6).as("r")
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("r"))
+    val termScore = round(col("idf") *
+      ((col("tf").cast("double") * lit(2.2)) / denom), 6)
+    tf.join(broadcast(df_), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), idf, r)
+      .select(col("doc_id"),
+        termScore.cast("decimal(18,6)").as("term_score"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("score_d"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_d").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("n_terms_hit"),
+        col("score_d").cast("double").as("score"))
+  }
+
+  private def searchBm25(s: SparkSession, d: String): DataFrame =
+    searchBm25Of(documents(s, d))
+
+  private val searchBm25Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'join', 'stream')
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+      |                   AS total_tokens
+      |          FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    round(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+      |                   / (CAST(f.df AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |         / (CAST(t.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * round(CAST(l.dl * s.n_docs AS DOUBLE)
+      |                                         / CAST(s.total_tokens AS DOUBLE), 6)))),
+      |      6) AS term_score
+      |  FROM tf t JOIN df f USING (term) JOIN dl l USING (doc_id), stats s)
+      |SELECT doc_id, count(*) AS n_terms_hit,
+      |       CAST(sum(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY sum(CAST(term_score AS DECIMAL(18,6))) DESC, doc_id
+      |LIMIT 10""".stripMargin
+
+  // ---- dataset_shuffle_shard: deterministic epoch shuffle ------------------
+
+  /** `dataset_shuffle_shard`: the reproducible global shuffle a training
+    * pipeline applies before sharding an epoch — permutation key =
+    * md5(doc_id) prefix (the audit_checksum hex recipe: conv() here, '0x'
+    * cast in DuckDB — identical 32-bit value), shard = key mod 8, within-
+    * shard order = (key, doc_id). Per shard: size, an id checksum, and the
+    * first 5 doc_ids of the permuted order (proving the ORDER, not just the
+    * membership, is reproduced). No rand() and no partition-index
+    * dependence, so any cluster layout — or two runs months apart — emits
+    * the identical epoch; at 100 TB this is one scan + an 8-key aggregate
+    * (the real write streams each shard out partitionBy(shard) sorted by
+    * the same key; heads here keep the registry result bounded). */
+  private[graft] def datasetShuffleShardOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .select(col("doc_id"), col("h"), (col("h") % 8).cast("int").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        transform(
+          slice(sort_array(collect_list(struct(col("h"), col("doc_id")))), 1, 5),
+          x => x.getField("doc_id")).as("head_ids"))
+      .orderBy("shard")
+
+  private def datasetShuffleShard(s: SparkSession, d: String): DataFrame =
+    datasetShuffleShardOf(documents(s, d))
+
+  private val datasetShuffleShardSql =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |              AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT CAST(h % 8 AS INTEGER) AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       (list(doc_id ORDER BY h, doc_id))[1:5] AS head_ids
+      |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin
+
+  def all: Seq[(String, Q)] = Seq(
+    "index_postings" -> Q(indexPostings, Some(indexPostingsSql)),
+    "search_bm25" -> Q(searchBm25, Some(searchBm25Sql)),
+    "dataset_shuffle_shard" -> Q(datasetShuffleShard, Some(datasetShuffleShardSql)))
+}
