@@ -179,8 +179,185 @@ object SearchQueries {
       |       (list(doc_id ORDER BY h, doc_id))[1:5] AS head_ids
       |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ---- search_phrase: positional-index phrase query ------------------------
+
+  /** `search_phrase`: exact-phrase retrieval ("spark join") through a
+    * POSITIONAL index — posexplode emits (doc, pos, term), the phrase's
+    * terms filter BEFORE any shuffle (same candidate cut as BM25), and
+    * adjacency is a self-equi-join on (doc_id, pos+1): occurrences =
+    * positions i where term_i = 'spark' ∧ term_{i+1} = 'join'. The join is
+    * keyed (doc_id, pos) — co-partitioned, never a cross product; at 100 TB
+    * both sides are the query-term postings only, a vanishing fraction of
+    * the corpus. Oracle computes the same count per doc with a per-row
+    * list_filter over token indexes — two formulations, one semantic. */
+  private[graft] def searchPhraseOf(docs: DataFrame): DataFrame = {
+    val pos = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .filter(col("term").isin("spark", "join"))
+    val a = pos.filter(col("term") === "spark").select(col("doc_id"), col("pos"))
+    val b = pos.filter(col("term") === "join")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
+  private def searchPhrase(s: SparkSession, d: String): DataFrame =
+    searchPhraseOf(documents(s, d))
+
+  private val searchPhraseSql =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |           FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |         len(list_filter(range(1, len(t)),
+      |             i -> t[CAST(i AS INTEGER)] = 'spark'
+      |                  AND t[CAST(i AS INTEGER) + 1] = 'join')) AS n_occurrences
+      |  FROM t)
+      |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      |FROM occ WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
+
+  // ---- search_bm25_batch: one scan, many queries ---------------------------
+
+  /** Inline query batch: (query_id, term) — broadcast-sized always. */
+  private val batchQueries = Seq(
+    ("q1", "spark"), ("q1", "join"),
+    ("q2", "stream"), ("q2", "batch"),
+    ("q3", "hash"), ("q3", "table"))
+
+  /** `search_bm25_batch`: BM25 for a BATCH of queries in one corpus pass —
+    * the serving shape when queries arrive in micro-batches. The query
+    * table (query_id, term) broadcasts onto the (doc,term) aggregate (the
+    * per-term semi filter now comes from the join itself); scores fold per
+    * (query_id, doc); ranking is a window per query_id — partition count =
+    * number of queries, each partition holding that query's candidates
+    * only, never the corpus. Same pinned arithmetic as `search_bm25`. */
+  private[graft] def searchBm25BatchOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qs = batchQueries.toDF("query_id", "term")
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qs), Seq("term"))
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = docs.select(size(toks).cast("long").as("n_toks"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    val df_ = tf.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = round(log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).as("idf")
+    val r = round((col("dl") * col("n_docs")).cast("double") /
+      col("total_tokens").cast("double"), 6).as("r")
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("r"))
+    val termScore = round(col("idf") *
+      ((col("tf").cast("double") * lit(2.2)) / denom), 6)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score_d").desc, col("doc_id"))
+    tf.join(broadcast(df_), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("tf"), idf, r)
+      .select(col("query_id"), col("doc_id"),
+        termScore.cast("decimal(18,6)").as("term_score"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).as("score_d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("score_d").cast("double").as("score"))
+      .orderBy("query_id", "rk")
+  }
+
+  private def searchBm25Batch(s: SparkSession, d: String): DataFrame =
+    searchBm25BatchOf(documents(s, d))
+
+  private val searchBm25BatchSql =
+    """WITH queries(query_id, term) AS (VALUES
+      |  ('q1', 'spark'), ('q1', 'join'),
+      |  ('q2', 'stream'), ('q2', 'batch'),
+      |  ('q3', 'hash'), ('q3', 'table')),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN (SELECT term FROM queries)
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+      |                   AS total_tokens
+      |          FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    round(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+      |                   / (CAST(f.df AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |         / (CAST(t.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * round(CAST(l.dl * s.n_docs AS DOUBLE)
+      |                                         / CAST(s.total_tokens AS DOUBLE), 6)))),
+      |      6) AS term_score
+      |  FROM tf t JOIN queries q USING (term) JOIN df f USING (term)
+      |       JOIN dl l USING (doc_id), stats s),
+      |folded AS (
+      |  SELECT query_id, doc_id,
+      |         sum(CAST(term_score AS DECIMAL(18,6))) AS score_d
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, doc_id, score_d,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY score_d DESC, doc_id) AS rk
+      |  FROM folded)
+      |SELECT query_id, CAST(rk AS INTEGER) AS rk, doc_id,
+      |       CAST(score_d AS DOUBLE) AS score
+      |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  // ---- index_merge_delta: incremental index maintenance --------------------
+
+  /** Term-level index with FULL postings (internal form for the merge). */
+  private def indexFull(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** `index_merge_delta`: incremental index maintenance — index the base
+    * corpus (doc_id % 10 ≠ 0) and a delta batch (doc_id % 10 = 0)
+    * SEPARATELY, then merge per term: df/cf add, postings concat+sort (the
+    * sides are disjoint by construction, as an ingest batch is vs the
+    * standing corpus). The oracle rebuilds the index from the FULL corpus
+    * in one shot — hash equality IS the incremental ≡ rebuild proof, the
+    * invariant that lets a 100 TB index absorb a daily batch without
+    * touching the other 99.9%. The merge is one term-keyed full-outer join
+    * — per-term work, map-side after the shuffle; real systems segment hot
+    * terms' lists (docs here cap the registry output at 10). */
+  private[graft] def indexMergeDeltaOf(docs: DataFrame): DataFrame = {
+    val base = indexFull(docs.filter(col("doc_id") % 10 =!= 0))
+    val delta = indexFull(docs.filter(col("doc_id") % 10 === 0))
+      .withColumnRenamed("df", "d_df").withColumnRenamed("cf", "d_cf")
+      .withColumnRenamed("postings", "d_postings")
+    base.join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"),
+        (coalesce(col("cf"), lit(0L)) + coalesce(col("d_cf"), lit(0L))).as("cf"),
+        slice(sort_array(concat(
+          coalesce(col("postings"), array().cast("array<long>")),
+          coalesce(col("d_postings"), array().cast("array<long>")))), 1, 10)
+          .as("postings_head"))
+      .orderBy("term")
+  }
+
+  private def indexMergeDelta(s: SparkSession, d: String): DataFrame =
+    indexMergeDeltaOf(documents(s, d))
+
   def all: Seq[(String, Q)] = Seq(
     "index_postings" -> Q(indexPostings, Some(indexPostingsSql)),
     "search_bm25" -> Q(searchBm25, Some(searchBm25Sql)),
+    "search_bm25_batch" -> Q(searchBm25Batch, Some(searchBm25BatchSql)),
+    "search_phrase" -> Q(searchPhrase, Some(searchPhraseSql)),
+    "index_merge_delta" -> Q(indexMergeDelta, Some(indexPostingsSql)),
     "dataset_shuffle_shard" -> Q(datasetShuffleShard, Some(datasetShuffleShardSql)))
 }

@@ -44,6 +44,35 @@ class SearchQueriesSpec extends SparkSpec {
     assert(a == b, "BM25 result depends on input partitioning")
   }
 
+  test("index_merge_delta: incremental merge equals the full rebuild") {
+    val merged = SearchQueries.indexMergeDeltaOf(docs).collect().map(_.toSeq).toSeq
+    val rebuilt = SearchQueries.indexPostingsOf(docs).collect().map(_.toSeq).toSeq
+    assert(merged == rebuilt, "merged base+delta index diverges from full rebuild")
+  }
+
+  test("search_phrase: reported docs really contain the adjacent phrase") {
+    val hits = SearchQueries.searchPhraseOf(docs).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[Long]("n_occurrences") > 0))
+    val ids = hits.map(_.getAs[Long]("doc_id")).toSet
+    val withPhrase = docs
+      .filter(lower(col("text")).contains("spark join"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == withPhrase, "positional-join hit set != substring hit set")
+  }
+
+  test("search_bm25_batch: per-query top-3, ranks dense, scores decreasing") {
+    val rows = SearchQueries.searchBm25BatchOf(docs).collect()
+    val byQ = rows.groupBy(_.getAs[String]("query_id"))
+    assert(byQ.keySet == Set("q1", "q2", "q3"))
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.size))
+      val sc = sorted.map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("dataset_shuffle_shard: shards partition the corpus; layout-independent") {
     val sh = SearchQueries.datasetShuffleShardOf(docs)
     val rows = sh.collect()
