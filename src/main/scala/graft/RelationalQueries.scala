@@ -1342,6 +1342,45 @@ object RelationalQueries {
       |ORDER BY o_price DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** `tpch_q14`: the promo-revenue flagship — conditional aggregation as a
+    * RATIO metric: 100 · Σ(promo revenue) / Σ(revenue) over one month of
+    * shipments. The month predicate pushes to the lineitem scan; part is
+    * the broadcast dim; both sums accumulate EXACT (decimal extprice ×
+    * decimal (1−discount) — no float until the final division, one
+    * correctly-rounded IEEE op, rounded to 6 dp). The conditional branch is
+    * a CASE inside the same agg, so promo and total ride ONE scan and ONE
+    * scalar aggregate — the shape a 100 TB metric query must keep (two
+    * scans, or a join of two aggs, doubles the dominant cost for nothing). */
+  private def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
+      dec(col("l_discount")))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(25,4)")))
+          .as("promo"),
+        sum(rev).as("total"))
+      .select(round((lit(100.0) * col("promo").cast("double")) /
+        col("total").cast("double"), 6).as("promo_revenue_pct"))
+  }
+
+  private val tpchQ14Sql =
+    """SELECT round((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |    ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE))
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |     AS DOUBLE), 6) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
+
   /** `join_bloom_prefilter`: explicit Bloom semi-join reduction
     * ([[graft.ops.BloomOps]]) — the build side (selective dim: urgent
     * half-million-dollar orders) folds into a distributed Bloom filter,
@@ -1665,6 +1704,7 @@ object RelationalQueries {
     "tpch_q3" -> Q(tpchQ3, Some(tpchQ3Sql)),
     "tpch_q6" -> Q(tpchQ6, Some(tpchQ6Sql)),
     "tpch_q18" -> Q(tpchQ18, Some(tpchQ18Sql)),
+    "tpch_q14" -> Q(tpchQ14, Some(tpchQ14Sql)),
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),

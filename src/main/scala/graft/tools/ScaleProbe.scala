@@ -388,6 +388,25 @@ object ScaleProbe {
     def q18(li: DataFrame, o: DataFrame, c: DataFrame): Long =
       RelationalQueries.tpchQ18Of(li, o, c).count()
 
+    // r07f retrieval shapes: the inverted index is the word-count geometry
+    // (two keyed map-side-combine aggs); BM25/phrase push the query-term
+    // filter below every shuffle so cost tracks the MATCHING postings, not
+    // the corpus; the index merge is a term-keyed full-outer join over two
+    // separately-built indexes; the shuffle-shard is scan + 8-key agg.
+    import graft.SearchQueries
+    def idxBuild(docs: DataFrame): Long =
+      SearchQueries.indexPostingsOf(docs).queryExecution.toRdd.count()
+    def bm25(docs: DataFrame): Long =
+      SearchQueries.searchBm25Of(docs).queryExecution.toRdd.count()
+    def bm25Batch(docs: DataFrame): Long =
+      SearchQueries.searchBm25BatchOf(docs).queryExecution.toRdd.count()
+    def phrase(docs: DataFrame): Long =
+      SearchQueries.searchPhraseOf(docs).queryExecution.toRdd.count()
+    def idxMerge(docs: DataFrame): Long =
+      SearchQueries.indexMergeDeltaOf(docs).queryExecution.toRdd.count()
+    def shard(docs: DataFrame): Long =
+      SearchQueries.datasetShuffleShardOf(docs).queryExecution.toRdd.count()
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
@@ -398,6 +417,7 @@ object ScaleProbe {
     ks(o1); funnelW(ev1); leak(d1); atomicSplit(d1)
     bloomJ(li1, o1); decontamB(d1); theta(ev1)
     pearson(li1); spearman(li1); winsor(o1); reservoir(d1); entropy(d1); q18(li1, o1, c1)
+    idxBuild(d1); bm25(d1); bm25Batch(d1); phrase(d1); idxMerge(d1); shard(d1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -477,6 +497,18 @@ object ScaleProbe {
         time(entropy(d1)), time(entropy(dN))),
       ("tpch q18 funnel (agg -> reused-shuffle semi-join)",
         time(q18(li1, o1, c1)), time(q18(liN, oN, cN))),
+      ("inverted index build (word-count geometry)",
+        time(idxBuild(d1)), time(idxBuild(dN))),
+      ("bm25 top-10 (query-term postings only)",
+        time(bm25(d1)), time(bm25(dN))),
+      ("bm25 query batch (broadcast queries, per-query windows)",
+        time(bm25Batch(d1)), time(bm25Batch(dN))),
+      ("phrase query (positional adjacency join)",
+        time(phrase(d1)), time(phrase(dN))),
+      ("index merge base+delta (term-keyed full-outer)",
+        time(idxMerge(d1)), time(idxMerge(dN))),
+      ("epoch shuffle-shard (md5 permutation, 8-key agg)",
+        time(shard(d1)), time(shard(dN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -591,6 +623,17 @@ object ScaleProbe {
     sb.append("funnel reuses the big agg's orderkey partitioning for BOTH the\n")
     sb.append("semi-join back and the final re-aggregation (one Exchange for the\n")
     sb.append("whole fact path; customer broadcasts).\n\n")
+    sb.append("r07f retrieval rows: the index build is the word-count geometry —\n")
+    sb.append("two keyed map-side-combine aggs; per-replica text salt grows the\n")
+    sb.append("vocabulary with the corpus so posting lists stay realistic. bm25 and\n")
+    sb.append("phrase push their query-term filter below every shuffle: cost is the\n")
+    sb.append("corpus scan + the MATCHING postings only (the salt suffix tokens\n")
+    sb.append("never match, exactly like real queries against a grown crawl); the\n")
+    sb.append("batch row amortizes one scan across 3 queries with per-query-sized\n")
+    sb.append("ranking windows. index merge builds base+delta separately and\n")
+    sb.append("full-outer-joins on the term key — per-term work after one shuffle;\n")
+    sb.append("the shuffle-shard is one scan + an 8-key agg of md5 keys (pure\n")
+    sb.append("per-row CPU, the checksum's geometry).\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")
