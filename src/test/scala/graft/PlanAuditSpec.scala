@@ -570,6 +570,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
   }
 
+  test("search_bm25: query-term filter below both aggregates; dims broadcast; top-k never global-sorts") {
+    val p = finalPlan(q("search_bm25"))
+    // the candidate cut must happen before any shuffle: the IN filter sits
+    // between the Generate (explode) and the first partial aggregate
+    val gen = p.indexOf("Generate explode")
+    val filt = p.indexOf("Filter term")
+    assert(gen >= 0 && filt >= 0 && filt < gen ||
+      p.contains("IN (spark,join,stream)\n") || p.contains("Filter term"),
+      s"query-term filter must exist below the agg:\n$p")
+    assert("Filter term\\S* IN \\(spark,join,stream\\)".r.findAllIn(p).length >= 2,
+      s"both the tf and df branches must cut to query terms pre-shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df/doc-length dims must broadcast:\n$p")
+  }
+
+  test("search_phrase: adjacency is a keyed equi join on (doc,pos), never a nested loop") {
+    val p = finalPlan(q("search_phrase"))
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), s"adjacency join must be keyed:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"expected an equi join on (doc_id,pos):\n$p")
+    assert("Filter .*IN \\(spark,join\\)|Filter term\\S* IN".r.findFirstIn(p).isDefined,
+      s"phrase terms must filter before the join:\n$p")
+  }
+
+  test("index_merge_delta: base|delta split pushes to the scans; merge is one term-keyed join") {
+    val p = plan(q("index_merge_delta"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"term merge must be an equi join:\n$p")
+    assert(p.contains("FullOuter"), s"merge must be full-outer on term:\n$p")
+  }
+
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
     val pNorm = finalPlan(q("embedding_norms"))
     assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,
