@@ -835,6 +835,41 @@ object RelationalQueries {
       |WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY month""".stripMargin
 
+  /** W3b `window_range_frame`: a true TIME-interval frame — per event type,
+    * events and exact-decimal value in the trailing 6 HOURS (RANGE frame on
+    * epoch micros; W3's rows-frame counts a fixed number of ROWS, which is
+    * wrong the moment event spacing varies — the sliding-window question is
+    * about time). RANGE makes ties well-defined: all ts peers share one
+    * frame, so the result is deterministic whatever order peers arrive in —
+    * a rows-frame over a tied sort is NOT. Both engines order by the exact
+    * integer epoch-micros with an integer bound, sidestepping interval-
+    * arithmetic differences. 100 TB: partitions by event_type; within a hot
+    * type the same frame runs per (type, day-bucket) with a boundary-carry
+    * pass — the window input stays partition-local either way. */
+  private def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val sixH = 6L * 3600L * 1000000L
+    val w = Window.partitionBy("event_type").orderBy(col("tsu"))
+      .rangeBetween(-sixH, 0)
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .withColumn("n_6h", count(lit(1)).over(w))
+      .withColumn("val_6h", sum(dec(col("value"))).over(w).cast("double"))
+      .select("event_id", "event_type", "n_6h", "val_6h")
+      .orderBy("event_id")
+  }
+
+  private val windowRangeFrameSql =
+    """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tsu, value
+      |           FROM events)
+      |SELECT event_id, event_type,
+      |       count(*) OVER w AS n_6h,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS val_6h
+      |FROM e
+      |WINDOW w AS (PARTITION BY event_type ORDER BY tsu
+      |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** W6 `window_ntile`: equal-frequency decile assignment over account
     * balance (the feature-binning shape). The ntile ORDER BY carries the
     * unique key so bucket boundaries are a total order in both engines. */
@@ -1630,6 +1665,39 @@ object RelationalQueries {
        |FROM orders WHERE year(o_orderdate) = 1996
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** `schema_evolution_read`: the added-column migration every long-lived
+    * dataset goes through — v1 files written WITHOUT o_orderpriority (the
+    * pre-migration era), v2 files with it, read back as ONE table via
+    * mergeSchema (v1 rows surface NULL for the new column — additive
+    * evolution, no rewrite of old data). The aggregate groups by the
+    * evolved column, so the oracle (which simulates the era split with a
+    * CASE over the cutoff) proves both that v1 nulls backfill correctly
+    * and that no row was lost across the file generations. At 100 TB this
+    * is the only viable migration: new files carry the new schema, the
+    * footer union resolves the read, old petabytes are never touched. */
+  private def schemaEvolutionRead(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft-schemaevo-${s.sparkContext.applicationId}-${new java.io.File(d).getName}"
+    val o = orders(s, d)
+    val cutoff = lit("1997-01-01")
+    o.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    o.filter(col("o_orderdate") >= cutoff)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val schemaEvolutionReadSql =
+    s"""SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN NULL
+       |            ELSE o_orderpriority END AS o_orderpriority,
+       |       count(*) AS cnt,
+       |       ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
   // ---- bucketed repeated join (shuffle-free fact⋈dim) -----------------------
 
   /** J9 `join_bucketed`: the daily-dashboard repeated join (the reference's
@@ -1729,6 +1797,7 @@ object RelationalQueries {
     "window_rank_topn_agg" -> Q(rankTopNAgg, Some(rankTopNSql)),
     "window_lag_delta" -> Q(lagDelta, Some(lagDeltaSql)),
     "window_moving_avg" -> Q(movingAvg, Some(movingAvgSql)),
+    "window_range_frame" -> Q(windowRangeFrame, Some(windowRangeFrameSql)),
     "window_dedup_latest" -> Q(dedupLatest, Some(dedupLatestSql)),
     "window_cumsum" -> Q(cumSum, Some(cumSumSql)),
     "sort_multi_key" -> Q(sortMultiKey, Some(sortMultiKeySql)),
@@ -1744,6 +1813,7 @@ object RelationalQueries {
     "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
     "partitioned_write_prune" -> Q(partitionedWritePrune, Some(partitionedWritePruneSql)),
+    "schema_evolution_read" -> Q(schemaEvolutionRead, Some(schemaEvolutionReadSql)),
     "join_null_safe" -> Q(joinNullSafe, Some(joinNullSafeSql)),
     "join_bucketed" -> Q(bucketedJoin, Some(bucketedJoinSql)),
   )
