@@ -607,8 +607,76 @@ object AuditQueries {
       |       max(xc) AS b_hi_cents
       |FROM cum, tot GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** `dq_expectations`: the declarative expectation suite a pipeline runs
+    * on every load (null / range / set-membership / cross-field rules, each
+    * with a violation count and rate) — ONE conditional-aggregate scan,
+    * unpivoted to a labeled row per rule so a failing load names its rule
+    * directly. All rules compare integers or exact decimals (no float
+    * thresholds to disagree over); rates are correctly-rounded IEEE
+    * divisions of exact longs, rounded to 6 dp. The per-doc keep/drop twin
+    * is `quality_gate`; this is the table-level contract check. 100 TB:
+    * conditional sums ride the scan with map-side combine — adding a rule
+    * adds a column, never a pass. */
+  private[graft] def dqExpectationsOf(o: DataFrame): DataFrame = {
+    val checks = Seq(
+      ("custkey_not_null", col("o_custkey").isNull),
+      ("totalprice_range", col("o_totalprice").isNull ||
+        Det.dec(col("o_totalprice")) <= java.math.BigDecimal.ZERO ||
+        Det.dec(col("o_totalprice")) > new java.math.BigDecimal("600000.00")),
+      ("orderdate_era", col("o_orderdate").isNull ||
+        col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+      ("priority_domain", !col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      ("status_domain", !col("o_orderstatus").isin("O", "F", "P")))
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map { case (n, pred) => sum(pred.cast("long")).as(s"v_$n") }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stack = checks.map { case (n, _) => s"'$n', v_$n" }
+      .mkString(s"stack(${checks.size}, ", ", ", ") AS (rule, n_violations)")
+    wide.selectExpr("n_rows", stack)
+      .select(col("rule"), col("n_rows").as("n_checked"), col("n_violations"),
+        round(col("n_violations").cast("double") /
+          col("n_rows").cast("double"), 6).as("violation_rate"))
+      .orderBy("rule")
+  }
+
+  private def dqExpectations(s: SparkSession, d: String): DataFrame =
+    dqExpectationsOf(orders(s, d))
+
+  private val dqExpectationsSql =
+    """WITH a AS (SELECT
+      |  count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS v_custkey_not_null,
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL
+      |                  OR CAST(o_totalprice AS DECIMAL(12,2)) <= 0
+      |                  OR CAST(o_totalprice AS DECIMAL(12,2)) > 600000.00
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS v_totalprice_range,
+      |  CAST(sum(CASE WHEN o_orderdate IS NULL
+      |                  OR o_orderdate < TIMESTAMP '1992-01-01'
+      |                  OR o_orderdate >= TIMESTAMP '2000-01-01'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS v_orderdate_era,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN
+      |                  ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS v_priority_domain,
+      |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain
+      |FROM orders)
+      |SELECT rule, n_rows AS n_checked, n_violations,
+      |       round(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+      |         AS violation_rate
+      |FROM (
+      |  SELECT n_rows, 'custkey_not_null' AS rule, v_custkey_not_null AS n_violations FROM a
+      |  UNION ALL SELECT n_rows, 'totalprice_range', v_totalprice_range FROM a
+      |  UNION ALL SELECT n_rows, 'orderdate_era', v_orderdate_era FROM a
+      |  UNION ALL SELECT n_rows, 'priority_domain', v_priority_domain FROM a
+      |  UNION ALL SELECT n_rows, 'status_domain', v_status_domain FROM a)
+      |ORDER BY rule""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
+    "dq_expectations" -> Q(dqExpectations, Some(dqExpectationsSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
