@@ -316,8 +316,10 @@ object SearchQueries {
 
   // ---- index_merge_delta: incremental index maintenance --------------------
 
-  /** Term-level index with FULL postings (internal form for the merge). */
-  private def indexFull(docs: DataFrame): DataFrame =
+  /** Term-level index with FULL postings (internal form for the merge;
+    * also the batch-rebuild reference the streaming IndexDeltaSink spec
+    * compares against). */
+  private[graft] def indexFull(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .groupBy("term")

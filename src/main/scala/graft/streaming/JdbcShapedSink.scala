@@ -58,6 +58,16 @@ class JdbcShapedSink(tableDir: String, keys: Seq[String], versionCol: String) {
   def table(spark: SparkSession): Option[DataFrame] =
     currentDataDir().map(p => spark.read.parquet(p.toString))
 
+  /** The MERGE semantics of one batch against the standing table — override
+    * for non-upsert targets (e.g. [[IndexDeltaSink]]'s additive postings
+    * merge); the transactional machinery around it is shared. */
+  protected def merge(existing: Option[DataFrame], batch: DataFrame): DataFrame =
+    existing match {
+      case Some(ex) => UpsertOps.upsertLatest(ex, batch, keys, versionCol)
+      case None => UpsertOps.upsertLatest(
+        batch.filter(org.apache.spark.sql.functions.lit(false)), batch, keys, versionCol)
+    }
+
   /** The foreachBatch body: skip-if-committed, MERGE into a fresh versioned
     * directory, atomically commit the marker that names it.
     * Pass as `.writeStream.foreachBatch(sink.writeBatch _)`. */
@@ -65,11 +75,7 @@ class JdbcShapedSink(tableDir: String, keys: Seq[String], versionCol: String) {
     if (committed(batchId)) return
     val spark = batch.sparkSession
     val previous = currentDataDir()
-    val merged = table(spark) match {
-      case Some(existing) => UpsertOps.upsertLatest(existing, batch, keys, versionCol)
-      case None => UpsertOps.upsertLatest(
-        batch.filter(org.apache.spark.sql.functions.lit(false)), batch, keys, versionCol)
-    }
+    val merged = merge(table(spark), batch)
     // materialize before writing — the plan still reads the previous dir
     val rows = merged.localCheckpoint()
     val newDirName = s"data-b$batchId"
