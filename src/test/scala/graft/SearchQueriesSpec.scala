@@ -73,6 +73,25 @@ class SearchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: empty corpus and degenerate docs neither crash nor corrupt") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SearchQueries.indexPostingsOf(empty).count() == 0)
+    assert(SearchQueries.searchBm25Of(empty).count() == 0)
+    assert(SearchQueries.searchPhraseOf(empty).count() == 0)
+    assert(SearchQueries.datasetShuffleShardOf(empty).count() == 0)
+
+    // one doc, one repeated token: df=1, cf=n, phrase of distinct terms absent
+    val mono = Seq((7L, "spark spark spark")).toDF("doc_id", "text")
+    val idx = SearchQueries.indexPostingsOf(mono).collect()
+    assert(idx.length == 1 &&
+      idx.head.getAs[Long]("df") == 1 && idx.head.getAs[Long]("cf") == 3)
+    assert(SearchQueries.searchPhraseOf(mono).count() == 0)
+    // bm25 still scores the single doc on its one matching term
+    val hit = SearchQueries.searchBm25Of(mono).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("n_terms_hit") == 1)
+  }
+
   test("dataset_shuffle_shard: shards partition the corpus; layout-independent") {
     val sh = SearchQueries.datasetShuffleShardOf(docs)
     val rows = sh.collect()
