@@ -846,12 +846,14 @@ object RelationalQueries {
     * arithmetic differences. 100 TB: partitions by event_type; within a hot
     * type the same frame runs per (type, day-bucket) with a boundary-carry
     * pass — the window input stays partition-local either way. */
-  private def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+  private def windowRangeFrame(s: SparkSession, d: String): DataFrame =
+    windowRangeFrameOf(events(s, d))
+
+  private[graft] def windowRangeFrameOf(ev: DataFrame): DataFrame = {
     val sixH = 6L * 3600L * 1000000L
     val w = Window.partitionBy("event_type").orderBy(col("tsu"))
       .rangeBetween(-sixH, 0)
-    events(s, d)
-      .select(col("event_id"), col("event_type"),
+    ev.select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tsu"), col("value"))
       .withColumn("n_6h", count(lit(1)).over(w))
       .withColumn("val_6h", sum(dec(col("value"))).over(w).cast("double"))
@@ -869,6 +871,41 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY event_type ORDER BY tsu
       |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
+
+  /** `window_range_frame_bucketed`: W3b's result from the SCALE algorithm —
+    * the partition-by-type window bounds parallelism at the type count (5
+    * here, still 5 at 100 TB, where one type's events don't fit a task).
+    * Because the frame length equals the bucket width (6 h), a row's frame
+    * spans AT MOST its own bucket and the one before, so: duplicate each
+    * row as a carry into the next bucket, window per (type, bucket) — the
+    * SAME RANGE frame arithmetic, parallelism now types × buckets (~600 at
+    * sf0.1, growing with the time span) — and emit only the non-carry rows.
+    * Carried rows older than 6 h sit in the partition but outside every
+    * frame, contributing nothing. Same oracle as `window_range_frame`:
+    * hash equality IS the rewrite proof. 2× row duplication buys unbounded
+    * parallelism — the trade a 100 TB window always makes. */
+  private def windowRangeFrameBucketed(s: SparkSession, d: String): DataFrame =
+    windowRangeFrameBucketedOf(events(s, d))
+
+  private[graft] def windowRangeFrameBucketedOf(ev: DataFrame): DataFrame = {
+    val sixH = 6L * 3600L * 1000000L
+    val base = ev.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"), col("value"))
+    val tagged = base
+      .select(col("event_id"), col("event_type"), col("tsu"), col("value"),
+        expr(s"tsu div ${sixH}L").as("bucket"), lit(false).as("carry"))
+      .unionAll(base.select(col("event_id"), col("event_type"), col("tsu"),
+        col("value"), (expr(s"tsu div ${sixH}L") + 1).as("bucket"),
+        lit(true).as("carry")))
+    val w = Window.partitionBy("event_type", "bucket").orderBy(col("tsu"))
+      .rangeBetween(-sixH, 0)
+    tagged
+      .withColumn("n_6h", count(lit(1)).over(w))
+      .withColumn("val_6h", sum(dec(col("value"))).over(w).cast("double"))
+      .filter(!col("carry"))
+      .select("event_id", "event_type", "n_6h", "val_6h")
+      .orderBy("event_id")
+  }
 
   /** W6 `window_ntile`: equal-frequency decile assignment over account
     * balance (the feature-binning shape). The ntile ORDER BY carries the
@@ -1798,6 +1835,7 @@ object RelationalQueries {
     "window_lag_delta" -> Q(lagDelta, Some(lagDeltaSql)),
     "window_moving_avg" -> Q(movingAvg, Some(movingAvgSql)),
     "window_range_frame" -> Q(windowRangeFrame, Some(windowRangeFrameSql)),
+    "window_range_frame_bucketed" -> Q(windowRangeFrameBucketed, Some(windowRangeFrameSql)),
     "window_dedup_latest" -> Q(dedupLatest, Some(dedupLatestSql)),
     "window_cumsum" -> Q(cumSum, Some(cumSumSql)),
     "sort_multi_key" -> Q(sortMultiKey, Some(sortMultiKeySql)),

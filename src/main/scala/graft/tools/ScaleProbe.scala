@@ -407,6 +407,16 @@ object ScaleProbe {
     def shard(docs: DataFrame): Long =
       SearchQueries.datasetShuffleShardOf(docs).queryExecution.toRdd.count()
 
+    // r07g range-frame pair: amplified events keep the 30-day span, so
+    // density per 6h frame grows with the factor — per-row frame recompute
+    // cost rises on BOTH variants, but the naive window is pinned to 5
+    // type-partitions while the bucketed rewrite spreads types x buckets
+    // across every core. The gap IS the 100 TB argument.
+    def rangeNaive(ev: DataFrame): Long =
+      RelationalQueries.windowRangeFrameOf(ev).queryExecution.toRdd.count()
+    def rangeBucketed(ev: DataFrame): Long =
+      RelationalQueries.windowRangeFrameBucketedOf(ev).queryExecution.toRdd.count()
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
@@ -418,6 +428,7 @@ object ScaleProbe {
     bloomJ(li1, o1); decontamB(d1); theta(ev1)
     pearson(li1); spearman(li1); winsor(o1); reservoir(d1); entropy(d1); q18(li1, o1, c1)
     idxBuild(d1); bm25(d1); bm25Batch(d1); phrase(d1); idxMerge(d1); shard(d1)
+    rangeNaive(ev1); rangeBucketed(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -509,6 +520,10 @@ object ScaleProbe {
         time(idxMerge(d1)), time(idxMerge(dN))),
       ("epoch shuffle-shard (md5 permutation, 8-key agg)",
         time(shard(d1)), time(shard(dN))),
+      ("range frame naive (5 type partitions — the anti-pattern kept as contrast)",
+        time(rangeNaive(ev1)), time(rangeNaive(evN))),
+      ("range frame bucketed (types x 6h-buckets + boundary carry)",
+        time(rangeBucketed(ev1)), time(rangeBucketed(evN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
@@ -634,6 +649,13 @@ object ScaleProbe {
     sb.append("full-outer-joins on the term key — per-term work after one shuffle;\n")
     sb.append("the shuffle-shard is one scan + an 8-key agg of md5 keys (pure\n")
     sb.append("per-row CPU, the checksum's geometry).\n\n")
+    sb.append("r07g range-frame pair: amplified events keep the 30-day span, so\n")
+    sb.append("frame density grows with the factor and per-row frame recompute\n")
+    sb.append("cost rises on BOTH variants (work ~ rows x frame ~ factor^2); the\n")
+    sb.append("naive window is pinned to 5 type-partitions (~5 cores) while the\n")
+    sb.append("bucketed+carry rewrite spreads types x 6h-buckets over every core\n")
+    sb.append("at a 2x row-duplication price — the hash-proven-equal trade a\n")
+    sb.append("100 TB sliding window always makes (same oracle as the naive row).\n\n")
     sb.append("skewed join: 90% of the fact rows share ONE key, thresholds scaled\n")
     sb.append("so AQE sees the hot partition as skewed and splits it at runtime\n")
     sb.append("(SkewSpec asserts skew=true in the executed plan); the ratio holding\n")

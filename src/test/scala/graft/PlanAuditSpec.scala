@@ -602,6 +602,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("FullOuter"), s"merge must be full-outer on term:\n$p")
   }
 
+  test("window_range_frame_bucketed: window partitions on (type,bucket), never type alone") {
+    val p = finalPlan(q("window_range_frame_bucketed"))
+    assert(p.contains("hashpartitioning(event_type"), s"window must shuffle on its keys:\n$p")
+    assert("hashpartitioning\\(event_type\\S*, bucket".r.findFirstIn(p).isDefined,
+      s"bucket must be part of the window partitioning (the parallelism fix):\n$p")
+    // the naive twin by contrast partitions on the 5-value type key only
+    val pn = finalPlan(q("window_range_frame"))
+    assert(!"hashpartitioning\\(event_type\\S*, bucket".r.findFirstIn(pn).isDefined)
+  }
+
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
     val pNorm = finalPlan(q("embedding_norms"))
     assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,
