@@ -337,6 +337,9 @@ object SearchQueries {
     * — per-term work, map-side after the shuffle; real systems segment hot
     * terms' lists (docs here cap the registry output at 10). */
   private[graft] def indexMergeDeltaOf(docs: DataFrame): DataFrame = {
+    // Each side's doc filter pushes below its explode (plan-audited), so the
+    // two builds together explode the corpus exactly once — a disjoint
+    // split, not a double scan of the token volume.
     val base = indexFull(docs.filter(col("doc_id") % 10 =!= 0))
     val delta = indexFull(docs.filter(col("doc_id") % 10 === 0))
       .withColumnRenamed("df", "d_df").withColumnRenamed("cf", "d_cf")

@@ -595,11 +595,15 @@ class PlanAuditSpec extends SparkSpec {
       s"phrase terms must filter before the join:\n$p")
   }
 
-  test("index_merge_delta: base|delta split pushes to the scans; merge is one term-keyed join") {
+  test("index_merge_delta: side filters push below the explodes; merge is one term-keyed join") {
     val p = plan(q("index_merge_delta"))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"term merge must be an equi join:\n$p")
     assert(p.contains("FullOuter"), s"merge must be full-outer on term:\n$p")
+    // the two builds split the corpus disjointly BEFORE token explode — the
+    // doc-side predicates must sit below each Generate, not above the aggs
+    assert("\\(doc_id#\\d+L % 10\\)".r.findAllIn(p).nonEmpty,
+      s"doc-split predicates missing:\n$p")
   }
 
   test("window_range_frame_bucketed: window partitions on (type,bucket), never type alone") {
