@@ -358,8 +358,131 @@ object SearchQueries {
   private def indexMergeDelta(s: SparkSession, d: String): DataFrame =
     indexMergeDeltaOf(documents(s, d))
 
+  // ---- search_autocomplete: prefix completions from the vocabulary --------
+
+  /** `search_autocomplete`: type-ahead completions — for each of a fixed
+    * prefix set, the top-5 vocabulary terms by collection frequency (ties
+    * to the lexicographically smaller term). Runs off the term-level
+    * aggregate (vocabulary-sized — the index, never the corpus); the
+    * per-prefix ranking window partitions on the prefix, each partition
+    * holding that prefix's completions only. At 100 TB the vocabulary is
+    * still bounded (Heaps' law) and this stays a dictionary-sized query. */
+  private val prefixes = Seq("s", "st", "j", "c")
+
+  private[graft] def searchAutocompleteOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val pre = prefixes.toDF("prefix")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("prefix")
+      .orderBy(col("cf").desc, col("term"))
+    vocab.join(broadcast(pre), col("term").startsWith(col("prefix")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("prefix"), col("rk"), col("term"), col("cf"))
+      .orderBy("prefix", "rk")
+  }
+
+  private def searchAutocomplete(s: SparkSession, d: String): DataFrame =
+    searchAutocompleteOf(documents(s, d))
+
+  private val searchAutocompleteSql =
+    """WITH vocab AS (
+      |  SELECT term, count(*) AS cf
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1),
+      |pre(prefix) AS (VALUES ('s'), ('st'), ('j'), ('c')),
+      |ranked AS (
+      |  SELECT p.prefix, v.term, v.cf,
+      |         row_number() OVER (PARTITION BY p.prefix
+      |                            ORDER BY v.cf DESC, v.term) AS rk
+      |  FROM vocab v JOIN pre p ON v.term LIKE p.prefix || '%')
+      |SELECT prefix, CAST(rk AS INTEGER) AS rk, term, cf
+      |FROM ranked WHERE rk <= 5 ORDER BY prefix, rk""".stripMargin
+
+  // ---- search_snippet: result-rendering context window ---------------------
+
+  /** `search_snippet`: the ±3-token context window around the FIRST
+    * occurrence of the query term per matching doc — what a results page
+    * renders under each hit. Pure per-row array math (array_position +
+    * slice + join) — no shuffle at all beyond the final presentation sort;
+    * at 100 TB snippet extraction rides the scan that scored the hit.
+    * Oracle recomputes with DuckDB list primitives — two engines, one
+    * windowing rule (clamped to the doc's bounds). */
+  private[graft] def searchSnippetOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("t"))
+      .withColumn("pos", array_position(col("t"), "spark"))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("t"),
+          greatest(lit(1), col("pos") - 3).cast("int"),
+          (col("pos") + 3 -
+            greatest(lit(1), col("pos") - 3) + 1).cast("int"))).as("snippet"))
+      .orderBy("doc_id")
+
+  private def searchSnippet(s: SparkSession, d: String): DataFrame =
+    searchSnippetOf(documents(s, d))
+
+  private val searchSnippetSql =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |           FROM documents),
+      |hit AS (SELECT doc_id, t, list_position(t, 'spark') AS pos FROM t
+      |        WHERE list_position(t, 'spark') IS NOT NULL
+      |          AND list_position(t, 'spark') > 0)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |       array_to_string(t[CAST(greatest(1, pos - 3) AS INTEGER)
+      |                         :CAST(pos + 3 AS INTEGER)], ' ') AS snippet
+      |FROM hit ORDER BY doc_id""".stripMargin
+
+  // ---- search_cooccur: co-occurrence query expansion -----------------------
+
+  /** `search_cooccur`: query-expansion candidates — terms ranked by how
+    * many docs they share with the seed term ('spark'), with the doc-share
+    * ratio exact (IEEE division of longs). The classic related-terms
+    * signal. Geometry: the seed's posting docs are a SEMI filter on the
+    * (doc,term) aggregate (never a pair explosion); the count is one keyed
+    * agg over the seed's documents only — at 100 TB cost tracks the seed's
+    * df, not the corpus. */
+  private[graft] def searchCooccurOf(docs: DataFrame): DataFrame = {
+    val dt = docs.select(col("doc_id"), explode(toks).as("term")).distinct()
+    val seedDocs = dt.filter(col("term") === "spark").select("doc_id")
+    val nSeed = seedDocs.agg(count(lit(1)).as("n_seed"))
+    dt.join(seedDocs, Seq("doc_id"), "left_semi")
+      .filter(col("term") =!= "spark")
+      .groupBy("term").agg(count(lit(1)).as("n_shared"))
+      .crossJoin(broadcast(nSeed))
+      .select(col("term"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          col("n_seed").cast("double"), 6).as("share"))
+      .orderBy(col("n_shared").desc, col("term"))
+      .limit(10)
+  }
+
+  private def searchCooccur(s: SparkSession, d: String): DataFrame =
+    searchCooccurOf(documents(s, d))
+
+  private val searchCooccurSql =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, term
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)),
+      |seed AS (SELECT doc_id FROM dt WHERE term = 'spark'),
+      |n AS (SELECT count(*) AS n_seed FROM seed)
+      |SELECT term, count(*) AS n_shared,
+      |       round(CAST(count(*) AS DOUBLE) / CAST(n.n_seed AS DOUBLE), 6)
+      |         AS share
+      |FROM dt JOIN seed USING (doc_id), n
+      |WHERE term <> 'spark'
+      |GROUP BY term, n.n_seed
+      |ORDER BY n_shared DESC, term LIMIT 10""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "index_postings" -> Q(indexPostings, Some(indexPostingsSql)),
+    "search_autocomplete" -> Q(searchAutocomplete, Some(searchAutocompleteSql)),
+    "search_snippet" -> Q(searchSnippet, Some(searchSnippetSql)),
+    "search_cooccur" -> Q(searchCooccur, Some(searchCooccurSql)),
     "search_bm25" -> Q(searchBm25, Some(searchBm25Sql)),
     "search_bm25_batch" -> Q(searchBm25Batch, Some(searchBm25BatchSql)),
     "search_phrase" -> Q(searchPhrase, Some(searchPhraseSql)),

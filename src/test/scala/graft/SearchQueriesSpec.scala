@@ -73,6 +73,35 @@ class SearchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("search_snippet: window is clamped, contains the term, ≤7 tokens") {
+    val snips = SearchQueries.searchSnippetOf(docs).collect()
+    assert(snips.nonEmpty)
+    snips.foreach { r =>
+      val toks = r.getAs[String]("snippet").split(" ")
+      assert(toks.length <= 7, s"window too wide: ${toks.length}")
+      assert(toks.contains("spark"), "snippet must contain the hit term")
+    }
+  }
+
+  test("search_cooccur: shares bounded by 1; seed term excluded") {
+    val rows = SearchQueries.searchCooccurOf(docs).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getAs[String]("term") != "spark"))
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("share"); s > 0.0 && s <= 1.0
+    })
+  }
+
+  test("search_autocomplete: every completion extends its prefix; ranks dense per prefix") {
+    val rows = SearchQueries.searchAutocompleteOf(docs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[String]("term").startsWith(r.getAs[String]("prefix"))))
+    rows.groupBy(_.getAs[String]("prefix")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to g.size))
+    }
+  }
+
   test("edge cases: empty corpus and degenerate docs neither crash nor corrupt") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
