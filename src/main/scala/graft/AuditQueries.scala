@@ -476,6 +476,47 @@ object AuditQueries {
   private def corrSpearman(s: SparkSession, d: String): DataFrame =
     corrSpearmanOf(lineitem(s, d))
 
+  /** `corr_spearman_scaled`: the same ρ through the 100 TB prefix-sum path
+    * — [[graft.ops.OrderedOps.cumSumsByKey]] (range-partition, pinned
+    * layout, driver-broadcast offsets, one local pass) replaces each
+    * single-partition `sum().over(Window.orderBy)` on the distinct-value
+    * aggregate. Ranks are exact integers either way, so the SAME oracle as
+    * `corr_spearman` hash-proves the rewrite — the claim the whole
+    * distinct-domain window family (drift_ks, winsorize, equi-depth) makes
+    * in its Scaladoc, demonstrated executable. */
+  private[graft] def corrSpearmanScaledOf(li: DataFrame): DataFrame = {
+    val rows = li.select(
+      (col("l_quantity").cast("decimal(12,2)") * 100).cast("long").as("xc"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("yc"))
+    def ranks2(c: String) = {
+      val counts = rows.groupBy(c).agg(count(lit(1)).as("cnt"))
+      graft.ops.OrderedOps.cumSumsByKey(counts, c, Seq("cnt"))
+        .select(col(c), (lit(2) * (col("cum_cnt") - col("cnt")) + col("cnt") + 1)
+          .as(s"r2_$c"))
+    }
+    rows.join(ranks2("xc"), Seq("xc")).join(ranks2("yc"), Seq("yc"))
+      .select(col("r2_xc").as("rx"), col("r2_yc").as("ry"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"))
+      .select(col("n").as("n_rows"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("rho"))
+  }
+
+  private def corrSpearmanScaled(s: SparkSession, d: String): DataFrame =
+    corrSpearmanScaledOf(lineitem(s, d))
+
   private val corrSpearmanSql =
     """WITH rows_c AS (
       |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
@@ -686,5 +727,6 @@ object AuditQueries {
     "drift_ks" -> Q(driftKs, Some(driftKsSql)),
     "corr_pearson" -> Q(corrPearson, Some(corrPearsonSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
+    "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),
     "winsorize_stats" -> Q(winsorizeStats, Some(winsorizeStatsSql)))
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Ordered prefix computations WITHOUT a single-partition window.
+  *
+  * `sum(x).over(Window.orderBy(key))` with an empty partition spec coalesces
+  * the whole input into ONE task — fine when the input is a bounded value
+  * domain at test scale, fatal when it isn't. This is the general form of
+  * the `global_rownum` two-pass recipe (RelationalQueries): range-partition
+  * on the key (each partition owns a disjoint, ordered key range), pin the
+  * layout, send per-partition TOTALS to the driver (cluster-sized — P×k
+  * longs, never data-sized), broadcast the exclusive prefix offsets back,
+  * and finish each partition with one local running-sum pass.
+  *
+  * The distinct-domain prefix-sum family (corr_spearman, drift_ks,
+  * winsorize_stats, agg_histogram_eqdepth) documents this as its 100 TB
+  * path; `corr_spearman_scaled` runs against the SAME oracle as the window
+  * form, so the rewrite is hash-proven equivalent.
+  */
+object OrderedOps {
+
+  /** Cumulative sums of `valCols` over ascending `keyCol` order (inclusive
+    * of the current row), returned as `cum_<col>` columns alongside the
+    * originals. Requires a UNIQUE non-null numeric key (ties would make
+    * per-partition ownership ambiguous) and non-null long-castable values.
+    * The sorted layout is pinned with localCheckpoint between the count
+    * pass and the sum pass — two jobs over an unpinned range shuffle can
+    * sample different bounds and silently corrupt every offset (the r06
+    * global_rownum lesson). */
+  def cumSumsByKey(df: DataFrame, keyCol: String, valCols: Seq[String],
+      partitions: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    val n = valCols.length
+    val prepared = df.select(
+      (col(keyCol).cast("long").as(keyCol) +:
+        valCols.map(c => col(c).cast("long").as(c))): _*)
+    val sorted = prepared
+      .repartitionByRange(partitions, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .localCheckpoint()
+    val totals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = new Array[Long](n)
+      it.foreach { r =>
+        var i = 0; while (i < n) { acc(i) += r.getLong(i + 1); i += 1 }
+      }
+      Iterator.single(pid -> acc)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(new Array[Long](n)) { (a, b) =>
+      Array.tabulate(n)(i => a(i) + b(i))
+    }
+    val bc = s.sparkContext.broadcast(offsets)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = bc.value(pid).clone()
+      it.map { r =>
+        var i = 0; while (i < n) { run(i) += r.getLong(i + 1); i += 1 }
+        Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
+    }
+    val schema = StructType(sorted.schema.fields ++
+      valCols.map(v => StructField(s"cum_$v", LongType, nullable = false)))
+    s.createDataFrame(rdd, schema)
+  }
+}
