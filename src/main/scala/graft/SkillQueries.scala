@@ -245,9 +245,57 @@ object SkillQueries {
       |    ELSE 'query,stream,vector' END AS skills
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- ref_daily_e2e: the reference's whole daily run as ONE lineage -------
+
+  /** The reference's timer-triggered daily pipeline (SURVEY §3.1 —
+    * scrape → SELECT-before-INSERT dedup → skills extraction → category
+    * aggregates; __init__.py:25 → scraper.py:56-70 → database.py:116-123)
+    * as ONE lazy DataFrame lineage, the way §3.1's Spark mapping promises.
+    * Stage in, stage out: today's scrape (all docs — a re-scrape overlaps
+    * yesterday's listings) anti-joins the standing table (doc_id % 7 ≠ 0,
+    * the rows prior runs inserted) — the reference's per-job existence
+    * probe become ONE set-wise anti join; only the NEW docs flow into the
+    * dictionary match (token hash-join + Aho-Corasick multi-word pass) and
+    * the first-match-wins category rollup that feeds the dashboard. No
+    * intermediate materialization: Catalyst plans the gate, the match and
+    * the aggregate as one job — the whole daily run is a single query. */
+  private def refDailyE2e(s: SparkSession, d: String): DataFrame = {
+    val todays = fanOut(documents(s, d))
+    val standing = todays.filter(col("doc_id") % 7 =!= 0).select("doc_id")
+    val newDocs = todays.join(standing, Seq("doc_id"), "left_anti")
+    SkillOps.matches(s, newDocs)
+      .join(broadcast(SkillOps.resolvedCategories(s)), Seq("term"))
+      .groupBy("category")
+      .agg(countDistinct(col("doc_id")).as("n_new_docs"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("category")
+  }
+
+  private val refDailyE2eSql =
+    s"""WITH tax(term, category, priority) AS (VALUES $taxValues),
+       |newdocs AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+       |toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |         FROM newdocs),
+       |matches AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT t.doc_id, x.term FROM toks t
+       |    JOIN (SELECT DISTINCT term FROM tax WHERE term NOT LIKE '% %') x
+       |      ON t.tok = x.term
+       |    UNION ALL
+       |    SELECT d.doc_id, x.term FROM newdocs d
+       |    JOIN (SELECT DISTINCT term FROM tax WHERE term LIKE '% %') x
+       |      ON regexp_matches(lower(d.text), '\\b' || x.term || '\\b'))),
+       |resolved AS (SELECT term, arg_min(category, priority) AS category
+       |             FROM tax GROUP BY term)
+       |SELECT r.category, count(DISTINCT m.doc_id) AS n_new_docs,
+       |       count(*) AS n_matches
+       |FROM matches m JOIN resolved r ON m.term = r.term
+       |GROUP BY 1 ORDER BY category""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
+    "ref_daily_e2e" -> Q(refDailyE2e, Some(refDailyE2eSql)),
     "join_broadcast_lookup" -> Q(broadcastLookup, Some(broadcastLookupSql)),
     "dict_term_match" -> Q(dictTermMatch, Some(dictTermMatchSql)),
     "dict_term_match_gen" -> Q(dictTermMatchGen, Some(dictTermMatchSql)),
