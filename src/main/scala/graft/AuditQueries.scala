@@ -346,6 +346,39 @@ object AuditQueries {
         min_by(col("xc"), struct((-col("diff")).as("d"), col("xc"))).as("at_cents"))
   }
 
+  /** `drift_ks_scaled`: the same exact KS statistic through
+    * [[graft.ops.OrderedOps.cumSumsByKey]] — BOTH cumulative counts in one
+    * two-pass prefix sum over the distinct-value aggregate, no
+    * single-partition window. Same oracle as `drift_ks`: hash-proof of the
+    * rewrite, second member of the distinct-domain family to swap its
+    * window out (after `corr_spearman_scaled`). */
+  private def driftKsScaled(s: SparkSession, d: String): DataFrame =
+    driftKsScaledOf(orders(s, d))
+
+  private[graft] def driftKsScaledOf(o: DataFrame): DataFrame = {
+    val rows = o.select(explode(array_compact(array(
+        when(col("o_orderkey") % 97 =!= 0,
+          struct(lit("old").as("side"), col("o_totalprice").as("x"))),
+        when(col("o_orderkey") % 101 =!= 0,
+          struct(lit("new").as("side"),
+            when(col("o_orderkey") % 53 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")).as("x")))))).as("r"))
+      .select(col("r.side").as("side"),
+        (col("r.x").cast("decimal(12,2)") * 100).cast("long").as("xc"))
+    val counts = rows.groupBy("xc")
+      .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("side") === "new", 1L).otherwise(0L)).as("n_new"))
+    val cum = graft.ops.OrderedOps.cumSumsByKey(counts, "xc", Seq("n_old", "n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("xc"),
+        abs(col("cum_n_old").cast("double") / col("t_old") -
+          col("cum_n_new").cast("double") / col("t_new")).as("diff"))
+      .agg(round(max(col("diff")), 6).as("ks_stat"),
+        min_by(col("xc"), struct((-col("diff")).as("d"), col("xc"))).as("at_cents"))
+  }
+
   private val driftKsSql =
     """WITH src AS (
       |  SELECT 'old' AS side, o_totalprice AS x
@@ -725,6 +758,7 @@ object AuditQueries {
     "agg_histogram_eqdepth" -> Q(aggHistogramEqdepth, Some(aggHistogramEqdepthSql)),
     "drift_psi" -> Q(driftPsi, Some(driftPsiSql)),
     "drift_ks" -> Q(driftKs, Some(driftKsSql)),
+    "drift_ks_scaled" -> Q(driftKsScaled, Some(driftKsSql)),
     "corr_pearson" -> Q(corrPearson, Some(corrPearsonSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),
