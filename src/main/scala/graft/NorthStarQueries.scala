@@ -906,9 +906,41 @@ object NorthStarQueries {
       |       CAST(LEAST(256, n_bytes - frame_idx * 256) AS INTEGER) AS frame_len
       |FROM idx ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** N4c `multimodal_audio_chunks`: the sliding-window audio featurization
+    * shape — payload read as fake 16-bit/16 kHz PCM, OVERLAPPING windows of
+    * 64 samples every 48 ([[graft.ops.MultimodalOps.chunkAudio]]; hop < win
+    * is what distinguishes ASR featurization from the video demux's
+    * disjoint frames). The oracle replays the framing arithmetic (window
+    * count, truncated tails, exact 3 ms hop starts) over the same byte
+    * lengths. Scale: identical contract to N4b — lazy partition-local 1→n
+    * fan-out, zero shuffle. */
+  private def multimodalAudioChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        lit("audio/fake").as("mime")).as[graft.ops.MultimodalOps.MediaRow]
+    graft.ops.MultimodalOps.chunkAudio(media, 64, 48)
+      .select(col("doc_id"), col("chunk_idx"), col("start_ms"), col("win_samples"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val multimodalAudioChunksSql =
+    """WITH media AS (
+      |  SELECT doc_id, CAST(strlen(text) // 2 AS BIGINT) AS n_samples
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, n_samples,
+      |         unnest(range(0, CAST((n_samples + 47) // 48 AS BIGINT), 1))
+      |           AS chunk_idx
+      |  FROM media)
+      |SELECT doc_id, chunk_idx, chunk_idx * 3 AS start_ms,
+      |       CAST(LEAST(64, n_samples - chunk_idx * 48) AS INTEGER) AS win_samples
+      |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
+    "multimodal_audio_chunks" -> Q(multimodalAudioChunks, Some(multimodalAudioChunksSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),

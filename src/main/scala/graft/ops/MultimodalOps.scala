@@ -77,6 +77,38 @@ object MultimodalOps {
     }
   }
 
+  /** One sliding audio window. `samples` carries the payload slice; the
+    * metadata columns are what the oracle compares. */
+  case class AudioChunk(doc_id: Long, chunk_idx: Long, start_ms: Long,
+      win_samples: Int, samples: Array[Byte])
+
+  /** DETERMINISTIC FAKE PCM framing: the payload read as 16-bit mono
+    * @16 kHz (n_samples = bytes/2, 16 samples per ms), segmented into
+    * SLIDING windows of `winSamples` every `hopSamples` (overlapping when
+    * hop < win — the ASR featurization shape, distinct from the video
+    * demux's disjoint frames). Last windows truncate at the payload end; a
+    * window starting past the end is never emitted. Same scale contract as
+    * [[sampleFrames]]: lazy per-partition flatMap, 1 row in → 0..n window
+    * rows out, decoder state initializable once per partition. */
+  def chunkAudio(media: Dataset[MediaRow], winSamples: Int,
+      hopSamples: Int): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    require(winSamples >= 1 && hopSamples >= 1,
+      s"window/hop must be >= 1, got $winSamples/$hopSamples")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nSamples = r.media.length / 2
+        val nChunks = (nSamples + hopSamples - 1) / hopSamples
+        Iterator.range(0, nChunks).map { i =>
+          val start = i * hopSamples
+          val len = math.min(winSamples, nSamples - start)
+          AudioChunk(r.doc_id, i.toLong, start.toLong / 16L, len,
+            java.util.Arrays.copyOfRange(r.media, start * 2, (start + len) * 2))
+        }
+      }
+    }
+  }
+
   case class Resized(doc_id: Long, media: Array[Byte], width: Int, height: Int)
 
   /** DETERMINISTIC FAKE resize into a `maxDim` bounding box: dimensions

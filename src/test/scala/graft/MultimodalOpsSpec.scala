@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.ops.MultimodalOps
 import graft.ops.MultimodalOps.{MediaFeatures, MediaRow}
 
@@ -61,6 +63,33 @@ class MultimodalOpsSpec extends SparkSpec {
     val expect = all.filter(_.frame_idx % 3 == 0)
       .map(f => (f.doc_id, f.frame_idx, f.frame_len)).sorted.toSeq
     assert(sampled.map(f => (f.doc_id, f.frame_idx, f.frame_len)).sorted.toSeq == expect)
+  }
+
+  test("audio chunks: overlapping windows tile the payload; slices match their metadata") {
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        lit("audio/fake").as("mime")).as[MediaRow]
+    val bytes = media.collect().map(m => m.doc_id -> m.media).toMap
+    val chunks = MultimodalOps.chunkAudio(media, 64, 48).collect()
+      .groupBy(_.doc_id)
+    assert(chunks.keySet == bytes.keySet)
+    chunks.foreach { case (id, cs) =>
+      val nSamples = bytes(id).length / 2
+      val sorted = cs.sortBy(_.chunk_idx)
+      assert(sorted.map(_.chunk_idx).toSeq == (0L until sorted.length.toLong))
+      sorted.foreach { c =>
+        val start = c.chunk_idx.toInt * 48
+        assert(c.win_samples == math.min(64, nSamples - start))
+        assert(c.samples.length == c.win_samples * 2, "slice length != metadata")
+        assert(c.start_ms == c.chunk_idx * 3)
+        // the slice IS the payload bytes at its offset
+        assert(java.util.Arrays.equals(c.samples,
+          java.util.Arrays.copyOfRange(bytes(id), start * 2,
+            start * 2 + c.win_samples * 2)))
+      }
+      // consecutive windows overlap by win - hop = 16 samples
+      assert(sorted.size == (nSamples + 47) / 48)
+    }
   }
 
   test("resize bounds the long edge, keeps aspect order, passes small media through") {
