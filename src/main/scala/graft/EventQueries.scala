@@ -470,7 +470,42 @@ object EventQueries {
       |       (SELECT count(*) FROM (SELECT user_id FROM a
       |                              EXCEPT SELECT user_id FROM b)) AS est_buyers_only""".stripMargin
 
+  // ---- N35h ts_rolling_median: robust rolling smoothing --------------------
+
+  /** `ts_rolling_median`: exact 5-point rolling median of `value` per
+    * event_type — the robust (outlier-immune) counterpart of
+    * `window_moving_avg`/`ts_ewma`. The frame is pinned to exactly 5 rows
+    * (partial leading frames filtered by row_number), so the median is a
+    * pure ELEMENT PICK — `sort_array(frame)[2]` — with zero arithmetic:
+    * bit-identical cross-engine on raw doubles, no decimal detour needed.
+    * Scale shape: one window shuffle on event_type; parallelism there is
+    * bounded by the type cardinality — at 100 TB this runs through the
+    * (type, time-bucket)+carry sub-partitioning proven by
+    * `window_range_frame_bucketed` (only a 4-row carry per boundary). */
+  private def tsRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("roll_med",
+        element_at(sort_array(collect_list("value").over(w.rowsBetween(-4, 0))), 3))
+      .filter(col("rn") >= 5)
+      .select("event_id", "roll_med")
+      .orderBy("event_id")
+  }
+
+  private val tsRollingMedianSql =
+    """WITH r AS (
+      |  SELECT event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+      |    list_sort(list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))[3] AS roll_med
+      |  FROM events)
+      |SELECT event_id, roll_med FROM r WHERE rn >= 5 ORDER BY event_id""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "sketch_theta_overlap" -> Q(sketchThetaOverlap, Some(sketchThetaOverlapSql)),
     "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),

@@ -148,7 +148,47 @@ object GraphQueries {
       |FROM pern JOIN nation n ON pern.node = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+  // ---- N31c graph_bfs: single-source shortest hops -------------------------
+
+  /** `graph_bfs`: breadth-first shortest-hop distances from nation 0 over
+    * the directed trade graph — the frontier-expansion family that
+    * complements PageRank (fixed-round mass propagation) and the
+    * large/small-star CC (doubling). Per round: join the PREVIOUS frontier
+    * only (not the whole distance table) to the aggregated edge list, then
+    * one keyed min-agg folds new reach into the distance vector;
+    * localCheckpoint truncates the iterative lineage. Fact-scale joins run
+    * once inside [[tradeEdges]]; every BFS round touches only the ≤ N²
+    * aggregate graph. Unreached-within-MaxHops nodes are absent (the
+    * oracle's recursive walk has identical reach semantics). */
+  private val BfsSource = 0L
+  private val BfsMaxHops = 3
+
+  private def bfs(s: SparkSession, d: String): DataFrame =
+    graft.ops.GraphOps.bfsHops(tradeEdges(s, d), BfsSource, BfsMaxHops)
+      .join(nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("hops"))
+      .orderBy("n_name")
+
+  private val bfsSql =
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT DISTINCT c.c_nationkey AS src, su.s_nationkey AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  WHERE c.c_nationkey <> su.s_nationkey),
+       |walk(node, hops) AS (
+       |  SELECT $BfsSource, 0
+       |  UNION ALL
+       |  SELECT r.dst, w.hops + 1 FROM walk w JOIN raw r ON w.node = r.src
+       |  WHERE w.hops < $BfsMaxHops),
+       |best AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+       |SELECT n.n_name, b.hops FROM best b
+       |JOIN nation n ON b.node = n.n_nationkey
+       |ORDER BY n.n_name""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
-    "graph_triangles" -> Q(triangles, Some(trianglesSql)))
+    "graph_triangles" -> Q(triangles, Some(trianglesSql)),
+    "graph_bfs" -> Q(bfs, Some(bfsSql)))
 }

@@ -1647,6 +1647,28 @@ object RelationalQueries {
       |       count(*) AS cnt
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** J12 `join_skew_salted`: the salted-JOIN counterpart of
+    * `skew_salted_agg` ([[graft.ops.SkewOps.saltedJoin]]) — the manual
+    * mitigation for a hot join key when neither side is broadcastable and
+    * AQE's skew split can't see the skew (e.g. it's introduced by an
+    * upstream stage). Orders salt on a row-content hash; customer rows
+    * replicate ×8; joining on (custkey, salt) lands every matched pair
+    * exactly once, so the aggregate is identical to the plain equi join —
+    * the oracle's contract. Exact decimal sums keep the double total
+    * order-independent across the 8-way spread. */
+  private def joinSkewSalted(s: SparkSession, d: String): DataFrame =
+    graft.ops.SkewOps.saltedJoin(
+      orders(s, d), col("o_custkey"), customer(s, d), col("c_custkey"), salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_mktsegment")
+
+  private val joinSkewSaltedSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- incremental aggregate maintenance (SURVEY §3.1) ----------------------
 
   /** The append-then-dashboard flow kept incrementally: yesterday's
@@ -1849,6 +1871,7 @@ object RelationalQueries {
     "agg_pivot" -> Q(aggPivot, Some(aggPivotSql)),
     "set_except_all" -> Q(setExceptAll, Some(setExceptAllSql)),
     "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
+    "join_skew_salted" -> Q(joinSkewSalted, Some(joinSkewSaltedSql)),
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
     "partitioned_write_prune" -> Q(partitionedWritePrune, Some(partitionedWritePruneSql)),
     "schema_evolution_read" -> Q(schemaEvolutionRead, Some(schemaEvolutionReadSql)),

@@ -292,9 +292,71 @@ object SkillQueries {
        |FROM matches m JOIN resolved r ON m.term = r.term
        |GROUP BY 1 ORDER BY category""".stripMargin
 
+  // ---- N40 assoc_rules: market-basket association rules --------------------
+
+  /** `assoc_rules`: association rules over the per-document matched-skill
+    * baskets — the "which skills predict which" analysis the reference's
+    * dashboards imply over its Skills fact table (database.py:80-88). For
+    * every co-occurring term pair with support ≥ MinSupDocs, both directed
+    * rules a→b with confidence n_ab/n_a and lift N·n_ab/(n_a·n_b).
+    *
+    * Determinism: confidence and lift are each ONE IEEE-754 division of
+    * exactly-represented integers (counts and their products ≪ 2^53), so
+    * they hash identically cross-engine with no rounding step.
+    *
+    * Scale shape (100 TB): matches shuffle ONCE onto doc_id for the pair
+    * self-join (work is Σ per-doc k², bounded by the 348-term dictionary,
+    * never docs²); pair support is one keyed agg; the item-count joins at
+    * the end are broadcast (≤ 348 rows). The support filter runs BEFORE
+    * the rule fan-out, so low-support pairs never leave the agg. */
+  private val MinSupDocs = 20
+
+  private def assocRules(s: SparkSession, d: String): DataFrame = {
+    val m = SkillOps.matches(s, fanOut(documents(s, d))).select("doc_id", "term")
+    val nDocs = documents(s, d).count() // scalar constant, dimension-sized
+    val items = m.groupBy("term").agg(count(lit(1)).as("n_item"))
+    val pairs = m.as("a")
+      .join(m.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= MinSupDocs)
+    val rules = pairs.select(col("t1").as("ante"), col("t2").as("cons"), col("n_pair"))
+      .unionAll(pairs.select(col("t2"), col("t1"), col("n_pair")))
+    rules
+      .join(broadcast(items.select(col("term").as("ante"), col("n_item").as("n_ante"))), "ante")
+      .join(broadcast(items.select(col("term").as("cons"), col("n_item").as("n_cons"))), "cons")
+      .select(col("ante"), col("cons"), col("n_pair"),
+        (col("n_pair").cast("double") / col("n_ante").cast("double")).as("confidence"),
+        ((lit(nDocs) * col("n_pair")).cast("double") /
+          (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+      .orderBy("ante", "cons")
+  }
+
+  private val assocRulesSql =
+    s"""WITH $matchesCte,
+       |items AS (SELECT term, count(*) AS n_item FROM matches GROUP BY term),
+       |pairs AS (
+       |  SELECT a.term AS t1, b.term AS t2, count(*) AS n_pair
+       |  FROM matches a JOIN matches b
+       |    ON a.doc_id = b.doc_id AND a.term < b.term
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinSupDocs),
+       |rules AS (
+       |  SELECT t1 AS ante, t2 AS cons, n_pair FROM pairs
+       |  UNION ALL SELECT t2, t1, n_pair FROM pairs)
+       |SELECT r.ante, r.cons, r.n_pair,
+       |  CAST(r.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+       |  CAST((SELECT count(*) FROM documents) * r.n_pair AS DOUBLE)
+       |    / CAST(ia.n_item * ic.n_item AS DOUBLE) AS lift
+       |FROM rules r
+       |JOIN items ia ON r.ante = ia.term
+       |JOIN items ic ON r.cons = ic.term
+       |ORDER BY r.ante, r.cons""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
+    "assoc_rules" -> Q(assocRules, Some(assocRulesSql)),
     "ref_daily_e2e" -> Q(refDailyE2e, Some(refDailyE2eSql)),
     "join_broadcast_lookup" -> Q(broadcastLookup, Some(broadcastLookupSql)),
     "dict_term_match" -> Q(dictTermMatch, Some(dictTermMatchSql)),

@@ -140,6 +140,43 @@ object StreamQueries {
       |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- T9b stream_interval_join_outer --------------------------------------
+
+  /** Batch twin of [[graft.streaming.StreamOps.purchasesWithRecentClicksOuter]]
+    * — the LEFT OUTER interval join: EVERY purchase emits, clickless ones
+    * with null click_id/lag (attribution dashboards need the unconverted
+    * denominator, not just the matches). Null click_ids order first on
+    * both engines (explicit NULLS FIRST — Spark's asc default, pinned in
+    * the oracle). Same single user_id shuffle per side as the inner form. */
+  private def intervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_secs"))
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
+  private val intervalJoinOuterSql =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |       CAST(floor(epoch(p.ts)) AS BIGINT)
+      |         - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_secs
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
+
   // ---- T10 stream_topk_trend -----------------------------------------------
 
   /** Batch twin of [[graft.streaming.StreamOps.trendingTopK]] — the
@@ -226,6 +263,7 @@ object StreamQueries {
     "stream_session_window" -> Q(session, Some(sessionSql)),
     "stream_dedup" -> Q(dedup, Some(dedupSql)),
     "stream_interval_join" -> Q(intervalJoin, Some(intervalJoinSql)),
+    "stream_interval_join_outer" -> Q(intervalJoinOuter, Some(intervalJoinOuterSql)),
     "stream_topk_trend" -> Q(topkTrend, Some(topkTrendSql)),
   )
 }

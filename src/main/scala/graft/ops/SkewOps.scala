@@ -30,4 +30,22 @@ object SkewOps {
       .groupBy("k")
       .agg(sum(col("s")).as("total"), sum(col("c")).as("cnt"))
   }
+
+  /** Salted inner equi join for a skewed LEFT key when NEITHER side fits a
+    * broadcast: the left side spreads a hot key's rows over `salts` shuffle
+    * partitions via a content-hash salt; the right side replicates each row
+    * to every salt (cost |right|·salts — acceptable precisely because the
+    * right side is the smaller, else broadcast/AQE-skew-split is the answer).
+    * Joining on (key, salt) makes every pair meet EXACTLY ONCE, so the
+    * result is row-identical to the unsalted join — which is what the
+    * registered query's oracle checks. */
+  def saltedJoin(left: DataFrame, leftKey: Column, right: DataFrame,
+      rightKey: Column, salts: Int): DataFrame = {
+    val l = left.withColumn("__salt_l",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
+    val r = right.withColumn("__salt_r",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l.join(r, leftKey === rightKey && col("__salt_l") === col("__salt_r"))
+      .drop("__salt_l", "__salt_r")
+  }
 }

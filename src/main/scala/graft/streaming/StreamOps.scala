@@ -126,6 +126,32 @@ object StreamOps {
         col("purchase_ts"), col("value"))
   }
 
+  /** T9b: LEFT OUTER stream-stream interval join — every purchase emits,
+    * clickless ones with a null click_id. The outer row can only be
+    * released once the watermark proves no matching click can still
+    * arrive, so unmatched results trail the inner ones by up to the
+    * watermark delay — the structural latency cost of outer semantics on
+    * unbounded streams (Spark runs the no-data micro-batch that flushes
+    * them when the watermark advances). State bounds are identical to the
+    * inner form: both sides watermarked, the event-time band prunes. */
+  def purchasesWithRecentClicksOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** T7b: flatMapGroupsWithState — sessionization emitting one row per
     * CLOSED session (zero-or-more outputs per invocation, which is what
     * flatMap adds over mapGroupsWithState). Event-time logic kept in the

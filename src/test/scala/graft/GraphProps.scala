@@ -68,4 +68,28 @@ object GraphProps extends Properties("graft.graph") {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       got == expected
     }
+
+  /** Reference driver-side BFS: level-synchronous frontier over a map. */
+  private def bfsRef(edges: Seq[(Long, Long)], source: Long,
+      maxHops: Int): Map[Long, Int] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map(source -> 0)
+    var frontier = Seq(source)
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    dist.toMap
+  }
+
+  property("bfsHops equals driver-side BFS on random directed graphs") =
+    forAll(Gen.listOfN(25, edgeGen), Gen.choose(1, 4)) { (pairs, maxHops) =>
+      val expected = bfsRef(pairs, source = 0L, maxHops)
+      val got = graft.ops.GraphOps
+        .bfsHops(pairs.toDF("src", "dst"), source = 0L, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got == expected
+    }
 }

@@ -179,6 +179,37 @@ class QueriesSpec extends SparkSpec {
     assert(full == merged, "bottom-k must merge losslessly across shards")
   }
 
+  test("assoc_rules: confidence in (0,1], lift symmetric across rule direction") {
+    val rows = Queries.byName("assoc_rules").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, c, n, conf, lift) =>
+      assert(n > 0 && conf > 0.0 && conf <= 1.0, s"$a->$c conf=$conf")
+      assert(lift > 0.0, s"$a->$c lift=$lift")
+    }
+    // lift is direction-independent: N·n_ab/(n_a·n_b) — both rules carry it
+    val byPair = rows.map { case (a, c, _, _, l) => (a, c) -> l }.toMap
+    byPair.foreach { case ((a, c), l) =>
+      assert(byPair((c, a)) == l, s"lift asymmetry on ($a,$c)")
+    }
+  }
+
+  test("ts_rolling_median equals a driver-side sliding-median reference") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._2, r._3)).sliding(5)
+        .filter(_.size == 5)
+        .map(w => w.last._3 -> w.map(_._4).sorted.apply(2))
+    }.toMap
+    val got = Queries.byName("ts_rolling_median").build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()

@@ -39,4 +39,19 @@ class SkewSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._4)
     }
   }
+
+  test("saltedJoin is row-identical to the plain join on skewed data") {
+    // 90% of fact rows share key 0; dim has every key once
+    val fact = spark.range(5000)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 37).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(37).select(col("id").as("dk"), (col("id") * 100).as("v"))
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "v")
+    val salted = graft.ops.SkewOps.saltedJoin(fact, col("k"), dim, col("dk"), salts = 8)
+      .select("k", "payload", "v")
+    // exceptAll both ways = multiset equality (duplicates matter)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    assert(salted.count() == plain.count())
+  }
 }

@@ -166,6 +166,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("left-outer interval join releases unmatched purchases once the watermark passes") {
+    val evs2 = Seq(
+      Ev(1, ts(0), 1, "click", 0.0),
+      Ev(2, ts(30), 1, "purchase", 9.99),   // click 30min before -> joins
+      Ev(3, ts(200), 1, "purchase", 5.0),   // no click within 1h -> null row
+      Ev(4, ts(10), 2, "click", 0.0))
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.purchasesWithRecentClicksOuter(mem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin_outer")
+      .outputMode("append").start()
+    mem.addData(evs2: _*)
+    q.processAllAvailable()
+    // outer rows flush only when the watermark proves no click can still
+    // match. Each join side computes its watermark from rows that REACH
+    // its event-time node (a filtered-out 'view' advances neither), and
+    // the global watermark = min(sides), so the nudge must be a
+    // click+purchase pair; a batch's watermark takes effect in the NEXT
+    // batch, so a second nudge batch performs the actual flush.
+    mem.addData(Ev(90, ts(60 * 24), 9, "click", 0.0),
+      Ev(91, ts(60 * 24), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(92, ts(60 * 25), 9, "click", 0.0),
+      Ev(93, ts(60 * 25), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssjoin_outer").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, -1L)),
+      s"expected matched + null-flushed rows, got $got")
+  }
+
   test("state-backend agnostic: RocksDB provider reproduces the default provider's results") {
     // the 100 TB state backend is RocksDB (bounded heap, spill-to-disk);
     // windowed agg + stream-stream join state must be provider-independent
