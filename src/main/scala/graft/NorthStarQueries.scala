@@ -477,7 +477,10 @@ object NorthStarQueries {
       .orderBy("label", "dim")
 
   private val vectorCentroidSql =
-    """SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+    """SELECT label, i AS dim,
+      |  round(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+      |                       AS BIGINT)) AS DOUBLE)
+      |        / (count(*) * 1000000.0), 4) AS c
       |FROM embeddings, range(1, 65) t(i)
       |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
@@ -937,9 +940,77 @@ object NorthStarQueries {
       |       CAST(LEAST(64, n_samples - chunk_idx * 48) AS INTEGER) AS win_samples
       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** N4d `multimodal_video_scenes`: scene-cut segmentation over the frame
+    * fan-out — per-frame content fingerprint ([[graft.ops.MultimodalOps
+    * .frameFingerprints]]: integer scaled-mean-byte, the luminance-mean
+    * analog; DETERMINISTIC FAKE for the codec step, real everywhere else),
+    * a cut wherever the fingerprint jumps > 4000 vs the previous frame
+    * (≈ the p92 frame-to-frame delta on this corpus), scenes as the
+    * boundary-flag cumsum (gaps-and-islands), one segment row per scene.
+    * Scale: the fan-out is partition-local (zero shuffle); ONE keyed
+    * shuffle on doc_id feeds both the lag window and the scene aggregate
+    * (grouping on (doc_id, scene_idx) reuses the doc_id partitioning —
+    * no second exchange); frames never leave their executor with payloads
+    * — the fingerprint reduces 256 bytes to one long before the shuffle. */
+  private def multimodalScenes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val media = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        lit("video/fake").as("mime")).as[graft.ops.MultimodalOps.MediaRow]
+    val fps = graft.ops.MultimodalOps.frameFingerprints(
+      graft.ops.MultimodalOps.sampleFrames(media, 1))
+    fps.toDF()
+      .withColumn("prev", lag("fp", 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNull || abs(col("fp") - col("prev")) > 4000, 1)
+          .otherwise(0))
+      .withColumn("scene_idx",
+        sum("is_cut").over(w.rowsBetween(Long.MinValue, 0)) - 1)
+      .groupBy("doc_id", "scene_idx")
+      .agg(count(lit(1)).as("n_frames"),
+        (min("frame_idx") * 40).as("start_ms"))
+      .orderBy("doc_id", "scene_idx")
+  }
+
+  private val multimodalScenesSql =
+    """WITH media AS (
+      |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+      |idx AS (
+      |  SELECT doc_id, text, unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS fi
+      |  FROM media),
+      |frames AS (
+      |  SELECT doc_id, fi,
+      |         substring(text, CAST(fi * 256 + 1 AS INTEGER), 256) AS payload
+      |  FROM idx),
+      |chars AS (
+      |  SELECT doc_id, fi, payload,
+      |         unnest(range(CAST(strlen(payload) AS BIGINT))) AS ci
+      |  FROM frames),
+      |fps AS (
+      |  SELECT doc_id, fi,
+      |         (SUM(ord(substring(payload, CAST(ci + 1 AS INTEGER), 1))) * 1000)
+      |           // count(*) AS fp
+      |  FROM chars GROUP BY 1, 2),
+      |cuts AS (
+      |  SELECT doc_id, fi,
+      |         CASE WHEN lag(fp) OVER w IS NULL
+      |               OR abs(fp - lag(fp) OVER w) > 4000 THEN 1 ELSE 0 END AS is_cut
+      |  FROM fps WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+      |scenes AS (
+      |  SELECT doc_id, fi,
+      |         SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY fi
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS scene_idx
+      |  FROM cuts)
+      |SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+      |       count(*) AS n_frames, CAST(min(fi) * 40 AS BIGINT) AS start_ms
+      |FROM scenes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- registry ------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
+    "multimodal_video_scenes" -> Q(multimodalScenes, Some(multimodalScenesSql)),
     "multimodal_audio_chunks" -> Q(multimodalAudioChunks, Some(multimodalAudioChunksSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> Q(dedupMinhash, None),

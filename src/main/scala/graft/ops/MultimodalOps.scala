@@ -77,6 +77,28 @@ object MultimodalOps {
     }
   }
 
+  /** Per-frame content fingerprint for scene-cut detection. */
+  case class FrameFp(doc_id: Long, frame_idx: Long, fp: Long)
+
+  /** DETERMINISTIC FAKE content measure: the scaled mean byte value of the
+    * frame payload — the integer analog of the mean-luminance signal real
+    * scene-cut detectors difference frame-to-frame. A real deployment swaps
+    * this for a decoded-histogram distance; the pipeline downstream (keyed
+    * lag + boundary cumsum over the frame fan-out) is the part that
+    * matters at scale and is exactly what ships either way. Integer
+    * arithmetic ((Σ bytes)·1000 div len) keeps the fingerprint — and
+    * therefore every scene boundary — engine- and order-exact. */
+  def frameFingerprints(frames: Dataset[Frame]): Dataset[FrameFp] = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      var s = 0L
+      var i = 0
+      while (i < f.frame.length) { s += (f.frame(i) & 0xff); i += 1 }
+      FrameFp(f.doc_id, f.frame_idx,
+        if (f.frame.length == 0) 0L else s * 1000 / f.frame.length)
+    }
+  }
+
   /** One sliding audio window. `samples` carries the payload slice; the
     * metadata columns are what the oracle compares. */
   case class AudioChunk(doc_id: Long, chunk_idx: Long, start_ms: Long,

@@ -409,24 +409,36 @@ object VectorOps {
 
   /** A7/X2 custom typed Aggregator: element-wise centroid of embeddings.
     * Buffer = (sum vector, count); merge is associative/commutative so Spark
-    * can combine partials map-side — the UDAF scale contract. */
+    * can combine partials map-side — the UDAF scale contract.
+    *
+    * Components accumulate as EXACT 6-dp-scaled longs (floor(x·1e6 + 0.5) —
+    * the explicit half-up both engines floor identically), not IEEE double
+    * sums: a double accumulator's value depends on shuffle order, and the
+    * downstream 4-dp round flips at .00005 boundaries exactly the way the
+    * r06 driver caught `kmeans_assign` (same fix — exact partial sums, one
+    * deterministic division at the end). Overflow headroom: |x| ≤ ~1e3 →
+    * ~9e12 rows per group per dimension. */
   class CentroidAgg(dim: Int)
-      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
-    def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
-    def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
+      extends Aggregator[Seq[Float], (Array[Long], Long), Seq[Double]] {
+    def zero: (Array[Long], Long) = (Array.fill(dim)(0L), 0L)
+    def reduce(b: (Array[Long], Long), a: Seq[Float]): (Array[Long], Long) = {
       var i = 0
-      while (i < dim && i < a.length) { b._1(i) += a(i); i += 1 }
+      while (i < dim && i < a.length) {
+        b._1(i) += math.floor(a(i).toDouble * 1e6 + 0.5).toLong
+        i += 1
+      }
       (b._1, b._2 + 1)
     }
-    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+    def merge(x: (Array[Long], Long), y: (Array[Long], Long)): (Array[Long], Long) = {
       var i = 0
       while (i < dim) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)
     }
-    def finish(b: (Array[Double], Long)): Seq[Double] =
-      if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+    def finish(b: (Array[Long], Long)): Seq[Double] =
+      if (b._2 == 0) Seq.empty
+      else b._1.map(s => s.toDouble / (b._2.toDouble * 1e6)).toSeq
     def bufferEncoder = Encoders.tuple(
-      Encoders.kryo[Array[Double]], Encoders.scalaLong)
+      Encoders.kryo[Array[Long]], Encoders.scalaLong)
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 

@@ -113,4 +113,34 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.map(r => (r.doc_id, r.width, r.height, r.media.toSeq)).sortBy(_._1).toSeq ==
       again.map(r => (r.doc_id, r.width, r.height, r.media.toSeq)).sortBy(_._1).toSeq)
   }
+
+  test("frameFingerprints: scaled mean byte value, exact per frame") {
+    val media = Seq(MediaRow(7L, Array.fill[Byte](300)(65), "video/fake"))
+      .toDS()
+    val fps = MultimodalOps
+      .frameFingerprints(MultimodalOps.sampleFrames(media, 1))
+      .collect().sortBy(_.frame_idx)
+    // frame 0: 256 bytes of 'A' (65) -> 65*256*1000/256 = 65000
+    // frame 1: 44 bytes of 'A'       -> 65*44*1000/44   = 65000
+    assert(fps.map(f => (f.frame_idx, f.fp)).toSeq == Seq((0L, 65000L), (1L, 65000L)))
+  }
+
+  test("multimodal_video_scenes: scenes tile each doc's frames exactly") {
+    val rows = Queries.byName("multimodal_video_scenes").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // scene indexes are contiguous from 0, first scene starts at pts 0
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong))
+      assert(sorted.head._4 == 0L, s"doc $doc first scene must start at 0 ms")
+      // scene frame counts sum to the doc's total frame count
+      val nFrames = sorted.map(_._3).sum
+      val starts = sorted.map(_._4 / 40)
+      // each scene starts exactly where the previous one's frames end
+      assert(starts.toSeq == sorted.map(_._3).scanLeft(0L)(_ + _).init.toSeq,
+        s"doc $doc scenes must tile without gaps")
+      assert(nFrames > 0)
+    }
+  }
 }
