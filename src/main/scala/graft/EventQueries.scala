@@ -504,7 +504,156 @@ object EventQueries {
       |  FROM events)
       |SELECT event_id, roll_med FROM r WHERE rn >= 5 ORDER BY event_id""".stripMargin
 
+  // ---- N35i ts_autocorr: lag-1 autocorrelation of the daily series ---------
+
+  /** `ts_autocorr`: lag-1 Pearson autocorrelation of the daily event-count
+    * series per event_type — the "is this metric trending or mean-reverting"
+    * screen run after `ts_ewma`/`anomaly_zscore`. The series is the daily
+    * COUNT (exact integers), consecutive days paired via `lead` over the
+    * per-type date order, and the Pearson moments (Σx, Σy, Σxy, Σx², Σy²)
+    * are LONG sums — exact, order-independent — so the only float math is
+    * the final covariance/variance division, identical on both engines and
+    * rounded to 6 dp. Scale: the fact reduces to ≤ one row per (type, day)
+    * in one shuffle; the window + moment agg run on that tiny aggregate. */
+  private def tsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily
+      .withColumn("y", lead("x", 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("autocorr"))
+      .orderBy("event_type")
+  }
+
+  private val tsAutocorrSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT event_type, x,
+      |         lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_pairs,
+      |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |         sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs WHERE y IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_pairs,
+      |       round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+      |             (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+      |              sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // ---- N35j event_pattern_match: sequence-pattern detection ----------------
+
+  /** `event_pattern_match`: MATCH_RECOGNIZE-style sequence detection — count
+    * per day the CONSECUTIVE per-user event triples view → click → purchase
+    * whose total span is ≤ 24 hours (the "clean conversion burst"
+    * pattern). Unlike `event_transitions` (bigram counts) this matches a
+    * multi-step ordered pattern with a time predicate, the core of
+    * clickstream pattern mining. One window shuffle on user_id (total order
+    * ts, event_id within user), two `lead`s, then a date rollup — the fact
+    * never self-joins, so the plan is a single sort-shuffle at any scale.
+    * The 24 h span bound keeps ~60% of raw triples at sf0.01 (median
+    * inter-event gap in the synthetic feed is hours, not minutes). */
+  private def eventPatternMatch(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .withColumn("ts3", lead("ts", 2).over(w))
+      .filter(col("event_type") === "view" && col("t2") === "click" &&
+        col("t3") === "purchase" &&
+        col("ts3") <= col("ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_bursts"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
+
+  private val eventPatternMatchSql =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_type,
+      |         lead(event_type, 1) OVER w AS t2,
+      |         lead(event_type, 2) OVER w AS t3,
+      |         lead(ts, 2) OVER w AS ts3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT CAST(ts AS DATE) AS day, count(*) AS n_bursts,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM seq
+      |WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'
+      |  AND ts3 <= ts + INTERVAL 24 HOUR
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ---- N28c ts_theil_sen: robust trend slope -------------------------------
+
+  /** `ts_theil_sen`: Theil–Sen robust trend — the median of all pairwise
+    * slopes of the per-type daily-count series (outlier days can't drag it
+    * the way one bad day drags OLS). Day pairs come from a self-join of the
+    * DAILY AGGREGATE (≤ one row per (type, day) — C(days,2) pairs per type,
+    * never fact²); each slope is one exact-integer-difference division, and
+    * the median is a pure ELEMENT PICK (lower middle) from the sorted slope
+    * list — zero arithmetic, bit-stable cross-engine (the ts_rolling_median
+    * recipe). Day index is an exact integer via datediff from the epoch. */
+  private def tsTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("t"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("t").as("t1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("t").as("t2"), col("y").as("y2"))
+    a.join(b, Seq("event_type")).filter(col("t1") < col("t2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") / (col("t2") - col("t1")))
+          .as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list("slope")).as("slopes"))
+      .select(col("event_type"), col("n_pairs"),
+        element_at(col("slopes"),
+          ((col("n_pairs") + 1) / 2).cast("int")).as("theil_sen_slope"))
+      .orderBy("event_type")
+  }
+
+  private val tsTheilSenSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.event_type,
+      |         CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.t < b.t),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_pairs,
+      |         list_sort(list(slope)) AS sl
+      |  FROM slopes GROUP BY event_type)
+      |SELECT event_type, n_pairs,
+      |       sl[CAST((n_pairs + 1) // 2 AS INTEGER)] AS theil_sen_slope
+      |FROM m ORDER BY event_type""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
+    "ts_theil_sen" -> Q(tsTheilSen, Some(tsTheilSenSql)),
+    "event_pattern_match" -> Q(eventPatternMatch, Some(eventPatternMatchSql)),
     "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "sketch_theta_overlap" -> Q(sketchThetaOverlap, Some(sketchThetaOverlapSql)),

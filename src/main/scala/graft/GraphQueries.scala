@@ -187,7 +187,74 @@ object GraphQueries {
        |JOIN nation n ON b.node = n.n_nationkey
        |ORDER BY n.n_name""".stripMargin
 
+  // ---- N31d graph_common_neighbors: link prediction ------------------------
+
+  /** `graph_common_neighbors`: common-neighbor / Jaccard link prediction —
+    * for every unordered node pair NOT directly connected in the undirected
+    * trade graph, the number of shared neighbors and the neighbor-set
+    * Jaccard (the classic "who should connect next" score). The wedge
+    * enumeration adj(a,n) ⋈ adj(b,n) and the degree join all run on the
+    * AGGREGATED graph (≤ N² rows — fact-scale joins collapsed once in
+    * [[tradeEdges]]); at web scale the same plan bounds wedge fan-out by
+    * orienting through the lower-degree endpoint (the triangle trick).
+    * Counts are integers, Jaccard one division rounded to 6 dp. */
+  private def commonNeighbors(s: SparkSession, d: String): DataFrame = {
+    // Sparsify to STRONG ties (400·w ≥ |fact|): the full trade graph is
+    // near-complete at every SF, which leaves no pairs to predict. The
+    // pure-integer comparison is scale-proportional (edge weights grow
+    // linearly with the fact), so the same query is meaningful at any SF
+    // and cross-engine exact (no division).
+    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .crossJoin(broadcast(total))
+      .filter(col("w") * 400 >= col("n_fact"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("u").as("a"), col("v").as("n"))
+      .join(adj.select(col("u").as("b"), col("v").as("n")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    wedges
+      .join(und, col("a") === col("u") && col("b") === col("v"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  private val commonNeighborsSql =
+    """WITH raw AS (
+      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+      |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
+      |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
+      |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+      |wedge AS (
+      |  SELECT a1.u AS a, a2.u AS b, count(*) AS cn
+      |  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.u < a2.u
+      |  GROUP BY 1, 2)
+      |SELECT w.a, w.b, w.cn,
+      |       round(CAST(w.cn AS DOUBLE) / (da.deg + db.deg - w.cn), 6) AS jaccard
+      |FROM wedge w
+      |JOIN deg da ON da.u = w.a
+      |JOIN deg db ON db.u = w.b
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)
+      |ORDER BY w.a, w.b""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "graph_common_neighbors" -> Q(commonNeighbors, Some(commonNeighborsSql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),
     "graph_bfs" -> Q(bfs, Some(bfsSql)))

@@ -122,6 +122,32 @@ object NorthStarQueries {
       |WHERE round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** `dedup_containment`: directed containment C(src→dst) = |src∩dst|/|src|
+    * over the same planted near-dup family ([[DedupOps.containmentPairs]]) —
+    * the asymmetric complement of dedup_ngram_jaccard that flags a short doc
+    * subsumed by a longer one even when the size gap kills the Jaccard. */
+  private def dedupContainment(s: SparkSession, d: String): DataFrame =
+    DedupOps.containmentPairs(
+      fanOut(documents(s, d).filter(regexp_like(col("text"), lit("\\bdup\\b")))),
+      maxDf = Long.MaxValue, minContainment = 0.9)
+      .orderBy("src_doc", "dst_doc")
+
+  private val dedupContainmentSql =
+    """WITH dup_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS src_doc, y.doc_id AS dst_doc, count(*) AS inter
+      |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id <> y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.src_doc, i.dst_doc,
+      |       round(CAST(i.inter AS DOUBLE) / s.sz, 6) AS containment
+      |FROM inter i JOIN sizes s ON s.doc_id = i.src_doc
+      |WHERE round(CAST(i.inter AS DOUBLE) / s.sz, 6) >= 0.9
+      |ORDER BY src_doc, dst_doc""".stripMargin
+
   /** The daily-run shape: dedup TODAY'S batch (every 4th doc stands in for
     * the new crawl) against the EXISTING corpus without ever self-joining
     * either side ([[DedupOps.crossJaccardPairs]]) — the incremental form of
@@ -212,6 +238,55 @@ object NorthStarQueries {
       |  FROM scored)
       |SELECT query_id, neighbor_id, rnk, cos FROM ranked
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** `knn_join_blocked`: the kNN JOIN — top-3 cosine neighbors for EVERY
+    * vector (not a bounded query set), blocked by the label column so the
+    * pair space is Σ|block|², never |corpus|². This is the scale shape of a
+    * full-corpus kNN graph build: shuffle both sides once on the block key
+    * (in production the block is an IVF/LSH cell; here the given label),
+    * score all pairs within a block, keep k per query via a bounded window.
+    * Ranking compares the RAW fold doubles (bit-identical cross-engine,
+    * the proven knn recipe) with an id tie-break; cos rounds to 6 dp only
+    * for display. */
+  private def knnJoinBlocked(s: SparkSession, d: String): DataFrame = {
+    val e = fanOut(embeddings(s, d))
+    val a = e.select(col("label"), col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    a.join(b, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val knnJoinBlockedSql =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(q.embedding,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(q.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(c.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.label = c.label AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, neighbor_id) AS rnk,
+      |         round(cos, 6) AS cos
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rnk, cos FROM ranked
+      |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   /** int8-quantized scan + exact rescore (VectorOps.quantize/knnQuantized):
     * the corpus is scored through its quantized codes (≈1/4 the scan bytes,
@@ -1016,12 +1091,14 @@ object NorthStarQueries {
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
+    "dedup_containment" -> Q(dedupContainment, Some(dedupContainmentSql)),
     "dedup_prefix_jaccard" -> Q(dedupPrefixJaccard, Some(dedupPrefixJaccardSql)),
     "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "dedup_pipeline" -> Q(dedupPipeline, Some(dedupPipelineSql)),
     "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
+    "knn_join_blocked" -> Q(knnJoinBlocked, Some(knnJoinBlockedSql)),
     "knn_q8_rescore" -> Q(knnQ8, Some(knnQ8Sql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
     "knn_ann_ivf" -> Q(knnAnnIvf, None),

@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import Det._
 
@@ -508,6 +509,143 @@ object RelationalQueries {
     """SELECT l_returnflag, l_linestatus, count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A9 `agg_skewness`: third-moment distribution shape per group, computed
+    * ENTIRELY from exact power sums — the float-stddev trap (anomaly_zscore's
+    * Scaladoc) applies twice as hard to the third moment, so the estimator
+    * is algebraically rearranged to integer-cent sums:
+    *   g1 = (n²·S3 − 3n·S1·S2 + 2·S1³) / (n·S2 − S1²)^{3/2}
+    * with Sk = Σ cents^k accumulated in DECIMAL(38,0) (cents³ ≈ 10²¹ per
+    * row — exact, order-independent). The exact sums then cast to double
+    * ONCE and the rearranged estimator evaluates in IEEE with an
+    * IDENTICAL left-associated expression tree on both engines (decimal
+    * products of these widths would overflow 38 digits, and Spark/DuckDB
+    * cap overflow differently — doubles from exact sums sidestep that
+    * while keeping run-to-run determinism). Rounded 6 dp. One keyed agg;
+    * map-side partials. */
+  private def aggSkewness(s: SparkSession, d: String): DataFrame = {
+    val c = (Det.dec(col("o_totalprice")) * 100).cast(DecimalType(12, 0))
+    val big = (x: Column) => x.cast(DecimalType(38, 0))
+    val dbl = (x: Column) => x.cast("double")
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(c).as("s1d"), sum(big(c * c)).as("s2d"), sum(big(big(c * c) * c)).as("s3d"))
+      .select(col("o_orderstatus"), col("n"),
+        dbl(col("s1d")).as("sd1"), dbl(col("s2d")).as("sd2"),
+        dbl(col("s3d")).as("sd3"), dbl(col("n")).as("nd"))
+      .select(col("o_orderstatus"), col("n"),
+        round(
+          (col("nd") * col("nd") * col("sd3") -
+            lit(3.0d) * col("nd") * col("sd1") * col("sd2") +
+            lit(2.0d) * col("sd1") * col("sd1") * col("sd1")) /
+            (sqrt(col("nd") * col("sd2") - col("sd1") * col("sd1")) *
+              (col("nd") * col("sd2") - col("sd1") * col("sd1"))), 6)
+          .as("skewness"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val aggSkewnessSql =
+    """WITH cents AS (
+      |  SELECT o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(12,0)) AS c
+      |  FROM orders),
+      |m AS (
+      |  SELECT o_orderstatus, count(*) AS n,
+      |    sum(c) AS s1d,
+      |    sum(CAST(c * c AS DECIMAL(38,0))) AS s2d,
+      |    sum(CAST(CAST(c * c AS DECIMAL(38,0)) * c AS DECIMAL(38,0))) AS s3d
+      |  FROM cents GROUP BY o_orderstatus),
+      |dd AS (
+      |  SELECT o_orderstatus, n,
+      |    CAST(s1d AS DOUBLE) AS sd1, CAST(s2d AS DOUBLE) AS sd2,
+      |    CAST(s3d AS DOUBLE) AS sd3, CAST(n AS DOUBLE) AS nd
+      |  FROM m)
+      |SELECT o_orderstatus, n,
+      |  round((nd * nd * sd3 - 3.0 * nd * sd1 * sd2 + 2.0 * sd1 * sd1 * sd1) /
+      |        (sqrt(nd * sd2 - sd1 * sd1) * (nd * sd2 - sd1 * sd1)), 6)
+      |  AS skewness
+      |FROM dd ORDER BY o_orderstatus""".stripMargin
+
+  /** A8 `rfm_segments`: RFM customer segmentation — recency (days since the
+    * customer's last order, vs the corpus max date), frequency (order
+    * count), monetary (exact decimal spend), each quartiled with ntile(4)
+    * under a fully-deterministic order (metric, then custkey — ntile ties
+    * are engine-defined without a total order). Output is the segment
+    * cube: (r,f,m) → customer count + exact spend. The fact reduces to one
+    * row per customer in one shuffle; the three ntile windows sort the
+    * CUSTOMER aggregate globally — fine to ~10⁸ customers on one task, and
+    * the documented 100 TB path replaces ntile with broadcast quantile cut
+    * points (approx_percentile on the aggregate, exact thresholds applied
+    * map-side, no global sort). */
+  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxDay = orders(s, d).agg(max("o_orderdate").as("d_max"))
+    val per = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(Det.dec(col("o_totalprice"))).as("spend"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency", datediff(col("d_max"), col("last_day")))
+    val seg = per
+      .withColumn("r", ntile(4).over(Window.orderBy(col("recency"), col("o_custkey"))))
+      .withColumn("f", ntile(4).over(Window.orderBy(col("n_orders").desc, col("o_custkey"))))
+      .withColumn("m", ntile(4).over(Window.orderBy(col("spend").desc, col("o_custkey"))))
+    seg.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("segment_spend"))
+      .orderBy("r", "f", "m")
+  }
+
+  private val rfmSegmentsSql =
+    """WITH per AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_day, count(*) AS n_orders,
+      |         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
+      |seg AS (
+      |  SELECT o_custkey, n_orders, spend,
+      |         ntile(4) OVER (ORDER BY date_diff('day', last_day, d_max), o_custkey) AS r,
+      |         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+      |         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS m
+      |  FROM per, mx)
+      |SELECT r, f, m, count(*) AS n_customers,
+      |       CAST(sum(spend) AS DOUBLE) AS segment_spend
+      |FROM seg GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
+  /** A2b `agg_mode`: deterministic per-group MODE — the most frequent
+    * o_orderpriority within each o_orderstatus, ties broken by the smaller
+    * value (SQL's `mode()` leaves ties implementation-defined, so the
+    * portable form is count-then-rank with an explicit tie order). Two
+    * stages: one keyed count agg (map-side partials), then a rank over the
+    * tiny (status, priority) aggregate — fact scans once, the window runs
+    * on ≤ |statuses|×|priorities| rows. */
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_n"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val aggModeSql =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT o_orderstatus, o_orderpriority, cnt,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY cnt DESC, o_orderpriority) AS rk
+      |  FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_n
+      |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
 
   /** A3 `agg_salary_stats`: the salary-dashboard multi-agg (README.md:10),
     * TPC-H Q1 shape. Partial (map-side) agg + final agg happen automatically;
@@ -1843,6 +1981,9 @@ object RelationalQueries {
     "ts_gap_fill" -> Q(tsGapFill, Some(tsGapFillSql)),
     "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
     "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
+    "agg_mode" -> Q(aggMode, Some(aggModeSql)),
+    "agg_skewness" -> Q(aggSkewness, Some(aggSkewnessSql)),
+    "rfm_segments" -> Q(rfmSegments, Some(rfmSegmentsSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
     "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),
     "agg_approx_distinct" -> Q(aggApproxDistinct, None),

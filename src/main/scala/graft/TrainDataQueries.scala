@@ -640,9 +640,57 @@ object TrainDataQueries {
       |    '[!,.;:]', '', 'g'), '\s+', ' ', 'g')) = p_name AS roundtrip
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---- N10b dataset_interleave: deterministic mixture scheduling -----------
+
+  /** `dataset_interleave`: the training-mix INTERLEAVE — given per-source
+    * mixture weights, emit the global deterministic feed order a trainer
+    * would read (torchdata/Pile-style source mixing, without RNG). Each
+    * source's i-th document (1-based, doc_id order) gets virtual time
+    * v = (i − 0.5) / w_s — sources with weight 2 appear twice as often,
+    * uniformly spread, and the schedule is reproducible run-to-run. With
+    * w ∈ {1, 2} the virtual times are exact IEEE halves/quarters, so
+    * cross-engine ordering is bit-identical; ties (equal v across sources)
+    * break on (source, doc_id). Scale: per-source row_number partitions on
+    * source (one shuffle); the global position is a total-order sort —
+    * at 100 TB it runs as a range-partitioned sort plus the per-partition
+    * offset technique proven by `global_rownum`, never a single partition.
+    * The sorted-by-position output is exactly what a sharded writer
+    * consumes (`dataset_shuffle_shard` is the downstream twin). */
+  private def datasetInterleave(s: SparkSession, d: String): DataFrame = {
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    val weighted = documents(s, d)
+      .select(col("doc_id"), col("source"))
+      // weight rule: even-numbered sources are oversampled 2x (stand-in for
+      // a real mixture table; the schedule math is weight-agnostic)
+      .withColumn("w",
+        when(regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0, 2.0d)
+          .otherwise(1.0d))
+      .withColumn("i", row_number().over(wSrc))
+      .withColumn("v", (col("i") - lit(0.5d)) / col("w"))
+    weighted
+      .withColumn("global_pos",
+        row_number().over(Window.orderBy(col("v"), col("source"), col("doc_id")))
+          .cast("long"))
+      .select(col("global_pos"), col("doc_id"), col("source"), col("v"))
+      .orderBy("global_pos")
+  }
+
+  private val datasetInterleaveSql =
+    """WITH weighted AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2 = 0
+      |         THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+      |  FROM documents),
+      |v AS (SELECT doc_id, source, (i - CAST(0.5 AS DOUBLE)) / w AS v FROM weighted)
+      |SELECT row_number() OVER (ORDER BY v, source, doc_id) AS global_pos,
+      |       doc_id, source, v
+      |FROM v ORDER BY global_pos""".stripMargin
+
   // --------------------------------------------------------------------------
 
   def all: Seq[(String, Q)] = Seq(
+    "dataset_interleave" -> Q(datasetInterleave, Some(datasetInterleaveSql)),
     "decontam_overlap" -> Q(decontamOverlap, Some(decontamOverlapSql)),
     "decontam_bloom" -> Q(decontamBloom, Some(decontamOverlapSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

@@ -228,6 +228,40 @@ object DedupOps {
     jaccardVerify(toks, cand, minJaccard)
   }
 
+  /** Directed token-set CONTAINMENT pairs — C(src→dst) = |src∩dst| / |src|,
+    * the asymmetric near-dup measure that catches a short doc quoted or
+    * embedded inside a longer one (Jaccard misses those: the size gap
+    * drowns the overlap). Same inverted-index candidate generation as
+    * [[jaccardPairs]] (df-cut on candidate generation only), but pairs are
+    * DIRECTED (both orientations scored; src is the side whose size
+    * normalizes), so the pair join uses ≠, not <. Verification cost is
+    * candidates × doc size, never all-pairs. */
+  def containmentPairs(docs: DataFrame, maxDf: Long, minContainment: Double): DataFrame = {
+    val toks = tokenSets(docs).localCheckpoint()
+    val rare =
+      if (maxDf == Long.MaxValue) toks
+      else {
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        toks.join(dfreq.filter(col("df") <= maxDf), Seq("tok"))
+      }
+    val cand = rare.as("x")
+      .join(rare.as("y"), col("x.tok") === col("y.tok") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("src_doc"), col("y.doc_id").as("dst_doc"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(toks.select(col("doc_id").as("src_doc"), col("tok")), "src_doc")
+      .join(toks.select(col("doc_id").as("dst_doc"), col("tok")), Seq("dst_doc", "tok"))
+      .groupBy("src_doc", "dst_doc")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("src_doc"), col("sz").as("sz_src")), "src_doc")
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_src"), 6))
+      .filter(col("containment") >= minContainment)
+      .select("src_doc", "dst_doc", "containment")
+  }
+
   /** PPJoin-style PREFIX FILTERING — the similarity join's corpus-scale
     * candidate cut. Order every doc's tokens by global rarity (df asc, tok
     * asc — a canonical total order both engines share) and index only the

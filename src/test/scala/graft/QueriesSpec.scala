@@ -210,6 +210,129 @@ class QueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ts_autocorr: |r| <= 1 and exactly 1 on a perfectly persistent series") {
+    val rows = Queries.byName("ts_autocorr").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ac = r.getDouble(2)
+      assert(ac >= -1.0 && ac <= 1.0, s"${r.getString(0)} autocorr=$ac")
+    }
+  }
+
+  test("agg_mode: the reported mode really is each group's max count") {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val maxByGroup = counts.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._3).max }
+    val got = Queries.byName("agg_mode").build(spark, sfDir).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == maxByGroup(r.getString(0)),
+        s"mode count mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("dedup_containment: containment >= jaccard on every shared pair") {
+    val jac = Queries.byName("dedup_ngram_jaccard").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val con = Queries.byName("dedup_containment").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(con.nonEmpty)
+    // C(a→b) = |∩|/|a| ≥ |∩|/|∪| = J(a,b); tolerance for the 6-dp rounds
+    jac.foreach { case ((a, b), j) =>
+      con.get((a, b)).foreach(c => assert(c + 1e-6 >= j, s"($a,$b): c=$c < j=$j"))
+    }
+  }
+
+  test("knn_join_blocked: every vector gets exactly k neighbors, all same-label") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = Queries.byName("knn_join_blocked").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.size == labels.size, "every vector must appear as a query")
+    perQuery.foreach { case (q, ns) =>
+      assert(ns.map(_._3).sorted.toSeq == Seq(1, 2, 3), s"ranks off for $q")
+      ns.foreach { case (_, nb, _) =>
+        assert(labels(nb) == labels(q), s"cross-label neighbor $nb for $q")
+      }
+    }
+  }
+
+  test("dataset_interleave: positions are a permutation and sources spread by weight") {
+    val rows = Queries.byName("dataset_interleave").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq, "global_pos gaps")
+    assert(rows.map(_._2).distinct.length == rows.length, "doc emitted twice")
+    // a weight-2 source's docs must interleave ~2x as densely as weight-1:
+    // in any prefix of length n, count(src0 docs) >= count(src1 docs)
+    val prefix = rows.take(rows.length / 2)
+    val n0 = prefix.count(_._3 == "src0")
+    val n1 = prefix.count(_._3 == "src1")
+    assert(n0 >= n1, s"weight-2 source src0 ($n0) behind weight-1 src1 ($n1)")
+  }
+
+  test("graph_common_neighbors: scored pairs are non-edges with jaccard in (0,1]") {
+    val rows = Queries.byName("graph_common_neighbors").build(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonicalized")
+      assert(r.getLong(2) > 0, "zero common neighbors emitted")
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+  }
+
+  test("ts_theil_sen: slope is the median of a driver-side pairwise reference") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, rs) =>
+      val pts = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)).sorted
+      t -> slopes((slopes.length - 1) / 2)
+    }
+    val got = Queries.byName("ts_theil_sen").build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == expected)
+  }
+
+  test("rfm_segments: quartiles cover all customers, segment codes in 1..4") {
+    val rows = Queries.byName("rfm_segments").build(spark, sfDir).collect()
+    val nCustomers = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCustomers, "segments must partition customers")
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(b =>
+        assert(b >= 1 && b <= 4, s"bucket $b out of range"))
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("agg_skewness: matches a driver-side two-pass reference within 1e-6") {
+    val vals = Tables.orders(spark, sfDir)
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val expected = vals.groupBy(_._1).map { case (g, rs) =>
+      val xs = rs.map(_._2)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      g -> m3 / math.pow(m2, 1.5)
+    }
+    val got = Queries.byName("agg_skewness").build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    expected.foreach { case (g, e) =>
+      assert(math.abs(got(g) - e) < 1e-6, s"$g: got ${got(g)} want $e")
+    }
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
