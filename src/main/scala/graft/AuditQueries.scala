@@ -748,7 +748,46 @@ object AuditQueries {
       |  UNION ALL SELECT n_rows, 'status_domain', v_status_domain FROM a)
       |ORDER BY rule""".stripMargin
 
+  // ---- N35l dq_benford: first-digit law screen -----------------------------
+
+  /** `dq_benford`: first-significant-digit distribution of order totals vs
+    * Benford's law — the classic fabricated-data screen an audit layer runs
+    * on any money column. The digit comes from the INTEGER cents value via
+    * string head (both engines print a BIGINT identically — no float
+    * formatting in the comparison path); observed share is one exact-long
+    * division; the Benford expectation log10(1+1/d) is the only libm call,
+    * rounded to 6 dp where all nine constants sit far from a rounding
+    * boundary. Single scan + 9-row aggregate; trivially partition-parallel. */
+  private def dqBenford(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("decimal(12,0)").cast("long")
+    val total = orders(s, d).agg(count(lit(1)).as("n_total"))
+    orders(s, d)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"),
+        round(log10(lit(1.0d) + lit(1.0d) / col("digit")), 6).as("benford"))
+      .orderBy("digit")
+  }
+
+  private val dqBenfordSql =
+    """WITH c AS (
+      |  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |              AS DECIMAL(12,0)) AS BIGINT) AS cents
+      |  FROM orders),
+      |d AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |         count(*) AS n
+      |  FROM c GROUP BY 1)
+      |SELECT digit, n,
+      |       round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM d), 6) AS share,
+      |       round(log10(1.0 + 1.0 / digit), 6) AS benford
+      |FROM d ORDER BY digit""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "dq_benford" -> Q(dqBenford, Some(dqBenfordSql)),
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "dq_expectations" -> Q(dqExpectations, Some(dqExpectationsSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),

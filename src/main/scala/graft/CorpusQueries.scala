@@ -802,7 +802,58 @@ object CorpusQueries {
        |FROM encw GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- N16b text_collocations: PMI collocation mining ----------------------
+
+  /** `text_collocations`: top-30 bigram collocations by pointwise mutual
+    * information — the phrase-mining pass that finds "new york"-style units
+    * before tokenizer/vocab training. PMI's log is MONOTONE, so ranking by
+    * the raw ratio N·c(ab) / (c(a)·c(b)) needs no libm at all: both
+    * products are exact longs (≪ 2⁵³ at any tested SF), the score is one
+    * IEEE division rounded 6 dp, and the rank orders on the ROUNDED value
+    * with the bigram string as total tie-break. Support floor c(ab) ≥ 5
+    * kills the hapax-pair noise PMI is notorious for. Two keyed aggs
+    * (bigram, unigram) + broadcast of the scalar total; never doc² work. */
+  private def textCollocations(s: SparkSession, d: String): DataFrame = {
+    val docs = fanOut(documents(s, d))
+    val occ = docs.select(
+      explode(TrainDataQueries.gramsOf(col("text"), 2)).as("bg"))
+    val c2 = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 5)
+    val uni = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(count(lit(1)).as("n_tok"))
+    c2.withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bg"), col("c2"),
+        round((col("n_tok") * col("c2")).cast("double") /
+          (col("c1a") * col("c1b")), 6).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bg"))
+      .limit(30)
+  }
+
+  private val textCollocationsSql =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |occ AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> array_to_string(t[i:i+1], ' '))) AS bg
+      |  FROM toksrc),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY 1 HAVING count(*) >= 5),
+      |uni AS (SELECT unnest(t) AS w FROM toksrc),
+      |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+      |n AS (SELECT count(*) AS n_tok FROM uni)
+      |SELECT bg, c2,
+      |  round(CAST(n.n_tok * c2.c2 AS DOUBLE) / (a.c1 * b.c1), 6) AS pmi_ratio
+      |FROM c2
+      |JOIN c1 a ON a.w = string_split(bg, ' ')[1]
+      |JOIN c1 b ON b.w = string_split(bg, ' ')[2], n
+      |ORDER BY pmi_ratio DESC, bg LIMIT 30""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "text_collocations" -> Q(textCollocations, Some(textCollocationsSql)),
     "chunk_dedup" -> Q(chunkDedup, Some(chunkDedupSql)),
     "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
     "sample_temperature" -> Q(sampleTemperature, Some(sampleTemperatureSql)),

@@ -650,9 +650,38 @@ object EventQueries {
       |       sl[CAST((n_pairs + 1) // 2 AS INTEGER)] AS theil_sen_slope
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---- N28d ts_seasonal_profile: day-of-week seasonality -------------------
+
+  /** `ts_seasonal_profile`: the weekly seasonality fingerprint — mean daily
+    * event count per (event_type, ISO weekday), the profile subtracted
+    * before any anomaly screen on a weekly-patterned stream. Integer daily
+    * counts sum exactly; the mean is one exact-long division rounded 6 dp.
+    * Spark's `weekday` (0 = Monday) + 1 ≡ DuckDB's `isodow` — pinned here
+    * because the engines' default `dayofweek` anchors differ (Sunday 1 vs
+    * Sunday 0), a silent cross-engine off-by-one. Fact → (type, day)
+    * aggregate in one shuffle; the profile is 7 rows per type. */
+  private def tsSeasonalProfile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"), (weekday(col("day")) + 1).as("isodow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("mean_count"))
+      .orderBy("event_type", "isodow")
+
+  private val tsSeasonalProfileSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(isodow(day) AS INTEGER) AS isodow,
+      |       count(*) AS n_days,
+      |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_count
+      |FROM daily GROUP BY 1, 2 ORDER BY event_type, isodow""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "ts_theil_sen" -> Q(tsTheilSen, Some(tsTheilSenSql)),
+    "ts_seasonal_profile" -> Q(tsSeasonalProfile, Some(tsSeasonalProfileSql)),
     "event_pattern_match" -> Q(eventPatternMatch, Some(eventPatternMatchSql)),
     "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),

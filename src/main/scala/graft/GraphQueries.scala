@@ -253,8 +253,56 @@ object GraphQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)
       |ORDER BY w.a, w.b""".stripMargin
 
+  // ---- N31e graph_degree_histogram: degree distribution --------------------
+
+  /** `graph_degree_histogram`: log2-bucketed degree distribution of the
+    * undirected trade graph — the first diagnostic run on any graph (is it
+    * power-law? where's the hub tail?). The bucket is `length(bin(deg))`
+    * (= ⌊log2⌋+1 in pure integer/string ops — identical both engines and
+    * immune to float log2 misbucketing at powers of two, the proven
+    * length-histogram recipe). Runs on the STRONG-TIE graph (the
+    * common-neighbors sparsifier, 400·w ≥ |fact| — the full trade graph is
+    * near-complete, a one-bucket histogram); degrees come off the
+    * aggregated graph, the histogram is one tiny keyed agg. */
+  private def degreeHistogram(s: SparkSession, d: String): DataFrame = {
+    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .crossJoin(broadcast(total))
+      .filter(col("w") * 400 >= col("n_fact"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy(length(bin(col("deg"))).as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("bucket")
+  }
+
+  private val degreeHistogramSql =
+    """WITH raw AS (
+      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+      |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
+      |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM
+      |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY node)
+      |SELECT CAST(length(bin(deg)) AS INTEGER) AS bucket, count(*) AS n_nodes,
+      |       min(deg) AS min_deg, max(deg) AS max_deg
+      |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "graph_common_neighbors" -> Q(commonNeighbors, Some(commonNeighborsSql)),
+    "graph_degree_histogram" -> Q(degreeHistogram, Some(degreeHistogramSql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),
     "graph_bfs" -> Q(bfs, Some(bfsSql)))

@@ -463,6 +463,65 @@ object RelationalQueries {
        |  ON p.user_id = c.c_user AND c.c_ts <= p.ts
        |ORDER BY event_id""".stripMargin
 
+  /** J8 nearest flavor: each purchase takes the user's NEAREST click in
+    * TIME — before or after — preferring the earlier side on an exact tie
+    * (pandas merge_asof direction='nearest'). Implemented as ONE window
+    * pass over the unioned per-user timeline instead of two as-of joins:
+    * clicks sort before purchases at equal timestamps ((us, type-rank)
+    * total order), so a backward `last(ignoreNulls)` over the preceding
+    * frame yields the latest click ≤ ts and a forward `first(ignoreNulls)`
+    * the earliest click strictly > ts — the tie-break is encoded in the
+    * sort, not in per-row conditionals. One shuffle on user_id, microsecond
+    * integer deltas, no float time math. The oracle replays it as DuckDB's
+    * native double ASOF (≤ backward, > forward) + CASE pick — two
+    * independent formulations, one hash. */
+  private def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "click", unix_micros(col("ts"))).as("click_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), when(col("event_type") === "click", 0).otherwise(1))
+    val wb = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wf = w.rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("prev_us", last(col("click_us"), ignoreNulls = true).over(wb))
+      .withColumn("next_us", first(col("click_us"), ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_us",
+        when(col("prev_us").isNull, col("next_us"))
+          .when(col("next_us").isNull, col("prev_us"))
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+            col("prev_us"))
+          .otherwise(col("next_us")))
+      .select(col("event_id"), col("user_id"), col("nearest_us"),
+        (col("nearest_us") - col("us")).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  private val asofNearestSql =
+    """WITH purchases AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT DISTINCT user_id AS c_user, ts AS c_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id,
+      |  CASE WHEN b.c_ts IS NULL THEN epoch_us(f.f_ts)
+      |       WHEN f.f_ts IS NULL THEN epoch_us(b.c_ts)
+      |       WHEN epoch_us(p.ts) - epoch_us(b.c_ts)
+      |            <= epoch_us(f.f_ts) - epoch_us(p.ts) THEN epoch_us(b.c_ts)
+      |       ELSE epoch_us(f.f_ts) END AS nearest_us,
+      |  CASE WHEN b.c_ts IS NULL THEN epoch_us(f.f_ts)
+      |       WHEN f.f_ts IS NULL THEN epoch_us(b.c_ts)
+      |       WHEN epoch_us(p.ts) - epoch_us(b.c_ts)
+      |            <= epoch_us(f.f_ts) - epoch_us(p.ts) THEN epoch_us(b.c_ts)
+      |       ELSE epoch_us(f.f_ts) END - epoch_us(p.ts) AS delta_us
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks b ON p.user_id = b.c_user AND b.c_ts <= p.ts
+      |ASOF LEFT JOIN (SELECT c_user AS f_user, c_ts AS f_ts FROM clicks) f
+      |  ON p.user_id = f.f_user AND f.f_ts > p.ts
+      |ORDER BY event_id""".stripMargin
+
   /** J8 via pure SQL: the same as-of join reached through `spark.sql` and the
     * `asof_match(left_ts, right_ts)` marker predicate, which
     * [[graft.plans.RewriteAsOfMarkerJoin]] rewrites into the whole-operator
@@ -1961,6 +2020,7 @@ object RelationalQueries {
     "join_asof_native" -> Q(asofNative, Some(asofNativeSql)),
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
     "join_asof_tolerance" -> Q(asofTolerance, Some(asofToleranceSql)),
+    "join_asof_nearest" -> Q(asofNearest, Some(asofNearestSql)),
     "join_interval_overlap" -> Q(intervalOverlap, Some(intervalOverlapSql)),
     "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
     "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),

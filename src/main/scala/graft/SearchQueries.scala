@@ -478,7 +478,45 @@ object SearchQueries {
       |GROUP BY term, n.n_seed
       |ORDER BY n_shared DESC, term LIMIT 10""".stripMargin
 
+  // ---- search_more_like_this: doc-to-doc retrieval -------------------------
+
+  /** `search_more_like_this`: Lucene's MLT shape — given a SEED document,
+    * rank the corpus by term-frequency HISTOGRAM INTERSECTION with the
+    * seed: score = Σ_t min(tf_seed(t), tf_doc(t)). Exact-integer scoring
+    * with doc_id tie-break — no float at all (on a realistic corpus the
+    * per-term contribution would be idf-discounted like search_bm25; the
+    * candidate-cut plan is identical). The seed's tf profile BROADCASTS,
+    * the (doc,term) aggregate joins it — posting-list work only for the
+    * seed's terms — and one keyed sum ranks. At 100 TB this serves
+    * "related documents" for any probe doc without touching non-matching
+    * postings. */
+  private def searchMoreLikeThis(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d).select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val seed = tf.filter(col("doc_id") === 0)
+      .select(col("term"), col("tf").as("tf_seed"))
+    tf.filter(col("doc_id") =!= 0)
+      .join(broadcast(seed), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(least(col("tf"), col("tf_seed"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val searchMoreLikeThisSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |seed AS (SELECT term, tf AS tf_seed FROM tf WHERE doc_id = 0)
+      |SELECT t.doc_id, CAST(sum(least(t.tf, s.tf_seed)) AS BIGINT) AS score
+      |FROM tf t JOIN seed s USING (term)
+      |WHERE t.doc_id <> 0
+      |GROUP BY t.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "search_more_like_this" -> Q(searchMoreLikeThis, Some(searchMoreLikeThisSql)),
     "index_postings" -> Q(indexPostings, Some(indexPostingsSql)),
     "search_autocomplete" -> Q(searchAutocomplete, Some(searchAutocompleteSql)),
     "search_snippet" -> Q(searchSnippet, Some(searchSnippetSql)),

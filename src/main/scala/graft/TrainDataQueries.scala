@@ -689,8 +689,45 @@ object TrainDataQueries {
 
   // --------------------------------------------------------------------------
 
+  // ---- N8b sample_balanced: class-balanced downsample ----------------------
+
+  /** `sample_balanced`: equalize class sizes by deterministically keeping
+    * the first min-class-count rows of every label (vec_id order) — the
+    * no-RNG form of balanced downsampling a classifier-data prep runs.
+    * One keyed count agg finds the floor (broadcast scalar), one
+    * label-partitioned row_number applies it — a single shuffle on label.
+    * Output is the per-label audit row (kept count + id checksum), not the
+    * corpus (the kept rows are the operator's real output at scale; the
+    * checksum pins WHICH rows were kept, not just how many). */
+  private def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val floor_ = embeddings(s, d).groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("n_floor"))
+    embeddings(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy("vec_id")))
+      .crossJoin(broadcast(floor_))
+      .filter(col("rn") <= col("n_floor"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+      .orderBy("label")
+  }
+
+  private val sampleBalancedSql =
+    """WITH floor_ AS (
+      |  SELECT min(n) AS n_floor FROM
+      |    (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)),
+      |ranked AS (
+      |  SELECT label, vec_id,
+      |         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+      |FROM ranked, floor_ WHERE rn <= n_floor
+      |GROUP BY label ORDER BY label""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "dataset_interleave" -> Q(datasetInterleave, Some(datasetInterleaveSql)),
+    "sample_balanced" -> Q(sampleBalanced, Some(sampleBalancedSql)),
     "decontam_overlap" -> Q(decontamOverlap, Some(decontamOverlapSql)),
     "decontam_bloom" -> Q(decontamBloom, Some(decontamOverlapSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

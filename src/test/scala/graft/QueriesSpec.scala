@@ -333,6 +333,70 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("join_asof_nearest: the pick really is the nearest click, ties backward") {
+    import org.apache.spark.sql.functions._
+    val byUser = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = byUser.values.flatMap { rs =>
+      val clicks = rs.filter(_._3 == "click").map(_._4).sorted
+      rs.filter(_._3 == "purchase").map { p =>
+        val prev = clicks.filter(_ <= p._4).lastOption
+        val next = clicks.find(_ > p._4)
+        val nearest = (prev, next) match {
+          case (Some(b), Some(f)) => Some(if (p._4 - b <= f - p._4) b else f)
+          case (b, f) => b.orElse(f)
+        }
+        p._2 -> nearest
+      }
+    }.toMap
+    val got = Queries.byName("join_asof_nearest").build(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("dq_benford: shares sum to 1 and digits cover 1..9") {
+    val rows = Queries.byName("dq_benford").build(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 9))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) < 0.5))
+  }
+
+  test("sample_balanced: every class kept at exactly the min class size") {
+    import org.apache.spark.sql.functions._
+    val minN = Tables.embeddings(spark, sfDir)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(min("n")).collect()(0).getLong(0)
+    val rows = Queries.byName("sample_balanced").build(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getLong(1) == minN))
+  }
+
+  test("text_collocations: every reported bigram clears the support floor") {
+    val rows = Queries.byName("text_collocations").build(spark, sfDir).collect()
+    assert(rows.length > 0 && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5, s"${r.getString(0)} below support floor")
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
+  test("search_more_like_this: scores bounded by the seed's own token count") {
+    import org.apache.spark.sql.functions._
+    val seedLen = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
+      .select(size(split(lower(col("text")), "\\s+"))).collect()(0).getInt(0)
+    val rows = Queries.byName("search_more_like_this").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) <= seedLen))
+    val scores = rows.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse, "not rank-ordered")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
