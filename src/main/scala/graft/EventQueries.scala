@@ -678,10 +678,87 @@ object EventQueries {
       |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_count
       |FROM daily GROUP BY 1, 2 ORDER BY event_type, isodow""".stripMargin
 
+  // ---- N28e anomaly_seasonal: seasonality-adjusted outliers ----------------
+
+  /** `anomaly_seasonal`: the N28 z-score screen made seasonality-aware —
+    * a day is anomalous only against ITS OWN weekday's distribution
+    * (Mondays vs Mondays), which is what stops the weekly pattern itself
+    * from tripping the alarm. Same exact-integer cross-multiplied test
+    * as anomaly_zscore but at a √2σ threshold — (n·y − Σ)² > 2·(n·Σy² − Σ²)
+    * — grouped by (event_type, isodow): the per-weekday groups hold only a
+    * handful of samples (4-5 days per weekday in a month), so a 2σ bar on
+    * n≈5 has near-zero power; √2σ is the operating point that actually
+    * separates on short seasonal windows. Daily counts are integers so
+    * every term is an exact long. Two keyed aggs on tiny frames; the per-group stats row
+    * broadcasts back onto ≤ one row per (type, day). */
+  private def anomalySeasonal(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", weekday(col("day")) + 1)
+    val stats = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    daily.join(stats, Seq("event_type", "dow"))
+      .filter(col("n") >= 3 &&
+        (col("n") * col("y") - col("sy")) * (col("n") * col("y") - col("sy")) >
+          lit(2) * (col("n") * col("syy") - col("sy") * col("sy")))
+      .select(col("event_type"), col("day"), col("dow"), col("y"))
+      .orderBy("event_type", "day")
+  }
+
+  private val anomalySeasonalSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT event_type, day, y,
+      |              CAST(isodow(day) AS INTEGER) AS dow FROM daily),
+      |stats AS (
+      |  SELECT event_type, dow, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+      |  FROM dd GROUP BY 1, 2)
+      |SELECT d.event_type, d.day, d.dow, d.y
+      |FROM dd d JOIN stats s ON d.event_type = s.event_type AND d.dow = s.dow
+      |WHERE s.n >= 3
+      |  AND (s.n * d.y - s.sy) * (s.n * d.y - s.sy)
+      |      > 2 * (s.n * s.syy - s.sy * s.sy)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  // ---- N27b growth_cumulative_users: distinct-growth curve -----------------
+
+  /** `growth_cumulative_users`: the product growth curve — per day, how many
+    * users appeared for the FIRST time and the running distinct-user total.
+    * A naive per-day COUNT(DISTINCT ... WHERE ts <= day) rescans the fact
+    * per day; this is the linear form: one keyed min-agg (first-seen day
+    * per user), one per-day count, one prefix sum over the DAY AXIS — a
+    * window over ≤ one row per day, thousands of rows at any corpus scale,
+    * irrelevant to shuffle cost. All integers. */
+  private def growthCumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events(s, d)
+      .groupBy("user_id").agg(to_date(min(col("ts"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy("day")
+  }
+
+  private val growthCumulativeUsersSql =
+    """WITH first_seen AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY 1),
+      |per_day AS (SELECT day, count(*) AS n_new FROM first_seen GROUP BY 1)
+      |SELECT day, n_new,
+      |       CAST(sum(n_new) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_users
+      |FROM per_day ORDER BY day""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "ts_theil_sen" -> Q(tsTheilSen, Some(tsTheilSenSql)),
     "ts_seasonal_profile" -> Q(tsSeasonalProfile, Some(tsSeasonalProfileSql)),
+    "anomaly_seasonal" -> Q(anomalySeasonal, Some(anomalySeasonalSql)),
+    "growth_cumulative_users" -> Q(growthCumulativeUsers, Some(growthCumulativeUsersSql)),
     "event_pattern_match" -> Q(eventPatternMatch, Some(eventPatternMatchSql)),
     "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),

@@ -300,9 +300,75 @@ object GraphQueries {
       |       min(deg) AS min_deg, max(deg) AS max_deg
       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---- N31f graph_assortativity: degree-degree correlation -----------------
+
+  /** `graph_assortativity`: Newman's degree assortativity — the Pearson
+    * correlation of endpoint degrees over every edge (both orientations,
+    * the standard undirected convention). Positive = hubs link hubs
+    * (social), negative = hub-and-spoke (technological). Degrees are
+    * integer; all five Pearson moments are exact LONG sums over the
+    * AGGREGATED graph's edges, so the only float math is the final
+    * covariance/variance division (rounded 6 dp) — the ts_autocorr recipe
+    * applied edge-wise. Runs on the strong-tie graph (the near-complete
+    * full graph has ~constant degrees — zero variance, undefined r).
+    * Plan: degree agg + two broadcast joins onto the edge list + one
+    * scalar agg; never fact-scale after [[tradeEdges]]. */
+  private def assortativity(s: SparkSession, d: String): DataFrame = {
+    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .crossJoin(broadcast(total))
+      .filter(col("w") * 400 >= col("n_fact"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    adj
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("dx"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dy"))), "v")
+      .agg(count(lit(1)).as("n_ends"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n_ends"),
+        round((col("n_ends") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_ends") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_ends") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("assortativity"))
+  }
+
+  private val assortativitySql =
+    """WITH raw AS (
+      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+      |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
+      |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
+      |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY 1),
+      |m AS (
+      |  SELECT count(*) AS n_ends,
+      |         sum(a.deg) AS sx, sum(b.deg) AS sy,
+      |         sum(a.deg * b.deg) AS sxy,
+      |         sum(a.deg * a.deg) AS sxx, sum(b.deg * b.deg) AS syy
+      |  FROM adj JOIN deg a ON adj.u = a.node JOIN deg b ON adj.v = b.node)
+      |SELECT CAST(n_ends AS BIGINT) AS n_ends,
+      |       round(CAST(n_ends * sxy - sx * sy AS DOUBLE) /
+      |             (sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE)) *
+      |              sqrt(CAST(n_ends * syy - sy * sy AS DOUBLE))), 6)
+      |         AS assortativity
+      |FROM m""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "graph_common_neighbors" -> Q(commonNeighbors, Some(commonNeighborsSql)),
     "graph_degree_histogram" -> Q(degreeHistogram, Some(degreeHistogramSql)),
+    "graph_assortativity" -> Q(assortativity, Some(assortativitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),
     "graph_bfs" -> Q(bfs, Some(bfsSql)))

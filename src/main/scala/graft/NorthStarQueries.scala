@@ -654,6 +654,58 @@ object NorthStarQueries {
       |    (t, i) -> i * (37 * length(t) + ascii(t)))) % 1000000007 AS BIGINT) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** `doc_winnowing`: winnowing fingerprint selection (the MOSS
+    * plagiarism-detection algorithm, Schleimer et al. 2003) — hash every
+    * 3-token gram, slide a 4-gram window, keep each window's MINIMUM hash:
+    * the selected set is position-robust (guaranteed to share fingerprints
+    * with any copy that overlaps by a window) and ~1/4 the gram count.
+    * The gram hash is the portable integer polynomial of doc_fingerprint
+    * (37·len+ascii per token, Horner ×31 over the gram) — no engine hash
+    * functions, so DuckDB replays it exactly. Pure per-row array math, no
+    * shuffle; output = per-doc fingerprint count + checksum (the set's
+    * identity, not just its size). */
+  private def docWinnowing(s: SparkSession, d: String): DataFrame =
+    docWinnowingOf(documents(s, d))
+
+  private[graft] def docWinnowingOf(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), "\\s+")
+    val h = transform(tk, t => length(t).cast("long") * 37L + ascii(t))
+    val grams = when(size(h) >= 3,
+      transform(sequence(lit(1), size(h) - 2), i =>
+        (element_at(h, i) * 31L + element_at(h, i + 1)) * 31L +
+          element_at(h, i + 2)))
+      .otherwise(array().cast("array<bigint>"))
+    docs
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        when(size(col("g")) >= 4,
+          array_distinct(transform(sequence(lit(1), size(col("g")) - 3), j =>
+            array_min(slice(col("g"), j, lit(4))))))
+          .otherwise(array_distinct(col("g"))).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        aggregate(col("fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
+  private val docWinnowingSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |h AS (SELECT doc_id,
+      |        list_transform(tk, x -> 37 * length(x) + ascii(x)) AS h FROM t),
+      |g AS (SELECT doc_id,
+      |        list_transform(range(1, len(h) - 1), i ->
+      |          (h[CAST(i AS INTEGER)] * 31 + h[CAST(i AS INTEGER) + 1]) * 31
+      |           + h[CAST(i AS INTEGER) + 2]) AS g
+      |      FROM h),
+      |w AS (SELECT doc_id,
+      |        CASE WHEN len(g) >= 4 THEN
+      |          list_distinct(list_transform(range(1, len(g) - 2), j ->
+      |            list_min(g[CAST(j AS INTEGER):CAST(j AS INTEGER) + 3])))
+      |        ELSE list_distinct(g) END AS fp
+      |      FROM g)
+      |SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fp,
+      |       CAST(list_sum(fp) AS BIGINT) AS fp_sum
+      |FROM w ORDER BY doc_id""".stripMargin
+
   // ---- training-pipeline text ops ------------------------------------------
 
   /** LLM-style document chunking: token windows of 32 with stride 24
@@ -1110,6 +1162,7 @@ object NorthStarQueries {
     "lang_id" -> Q(langId, Some(langIdSql)),
     "quality_score" -> Q(qualityScore, Some(qualityScoreSql)),
     "doc_fingerprint" -> Q(docFingerprint, Some(docFingerprintSql)),
+    "doc_winnowing" -> Q(docWinnowing, Some(docWinnowingSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
     "multimodal_frames" -> Q(multimodalFrames, Some(multimodalFramesSql)),
     "text_chunking" -> Q(textChunking, Some(textChunkingSql)),

@@ -515,8 +515,46 @@ object SearchQueries {
       |WHERE t.doc_id <> 0
       |GROUP BY t.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---- search_prf_expand: pseudo-relevance feedback ------------------------
+
+  /** `search_prf_expand`: Rocchio-style pseudo-relevance feedback — run the
+    * fixed query through BM25, take the top-10 docs AS IF relevant, and
+    * rank the terms those docs add (query terms excluded) as expansion
+    * candidates. Expansion ranking is exact-integer (feedback-set df, then
+    * collection tf, then term) — the libm-sensitive part is confined to the
+    * already-proven BM25 stage. Plan: the top-10 doc list BROADCASTS back
+    * onto the (doc,term) aggregate, so expansion costs one semi join + one
+    * keyed count over ten documents' terms — independent of corpus size. */
+  private def searchPrfExpand(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val top = searchBm25Of(docs).select("doc_id")
+    docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(top), Seq("doc_id"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df_top"), sum("tf").as("cf_top"))
+      .orderBy(col("df_top").desc, col("cf_top").desc, col("term"))
+      .limit(10)
+  }
+
+  private val searchPrfExpandSql =
+    s"""WITH topdocs AS (
+       |  SELECT doc_id FROM ($searchBm25Sql)),
+       |tf_all AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT term, count(*) AS df_top, CAST(sum(tf) AS BIGINT) AS cf_top
+       |FROM tf_all JOIN topdocs USING (doc_id)
+       |WHERE term NOT IN ('spark', 'join', 'stream')
+       |GROUP BY term
+       |ORDER BY df_top DESC, cf_top DESC, term LIMIT 10""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "search_more_like_this" -> Q(searchMoreLikeThis, Some(searchMoreLikeThisSql)),
+    "search_prf_expand" -> Q(searchPrfExpand, Some(searchPrfExpandSql)),
     "index_postings" -> Q(indexPostings, Some(indexPostingsSql)),
     "search_autocomplete" -> Q(searchAutocomplete, Some(searchAutocompleteSql)),
     "search_snippet" -> Q(searchSnippet, Some(searchSnippetSql)),

@@ -397,6 +397,69 @@ class QueriesSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse, "not rank-ordered")
   }
 
+  test("anomaly_seasonal: every flagged day clears the sqrt(2)-sigma test in its weekday group") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val flagged = Queries.byName("anomaly_seasonal").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate)).toSet
+    val byGroup = daily.groupBy(r => (r._1, r._2.getDayOfWeek.getValue))
+    var anyFlag = false
+    byGroup.foreach { case ((t, _), rs) if rs.length >= 3 =>
+      val n = rs.length
+      val sy = rs.map(_._3).sum
+      val syy = rs.map(r => r._3 * r._3).sum
+      rs.foreach { r =>
+        val lhs = (n * r._3 - sy) * (n * r._3 - sy)
+        val isOut = lhs > 2 * (n * syy - sy * sy)
+        if (isOut) anyFlag = true
+        assert(flagged.contains((t, r._2)) == isOut,
+          s"flag mismatch for ($t, ${r._2})")
+      }
+    case _ =>
+    }
+    assert(anyFlag, "screen should flag at least one day on this corpus")
+  }
+
+  test("growth_cumulative_users: final cumulative equals total distinct users") {
+    val rows = Queries.byName("growth_cumulative_users").build(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.last.getLong(2) == total)
+    assert(rows.map(_.getLong(1)).sum == total, "daily new-user counts must sum to total")
+    val cums = rows.map(_.getLong(2)).toSeq
+    assert(cums == cums.sorted, "cumulative must be monotone")
+  }
+
+  test("graph_assortativity: r in [-1, 1] on the strong-tie graph") {
+    val rows = Queries.byName("graph_assortativity").build(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows(0).getDouble(1)
+    assert(r >= -1.0 && r <= 1.0, s"assortativity $r out of range")
+  }
+
+  test("search_prf_expand: expansion terms exclude the query and come from top docs") {
+    val terms = Queries.byName("search_prf_expand").build(spark, sfDir).collect()
+      .map(_.getString(0))
+    assert(terms.nonEmpty && terms.length <= 10)
+    Seq("spark", "join", "stream").foreach(q =>
+      assert(!terms.contains(q), s"query term $q leaked into expansion"))
+  }
+
+  test("doc_winnowing: fingerprint sets shrink the gram count and copies share them") {
+    import spark.implicits._
+    // identical docs -> identical fingerprints; a shifted copy still overlaps
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((100L, text), (200L, text), (300L, "pre1 pre2 " + text))
+      .toDF("doc_id", "text")
+    val fp = NorthStarQueries.docWinnowingOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(fp(100L) == fp(200L), "identical docs must fingerprint identically")
+    assert(fp(100L)._1 > 0)
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
