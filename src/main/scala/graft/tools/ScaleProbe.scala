@@ -417,6 +417,85 @@ object ScaleProbe {
     def rangeBucketed(ev: DataFrame): Long =
       RelationalQueries.windowRangeFrameBucketedOf(ev).queryExecution.toRdd.count()
 
+
+    // r07l additions (continuation session). Blocked kNN join: blocks grow
+    // in COUNT (per-replica label remap — the IVF-cell operating mode:
+    // k ∝ n keeps block size fixed), so pair work is linear, never
+    // corpus². Containment: dup families stay 25 docs per replica under
+    // the text salt, candidates never cross replicas. Interleave: probed
+    // as its SCALE PATH — the distributed range sort of the virtual-time
+    // schedule (the registry's row_number form is the bounded-output
+    // flavor; global_rownum proves the offset technique). Nearest as-of:
+    // one user-keyed window pass, both sides growing. Pattern match: same
+    // window geometry. Winnowing: pure per-row array math — must track
+    // the scan exactly. RFM: three ntile windows over the CUSTOMER
+    // aggregate (not the fact) — linear until customers outgrow one sort
+    // task, then the documented quantile-cut path takes over.
+    import org.apache.spark.sql.expressions.{Window => W7}
+    val eBlkN = amplify(e1, Seq("vec_id"), factor)
+      .withColumn("label",
+        col("label") + (col("vec_id") / 100000000L).cast("int") * 100)
+      .localCheckpoint()
+    def knnBlocked(e: DataFrame): Long = {
+      val a = e.select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
+      val b = e.select(col("label"), col("vec_id").as("nid"), col("embedding").as("cv"))
+      val w = W7.partitionBy("qid").orderBy(col("c").desc, col("nid"))
+      a.join(b, Seq("label")).filter(col("qid") =!= col("nid"))
+        .withColumn("c", VectorOps.cosine(col("qv"), col("cv")))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 3).count()
+    }
+    def containment(docs: DataFrame): Long =
+      graft.ops.DedupOps.containmentPairs(
+        docs.filter(regexp_like(col("text"), lit("\\bdup\\b"))),
+        Long.MaxValue, 0.9).count()
+    def interleaveSort(docs: DataFrame): Long = {
+      val wSrc = W7.partitionBy("source").orderBy("doc_id")
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("w", when(col("doc_id") % 2 === 0, 2.0d).otherwise(1.0d))
+        .withColumn("i", row_number().over(wSrc))
+        .withColumn("v", (col("i") - lit(0.5d)) / col("w"))
+        .orderBy("v", "source", "doc_id")
+        .queryExecution.toRdd.count()
+    }
+    def asofNearestW(ev: DataFrame): Long = {
+      val e = ev.filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "click", unix_micros(col("ts"))).as("cus"))
+      val w = W7.partitionBy("user_id")
+        .orderBy(col("us"), when(col("event_type") === "click", 0).otherwise(1))
+      e.withColumn("p", last(col("cus"), ignoreNulls = true)
+          .over(w.rowsBetween(W7.unboundedPreceding, -1)))
+        .withColumn("nx", first(col("cus"), ignoreNulls = true)
+          .over(w.rowsBetween(1, W7.unboundedFollowing)))
+        .filter(col("event_type") === "purchase").count()
+    }
+    def patternMatch(ev: DataFrame): Long = {
+      val w = W7.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .withColumn("ts3", lead("ts", 2).over(w))
+        .filter(col("event_type") === "view" && col("t2") === "click" &&
+          col("t3") === "purchase" &&
+          col("ts3") <= col("ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(to_date(col("ts"))).count().count()
+    }
+    def winnow(docs: DataFrame): Long =
+      graft.NorthStarQueries.docWinnowingOf(docs).queryExecution.toRdd.count()
+    def rfm(o: DataFrame): Long = {
+      val mx = o.agg(max("o_orderdate").as("dmax"))
+      val per = o.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_day"), count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).as("spend"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency", datediff(col("dmax"), col("last_day")))
+      per.withColumn("r", ntile(4).over(W7.orderBy(col("recency"), col("o_custkey"))))
+        .withColumn("f", ntile(4).over(W7.orderBy(col("n_orders").desc, col("o_custkey"))))
+        .withColumn("m", ntile(4).over(W7.orderBy(col("spend").desc, col("o_custkey"))))
+        .groupBy("r", "f", "m").agg(count(lit(1))).count()
+    }
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
@@ -429,6 +508,8 @@ object ScaleProbe {
     pearson(li1); spearman(li1); winsor(o1); reservoir(d1); entropy(d1); q18(li1, o1, c1)
     idxBuild(d1); bm25(d1); bm25Batch(d1); phrase(d1); idxMerge(d1); shard(d1)
     rangeNaive(ev1); rangeBucketed(ev1)
+    knnBlocked(e1); containment(d1); interleaveSort(d1); asofNearestW(ev1)
+    patternMatch(ev1); winnow(d1); rfm(o1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -524,6 +605,20 @@ object ScaleProbe {
         time(rangeNaive(ev1)), time(rangeNaive(evN))),
       ("range frame bucketed (types x 6h-buckets + boundary carry)",
         time(rangeBucketed(ev1)), time(rangeBucketed(evN))),
+      ("blocked knn join (blocks grow in count)",
+        time(knnBlocked(e1)), time(knnBlocked(eBlkN))),
+      ("containment pairs (salted dup families)",
+        time(containment(d1)), time(containment(dSN))),
+      ("interleave schedule (distributed range sort)",
+        time(interleaveSort(d1)), time(interleaveSort(dN))),
+      ("nearest as-of (one window pass, both sides grow)",
+        time(asofNearestW(ev1)), time(asofNearestW(evN))),
+      ("sequence pattern match (2 leads + rollup)",
+        time(patternMatch(ev1)), time(patternMatch(evN))),
+      ("winnowing fingerprints (per-row array math)",
+        time(winnow(d1)), time(winnow(dN))),
+      ("rfm segmentation (ntile over customer aggregate)",
+        time(rfm(o1)), time(rfm(oN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
