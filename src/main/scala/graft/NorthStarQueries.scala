@@ -706,6 +706,91 @@ object NorthStarQueries {
       |       CAST(list_sum(fp) AS BIGINT) AS fp_sum
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** N4e `multimodal_frame_dedup`: cross-video frame dedup — the repeated
+    * intro/credits/watermark detector. Every frame reduces to its integer
+    * fingerprint map-side ([[graft.ops.MultimodalOps.frameFingerprints]] —
+    * fake codec, real pipeline), then ONE keyed agg on fp finds fingerprints
+    * shared by ≥ 2 videos; the representative is the packed min
+    * (doc_id·10⁶ + frame_idx) — a pure integer min, no argmin tie
+    * ambiguity. Payload bytes never shuffle: 256 bytes → one long before
+    * the exchange, the same contract as scene segmentation. */
+  private def multimodalFrameDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        lit("video/fake").as("mime")).as[graft.ops.MultimodalOps.MediaRow]
+    graft.ops.MultimodalOps.frameFingerprints(
+      graft.ops.MultimodalOps.sampleFrames(media, 1)).toDF()
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct("doc_id").as("n_docs"),
+        min(col("doc_id") * 1000000L + col("frame_idx")).as("rep"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
+  }
+
+  private val multimodalFrameDedupSql =
+    """WITH media AS (
+      |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+      |idx AS (
+      |  SELECT doc_id, text, unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS fi
+      |  FROM media),
+      |frames AS (
+      |  SELECT doc_id, fi,
+      |         substring(text, CAST(fi * 256 + 1 AS INTEGER), 256) AS payload
+      |  FROM idx),
+      |chars AS (
+      |  SELECT doc_id, fi, payload,
+      |         unnest(range(CAST(strlen(payload) AS BIGINT))) AS ci
+      |  FROM frames),
+      |fps AS (
+      |  SELECT doc_id, fi,
+      |         (SUM(ord(substring(payload, CAST(ci + 1 AS INTEGER), 1))) * 1000)
+      |           // count(*) AS fp
+      |  FROM chars GROUP BY 1, 2)
+      |SELECT fp, count(*) AS n_frames,
+      |       count(DISTINCT doc_id) AS n_docs,
+      |       CAST(min(doc_id * 1000000 + fi) AS BIGINT) AS rep
+      |FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY fp""".stripMargin
+
+  /** N39 `text_novelty`: temporal novelty scoring — the share of a doc's
+    * distinct 3-grams whose FIRST corpus occurrence (min doc_id over
+    * holders) is the doc itself. Low novelty = the doc re-hashes earlier
+    * content; the memorization/recency screen a curriculum builder runs
+    * when doc_id order is ingest order. Two keyed aggs on the gram key
+    * (first-holder, then join back — the gram never carries text, only its
+    * string key) + one per-doc count; share is a single exact-long
+    * division rounded 6 dp. */
+  private def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = fanOut(documents(s, d))
+      .select(col("doc_id"),
+        explode(array_distinct(TrainDataQueries.gramsOf(col("text"), 3))).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val textNoveltySql =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS g
+      |  FROM toksrc),
+      |first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+      |SELECT gr.doc_id, count(*) AS n_grams,
+      |  round(CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |        AS DOUBLE) / count(*), 6) AS novelty
+      |FROM grams gr JOIN first f USING (g)
+      |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin
+
   // ---- training-pipeline text ops ------------------------------------------
 
   /** LLM-style document chunking: token windows of 32 with stride 24
@@ -1138,6 +1223,8 @@ object NorthStarQueries {
 
   def all: Seq[(String, Q)] = Seq(
     "multimodal_video_scenes" -> Q(multimodalScenes, Some(multimodalScenesSql)),
+    "multimodal_frame_dedup" -> Q(multimodalFrameDedup, Some(multimodalFrameDedupSql)),
+    "text_novelty" -> Q(textNovelty, Some(textNoveltySql)),
     "multimodal_audio_chunks" -> Q(multimodalAudioChunks, Some(multimodalAudioChunksSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
     "dedup_minhash" -> Q(dedupMinhash, None),

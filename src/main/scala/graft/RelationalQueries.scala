@@ -569,6 +569,42 @@ object RelationalQueries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** A11 `agg_gini`: Gini coefficient of per-customer spend — the
+    * concentration number behind every domain-cap / anti-domination
+    * decision (how unequal is the corpus across its contributors?). Spend
+    * is exact integer cents; with ranks i over the total order (spend,
+    * custkey) the estimator G = (2·Σi·x − (n+1)·Σx) / (n·Σx) is EXACT
+    * integer arithmetic until one final division (tie order can't matter:
+    * equal x under permuted i leaves Σi·x unchanged). The rank window runs
+    * on the CUSTOMER aggregate, not the fact — one fact shuffle, one
+    * aggregate-sized sort (range-partitioned + offsets at scale). */
+  private def aggGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg((sum(Det.dec(col("o_totalprice"))) * 100).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+  }
+
+  private val aggGiniSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      |  FROM per),
+      |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       round(CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+      |             CAST(n * sx AS DOUBLE), 6) AS gini
+      |FROM m""".stripMargin
+
   /** A9 `agg_skewness`: third-moment distribution shape per group, computed
     * ENTIRELY from exact power sums — the float-stddev trap (anomaly_zscore's
     * Scaladoc) applies twice as hard to the third moment, so the estimator
@@ -2043,6 +2079,7 @@ object RelationalQueries {
     "agg_group_count" -> Q(aggGroupCount, Some(aggGroupCountSql)),
     "agg_mode" -> Q(aggMode, Some(aggModeSql)),
     "agg_skewness" -> Q(aggSkewness, Some(aggSkewnessSql)),
+    "agg_gini" -> Q(aggGini, Some(aggGiniSql)),
     "rfm_segments" -> Q(rfmSegments, Some(rfmSegmentsSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
     "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),

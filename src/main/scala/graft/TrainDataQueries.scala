@@ -725,9 +725,52 @@ object TrainDataQueries {
       |FROM ranked, floor_ WHERE rn <= n_floor
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- N10c dataset_token_budget: budgeted greedy selection ----------------
+
+  /** `dataset_token_budget`: greedy selection under a token budget — rank
+    * docs longest-first (n_tokens desc, doc_id — a total order) and keep
+    * while the RUNNING token total stays within budget B = total/4, the
+    * "best docs until the budget runs out" cut every fixed-size training
+    * mix makes. The budget is scale-proportional (an exact integer
+    * comparison 4·cum ≤ total — no division), so the query is meaningful
+    * at any SF. The prefix sum runs over the per-doc AGGREGATE in one
+    * global sort (range-partitioned at scale + the global_rownum offset
+    * technique); output is the per-source audit of what survived. */
+  private def datasetTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val total = per.agg(sum("n_tok").as("total_tok"))
+    per.crossJoin(broadcast(total))
+      .withColumn("cum", sum("n_tok").over(w))
+      .filter(col("cum") * 4 <= col("total_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val datasetTokenBudgetSql =
+    """WITH per AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT sum(n_tok) AS total_tok FROM per),
+      |ranked AS (
+      |  SELECT doc_id, source, n_tok,
+      |         sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM per)
+      |SELECT source, count(*) AS n_kept,
+      |       CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+      |FROM ranked, tot WHERE cum * 4 <= total_tok
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "dataset_interleave" -> Q(datasetInterleave, Some(datasetInterleaveSql)),
     "sample_balanced" -> Q(sampleBalanced, Some(sampleBalancedSql)),
+    "dataset_token_budget" -> Q(datasetTokenBudget, Some(datasetTokenBudgetSql)),
     "decontam_overlap" -> Q(decontamOverlap, Some(decontamOverlapSql)),
     "decontam_bloom" -> Q(decontamBloom, Some(decontamOverlapSql)),
     "sample_stratified" -> Q(sampleStratified, Some(sampleStratifiedSql)),

@@ -460,6 +460,55 @@ class QueriesSpec extends SparkSpec {
     assert(fp(100L)._1 > 0)
   }
 
+  test("agg_gini: 0 on equal values, 1-1/n shape on total concentration") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def gini(xs: Seq[Long]): Double = {
+      val sorted = xs.sorted
+      val n = sorted.length.toLong
+      val sx = sorted.sum
+      val six = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (2.0 * six - (n + 1) * sx) / (n.toDouble * sx)
+    }
+    val rows = Queries.byName("agg_gini").build(spark, sfDir).collect()
+    val g = rows(0).getDouble(1)
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    // driver-side reference on the same data
+    val spends = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")) * 100).cast("long").as("x"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(math.abs(g - gini(spends)) < 1e-5)
+  }
+
+  test("dataset_token_budget: kept tokens stay within a quarter of the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.byName("dataset_token_budget").build(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir)
+      .select(size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept * 4 <= total, s"budget exceeded: $kept of $total")
+    assert(kept > 0)
+  }
+
+  test("text_novelty: shares in [0,1]; the corpus-min doc is fully novel") {
+    val rows = Queries.byName("text_novelty").build(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    val firstDoc = rows.map(_.getLong(0)).min
+    val firstNovelty = rows.find(_.getLong(0) == firstDoc).get.getDouble(2)
+    assert(firstNovelty == 1.0, s"earliest doc must be 100% novel, got $firstNovelty")
+  }
+
+  test("multimodal_frame_dedup: families really span 2+ docs") {
+    val rows = Queries.byName("multimodal_frame_dedup").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2, "single-doc fingerprint leaked")
+      assert(r.getLong(1) >= r.getLong(2), "frame count below doc count")
+    }
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
