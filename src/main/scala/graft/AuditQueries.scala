@@ -786,7 +786,70 @@ object AuditQueries {
       |       round(log10(1.0 + 1.0 / digit), 6) AS benford
       |FROM d ORDER BY digit""".stripMargin
 
+  // ---- N35m dq_referential: cross-table integrity audit --------------------
+
+  /** `dq_referential`: the FK-integrity audit a load pipeline runs across
+    * the star schema — orphan counts for every declared relationship
+    * (lineitem→orders, lineitem→part, lineitem→supplier, orders→customer)
+    * plus each parent key's duplicate count, as one labeled report. Each
+    * orphan check is ONE left-anti join on the key (the child shuffles
+    * once; the parent key set is dim-sized or shares the child's
+    * partitioning); each uniqueness check is one keyed count on the
+    * parent. Labeled single-row results union into the report — the same
+    * audit-report shape as dq_expectations, extended across tables. */
+  private[graft] def fkOrphans(name: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk)).join(parent.select(col(pk)),
+          col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit(name).as("chk"), col("n_bad"))
+
+  private[graft] def pkDups(name: String, parent: DataFrame, pk: String): DataFrame =
+      parent.groupBy(col(pk)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad"))
+        .select(lit(name).as("chk"), col("n_bad"))
+
+  private def dqReferential(s: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String) = fkOrphans(name, child, fk, parent, pk)
+    def dups(name: String, parent: DataFrame, pk: String) = pkDups(name, parent, pk)
+    orphans("lineitem_orders_fk", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey")
+      .unionAll(orphans("lineitem_part_fk", lineitem(s, d), "l_partkey",
+        part(s, d), "p_partkey"))
+      .unionAll(orphans("lineitem_supplier_fk", lineitem(s, d), "l_suppkey",
+        supplier(s, d), "s_suppkey"))
+      .unionAll(orphans("orders_customer_fk", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"))
+      .unionAll(dups("orders_pk_unique", orders(s, d), "o_orderkey"))
+      .unionAll(dups("customer_pk_unique", customer(s, d), "c_custkey"))
+      .orderBy("chk")
+  }
+
+  private val dqReferentialSql =
+    """SELECT chk, CAST(n_bad AS BIGINT) AS n_bad FROM (
+      |SELECT 'lineitem_orders_fk' AS chk, count(*) AS n_bad FROM lineitem
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem_part_fk', count(*) FROM lineitem
+      |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem_supplier_fk', count(*) FROM lineitem
+      |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      |UNION ALL
+      |SELECT 'orders_customer_fk', count(*) FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |UNION ALL
+      |SELECT 'orders_pk_unique', coalesce(sum(c - 1), 0) FROM
+      |  (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'customer_pk_unique', coalesce(sum(c - 1), 0) FROM
+      |  (SELECT c_custkey, count(*) AS c FROM customer GROUP BY 1 HAVING count(*) > 1))
+      |ORDER BY chk""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "dq_referential" -> Q(dqReferential, Some(dqReferentialSql)),
     "dq_benford" -> Q(dqBenford, Some(dqBenfordSql)),
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "dq_expectations" -> Q(dqExpectations, Some(dqExpectationsSql)),

@@ -158,7 +158,98 @@ object ClusterQueries {
        |FROM m GROUP BY cid, vec_b
        |ORDER BY cid, vec_id""".stripMargin
 
+  // ---- N29b embedding_pca_power: top principal direction -------------------
+
+  /** `embedding_pca_power`: the corpus's top principal direction by POWER
+    * ITERATION — two rounds of x ← normalize(Gx) — without ever
+    * materializing the d×d gramian: G·x = Σ_v v·(vᵀx), so each round is
+    * one map-side dot per vector plus ONE keyed agg over (dimension) — the
+    * classic distributed PCA step (embedding-drift monitoring, whitening,
+    * projection pruning all start here). Determinism recipe: the per-row
+    * dot is the proven left fold; each contribution lands as an exact
+    * 6-dp-scaled long (floor(x·1e6+0.5), the CentroidAgg idiom) so the
+    * per-dimension sums are order-independent; normalization divides the
+    * exact sums by sqrt(ΣL²) held in DECIMAL (long² overflows). Only k·1
+    * vectors (the 64 loadings) reach the driver between rounds — the
+    * kmeansLloyd sync contract. Oracle = scripted two-round CTE chain
+    * replaying the identical arithmetic. Sign is pinned by the positive
+    * start vector (x₀ = 1/8 on every axis). */
+  private def embeddingPcaPower(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DecimalType
+    val e = fanOut(embeddings(s, d))
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def contribs(xs: Seq[Double]): DataFrame = {
+      val xCol = array(xs.map(lit): _*)
+      val sCol = aggregate(
+        zip_with(col("embedding"), xCol, (a: Column, b: Column) =>
+          a.cast("double") * b),
+        lit(0.0d), (acc: Column, v: Column) => acc + v)
+      e.withColumn("s", sCol)
+        .select(posexplode(transform(col("embedding"), (a: Column) =>
+          floor(a.cast("double") * col("s") * lit(1000000.0d) + lit(0.5d))
+            .cast("long"))))
+        .select((col("pos") + 1).as("i"), col("col").as("l"))
+        .groupBy("i").agg(sum("l").as("L"))
+    }
+    def roundHalfUp6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // round 1: driver sync of the 64 loadings (aggregate-sized, like
+    // kmeansLloyd's centroids) — arithmetic identical to the oracle's CTE
+    val d1 = contribs(Seq.fill(Dim)(0.125)).collect()
+      .map(r => r.getAs[Any]("i").toString.toInt -> r.getLong(1)).sortBy(_._1)
+    val nn1 = d1.map { case (_, l) => BigInt(l) * BigInt(l) }.sum
+    val x1 = d1.map { case (_, l) =>
+      roundHalfUp6(l.toDouble / math.sqrt(nn1.toDouble)) }
+    // round 2: final normalize stays in-plan
+    val perDim2 = contribs(x1.toSeq)
+    val norm2 = perDim2.agg(
+      sum((col("L").cast(DecimalType(38, 0)) * col("L")).cast(DecimalType(38, 0)))
+        .as("nn"))
+    perDim2.crossJoin(broadcast(norm2))
+      .select(col("i").cast("int").as("dim"),
+        round(col("L").cast("double") / sqrt(col("nn").cast("double")), 6)
+          .as("loading"))
+      .orderBy("dim")
+  }
+
+  private val embeddingPcaPowerSql =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |s1 AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * 0.125), (u, w) -> u + w) AS s
+      |  FROM e),
+      |c1 AS (
+      |  SELECT unnest(list_transform(embedding, (x, i) -> {'i': i,
+      |    'l': CAST(floor(CAST(x AS DOUBLE) * s * 1000000 + 0.5) AS BIGINT)}))
+      |    AS u
+      |  FROM s1),
+      |d1 AS (SELECT u.i AS i, SUM(u.l) AS L FROM c1 GROUP BY 1),
+      |n1 AS (SELECT SUM(L * L) AS nn FROM d1),
+      |x1 AS (SELECT i, round(CAST(L AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 6)
+      |         AS x FROM d1, n1),
+      |xl AS (SELECT list(x ORDER BY i) AS xs FROM x1),
+      |s2 AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding,
+      |      (x, i) -> CAST(x AS DOUBLE) * xs[CAST(i AS INTEGER)]),
+      |      (u, w) -> u + w) AS s
+      |  FROM e, xl),
+      |c2 AS (
+      |  SELECT unnest(list_transform(embedding, (x, i) -> {'i': i,
+      |    'l': CAST(floor(CAST(x AS DOUBLE) * s * 1000000 + 0.5) AS BIGINT)}))
+      |    AS u
+      |  FROM s2),
+      |d2 AS (SELECT u.i AS i, SUM(u.l) AS L FROM c2 GROUP BY 1),
+      |n2 AS (SELECT SUM(L * L) AS nn FROM d2)
+      |SELECT CAST(i AS INTEGER) AS dim,
+      |       round(CAST(L AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 6) AS loading
+      |FROM d2, n2 ORDER BY dim""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "kmeans_assign" -> Q(kmeansAssign, Some(kmeansAssignSql)),
+    "embedding_pca_power" -> Q(embeddingPcaPower, Some(embeddingPcaPowerSql)),
     "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)))
 }

@@ -753,12 +753,52 @@ object EventQueries {
       |         AS cum_users
       |FROM per_day ORDER BY day""".stripMargin
 
+  // ---- N26d window_streaks: consecutive-day engagement streaks -------------
+
+  /** `window_streaks`: longest consecutive-DAY activity streak per user,
+    * reported as the streak-length histogram — the engagement/retention
+    * cut that sessionize (time-gap islands) doesn't answer. Classic
+    * gaps-and-islands on the calendar: distinct (user, day) → island id =
+    * epoch_day − row_number (constant within a consecutive run — pure
+    * integer arithmetic), then three keyed aggs that all reuse the
+    * user_id shuffle (streak length → per-user max → histogram). The fact
+    * reduces to ≤ one row per (user, day) in the first agg. */
+  private def windowStreaks(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ed")
+    val days = events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("ed"))
+      .distinct()
+    days
+      .withColumn("grp", col("ed") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("best"))
+      .groupBy("best").agg(count(lit(1)).as("n_users"))
+      .orderBy("best")
+  }
+
+  private val windowStreaksSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |         ed - row_number() OVER (PARTITION BY user_id ORDER BY ed) AS grp
+      |  FROM days),
+      |runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2),
+      |best AS (SELECT user_id, max(len) AS best FROM runs GROUP BY 1)
+      |SELECT best, count(*) AS n_users FROM best
+      |GROUP BY best ORDER BY best""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "ts_theil_sen" -> Q(tsTheilSen, Some(tsTheilSenSql)),
     "ts_seasonal_profile" -> Q(tsSeasonalProfile, Some(tsSeasonalProfileSql)),
     "anomaly_seasonal" -> Q(anomalySeasonal, Some(anomalySeasonalSql)),
     "growth_cumulative_users" -> Q(growthCumulativeUsers, Some(growthCumulativeUsersSql)),
+    "window_streaks" -> Q(windowStreaks, Some(windowStreaksSql)),
     "event_pattern_match" -> Q(eventPatternMatch, Some(eventPatternMatchSql)),
     "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),

@@ -1596,6 +1596,49 @@ object RelationalQueries {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** `tpch_q10`: the returned-item-report flagship — revenue lost to
+    * returns per customer in a date quarter, top-20. Adapted to the
+    * testdata's columns (nation attached by c_nationkey; no
+    * phone/acctbal). 100 TB shape: the date + RETURNFLAG predicates push
+    * to both fact scans, lineitem⋈orders shuffles once on orderkey, the
+    * customer rollup shuffles the JOINED fact once on custkey, and both
+    * dims broadcast. Revenue in exact decimals; top-20 is a total order
+    * (revenue desc, custkey). */
+  private def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1998-03-01").cast("timestamp")
+    val hi = lit("1998-06-01").cast("timestamp")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d).select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val tpchQ10Sql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1998-03-01'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** `tpch_q18`: the large-volume-customer flagship — a HAVING subquery
     * over the biggest fact table (which orders exceed 300 total units),
     * semi-joined back and re-aggregated with the customer dim attached.
@@ -2065,6 +2108,7 @@ object RelationalQueries {
     "tpch_q3" -> Q(tpchQ3, Some(tpchQ3Sql)),
     "tpch_q6" -> Q(tpchQ6, Some(tpchQ6Sql)),
     "tpch_q18" -> Q(tpchQ18, Some(tpchQ18Sql)),
+    "tpch_q10" -> Q(tpchQ10, Some(tpchQ10Sql)),
     "tpch_q14" -> Q(tpchQ14, Some(tpchQ14Sql)),
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),

@@ -509,6 +509,58 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dq_referential: clean on the star schema, fires on planted violations") {
+    import spark.implicits._
+    val rows = Queries.byName("dq_referential").build(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getLong(1) == 0L, s"clean data flagged: $r"))
+    // planted orphan + duplicate key
+    val parent = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("pk", "v")
+    val child = Seq((1L, "x"), (3L, "orphan")).toDF("fk", "v")
+    val orphan = AuditQueries.fkOrphans("t", child, "fk", parent, "pk")
+      .collect()(0).getLong(1)
+    val dup = AuditQueries.pkDups("t", parent, "pk").collect()(0).getLong(1)
+    assert(orphan == 1L, s"expected 1 orphan, got $orphan")
+    assert(dup == 1L, s"expected 1 duplicate, got $dup")
+  }
+
+  test("window_streaks: histogram covers every active user, streaks >= 1") {
+    val rows = Queries.byName("window_streaks").build(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    rows.foreach(r => assert(r.getLong(0) >= 1))
+  }
+
+  test("tpch_q10: top-20 returned-item revenue is rank-ordered and positive") {
+    val rows = Queries.byName("tpch_q10").build(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getDouble(3)).toSeq
+    assert(revs == revs.sorted.reverse)
+    revs.foreach(r => assert(r > 0))
+  }
+
+  test("embedding_pca_power: unit-norm loading aligned with a double-precision reference") {
+    val got = Queries.byName("embedding_pca_power").build(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val norm = math.sqrt(got.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm $norm")
+    // driver-side double-precision power iteration, same rounds/start
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var x = Array.fill(vecs(0).length)(0.125)
+    for (_ <- 1 to 2) {
+      val y = Array.fill(x.length)(0.0)
+      vecs.foreach { v =>
+        val s = v.zip(x).map { case (a, b) => a * b }.sum
+        v.indices.foreach(i => y(i) += v(i) * s)
+      }
+      val n = math.sqrt(y.map(t => t * t).sum)
+      x = y.map(_ / n)
+    }
+    val cos = got.zip(x).map { case (a, b) => a * b }.sum
+    assert(cos > 0.999, s"cosine with reference $cos")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
