@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream product analytics over `events` — the funnel / cohort /
@@ -792,7 +793,131 @@ object EventQueries {
       |SELECT best, count(*) AS n_users FROM best
       |GROUP BY best ORDER BY best""".stripMargin
 
+  // ---- N27c rolling_active_users: DAU / WAU / MAU --------------------------
+
+  /** `rolling_active_users`: the DAU/WAU/MAU panel — per day, distinct
+    * users active that day, in the trailing 7 days, and in the trailing
+    * 28 days. The naive per-day windowed COUNT(DISTINCT) rescans activity
+    * per day; the scale form used here maps each (user, day) activity row
+    * to the ≤ 7 (≤ 28) window-end days it contributes to — a MAP-SIDE
+    * explode, ×7/×28 linear amplification of the per-user-day AGGREGATE
+    * (already ≤ one row per user-day) — then one keyed distinct count per
+    * window length. No day×activity join, no quadratic rescan. */
+  private def rollingActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    def rolled(n: Int, name: String) = act
+      .select(explode(sequence(col("day"), date_add(col("day"), n - 1)))
+        .as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as(name))
+    dau.join(rolled(7, "wau"), "day").join(rolled(28, "mau"), "day")
+      .orderBy("day")
+  }
+
+  private val rollingActiveUsersSql =
+    """WITH act AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+      |w AS (
+      |  SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+      |           INTERVAL 1 DAY)) AS DATE) AS day, user_id FROM act),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(unnest(generate_series(day, day + INTERVAL 27 DAY,
+      |           INTERVAL 1 DAY)) AS DATE) AS day, user_id FROM act),
+      |mau AS (SELECT day, count(DISTINCT user_id) AS mau FROM m GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau, mau.mau
+      |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+      |ORDER BY day""".stripMargin
+
+  // ---- N26e attribution_linear: multi-touch attribution --------------------
+
+  /** `attribution_linear`: linear multi-touch attribution — each purchase's
+    * value splits equally across the user's clicks in the trailing 7 days,
+    * rolled up to credited revenue per CLICK day (the marketing question
+    * "which day's engagement earned the money"). The purchase×click join
+    * is the watermark-bounded interval shape (stream_interval_join's batch
+    * twin — never unbounded fact×fact); the per-purchase touch count rides
+    * a window over the purchase id (the join's own key — no new shuffle).
+    * credit = round(exact-cents value / n, 6) summed in DECIMAL(18,6):
+    * order-independent, one IEEE division per pair. */
+  private def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val wk = expr("INTERVAL 7 DAYS")
+    val wn = Window.partitionBy("p_id")
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") < col("p_ts") && col("c_ts") >= col("p_ts") - wk)
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("credit",
+        round(Det.dec(col("value")).cast("double") / col("n"), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(to_date(col("c_ts")).as("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("double").as("credited"))
+      .orderBy("day")
+  }
+
+  private val attributionLinearSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.p_id, p.value, c.c_ts,
+      |         count(*) OVER (PARTITION BY p.p_id) AS n
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |   AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY)
+      |SELECT CAST(c_ts AS DATE) AS day, count(*) AS n_touches,
+      |  CAST(sum(CAST(round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) / n, 6)
+      |       AS DECIMAL(18,6))) AS DOUBLE) AS credited
+      |FROM j GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ---- N26f event_paths_topk: top user journeys ----------------------------
+
+  /** `event_paths_topk`: the top-10 opening user journeys — each user's
+    * first three events as a path string, counted corpus-wide. One window
+    * shuffle on user_id with the rank bounded to 3 (WindowGroupLimit
+    * prunes map-side), the path assembled from a 3-element sorted slice
+    * (bounded per user, never a whole-history collect), one keyed count,
+    * total (count desc, path) order. */
+  private def eventPathsTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  private val eventPathsTopkSql =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id,
+      |         array_to_string(list(event_type ORDER BY rn), '>') AS path
+      |  FROM r WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM paths
+      |GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "rolling_active_users" -> Q(rollingActiveUsers, Some(rollingActiveUsersSql)),
+    "attribution_linear" -> Q(attributionLinear, Some(attributionLinearSql)),
+    "event_paths_topk" -> Q(eventPathsTopk, Some(eventPathsTopkSql)),
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "ts_theil_sen" -> Q(tsTheilSen, Some(tsTheilSenSql)),
     "ts_seasonal_profile" -> Q(tsSeasonalProfile, Some(tsSeasonalProfileSql)),

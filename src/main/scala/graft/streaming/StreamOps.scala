@@ -183,6 +183,39 @@ object StreamOps {
       }
   }
 
+  /** T7c: streaming sequence-pattern detection — the MATCH_RECOGNIZE analog
+    * (`event_pattern_match`'s batch semantics) as per-key state: keep only
+    * the last TWO events per user (O(1) state — the pattern window, never
+    * the history) and emit a burst row whenever the sliding triple matches
+    * view → click → purchase within the span bound. Input is consumed in
+    * per-user event-time order (the spec's MemoryStream feeds ordered
+    * batches; an out-of-order deployment puts a watermark + sort-within-
+    * batch in front, the documented T5 pattern). */
+  case class PatState(t1: String, us1: Long, id1: Long,
+      t2: String, us2: Long, id2: Long)
+  case class Burst(user_id: Long, view_event_id: Long, span_us: Long)
+
+  def streamPatternBursts(events: Dataset[Ev], maxSpanUs: Long): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatState, Burst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[PatState]) =>
+          var st = state.getOption.getOrElse(PatState("", 0L, 0L, "", 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[Burst]
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val us = e.ts.getTime * 1000
+            if (st.t1 == "view" && st.t2 == "click" &&
+                e.event_type == "purchase" && us - st.us1 <= maxSpanUs)
+              out += Burst(uid, st.id1, us - st.us1)
+            st = PatState(st.t2, st.us2, st.id2, e.event_type, us, e.event_id)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- stateful streaming as-of enrichment ---------------------------------
 
   /** One row of the unified feature/event feed: `kind` is "feature"

@@ -561,6 +561,36 @@ class QueriesSpec extends SparkSpec {
     assert(cos > 0.999, s"cosine with reference $cos")
   }
 
+  test("rolling_active_users: dau <= wau <= mau <= total users, every day") {
+    val rows = Queries.byName("rolling_active_users").build(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, mau) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dau <= wau && wau <= mau && mau <= total, s"panel out of order: $r")
+    }
+  }
+
+  test("attribution_linear: credited revenue never exceeds attributable purchases") {
+    import org.apache.spark.sql.functions._
+    val credited = Queries.byName("attribution_linear").build(spark, sfDir).collect()
+      .map(_.getDouble(2)).sum
+    val purchaseTotal = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(credited > 0 && credited <= purchaseTotal + 1e-3,
+      s"credited $credited vs purchases $purchaseTotal")
+  }
+
+  test("event_paths_topk: paths have <= 3 steps, counts rank-ordered") {
+    val rows = Queries.byName("event_paths_topk").build(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r => assert(r.getString(0).split(">").length <= 3))
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()

@@ -241,6 +241,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((10L, 3L)))
   }
 
+  test("streaming pattern bursts: matches the batch triple detector, O(1) state") {
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.streamPatternBursts(mem.toDS(), maxSpanUs = 24L * 3600 * 1000000)
+      .toDF().writeStream.format("memory").queryName("t_bursts")
+      .outputMode("append").start()
+    // user 30: view -> click -> purchase inside 24h = one burst
+    mem.addData(Ev(11, ts(0), 30, "view", 1.0), Ev(12, ts(10), 30, "click", 1.0))
+    q.processAllAvailable()
+    // state carries across micro-batches: purchase arrives later
+    mem.addData(Ev(13, ts(20), 30, "purchase", 9.0))
+    q.processAllAvailable()
+    // user 40: the same triple but spanning > 24h = no burst
+    mem.addData(Ev(21, ts(0), 40, "view", 1.0), Ev(22, ts(10), 40, "click", 1.0),
+      Ev(23, ts(60 * 25), 40, "purchase", 9.0))
+    q.processAllAvailable()
+    // user 50: interrupted pattern (view, error, purchase) = no burst
+    mem.addData(Ev(31, ts(0), 50, "view", 1.0), Ev(32, ts(5), 50, "error", 1.0),
+      Ev(33, ts(10), 50, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_bursts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((30L, 11L, 20L * 60 * 1000000)), s"got $got")
+  }
+
   test("idempotent append: batch anti-joined against existing keys") {
     val batch = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("event_id", "v")
     val existing = Seq(Tuple1(2L)).toDF("event_id")
