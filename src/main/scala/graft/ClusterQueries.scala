@@ -248,8 +248,62 @@ object ClusterQueries {
       |       round(CAST(L AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 6) AS loading
       |FROM d2, n2 ORDER BY dim""".stripMargin
 
+  // ---- N29c embedding_outliers: OOD pruning --------------------------------
+
+  /** `embedding_outliers`: the out-of-distribution prune — the top 1% of
+    * vectors by distance to their NEAREST Lloyd centroid (the curation
+    * screen that drops mislabeled/garbage embeddings before dedup or
+    * search indexing). Distances are the proven index-order IEEE folds
+    * against the k×dim centroid literals (map-only — the corpus never
+    * joins anything); the 1% cut is the pure-integer comparison
+    * rank·100 ≤ n (no float percentile); ranking orders on the raw fold
+    * double with vec_id tie-break, exactly reproducible by the scripted
+    * Lloyd oracle. The rank window is corpus-wide here (bounded output);
+    * at 100 TB the same cut runs as a per-partition top-1% pre-prune +
+    * global TakeOrdered — the topk_limit contract. */
+  private def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = fanOut(embeddings(s, d))
+    val cents = VectorOps.kmeansLloyd(embeddings(s, d), K, Iters)
+    val cands = cents.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      struct(
+        aggregate(
+          zip_with(col("embedding"), cArr, (a: Column, b: Column) =>
+            (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0d), (acc: Column, v: Column) => acc + v).as("d2"),
+        lit(cid).as("cid"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("d2").desc, col("vec_id"))
+    val n = e.count()
+    e.withColumn("best", element_at(array_sort(array(cands: _*)), 1))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") * 100 <= lit(n))
+      .select(col("vec_id"), col("cid"), round(col("d2"), 6).as("d2"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  private def embeddingOutliersSql: String =
+    s"""$lloydCtes,
+       |dist AS (
+       |  SELECT af.vec_id, af.cid,
+       |    list_reduce(list_transform(af.v,
+       |      (x, i) -> (x - cf.c[i]) * (x - cf.c[i])), (u, w) -> u + w) AS d2
+       |  FROM af JOIN c$Iters cf ON af.cid = cf.cid),
+       |ranked AS (
+       |  SELECT vec_id, cid, d2,
+       |         row_number() OVER (ORDER BY d2 DESC, vec_id) AS rnk,
+       |         count(*) OVER () AS n
+       |  FROM dist)
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cid, round(d2, 6) AS d2,
+       |       CAST(rnk AS INTEGER) AS rnk
+       |FROM ranked WHERE rnk * 100 <= n ORDER BY rnk""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "kmeans_assign" -> Q(kmeansAssign, Some(kmeansAssignSql)),
+    "embedding_outliers" -> Q(embeddingOutliers, Some(embeddingOutliersSql)),
     "embedding_pca_power" -> Q(embeddingPcaPower, Some(embeddingPcaPowerSql)),
     "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)))
 }

@@ -569,6 +569,41 @@ object RelationalQueries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** A4e `agg_bitmap_distinct`: EXACT distinct counting through Spark's
+    * bitmap aggregate family — the segment-bitmap pattern (per key bucket,
+    * a fixed 4 KB bitmap; `bitmap_construct_agg` ORs positions map-side
+    * like any partial agg) that serving layers use when approx (HLL) isn't
+    * acceptable but COUNT(DISTINCT)'s Expand rewrite is too heavy. Also
+    * proves MERGEABILITY — the per-day bitmaps `bitmap_or_agg` into the
+    * corpus total WITHOUT rescanning (the incremental-rollup contract:
+    * union of days ≡ whole-table distinct). Oracle checks both numbers
+    * against plain exact distincts. */
+  private def aggBitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val perDay = e
+      .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    val daily = perDay
+      .groupBy("day")
+      .agg(sum(expr("bitmap_count(bm)")).as("nd"))
+      .agg(count(lit(1)).as("n_days"), sum("nd").as("daily_distinct_sum"))
+    val total = perDay
+      .groupBy("bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("total_distinct"))
+    daily.crossJoin(total)
+  }
+
+  private val aggBitmapDistinctSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS nd
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_days,
+      |       CAST(sum(nd) AS BIGINT) AS daily_distinct_sum,
+      |       (SELECT count(DISTINCT user_id) FROM events) AS total_distinct
+      |FROM daily""".stripMargin
+
   /** A11 `agg_gini`: Gini coefficient of per-customer spend — the
     * concentration number behind every domain-cap / anti-domination
     * decision (how unequal is the corpus across its contributors?). Spend
@@ -2124,6 +2159,7 @@ object RelationalQueries {
     "agg_mode" -> Q(aggMode, Some(aggModeSql)),
     "agg_skewness" -> Q(aggSkewness, Some(aggSkewnessSql)),
     "agg_gini" -> Q(aggGini, Some(aggGiniSql)),
+    "agg_bitmap_distinct" -> Q(aggBitmapDistinct, Some(aggBitmapDistinctSql)),
     "rfm_segments" -> Q(rfmSegments, Some(rfmSegmentsSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
     "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),

@@ -591,6 +591,22 @@ class QueriesSpec extends SparkSpec {
     assert(ns == ns.sorted.reverse)
   }
 
+  test("agg_bitmap_distinct: bitmap counts equal plain exact distincts") {
+    import org.apache.spark.sql.functions._
+    val r = Queries.byName("agg_bitmap_distinct").build(spark, sfDir).collect()(0)
+    val total = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(r.getLong(2) == total, s"bitmap total ${r.getLong(2)} != $total")
+    assert(r.getLong(1) >= total, "daily sum must be >= total (revisits)")
+  }
+
+  test("embedding_outliers: flagged set is exactly the distance-rank top 1%") {
+    val flagged = Queries.byName("embedding_outliers").build(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(flagged.length == (n / 100).toInt, s"${flagged.length} flagged of $n")
+    val d2s = flagged.map(_.getDouble(2)).toSeq
+    assert(d2s == d2s.sorted.reverse, "outliers must rank by distance desc")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
