@@ -665,7 +665,7 @@ object NorthStarQueries {
     * shuffle; output = per-doc fingerprint count + checksum (the set's
     * identity, not just its size). */
   private def docWinnowing(s: SparkSession, d: String): DataFrame =
-    docWinnowingOf(documents(s, d))
+    docWinnowingOf(fanOut(documents(s, d)))
 
   private[graft] def docWinnowingOf(docs: DataFrame): DataFrame = {
     val tk = split(col("text"), "\\s+")
