@@ -791,6 +791,41 @@ object NorthStarQueries {
       |FROM grams gr JOIN first f USING (g)
       |GROUP BY gr.doc_id ORDER BY doc_id""".stripMargin
 
+  /** N41 `heavy_hitters_exact`: two-pass heavy hitters — a Misra–Gries
+    * bounded summary ([[graft.ops.TopKOps.MisraGriesAgg]], k = 40 counters,
+    * mergeable so Spark combines partials map-side) generates ≤ k
+    * CANDIDATES in one pass with the guarantee that every token of true
+    * frequency > n/(k+1) survives; an exact re-count of just the
+    * candidates (broadcast semi join — bounded work) then yields the EXACT
+    * frequent-item set. This is the production pattern when "top items"
+    * must be exact but the domain is too wide for a full groupBy sort:
+    * pass 1 never shuffles item keys (the summary is one bounded map),
+    * pass 2 shuffles only candidate rows. Oracle = the plain exact
+    * threshold count (the MG stage provably cannot change the answer). */
+  private def heavyHittersExact(s: SparkSession, d: String): DataFrame = {
+    val k = 40
+    val toks = fanOut(documents(s, d))
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val cands = toks
+      .agg(graft.ops.TopKOps.misraGries(k, col("tok")).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * (k + 1) > col("n_total"))
+      .select(col("tok"), col("freq"))
+      .orderBy("tok")
+  }
+
+  private val heavyHittersExactSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freqs)
+      |SELECT tok, freq FROM freqs, tot
+      |WHERE freq * 41 > n_total ORDER BY tok""".stripMargin
+
   // ---- training-pipeline text ops ------------------------------------------
 
   /** LLM-style document chunking: token windows of 32 with stride 24
@@ -1250,6 +1285,7 @@ object NorthStarQueries {
     "quality_score" -> Q(qualityScore, Some(qualityScoreSql)),
     "doc_fingerprint" -> Q(docFingerprint, Some(docFingerprintSql)),
     "doc_winnowing" -> Q(docWinnowing, Some(docWinnowingSql)),
+    "heavy_hitters_exact" -> Q(heavyHittersExact, Some(heavyHittersExactSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
     "multimodal_frames" -> Q(multimodalFrames, Some(multimodalFramesSql)),
     "text_chunking" -> Q(textChunking, Some(textChunkingSql)),

