@@ -914,6 +914,57 @@ object EventQueries {
       |SELECT path, count(*) AS n_users FROM paths
       |GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin
 
+  // ---- N35n ts_hampel_filter: robust rolling outlier filter ----------------
+
+  /** `ts_hampel_filter`: the Hampel identifier — flag a point when it sits
+    * more than 3 scaled MADs from its rolling median (the robust
+    * alternative to rolling z-scores: one spike can't drag its own
+    * threshold). Frame = the same pinned 5-row window as ts_rolling_median;
+    * median AND the MAD's inner median are pure ELEMENT PICKS from sorted
+    * arrays (zero arithmetic), the deviations are single IEEE subtractions
+    * of raw doubles, and the comparison |x−med| > 3·1.4826·mad rounds both
+    * sides to 6 dp first so the flag is cross-engine stable. One window
+    * shuffle on event_type; the (type, bucket)+carry rewrite is the proven
+    * 100 TB path for this family. */
+  private def tsHampelFilter(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val frame = collect_list("value").over(w.rowsBetween(-4, 0))
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("med", element_at(sort_array(frame), 3))
+      .withColumn("mad", element_at(sort_array(transform(frame,
+        x => abs(x - col("med")))), 3))
+      .filter(col("rn") >= 5)
+      .filter(round(abs(col("value") - col("med")), 6) >
+        round(lit(3.0d) * lit(1.4826d) * col("mad"), 6))
+      .select(col("event_id"), col("value"), col("med"),
+        round(col("mad"), 6).as("mad"))
+      .orderBy("event_id")
+  }
+
+  private val tsHampelFilterSql =
+    """WITH f AS (
+      |  SELECT event_id, value,
+      |    row_number() OVER w AS rn,
+      |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      |m AS (
+      |  SELECT event_id, value, rn,
+      |    list_sort(frame)[3] AS med, frame
+      |  FROM f),
+      |h AS (
+      |  SELECT event_id, value, rn, med,
+      |    list_sort(list_transform(frame, x -> abs(x - med)))[3] AS mad
+      |  FROM m)
+      |SELECT event_id, value, med, round(mad, 6) AS mad
+      |FROM h
+      |WHERE rn >= 5
+      |  AND round(abs(value - med), 6) > round(3.0 * 1.4826 * mad, 6)
+      |ORDER BY event_id""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "rolling_active_users" -> Q(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "attribution_linear" -> Q(attributionLinear, Some(attributionLinearSql)),
@@ -926,6 +977,7 @@ object EventQueries {
     "window_streaks" -> Q(windowStreaks, Some(windowStreaksSql)),
     "event_pattern_match" -> Q(eventPatternMatch, Some(eventPatternMatchSql)),
     "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
+    "ts_hampel_filter" -> Q(tsHampelFilter, Some(tsHampelFilterSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "sketch_theta_overlap" -> Q(sketchThetaOverlap, Some(sketchThetaOverlapSql)),
     "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),

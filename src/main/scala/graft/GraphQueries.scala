@@ -365,10 +365,93 @@ object GraphQueries {
       |         AS assortativity
       |FROM m""".stripMargin
 
+  // ---- N31g graph_kcore: k-core decomposition ------------------------------
+
+  private val KCore = 2
+  private val KCoreRounds = 6
+
+  /** `graph_kcore`: the 2-core of the strong-tie graph by iterative
+    * PEELING — repeatedly drop nodes of degree < k until stable; what
+    * survives is the cohesive backbone community detection starts from.
+    * The fourth iteration family next to PageRank (mass), star-CC
+    * (doubling), and BFS (frontier): per round ONE degree agg over the
+    * live subgraph + a semi join of edges onto the live set — all on the
+    * AGGREGATED graph; localCheckpoint truncates lineage. Runs a FIXED
+    * round count and RAISES if the fixpoint isn't reached (the
+    * connectedComponents contract) so the scripted-CTE oracle replays the
+    * identical schedule. Output = surviving nodes with their core degree. */
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .crossJoin(broadcast(total))
+      .filter(col("w") * 400 >= col("n_fact"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    var live = und.select(col("u").as("node")).unionAll(und.select(col("v")))
+      .distinct().localCheckpoint()
+    var lastCount = live.count()
+    var converged = false
+    for (_ <- 1 to KCoreRounds if !converged) {
+      val e = und
+        .join(live.select(col("node").as("u")), "u")
+        .join(live.select(col("node").as("v")), "v")
+      val deg = e.select(col("u").as("node")).unionAll(e.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      live = deg.filter(col("deg") >= KCore).select("node").localCheckpoint()
+      val c = live.count()
+      if (c == lastCount) converged = true
+      lastCount = c
+    }
+    if (!converged)
+      throw new IllegalStateException(s"k-core did not converge in $KCoreRounds rounds")
+    val e = und
+      .join(live.select(col("node").as("u")), "u")
+      .join(live.select(col("node").as("v")), "v")
+    e.select(col("u").as("node")).unionAll(e.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  private val kcoreSql = {
+    val round = (i: Int) =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT e.u AS node FROM e
+         |    JOIN l${i - 1} a ON e.u = a.node JOIN l${i - 1} b ON e.v = b.node
+         |    UNION ALL
+         |    SELECT e.v FROM e
+         |    JOIN l${i - 1} a ON e.u = a.node JOIN l${i - 1} b ON e.v = b.node)
+         |  GROUP BY node),
+         |l$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCore)""".stripMargin
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  WHERE c.c_nationkey <> su.s_nationkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+       |e AS MATERIALIZED (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
+       |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+       |${(1 to KCoreRounds).map(round).mkString(",\n")}
+       |SELECT node, count(*) AS core_deg FROM (
+       |  SELECT e.u AS node FROM e
+       |  JOIN l$KCoreRounds a ON e.u = a.node JOIN l$KCoreRounds b ON e.v = b.node
+       |  UNION ALL
+       |  SELECT e.v FROM e
+       |  JOIN l$KCoreRounds a ON e.u = a.node JOIN l$KCoreRounds b ON e.v = b.node)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   def all: Seq[(String, Q)] = Seq(
     "graph_common_neighbors" -> Q(commonNeighbors, Some(commonNeighborsSql)),
     "graph_degree_histogram" -> Q(degreeHistogram, Some(degreeHistogramSql)),
     "graph_assortativity" -> Q(assortativity, Some(assortativitySql)),
+    "graph_kcore" -> Q(kcore, Some(kcoreSql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),
     "graph_bfs" -> Q(bfs, Some(bfsSql)))

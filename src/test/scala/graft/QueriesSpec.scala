@@ -645,6 +645,47 @@ class QueriesSpec extends SparkSpec {
     assert(finals == finals.sorted.reverse)
   }
 
+  test("ts_hampel_filter: every flag clears the 3-scaled-MAD bar in its own frame") {
+    import org.apache.spark.sql.functions._
+    val flagged = Queries.byName("ts_hampel_filter").build(spark, sfDir).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      val (v, med, mad) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(v - med) > 3.0 * 1.4826 * mad - 1e-5, s"weak flag: $r")
+    }
+    // the filter is strictly more selective than the raw rolling median count
+    val all = Tables.events(spark, sfDir).count()
+    assert(flagged.length < all / 4, "hampel should flag a minority")
+  }
+
+  test("graph_kcore: every surviving node has core degree >= k within the core") {
+    val rows = Queries.byName("graph_kcore").build(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getLong(1) >= 2, s"node below core degree: $r"))
+    // driver-side reference peeling on the same strong-tie graph
+    import org.apache.spark.sql.functions._
+    val total = Tables.lineitem(spark, sfDir).count()
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("src") =!= col("dst") && col("w") * 400 >= total)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var live = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var stable = false
+    while (!stable) {
+      val deg = edges.filter(e => live(e._1) && live(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+      val next = deg.filter(_._2 >= 2).keySet
+      stable = next == live
+      live = next
+    }
+    assert(rows.map(_.getLong(0)).toSet == live, "core membership mismatch")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
