@@ -496,6 +496,74 @@ object ScaleProbe {
         .groupBy("r", "f", "m").agg(count(lit(1))).count()
     }
 
+
+    // r07m additions: k-core peeling (aggregated-graph iteration — cost is
+    // the ONE fact-scale edge derivation; peel rounds run on ≤ N² rows),
+    // Misra-Gries heavy hitters (bounded mergeable summary — no item-key
+    // shuffle in pass 1, candidate-only rows in pass 2), power-iteration
+    // PCA (per round one map-side fold + one 64-key agg — linear scans),
+    // and the Hampel filter (the rolling-median window family).
+    def kcoreP(li: DataFrame, o: DataFrame, c: DataFrame, su: DataFrame): Long = {
+      val tot = li.count()
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .groupBy((col("c_nationkey") % 25).cast("long").as("src"),
+          (col("s_nationkey") % 25).cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("src") =!= col("dst") && col("w") * 400 >= tot)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct().localCheckpoint()
+      var live = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v"))).distinct().localCheckpoint()
+      var last = live.count(); var stable = false
+      for (_ <- 1 to 6 if !stable) {
+        val e = edges.join(live.select(col("node").as("u")), "u")
+          .join(live.select(col("node").as("v")), "v")
+        live = e.select(col("u").as("node")).unionAll(e.select(col("v")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("node").localCheckpoint()
+        val n = live.count(); if (n == last) stable = true; last = n
+      }
+      last
+    }
+    def heavyHit(docs: DataFrame): Long = {
+      val toks = docs.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      val cands = toks.agg(graft.ops.TopKOps.misraGries(40, col("tok")).as("c"))
+        .select(explode(col("c")).as("tok"))
+      toks.join(broadcast(cands), Seq("tok"))
+        .groupBy("tok").agg(count(lit(1))).count()
+    }
+    def pcaPower(e: DataFrame): Long = {
+      val xs = Seq.fill(64)(0.125)
+      val xCol = array(xs.map(lit): _*)
+      val sCol = aggregate(zip_with(col("embedding"), xCol,
+        (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          a.cast("double") * b),
+        lit(0.0d), (acc: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) => acc + v)
+      e.withColumn("s", sCol)
+        .select(posexplode(transform(col("embedding"),
+          (a: org.apache.spark.sql.Column) =>
+            floor(a.cast("double") * col("s") * lit(1000000.0d) + lit(0.5d))
+              .cast("long"))))
+        .groupBy("pos").agg(sum("col")).count()
+    }
+    def hampel(ev: DataFrame): Long = {
+      val w = W7.partitionBy("event_type").orderBy("ts", "event_id")
+      val frame = collect_list("value").over(w.rowsBetween(-4, 0))
+      ev.select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("med", element_at(sort_array(frame), 3))
+        .withColumn("mad", element_at(sort_array(transform(frame,
+          x => abs(x - col("med")))), 3))
+        .filter(col("rn") >= 5)
+        .filter(round(abs(col("value") - col("med")), 6) >
+          round(lit(3.0d) * lit(1.4826d) * col("mad"), 6))
+        .queryExecution.toRdd.count()
+    }
+
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
     chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
@@ -510,6 +578,7 @@ object ScaleProbe {
     rangeNaive(ev1); rangeBucketed(ev1)
     knnBlocked(e1); containment(d1); interleaveSort(d1); asofNearestW(ev1)
     patternMatch(ev1); winnow(d1); rfm(o1)
+    kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir)); heavyHit(d1); pcaPower(e1); hampel(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -619,6 +688,15 @@ object ScaleProbe {
         time(winnow(d1)), time(winnow(dN))),
       ("rfm segmentation (ntile over customer aggregate)",
         time(rfm(o1)), time(rfm(oN))),
+      ("k-core peeling (aggregated-graph rounds)",
+        time(kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir))),
+        time(kcoreP(liN, oN, cN, Tables.supplier(spark, sfDir)))),
+      ("misra-gries heavy hitters (bounded summary + exact recount)",
+        time(heavyHit(d1)), time(heavyHit(dN))),
+      ("pca power round (fold-dot + 64-key agg)",
+        time(pcaPower(e1)), time(pcaPower(eN))),
+      ("hampel filter (5-frame median + MAD window)",
+        time(hampel(ev1)), time(hampel(evN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
