@@ -914,6 +914,64 @@ object EventQueries {
       |SELECT path, count(*) AS n_users FROM paths
       |GROUP BY path ORDER BY n_users DESC, path LIMIT 10""".stripMargin
 
+  // ---- N28f ts_changepoint: CUSUM change-point detection -------------------
+
+  /** `ts_changepoint`: CUSUM change-point detection — per event_type, the
+    * day where the cumulative deviation from the series mean peaks (the
+    * classic "when did the level shift" estimator, distinct from per-day
+    * anomaly FLAGS). Cross-multiplied into pure integers: with S = Σy over
+    * n days, cusum_i = n·prefix_i − i·S is exact LONG arithmetic (the
+    * anomaly_zscore trick applied to the prefix series), so the argmax
+    * (|cusum| desc, day asc) is engine-exact with no float anywhere.
+    * Day-axis window over ≤ one row per (type, day); per-type totals
+    * broadcast back. */
+  private def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix",
+        sum("y").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    daily.join(tot, "event_type")
+      .withColumn("cusum", col("n") * col("prefix") - col("i") * col("s"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("cusum").as("cusum_peak"), col("n").as("n_days"))
+      .orderBy("event_type")
+  }
+
+  private val tsChangepointSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, day, y,
+      |    CAST(row_number() OVER w AS BIGINT) AS i,
+      |    sum(y) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |tot AS (SELECT event_type, count(*) AS n, sum(y) AS s
+      |        FROM daily GROUP BY 1),
+      |cs AS (
+      |  SELECT p.event_type, p.day,
+      |         t.n * p.prefix - p.i * t.s AS cusum, t.n
+      |  FROM pre p JOIN tot t USING (event_type)),
+      |pick AS (
+      |  SELECT event_type, day, cusum, n,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY abs(cusum) DESC, day) AS rk
+      |  FROM cs)
+      |SELECT event_type, day AS cp_day, CAST(cusum AS BIGINT) AS cusum_peak,
+      |       CAST(n AS BIGINT) AS n_days
+      |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   // ---- N35n ts_hampel_filter: robust rolling outlier filter ----------------
 
   /** `ts_hampel_filter`: the Hampel identifier — flag a point when it sits
@@ -978,6 +1036,7 @@ object EventQueries {
     "event_pattern_match" -> Q(eventPatternMatch, Some(eventPatternMatchSql)),
     "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
     "ts_hampel_filter" -> Q(tsHampelFilter, Some(tsHampelFilterSql)),
+    "ts_changepoint" -> Q(tsChangepoint, Some(tsChangepointSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "sketch_theta_overlap" -> Q(sketchThetaOverlap, Some(sketchThetaOverlapSql)),
     "cohort_retention" -> Q(cohortRetention, Some(cohortRetentionSql)),

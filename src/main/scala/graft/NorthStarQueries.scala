@@ -826,6 +826,40 @@ object NorthStarQueries {
       |SELECT tok, freq FROM freqs, tot
       |WHERE freq * 41 > n_total ORDER BY tok""".stripMargin
 
+  /** N42 `text_blocklist_filter`: the safety/content filter — docs flagged
+    * by a term blocklist through the SAME one-pass Aho-Corasick matcher
+    * that powers the skill taxonomy ([[graft.functions.TermMatchArray]]
+    * bound to [[Tables.BlocklistTerms]]: single tokens via set membership,
+    * phrases via the character automaton with word-boundary semantics) —
+    * O(text) per row regardless of blocklist size, the property that makes
+    * a 10⁵-term blocklist free at 100 TB where a regex bank is the
+    * dominant CPU cost. Output compares the SORTED hit array (the match
+    * contract orders singles by text position — sorting makes the oracle
+    * order-free). */
+  private def textBlocklistFilter(s: SparkSession, d: String): DataFrame =
+    fanOut(documents(s, d))
+      .selectExpr("doc_id", "blocklist_match(text) AS hits")
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), sort_array(col("hits")).as("hits"),
+        size(col("hits")).as("n_hits"))
+      .orderBy("doc_id")
+
+  private val textBlocklistFilterSql =
+    """WITH singles AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_intersect(
+      |    string_split(lower(text), ' '), ['slow', 'broken']))) AS st
+      |  FROM documents),
+      |phr AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN regexp_matches(lower(d.text), '\bslow merge\b')
+      |         THEN ['slow merge'] ELSE [] END AS ph
+      |  FROM documents d),
+      |hits AS (
+      |  SELECT s.doc_id, list_sort(s.st || p.ph) AS hits
+      |  FROM singles s JOIN phr p USING (doc_id))
+      |SELECT doc_id, hits, CAST(len(hits) AS INTEGER) AS n_hits
+      |FROM hits WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
+
   // ---- training-pipeline text ops ------------------------------------------
 
   /** LLM-style document chunking: token windows of 32 with stride 24
@@ -1286,6 +1320,7 @@ object NorthStarQueries {
     "doc_fingerprint" -> Q(docFingerprint, Some(docFingerprintSql)),
     "doc_winnowing" -> Q(docWinnowing, Some(docWinnowingSql)),
     "heavy_hitters_exact" -> Q(heavyHittersExact, Some(heavyHittersExactSql)),
+    "text_blocklist_filter" -> Q(textBlocklistFilter, Some(textBlocklistFilterSql)),
     "multimodal_meta" -> Q(multimodalMeta, Some(multimodalMetaSql)),
     "multimodal_frames" -> Q(multimodalFrames, Some(multimodalFramesSql)),
     "text_chunking" -> Q(textChunking, Some(textChunkingSql)),

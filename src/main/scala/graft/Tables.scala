@@ -141,6 +141,17 @@ object Tables {
           graft.functions.TermMatchArray(args.head,
             graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
     }
+    // blocklist_match: the same one-pass matcher bound to the SAFETY
+    // blocklist instead of the skill taxonomy (text_blocklist_filter);
+    // single tokens + one phrase so both matcher tiers exercise
+    registerIfAbsent("blocklist_match") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("blocklist_match"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.TermMatchArray].getCanonicalName, "blocklist_match"),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.TermMatchArray(args.head, BlocklistTerms))
+    }
     // asof_match: SQL marker predicate for the as-of join (rewritten to the
     // AsOfJoin node by RewriteAsOfMarkerJoin; Unevaluable if left in place)
     registerIfAbsent("asof_match") {
@@ -166,6 +177,11 @@ object Tables {
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.RewriteBinnedRangeJoin
     spark
   }
+
+  /** The safety blocklist behind `blocklist_match` — deliberately tiny:
+    * one common token, one absent token (the no-match path), one phrase
+    * (the Aho-Corasick tier). */
+  val BlocklistTerms: Seq[String] = Seq("slow", "broken", "slow merge")
 
   /** Fan a small scan out to the session's parallelism before a per-row
     * compute-bound stage (regex chains, minhash/simhash folds). The testdata

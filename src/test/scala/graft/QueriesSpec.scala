@@ -686,6 +686,42 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == live, "core membership mismatch")
   }
 
+  test("text_blocklist_filter: hits only ever contain blocklist terms; phrase tier fires") {
+    val rows = Queries.byName("text_blocklist_filter").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val allowed = Tables.BlocklistTerms.toSet
+    rows.foreach { r =>
+      val hits = r.getSeq[String](1)
+      assert(hits.nonEmpty && hits.forall(allowed.contains), s"stray hit in $r")
+      assert(hits.length == r.getInt(2))
+    }
+    // the phrase tier ("slow merge") must fire somewhere on this corpus
+    assert(rows.exists(_.getSeq[String](1).contains("slow merge")),
+      "Aho-Corasick phrase tier never matched")
+    // absent term never matches
+    assert(!rows.exists(_.getSeq[String](1).contains("broken")))
+  }
+
+  test("ts_changepoint: the reported peak really is each series' max |cusum|") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, rs) =>
+      val ys = rs.sortBy(_._2.toEpochDay).map(_._3)
+      val n = ys.length.toLong
+      val s = ys.sum
+      val cusums = ys.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+        case (pre, i) => n * pre - (i + 1) * s
+      }
+      t -> cusums.map(math.abs).max
+    }
+    val got = Queries.byName("ts_changepoint").build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> math.abs(r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
