@@ -447,11 +447,74 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ---- N31h graph_modularity: partition quality ----------------------------
+
+  /** `graph_modularity`: Newman modularity of the REGION partition over the
+    * full trade graph — "are trade communities geographic?" in one number
+    * per region plus the total. Q = Σ_c (4m·e_c − d_c²)/(4m²) with e_c =
+    * intra-community edges, d_c = community degree sum, m = |E| — every
+    * numerator term is an exact LONG (the cross-multiply discipline), one
+    * rounded division per community. Plan: edges tag their endpoints'
+    * regions via two broadcast joins of the nation→region dim; both
+    * aggregates are community-sized. The evaluation half of community
+    * detection — Louvain's scoring step without the search. */
+  private def modularity(s: SparkSession, d: String): DataFrame = {
+    val reg = nation(s, d).select(col("n_nationkey").cast("long").as("node"),
+      col("n_regionkey").cast("long").as("region"))
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .join(broadcast(reg.select(col("node").as("u"), col("region").as("ru"))), "u")
+      .join(broadcast(reg.select(col("node").as("v"), col("region").as("rv"))), "v")
+      .localCheckpoint()
+    val m = und.count()
+    val eC = und.filter(col("ru") === col("rv"))
+      .groupBy(col("ru").as("region")).agg(count(lit(1)).as("e_c"))
+    val dC = und.select(col("ru").as("region"))
+      .unionAll(und.select(col("rv")))
+      .groupBy("region").agg(count(lit(1)).as("d_c"))
+    dC.join(eC, Seq("region"), "left")
+      .select(col("region"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+        round((lit(4L) * m * coalesce(col("e_c"), lit(0L)) -
+          col("d_c") * col("d_c")).cast("double") / lit(4.0d * m * m), 6)
+          .as("q_contrib"))
+      .orderBy("region")
+  }
+
+  private val modularitySql =
+    """WITH raw AS (
+      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey),
+      |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
+      |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
+      |t AS (
+      |  SELECT e.u, e.v,
+      |         CAST(a.n_regionkey AS BIGINT) AS ru,
+      |         CAST(b.n_regionkey AS BIGINT) AS rv
+      |  FROM e JOIN nation a ON e.u = a.n_nationkey
+      |         JOIN nation b ON e.v = b.n_nationkey),
+      |m AS (SELECT count(*) AS m FROM t),
+      |ec AS (SELECT ru AS region, count(*) AS e_c FROM t WHERE ru = rv GROUP BY 1),
+      |dc AS (SELECT region, count(*) AS d_c FROM
+      |        (SELECT ru AS region FROM t UNION ALL SELECT rv FROM t)
+      |       GROUP BY 1)
+      |SELECT dc.region, coalesce(ec.e_c, 0) AS e_c, dc.d_c,
+      |       round(CAST(4 * m.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c AS DOUBLE)
+      |             / (4.0 * m.m * m.m), 6) AS q_contrib
+      |FROM dc LEFT JOIN ec USING (region), m
+      |ORDER BY region""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
     "graph_common_neighbors" -> Q(commonNeighbors, Some(commonNeighborsSql)),
     "graph_degree_histogram" -> Q(degreeHistogram, Some(degreeHistogramSql)),
     "graph_assortativity" -> Q(assortativity, Some(assortativitySql)),
     "graph_kcore" -> Q(kcore, Some(kcoreSql)),
+    "graph_modularity" -> Q(modularity, Some(modularitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),
     "graph_bfs" -> Q(bfs, Some(bfsSql)))

@@ -706,6 +706,70 @@ object NorthStarQueries {
       |       CAST(list_sum(fp) AS BIGINT) AS fp_sum
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** N4f `multimodal_audio_vad`: voice-activity segmentation over the
+    * sliding audio chunks — chunks whose energy clears the threshold
+    * (scaled-mean-byte, [[graft.ops.MultimodalOps.chunkEnergies]]; the
+    * DETERMINISTIC FAKE for RMS, honest as ever) group into voiced
+    * SEGMENTS via gaps-and-islands on the chunk index (island id =
+    * chunk_idx − row_number over voiced — pure integers). The ASR-prep
+    * shape: payload reduces to one long per chunk MAP-SIDE, one doc_id
+    * window shuffle drives both the island id and the segment aggregate
+    * (reused partitioning, no second exchange). */
+  private def multimodalAudioVad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    val media = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        lit("audio/fake").as("mime")).as[graft.ops.MultimodalOps.MediaRow]
+    graft.ops.MultimodalOps.chunkEnergies(
+      graft.ops.MultimodalOps.chunkAudio(media, 64, 48)).toDF()
+      .filter(col("energy") > 94500)
+      .withColumn("island", col("chunk_idx") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("start_ms").as("start_ms"), count(lit(1)).as("n_chunks"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy("doc_id").orderBy("start_ms")).cast("long"))
+      .select("doc_id", "seg_idx", "start_ms", "n_chunks")
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  private val multimodalAudioVadSql =
+    """WITH media AS (
+      |  SELECT doc_id, text, CAST(strlen(text) // 2 AS BIGINT) AS n_samples
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, text, n_samples,
+      |         unnest(range(0, CAST((n_samples + 47) // 48 AS BIGINT))) AS ci
+      |  FROM media),
+      |wnd AS (
+      |  SELECT doc_id, ci,
+      |         substring(text, CAST(ci * 96 + 1 AS INTEGER),
+      |                   CAST(LEAST(64, n_samples - ci * 48) * 2 AS INTEGER))
+      |           AS payload
+      |  FROM idx),
+      |chars AS (
+      |  SELECT doc_id, ci, payload,
+      |         unnest(range(CAST(strlen(payload) AS BIGINT))) AS k
+      |  FROM wnd),
+      |en AS (
+      |  SELECT doc_id, ci,
+      |    (SUM(ord(substring(payload, CAST(k + 1 AS INTEGER), 1))) * 1000)
+      |      // count(*) AS energy
+      |  FROM chars GROUP BY 1, 2),
+      |voiced AS (
+      |  SELECT doc_id, ci,
+      |         ci - row_number() OVER (PARTITION BY doc_id ORDER BY ci) AS island
+      |  FROM en WHERE energy > 94500),
+      |seg AS (
+      |  SELECT doc_id, island, CAST(min(ci) * 3 AS BIGINT) AS start_ms,
+      |         count(*) AS n_chunks
+      |  FROM voiced GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_ms)
+      |            AS BIGINT) AS seg_idx,
+      |       start_ms, n_chunks
+      |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
+
   /** N4e `multimodal_frame_dedup`: cross-video frame dedup — the repeated
     * intro/credits/watermark detector. Every frame reduces to its integer
     * fingerprint map-side ([[graft.ops.MultimodalOps.frameFingerprints]] —
@@ -1293,6 +1357,7 @@ object NorthStarQueries {
   def all: Seq[(String, Q)] = Seq(
     "multimodal_video_scenes" -> Q(multimodalScenes, Some(multimodalScenesSql)),
     "multimodal_frame_dedup" -> Q(multimodalFrameDedup, Some(multimodalFrameDedupSql)),
+    "multimodal_audio_vad" -> Q(multimodalAudioVad, Some(multimodalAudioVadSql)),
     "text_novelty" -> Q(textNovelty, Some(textNoveltySql)),
     "multimodal_audio_chunks" -> Q(multimodalAudioChunks, Some(multimodalAudioChunksSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),

@@ -131,6 +131,23 @@ object MultimodalOps {
     }
   }
 
+  /** Per-chunk energy for VAD — same DETERMINISTIC FAKE contract as
+    * [[frameFingerprints]]: the scaled mean byte of the window payload
+    * stands in for RMS energy; integer arithmetic keeps every threshold
+    * decision engine- and order-exact. */
+  case class ChunkEnergy(doc_id: Long, chunk_idx: Long, start_ms: Long, energy: Long)
+
+  def chunkEnergies(chunks: Dataset[AudioChunk]): Dataset[ChunkEnergy] = {
+    import chunks.sparkSession.implicits._
+    chunks.map { c =>
+      var s = 0L
+      var i = 0
+      while (i < c.samples.length) { s += (c.samples(i) & 0xff); i += 1 }
+      ChunkEnergy(c.doc_id, c.chunk_idx, c.start_ms,
+        if (c.samples.length == 0) 0L else s * 1000 / c.samples.length)
+    }
+  }
+
   case class Resized(doc_id: Long, media: Array[Byte], width: Int, height: Int)
 
   /** DETERMINISTIC FAKE resize into a `maxDim` bounding box: dimensions

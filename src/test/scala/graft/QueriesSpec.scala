@@ -722,6 +722,35 @@ class QueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graph_modularity: contributions bounded, degree sums cover 2m") {
+    val rows = Queries.byName("graph_modularity").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val m = rows.map(_.getLong(1)).sum // intra edges <= m, but check via d_c
+    val dSum = rows.map(_.getLong(2)).sum
+    assert(dSum % 2 == 0, "degree sum must be even (2 per edge)")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(1) * 2 <= r.getLong(2),
+        s"intra-edges need 2 endpoints each inside: $r")
+    }
+  }
+
+  test("multimodal_audio_vad: segments tile voiced chunks without overlap") {
+    val rows = Queries.byName("multimodal_audio_vad").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "seg_idx gaps")
+      // consecutive segments are separated by at least one unvoiced hop
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 * 3 < b._3, s"segments touch/overlap: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()
