@@ -39,4 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
   "-XX:MaxGCPauseMillis=200",
+  // r08: a 253-query sequential bench generates enough wholestage-codegen
+  // classes to fill the default 240 MB JIT code cache, after which the JVM
+  // stops compiling and every HOF/automaton-heavy query runs interpreted
+  // (the r07 driver-bench doc_winnowing 46.9s-vs-1.7s signature). Pin it
+  // high; Bench prints per-query occupancy so a recurrence is visible.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -195,8 +195,10 @@ object AuditQueries {
     * non-negative operands is floor, so this IS floor((x−lo)/w) but with
     * zero float ops. The r06 IEEE form (`floor((x−lo)/((hi−lo)/20))`) moved
     * an edge row between buckets on a one-ulp engine divergence; integers
-    * cannot. Per-bucket DECIMAL bounds verify edge assignment exactly, not
-    * just the counts. */
+    * cannot. Per-bucket bounds verify edge assignment exactly, not just the
+    * counts; they compute in DECIMAL and only the FINAL projection casts to
+    * DOUBLE (both engines convert the same exact decimal → same nearest
+    * double) so the driver's pyarrow/pandas readers see one type. */
   private[graft] def aggHistogramOf(ordersDf: DataFrame): DataFrame = {
     val o = ordersDf.select(
       (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("xc"),
@@ -209,8 +211,10 @@ object AuditQueries {
         col("o_totalprice"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
-        min(col("o_totalprice").cast("decimal(12,2)")).as("b_lo"),
-        max(col("o_totalprice").cast("decimal(12,2)")).as("b_hi"))
+        min(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("b_lo"),
+        max(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("b_hi"))
       .orderBy("bucket")
   }
 
@@ -225,8 +229,8 @@ object AuditQueries {
       |SELECT CAST(LEAST(19, ((xc - lo_c) * 20) // GREATEST(hi_c - lo_c, 1))
       |         AS INTEGER) AS bucket,
       |       count(*) AS n,
-      |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS b_lo,
-      |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS b_hi
+      |       CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS b_lo,
+      |       CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS b_hi
       |FROM c, mm GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** `drift_psi`: population-stability-index between two table snapshots —

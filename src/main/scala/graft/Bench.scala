@@ -73,9 +73,33 @@ object Bench {
         System.gc()
       } catch { case _: Throwable => }
     }
+    // JVM self-diagnosis (r08): the r07 driver bench showed 25-30x
+    // in-context inflation on interpreted-expression-heavy queries
+    // (doc_winnowing 46.9s in the 253-query sequence vs 1.7s isolated) —
+    // the signature of a full JIT code cache (compilation stops, everything
+    // runs interpreted). Per query we record code-cache occupancy, the GC
+    // time delta, and the JIT compilation-time delta across the timed reps,
+    // so a driver-context pathology is identified by the detail file itself
+    // instead of needing a post-hoc rerun.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def codeCache(): (Long, Long) = {
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("CodeCache"))
+      (pools.map(_.getUsage.getUsed).sum, pools.map(_.getUsage.getMax).sum)
+    }
+    def gcMillis(): Long = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    def jitMillis(): Long = {
+      val c = ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else -1L
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       resetState()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      val (gc0, jit0) = (gcMillis(), jitMillis())
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
@@ -86,7 +110,9 @@ object Bench {
       val med =
         if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
-      (name, med, times.head)
+      val (ccUsed, _) = codeCache()
+      (name, med, times.head,
+        ccUsed >> 20, gcMillis() - gc0, jitMillis() - jit0)
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -102,25 +128,29 @@ object Bench {
     // The printed "queries" map carries the slowest queries that fit a
     // ~1200-char budget; "detail" points at the complete map.
     val detailPath = "BENCH_DETAIL.json"
-    val allQs = results.map { case (k, med, min) =>
-      "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(min) + "}"
+    val allQs = results.map { case (k, med, min, ccMb, gcMs, jitMs) =>
+      "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(min) +
+        ",\"cc_mb\":" + ccMb + ",\"gc_ms\":" + gcMs +
+        ",\"jit_ms\":" + jitMs + "}"
     }.mkString("{", ",", "}")
+    val (ccEnd, ccMax) = codeCache()
+    val jvmJson = s"""{"cc_used_mb":${ccEnd >> 20},"cc_max_mb":${ccMax >> 20},"gc_s":${fmt(gcMillis() / 1000.0)},"jit_s":${fmt(jitMillis() / 1000.0)}}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"queries":$allQs,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"jvm":$jvmJson,"queries":$allQs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     val budget = 1200
     val slowFirst = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
-    slowFirst.foreach { case (k, med, _) =>
+    slowFirst.foreach { case (k, med, _, _, _, _) =>
       val entryLen = k.length + fmt(med).length + 4
       if (used + entryLen <= budget) { picked += ((k, med)); used += entryLen }
     }
     val qs = picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_queries":${results.size},"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_queries":${results.size},"jvm":$jvmJson,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -227,7 +227,7 @@ object ClusterQueries {
       |    AS u
       |  FROM s1),
       |d1 AS (SELECT u.i AS i, SUM(u.l) AS L FROM c1 GROUP BY 1),
-      |n1 AS (SELECT SUM(L * L) AS nn FROM d1),
+      |n1 AS (SELECT SUM(CAST(L AS HUGEINT) * L) AS nn FROM d1),
       |x1 AS (SELECT i, round(CAST(L AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 6)
       |         AS x FROM d1, n1),
       |xl AS (SELECT list(x ORDER BY i) AS xs FROM x1),
@@ -243,7 +243,7 @@ object ClusterQueries {
       |    AS u
       |  FROM s2),
       |d2 AS (SELECT u.i AS i, SUM(u.l) AS L FROM c2 GROUP BY 1),
-      |n2 AS (SELECT SUM(L * L) AS nn FROM d2)
+      |n2 AS (SELECT SUM(CAST(L AS HUGEINT) * L) AS nn FROM d2)
       |SELECT CAST(i AS INTEGER) AS dim,
       |       round(CAST(L AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 6) AS loading
       |FROM d2, n2 ORDER BY dim""".stripMargin

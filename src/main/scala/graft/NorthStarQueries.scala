@@ -539,6 +539,47 @@ object NorthStarQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** ANN bound oracle (`knn_ann_{lsh,ivf,pq}_bound`): the rows-only ANN
+    * variants gain a hash row by checking the property they exist for —
+    * RECALL@k against the exact brute-force top-k (`knn_cosine_topk`'s
+    * answer, recomputed in-plan). The ANN candidate set is engine-specific;
+    * "finds ≥ thresh·k·|Q| of the true neighbors" is not, and DuckDB
+    * asserts it as a TRUE boolean next to the SQL-reproducible query count.
+    * One aggregate row — deterministic for fixed data (no RNG anywhere in
+    * the LSH planes / k-means / PQ codebooks, all seeded). Everything stays
+    * in-plan: the semi join scores hits, two scalar aggs cross-join. */
+  private def annRecallBound(s: SparkSession, d: String, ann: DataFrame,
+      k: Int, thresh: Double): DataFrame = {
+    val e = embeddings(s, d)
+    val exact = VectorOps.knnCosine(e.filter(col("vec_id") < 20), e, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"), lit(k).as("k"),
+        (col("n_hits").cast("double") >=
+          lit(thresh) * col("n_queries") * k).as("recall_ok"))
+  }
+
+  private val annRecallBoundSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
+      |       TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
+  // Thresholds sit well under the measured sf0.01 recalls (r08: LSH 0.73,
+  // IVF 0.90, PQ 0.62) — the bound asserts the ANN is USEFUL, not lucky;
+  // VectorOpsSpec asserts the tighter per-variant properties.
+  private def knnAnnLshBound(s: SparkSession, d: String): DataFrame =
+    annRecallBound(s, d, knnAnnLsh(s, d), 3, 0.3)
+
+  private def knnAnnIvfBound(s: SparkSession, d: String): DataFrame =
+    annRecallBound(s, d, knnAnnIvf(s, d), 3, 0.5)
+
+  private def knnAnnPqBound(s: SparkSession, d: String): DataFrame =
+    annRecallBound(s, d, knnAnnPq(s, d), 3, 0.5)
+
   // ---- A7/X2 udaf_vector_centroid ------------------------------------------
 
   /** Custom typed Aggregator: per-label centroid, exploded to (label, dim). */
@@ -669,13 +710,20 @@ object NorthStarQueries {
 
   private[graft] def docWinnowingOf(docs: DataFrame): DataFrame = {
     val tk = split(col("text"), "\\s+")
-    val h = transform(tk, t => length(t).cast("long") * 37L + ascii(t))
+    // The token-hash array materializes in its OWN projection: the gram
+    // expression references it 3× (+ size), and building grams directly off
+    // the transform(split(...)) expr re-inlines the whole hash pass per
+    // reference — O(T²) per doc (r07 plan audit). A non-cheap alias
+    // referenced 3× survives CollapseProject, so `h` computes once.
+    val hc = transform(tk, t => length(t).cast("long") * 37L + ascii(t))
+    val h = col("h")
     val grams = when(size(h) >= 3,
       transform(sequence(lit(1), size(h) - 2), i =>
         (element_at(h, i) * 31L + element_at(h, i + 1)) * 31L +
           element_at(h, i + 2)))
       .otherwise(array().cast("array<bigint>"))
     docs
+      .select(col("doc_id"), hc.as("h"))
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"),
         when(size(col("g")) >= 4,
@@ -809,11 +857,11 @@ object NorthStarQueries {
       |  FROM frames),
       |fps AS (
       |  SELECT doc_id, fi,
-      |         (SUM(ord(substring(payload, CAST(ci + 1 AS INTEGER), 1))) * 1000)
-      |           // count(*) AS fp
+      |         CAST((SUM(ord(substring(payload, CAST(ci + 1 AS INTEGER), 1)))
+      |               * 1000) // count(*) AS BIGINT) AS fp
       |  FROM chars GROUP BY 1, 2)
-      |SELECT fp, count(*) AS n_frames,
-      |       count(DISTINCT doc_id) AS n_docs,
+      |SELECT fp, CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |       CAST(min(doc_id * 1000000 + fi) AS BIGINT) AS rep
       |FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY fp""".stripMargin
@@ -904,7 +952,8 @@ object NorthStarQueries {
     fanOut(documents(s, d))
       .selectExpr("doc_id", "blocklist_match(text) AS hits")
       .filter(size(col("hits")) > 0)
-      .select(col("doc_id"), sort_array(col("hits")).as("hits"),
+      .select(col("doc_id"),
+        array_join(sort_array(col("hits")), ",").as("hits"),
         size(col("hits")).as("n_hits"))
       .orderBy("doc_id")
 
@@ -921,7 +970,8 @@ object NorthStarQueries {
       |hits AS (
       |  SELECT s.doc_id, list_sort(s.st || p.ph) AS hits
       |  FROM singles s JOIN phr p USING (doc_id))
-      |SELECT doc_id, hits, CAST(len(hits) AS INTEGER) AS n_hits
+      |SELECT doc_id, array_to_string(hits, ',') AS hits,
+      |       CAST(len(hits) AS INTEGER) AS n_hits
       |FROM hits WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
 
   // ---- training-pipeline text ops ------------------------------------------
@@ -1374,8 +1424,11 @@ object NorthStarQueries {
     "knn_join_blocked" -> Q(knnJoinBlocked, Some(knnJoinBlockedSql)),
     "knn_q8_rescore" -> Q(knnQ8, Some(knnQ8Sql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
+    "knn_ann_lsh_bound" -> Q(knnAnnLshBound, Some(annRecallBoundSql)),
     "knn_ann_ivf" -> Q(knnAnnIvf, None),
+    "knn_ann_ivf_bound" -> Q(knnAnnIvfBound, Some(annRecallBoundSql)),
     "knn_ann_pq" -> Q(knnAnnPq, None),
+    "knn_ann_pq_bound" -> Q(knnAnnPqBound, Some(annRecallBoundSql)),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),
     "dedup_embedding_lsh" -> Q(dedupEmbeddingLsh, None),
     "udaf_vector_centroid" -> Q(vectorCentroid, Some(vectorCentroidSql)),

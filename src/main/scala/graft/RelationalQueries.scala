@@ -831,6 +831,30 @@ object RelationalQueries {
     orders(s, d).agg(
       approx_count_distinct(col("o_custkey")).as("approx_customers"))
 
+  /** A4b bound oracle (`agg_approx_distinct_bound`): shrink the rows-only
+    * blind spot — the HLL++ estimate itself is engine-specific, but its
+    * ERROR BOUND is checkable cross-engine: per group emit the exact
+    * distinct plus a boolean |approx − exact| ≤ 3·rsd·exact (rsd 0.05,
+    * 3σ). DuckDB reproduces the exact half and asserts TRUE for the bound;
+    * a broken sketch (or a broken merge) flips the boolean and fails the
+    * hash. Deterministic: HLL hashing has no RNG, so the flag is stable
+    * for fixed data. */
+  private def aggApproxDistinctBound(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.05).as("approx"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")) <=
+          lit(0.15) * col("exact_customers")).as("within_bound"))
+      .orderBy("o_orderpriority")
+
+  private val aggApproxDistinctBoundSql =
+    """SELECT o_orderpriority,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+      |       TRUE AS within_bound
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** A5 `agg_rollup`: subtotal matrices for dashboards. grouping_id
     * disambiguates subtotal rows from real NULL groups. */
   private def aggRollup(s: SparkSession, d: String): DataFrame =
@@ -887,6 +911,33 @@ object RelationalQueries {
       count(lit(1)).as("n_months"),
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_customers"))
   }
+
+  /** A4c bound oracle (`agg_hll_mergeable_bound`): the mergeable-rollup
+    * claim made hash-checkable — per-month DataSketches HLLs union to a
+    * period estimate whose error vs the EXACT whole-column distinct must
+    * sit within 5% (lgK 12 ⇒ rsd ≈ 1.6%, 3σ). The oracle computes months
+    * + exact distinct and asserts the bound TRUE; a lossy union (the
+    * failure mode re-aggregation exists to avoid) flips it. */
+  private def aggHllMergeableBound(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val est = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sketch"))
+      .agg(count(lit(1)).as("n_months"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+    val exact = o.agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    est.crossJoin(exact)
+      .select(col("n_months"), col("exact_customers"),
+        (abs(col("est") - col("exact_customers")) <=
+          lit(0.05) * col("exact_customers")).as("within_bound"))
+  }
+
+  private val aggHllMergeableBoundSql =
+    """SELECT (SELECT CAST(count(DISTINCT date_trunc('month', o_orderdate))
+      |               AS BIGINT) FROM orders) AS n_months,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+      |       TRUE AS within_bound
+      |FROM orders""".stripMargin
 
   /** A4d `sketch_count_min`: the mergeable FREQUENCY sketch beside A4c's
     * distinct sketch — a Count-Min over the fact's part key (eps 0.1%,
@@ -963,6 +1014,41 @@ object RelationalQueries {
         col("approx")(0).as("p50"), col("approx")(1).as("p90"),
         col("approx")(2).as("p99"), col("cnt"))
       .orderBy("l_returnflag")
+
+  /** A6c bound oracle (`sketch_percentiles_bound`): the Greenwald-Khanna
+    * guarantee made hash-checkable — the sketch's picked values are
+    * engine-specific, but GK promises |rank(q̂_p) − p·n| ≤ ε·n. Per group:
+    * the approx percentiles compute once, their EXACT ranks come from one
+    * conditional re-count over the same scan, and the output is the exact
+    * row count + three booleans at a 10× slack of the nominal ε = 1/10000
+    * (sketch merges across partials stack error; 0.1% rank slack still
+    * proves the sketch, a broken one is off by whole percents). The oracle
+    * reproduces the counts and asserts TRUE. */
+  private def sketchPercentilesBound(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val ap = li.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("a"),
+        count(lit(1)).as("cnt"))
+    def rnk(i: Int) = sum(
+      when(col("l_extendedprice") <= col("a")(i), 1L).otherwise(0L))
+    def ok(r: Column, p: Double) =
+      abs(r - lit(p) * col("cnt")) <= col("cnt") / 1000 + 1
+    li.join(broadcast(ap), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(first(col("cnt")).as("cnt"), rnk(0).as("r50"), rnk(1).as("r90"),
+        rnk(2).as("r99"))
+      .select(col("l_returnflag"), col("cnt"),
+        ok(col("r50"), 0.5).as("p50_ok"), ok(col("r90"), 0.9).as("p90_ok"),
+        ok(col("r99"), 0.99).as("p99_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private val sketchPercentilesBoundSql =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   private val aggPercentilesSql =
     """SELECT l_returnflag,
@@ -1705,7 +1791,7 @@ object RelationalQueries {
       .join(broadcast(cSrc.select("c_custkey", "c_name")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
-      .agg(max(dec(col("o_totalprice"))).as("o_price"),
+      .agg(max(dec(col("o_totalprice"))).cast("double").as("o_price"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy(col("o_price").desc, col("o_orderdate"), col("o_orderkey"))
       .limit(100)
@@ -1713,7 +1799,7 @@ object RelationalQueries {
 
   private val tpchQ18Sql =
     """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-      |  max(CAST(o_totalprice AS DECIMAL(12,2))) AS o_price,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS o_price,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -2148,6 +2234,8 @@ object RelationalQueries {
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),
+    "agg_hll_mergeable_bound" ->
+      Q(aggHllMergeableBound, Some(aggHllMergeableBoundSql)),
     "sketch_count_min" -> Q(sketchCountMin, None),
     "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),
     "window_rank_family" -> Q(windowRankFamily, Some(windowRankFamilySql)),
@@ -2164,8 +2252,12 @@ object RelationalQueries {
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
     "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),
     "agg_approx_distinct" -> Q(aggApproxDistinct, None),
+    "agg_approx_distinct_bound" ->
+      Q(aggApproxDistinctBound, Some(aggApproxDistinctBoundSql)),
     "agg_percentiles" -> Q(aggPercentiles, Some(aggPercentilesSql)),
     "sketch_percentiles" -> Q(sketchPercentiles, None),
+    "sketch_percentiles_bound" ->
+      Q(sketchPercentilesBound, Some(sketchPercentilesBoundSql)),
     "agg_rollup" -> Q(aggRollup, Some(aggRollupSql)),
     "agg_cube" -> Q(aggCube, Some(aggCubeSql)),
     "upsert_dedup" -> Q(upsertDedup, Some(upsertDedupSql)),

@@ -45,7 +45,9 @@ object SearchQueries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings_head"))
+        array_join(transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, 10),
+            _.cast("string")), ",").as("postings_head"))
       .orderBy("term")
 
   private def indexPostings(s: SparkSession, d: String): DataFrame =
@@ -58,7 +60,8 @@ object SearchQueries {
       |        FROM documents)
       |  GROUP BY 1, 2)
       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-      |       (list(doc_id ORDER BY doc_id))[1:10] AS postings_head
+      |       array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
+      |         AS postings_head
       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
   // ---- search_bm25: query scoring over the index ---------------------------
@@ -160,9 +163,9 @@ object SearchQueries {
       .select(col("doc_id"), col("h"), (col("h") % 8).cast("int").as("shard"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
-        transform(
+        array_join(transform(
           slice(sort_array(collect_list(struct(col("h"), col("doc_id")))), 1, 5),
-          x => x.getField("doc_id")).as("head_ids"))
+          x => x.getField("doc_id").cast("string")), ",").as("head_ids"))
       .orderBy("shard")
 
   private def datasetShuffleShard(s: SparkSession, d: String): DataFrame =
@@ -177,7 +180,8 @@ object SearchQueries {
       |SELECT CAST(h % 8 AS INTEGER) AS shard,
       |       count(*) AS n_docs,
       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
-      |       (list(doc_id ORDER BY h, doc_id))[1:5] AS head_ids
+      |       array_to_string((list(doc_id ORDER BY h, doc_id))[1:5], ',')
+      |         AS head_ids
       |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin
 
   // ---- search_phrase: positional-index phrase query ------------------------
@@ -349,10 +353,11 @@ object SearchQueries {
       .select(col("term"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"),
         (coalesce(col("cf"), lit(0L)) + coalesce(col("d_cf"), lit(0L))).as("cf"),
-        slice(sort_array(concat(
-          coalesce(col("postings"), array().cast("array<long>")),
-          coalesce(col("d_postings"), array().cast("array<long>")))), 1, 10)
-          .as("postings_head"))
+        array_join(transform(
+          slice(sort_array(concat(
+            coalesce(col("postings"), array().cast("array<long>")),
+            coalesce(col("d_postings"), array().cast("array<long>")))), 1, 10),
+          _.cast("string")), ",").as("postings_head"))
       .orderBy("term")
   }
 

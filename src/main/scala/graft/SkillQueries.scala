@@ -304,21 +304,32 @@ object SkillQueries {
     * exactly-represented integers (counts and their products ≪ 2^53), so
     * they hash identically cross-engine with no rounding step.
     *
-    * Scale shape (100 TB): matches shuffle ONCE onto doc_id for the pair
-    * self-join (work is Σ per-doc k², bounded by the 348-term dictionary,
-    * never docs²); pair support is one keyed agg; the item-count joins at
-    * the end are broadcast (≤ 348 rows). The support filter runs BEFORE
-    * the rule fan-out, so low-support pairs never leave the agg. */
+    * Scale shape (100 TB): the dictionary match runs ONCE — matches
+    * shuffle onto doc_id into per-doc sorted baskets, and pairs explode
+    * MAP-SIDE from each basket (Σ per-doc k², bounded by the 348-term
+    * dictionary, never docs²) — no self-join, so the match pass is not
+    * recomputed per join side (r07 plan audit found it running 3×). Items
+    * and pairs both grow from the same doc_id Exchange (ReuseExchange);
+    * pair support is one keyed agg; the item-count joins at the end are
+    * broadcast (≤ 348 rows). The support filter runs BEFORE the rule
+    * fan-out, so low-support pairs never leave the agg. */
   private val MinSupDocs = 20
 
   private def assocRules(s: SparkSession, d: String): DataFrame = {
     val m = SkillOps.matches(s, fanOut(documents(s, d))).select("doc_id", "term")
     val nDocs = documents(s, d).count() // scalar constant, dimension-sized
-    val items = m.groupBy("term").agg(count(lit(1)).as("n_item"))
-    val pairs = m.as("a")
-      .join(m.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
-      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+    val baskets = m.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("term"))).as("ts"))
+    val items = baskets.select(explode(col("ts")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_item"))
+    // per-basket ordered pairs (t1 < t2 by the sorted array's order), built
+    // with HOFs so the fan-out never leaves the map side
+    val pairsArr = flatten(transform(col("ts"), (t1, i) =>
+      transform(slice(col("ts"), i + lit(2), size(col("ts"))),
+        t2 => struct(t1.as("t1"), t2.as("t2")))))
+    val pairs = baskets
+      .select(explode(pairsArr).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= MinSupDocs)
     val rules = pairs.select(col("t1").as("ante"), col("t2").as("cons"), col("n_pair"))

@@ -678,7 +678,7 @@ object TrainDataQueries {
   private val datasetInterleaveSql =
     """WITH weighted AS (
       |  SELECT doc_id, source,
-      |    CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2 = 0
+      |    CASE WHEN TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2 = 0
       |         THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w,
       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
       |  FROM documents),

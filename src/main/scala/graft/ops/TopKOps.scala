@@ -54,8 +54,13 @@ object TopKOps {
     private def trim(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= k) m
       else {
-        // decrement all by the (size-k)-th smallest count; drop zeros
-        val cut = m.values.toSeq.sorted.apply(m.size - k - 1)
+        // decrement all by the (size-k)-th smallest count; drop zeros.
+        // The reduce path always lands here with exactly k+1 entries, where
+        // the cut is simply the min — O(k), the classic MG amortized step
+        // (the O(k log k) sort is reserved for merge, which can see 2k).
+        val cut =
+          if (m.size == k + 1) m.values.min
+          else m.values.toSeq.sorted.apply(m.size - k - 1)
         m.flatMap { case (key, c) =>
           if (c > cut) Some(key -> (c - cut)) else None }
       }

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, SQLException}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's RDBMS persistence path (database.py:30-212) against a
+  * REAL JDBC endpoint — where [[JdbcShapedSink]] reproduces the MERGE/ledger
+  * shape on the filesystem (no-RDBMS sandbox), this sink speaks actual SQL
+  * over JDBC and is spec-proven against in-JVM embedded Derby (ships with
+  * the Spark distribution, zero network). The three reference behaviors:
+  *
+  *  - **Idempotent DDL** (database.py:39-104, `create_tables_if_not_exist`):
+  *    [[ensureTables]] issues `CREATE TABLE` and swallows Derby/standard
+  *    "object already exists" — the target carries a PRIMARY KEY on the
+  *    business key exactly like the reference's unique constraints.
+  *  - **Keyed upsert** (database.py:106-158 probe+insert): per micro-batch,
+  *    within-batch dedup to one row per key (Spark window, distributed),
+  *    executor-parallel `INSERT` into a staging table
+  *    (`df.write.jdbc(append)` — the only part that touches data volume,
+  *    and it scales out), then ONE server-side `MERGE INTO target USING
+  *    staging` on the driver. Incoming wins version ties, matching
+  *    [[graft.ops.UpsertOps.upsertLatest]].
+  *  - **Dup-tolerant append** (database.py:160-212, per-row rollback on
+  *    duplicates): [[appendIgnoreDupes]] inserts `staging EXCEPT existing`
+  *    in one set-based statement — the semantics of the reference's
+  *    row-at-a-time try/except, without paying a round-trip per row.
+  *
+  * Exactly-once under foreachBatch's at-least-once replay: a `_ledger`
+  * table keyed by batch id is written IN THE SAME TRANSACTION as the MERGE.
+  * A replayed id short-circuits before staging; a crash after staging but
+  * before commit leaves the target and ledger untouched (staging is
+  * truncated at the start of every attempt, so the replay is clean); a
+  * concurrent committer of the same id loses the ledger PK race and rolls
+  * back. This is the pattern the JdbcShapedSink scaladoc promises "against
+  * a real database" — here it is, runnable.
+  *
+  * Scale note: embedded Derby is the test double; against a networked
+  * RDBMS the identical SQL runs with executors streaming partitions into
+  * staging concurrently — the driver never holds rows, only statements.
+  */
+class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
+    versionCol: String) {
+
+  private val staging = s"${table}_staging"
+  private val ledger = s"${table}_ledger"
+  private val props = new Properties()
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+
+  /** Best-effort CREATE: swallow "already exists" (Derby X0Y32 / standard
+    * 42S01-family) — the reference's CREATE IF NOT EXISTS emulation for
+    * engines without the clause (database.py:39-104). */
+  private def createQuietly(c: Connection, ddl: String): Unit =
+    try exec(c, ddl)
+    catch {
+      case e: SQLException
+        if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => ()
+    }
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _ => "VARCHAR(500)"
+  }
+
+  /** Idempotent DDL for target (PK on the business key), staging, ledger. */
+  def ensureTables(schema: StructType): Unit = withConn { c =>
+    val cols = schema.fields
+      .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+    createQuietly(c,
+      s"CREATE TABLE $table ($cols, PRIMARY KEY (${keys.mkString(", ")}))")
+    createQuietly(c, s"CREATE TABLE $staging ($cols)")
+    createQuietly(c,
+      s"CREATE TABLE $ledger (batch_id BIGINT NOT NULL PRIMARY KEY)")
+  }
+
+  private def committed(c: Connection, batchId: Long): Boolean = {
+    val st = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+    try { st.setLong(1, batchId); st.executeQuery().next() }
+    finally st.close()
+  }
+
+  /** One row per key within the batch (MERGE rejects duplicate source
+    * matches): highest version wins — the incoming-latest contract of
+    * UpsertOps.upsertLatest, computed distributed before any JDBC I/O. */
+  private def dedupe(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def mergeSql(cols: Seq[String]): String = {
+    val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val nonKeys = cols.filterNot(keys.contains)
+    val sets = nonKeys.map(n => s"t.$n = s.$n").mkString(", ")
+    val ins = cols.mkString(", ")
+    val vals = cols.map(n => s"s.$n").mkString(", ")
+    s"""MERGE INTO $table t USING $staging s ON ($on)
+       |WHEN MATCHED AND s.$versionCol >= t.$versionCol
+       |  THEN UPDATE SET $sets
+       |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+  }
+
+  /** The foreachBatch body: skip-if-committed, stage (executor-parallel),
+    * MERGE + ledger row in one driver transaction.
+    * Pass as `.writeStream.foreachBatch(sink.writeBatch _)`. */
+  def writeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    ensureTables(batch.schema)
+    if (withConn(committed(_, batchId))) return
+    val cols = batch.schema.fieldNames.toSeq
+    // a crashed previous attempt may have left staging rows; the target is
+    // untouched (nothing commits without the ledger row), so reset and redo
+    withConn(exec(_, s"DELETE FROM $staging"))
+    dedupe(batch).write.mode("append").jdbc(url, staging, props)
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        exec(c, mergeSql(cols))
+        exec(c, s"DELETE FROM $staging")
+        try exec(c, s"INSERT INTO $ledger VALUES ($batchId)")
+        catch {
+          case e: SQLException if e.getSQLState == "23505" =>
+            // another committer won the id race — their MERGE already
+            // converged the target; ours must not double-commit
+            c.rollback(); return
+        }
+        c.commit()
+      } catch { case t: Throwable => c.rollback(); throw t }
+    }
+  }
+
+  /** Dup-tolerant append (database.py:160-212, the Skills fact path): add
+    * rows whose FULL tuple is not already present, set-based — one
+    * statement instead of the reference's per-row insert + rollback. */
+  def appendIgnoreDupes(batch: DataFrame): Unit = synchronized {
+    ensureTablesNoKey(batch.schema)
+    withConn(exec(_, s"DELETE FROM $staging"))
+    batch.dropDuplicates().write.mode("append").jdbc(url, staging, props)
+    val cols = batch.schema.fieldNames.toSeq.mkString(", ")
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        exec(c, s"""INSERT INTO $table ($cols)
+                   |SELECT $cols FROM $staging
+                   |EXCEPT SELECT $cols FROM $table""".stripMargin)
+        exec(c, s"DELETE FROM $staging")
+        c.commit()
+      } catch { case t: Throwable => c.rollback(); throw t }
+    }
+  }
+
+  /** DDL variant without a primary key — fact tables dedupe on the full
+    * row, not a business key (the reference's Skills table has a UNIQUE
+    * constraint over all content columns, database.py:80-88). */
+  def ensureTablesNoKey(schema: StructType): Unit = withConn { c =>
+    val cols = schema.fields
+      .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+    createQuietly(c, s"CREATE TABLE $table ($cols)")
+    createQuietly(c, s"CREATE TABLE $staging ($cols)")
+  }
+
+  /** Current table contents ("SELECT * FROM target") — read back through
+    * Spark's JDBC source, partition-parallel against a real server. */
+  def table(spark: SparkSession): DataFrame =
+    spark.read.jdbc(url, table, props)
+}

@@ -16,7 +16,10 @@ class SearchQueriesSpec extends SparkSpec {
     idx.foreach { r =>
       val df = r.getAs[Long]("df")
       val cf = r.getAs[Long]("cf")
-      val head = r.getAs[scala.collection.Seq[Long]]("postings_head").toSeq
+      val head = r.getAs[String]("postings_head") match {
+        case "" => Seq.empty[Long]
+        case s  => s.split(",").toSeq.map(_.toLong)
+      }
       assert(cf >= df, s"cf < df for term ${r.getAs[String]("term")}")
       assert(head.size == math.min(df, 10L))
       assert(head == head.sorted, "postings head not ascending")
