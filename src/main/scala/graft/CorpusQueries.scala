@@ -51,6 +51,104 @@ object CorpusQueries {
   private def chunkDedup(s: SparkSession, d: String): DataFrame =
     chunkDedupOf(fanOut(documents(s, d)), 32).orderBy("doc_id")
 
+  // ---- N15b chunk_cdc: content-defined chunking ----------------------------
+
+  /** `chunk_cdc`: content-defined chunking (the Rabin/FastCDC family —
+    * LBFS, Muthitacharoen et al. 2001) vs [[chunkDedupOf]]'s FIXED-width
+    * chunks: a boundary falls wherever the rolling 8-char window hash is
+    * ≡ 0 (mod 32) (~32-char average chunks), so chunk boundaries RESYNC
+    * after an insertion/deletion — the property that lets a storage/dedup
+    * layer find unchanged content in edited documents, where fixed-width
+    * chunking loses every chunk after the first edit. All math is the
+    * bounded integer polynomial (window hash < 2^63 raw; chunk identity
+    * folds mod 1e9+7 per step, so arbitrary-length chunks never overflow
+    * DuckDB's non-wrapping BIGINT). Output: every chunk repeated across
+    * ≥ 2 docs, with its occurrence/doc counts and packed min
+    * representative — the multimodal_frame_dedup contract, content-defined
+    * instead of frame-aligned. Per-row array math + ONE keyed agg; the
+    * char codes materialize in their own projection (the doc_winnowing
+    * O(T²) lesson — boundaries, window hashes, and chunk folds all
+    * reference them). */
+  private[graft] def chunkCdcOf(docs: DataFrame): DataFrame = {
+    val codes = expr(
+      "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
+    val c = col("c")
+    val n = size(c)
+    // window-hash boundary positions (first 7 chars can't close a window),
+    // always closing the final chunk at n; array_distinct dedups an n that
+    // is already a content boundary
+    val bounds = array_distinct(concat(
+      when(n >= 8,
+        filter(sequence(lit(8), n), i =>
+          aggregate(slice(c, i - 7, lit(8)), lit(0L),
+            (acc, x) => acc * 31L + x) % 32L === 0L))
+        .otherwise(array().cast("array<int>")),
+      array(n)))
+    val chunks = transform(sequence(lit(1), size(col("b"))), j => {
+      val start = when(j === 1, lit(1))
+        .otherwise(element_at(col("b"), j - 1) + 1)
+      val end = element_at(col("b"), j)
+      struct(
+        aggregate(slice(c, start, end - start + 1), lit(0L),
+          (acc, x) => (acc * 31L + x) % 1000000007L).as("fp"),
+        (end - start + 1).cast("long").as("len"))
+    })
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), codes.as("c"))
+      .select(col("doc_id"), col("c"), bounds.as("b"))
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col.fp").as("fp"), col("col.len").as("len"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("len")).as("len"),
+        min(col("doc_id") * 100000L + col("idx")).as("rep"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
+  }
+
+  private def chunkCdc(s: SparkSession, d: String): DataFrame =
+    chunkCdcOf(fanOut(documents(s, d)))
+
+  private val chunkCdcSql =
+    """WITH t AS (
+      |  SELECT doc_id, text, strlen(text) AS n FROM documents
+      |  WHERE strlen(text) > 0),
+      |cod AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(1, n + 1),
+      |      i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT))
+      |      AS c
+      |  FROM t),
+      |bnd AS (
+      |  SELECT doc_id, c,
+      |    list_sort(list_distinct(
+      |      list_filter(range(8, n + 1), i ->
+      |        list_reduce(c[CAST(i AS INTEGER) - 7:CAST(i AS INTEGER)],
+      |          (a, b) -> a * 31 + b) % 32 = 0) || [n])) AS b
+      |  FROM cod),
+      |ch AS (
+      |  SELECT doc_id, c, b, unnest(range(1, len(b) + 1)) AS j FROM bnd),
+      |fp AS (
+      |  SELECT doc_id, j - 1 AS idx,
+      |    list_reduce(
+      |      c[CASE WHEN j = 1 THEN 1
+      |             ELSE CAST(b[CAST(j AS INTEGER) - 1] AS INTEGER) + 1 END
+      |        :CAST(b[CAST(j AS INTEGER)] AS INTEGER)],
+      |      (a, x) -> (a * 31 + x) % 1000000007) AS fp,
+      |    CAST(b[CAST(j AS INTEGER)]
+      |         - CASE WHEN j = 1 THEN 0
+      |                ELSE b[CAST(j AS INTEGER) - 1] END AS BIGINT) AS len
+      |  FROM ch)
+      |SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(min(len) AS BIGINT) AS len,
+      |       CAST(min(doc_id * 100000 + idx) AS BIGINT) AS rep
+      |FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY fp""".stripMargin
+
   private val chunkDedupSql =
     """WITH toksrc AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
@@ -263,6 +361,61 @@ object CorpusQueries {
       |  round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
       |      (u, v) -> u + v) / len(embedding), 6) AS mu
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---- N18b embedding_quant_calib: int8 calibration sweep ------------------
+
+  /** `embedding_quant_calib`: per-dimension int8 quantization calibration —
+    * the sweep a serving/compression pipeline runs before fixing scales:
+    * for every dimension, the max|x|, the p99 |x| clip point (percentile
+    * clipping beats max-abs when a dim has outliers: one bad value
+    * otherwise wastes the whole int8 range), the resulting scale
+    * (p99/127), and the saturation rate that clip choice costs. Cross-row
+    * determinism: only order-independent aggregates (max, count, exact
+    * sort-based percentile) — no float sums across rows; the clip
+    * threshold rounds to 4 dp BEFORE the saturation count so both engines
+    * compare against the identical double. Scale: one explode to
+    * (dim, |x|) keyed on ≤ dim values, one agg, then the dim-sized
+    * calibration table broadcasts back for the clipped re-count — two
+    * scans of the exploded column, zero pairwise work. */
+  private def embeddingQuantCalib(s: SparkSession, d: String): DataFrame = {
+    val ex = embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).as("dim"), abs(col("col").cast("double")).as("ax"))
+    val calib = ex.groupBy("dim")
+      .agg(round(max(col("ax")), 6).as("max_abs"),
+        round(expr("percentile(ax, 0.99)"), 4).as("p99_abs"),
+        count(lit(1)).as("n"))
+    ex.join(broadcast(calib), "dim")
+      .groupBy("dim")
+      .agg(min(col("max_abs")).as("max_abs"), min(col("p99_abs")).as("p99_abs"),
+        min(col("n")).as("n"),
+        sum(when(col("ax") > col("p99_abs"), 1L).otherwise(0L)).as("n_clipped"))
+      .select(col("dim"), col("max_abs"), col("p99_abs"),
+        round(col("p99_abs") / 127.0, 6).as("scale"), col("n"),
+        col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n"), 6).as("clip_rate"))
+      .orderBy("dim")
+  }
+
+  private val embeddingQuantCalibSql =
+    """WITH ex AS (
+      |  SELECT unnest(list_transform(embedding,
+      |    (x, i) -> {'d': i, 'ax': abs(CAST(x AS DOUBLE))})) AS u
+      |  FROM embeddings),
+      |e2 AS (SELECT CAST(u.d AS INTEGER) AS dim, u.ax AS ax FROM ex),
+      |calib AS (
+      |  SELECT dim, round(max(ax), 6) AS max_abs,
+      |         round(quantile_cont(ax, 0.99), 4) AS p99_abs,
+      |         count(*) AS n
+      |  FROM e2 GROUP BY dim)
+      |SELECT dim, min(max_abs) AS max_abs, min(p99_abs) AS p99_abs,
+      |       round(min(p99_abs) / 127.0, 6) AS scale,
+      |       CAST(min(n) AS BIGINT) AS n,
+      |       CAST(count(*) FILTER (WHERE ax > p99_abs) AS BIGINT)
+      |         AS n_clipped,
+      |       round(CAST(count(*) FILTER (WHERE ax > p99_abs) AS DOUBLE)
+      |             / min(n), 6) AS clip_rate
+      |FROM e2 JOIN calib USING (dim) GROUP BY dim ORDER BY dim""".stripMargin
 
   // ---- N19 length_histogram: sequence-length distribution ------------------
 
@@ -855,9 +1008,12 @@ object CorpusQueries {
   def all: Seq[(String, Q)] = Seq(
     "text_collocations" -> Q(textCollocations, Some(textCollocationsSql)),
     "chunk_dedup" -> Q(chunkDedup, Some(chunkDedupSql)),
+    "chunk_cdc" -> Q(chunkCdc, Some(chunkCdcSql)),
     "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
     "sample_temperature" -> Q(sampleTemperature, Some(sampleTemperatureSql)),
     "embedding_norms" -> Q(embeddingNorms, Some(embeddingNormsSql)),
+    "embedding_quant_calib" ->
+      Q(embeddingQuantCalib, Some(embeddingQuantCalibSql)),
     "length_histogram" -> Q(lengthHistogram, Some(lengthHistogramSql)),
     "url_canonicalize" -> Q(urlCanonicalize, Some(urlCanonicalizeSql)),
     "bpe_merge_topk" -> Q(bpeMergeTopk, Some(bpeMergeTopkSql)),

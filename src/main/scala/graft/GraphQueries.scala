@@ -103,6 +103,74 @@ object GraphQueries {
        |ORDER BY rank DESC, n_name""".stripMargin
   }
 
+  /** `graph_label_prop`: synchronous label propagation (Raghavan et al.
+    * 2007) over the undirected trade graph — the linear-time community
+    * detector beside [[graph_modularity]]'s partition scorer. Init label =
+    * own id; per round every node adopts the label with the greatest
+    * incident edge weight among its neighbors, ties to the SMALLEST label
+    * (the determinism pin async LPA lacks — synchronous + total tie order
+    * means any engine replays the rounds exactly; the math is pure integer
+    * sums, no floats anywhere). `Rounds` fixed iterations, the pagerank
+    * convention. Scale: per round ONE join of the label vector onto the
+    * aggregated edge list + one keyed agg + one per-node window — O(E)
+    * per iteration on the nation-level graph here, and the same plan runs
+    * on a billion-node graph with labels partitioned by node (at that
+    * scale the window becomes max_by on the (tw, -lbl) struct, same
+    * semantics). localCheckpoint truncates iterative lineage per round. */
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val e0 = tradeEdges(s, d)
+    val und = e0.select(col("src"), col("dst"), col("w"))
+      .unionAll(e0.select(col("dst"), col("src"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("tw").desc, col("lbl"))
+    for (_ <- 1 to Rounds) {
+      labels = und.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(sum(col("w")).as("tw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.join(nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("lbl").cast("long").as("community"))
+      .orderBy("n_name")
+  }
+
+  private val labelPropSql = {
+    val iter = (i: Int) =>
+      s"""l$i AS (
+         |  SELECT src AS node, lbl FROM (
+         |    SELECT u.src, l.lbl, SUM(u.w) AS tw,
+         |           row_number() OVER (PARTITION BY u.src
+         |             ORDER BY SUM(u.w) DESC, l.lbl) AS rn
+         |    FROM und u JOIN l${i - 1} l ON u.dst = l.node
+         |    GROUP BY u.src, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT src, dst, w FROM edges
+       |    UNION ALL SELECT dst, src, w FROM edges)
+       |  WHERE src <> dst GROUP BY 1, 2),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+       |${(1 to Rounds).map(iter).mkString(",\n")}
+       |SELECT n.n_name, CAST(l$Rounds.lbl AS BIGINT) AS community
+       |FROM l$Rounds JOIN nation n ON l$Rounds.node = n.n_nationkey
+       |ORDER BY n_name""".stripMargin
+  }
+
   /** `graph_triangles`: triangles per node in the undirected trade graph —
     * the clustering/community primitive (triangle count ⇒ clustering
     * coefficient). Canonical id-ordered edges (u < v) make each triangle
@@ -514,6 +582,7 @@ object GraphQueries {
     "graph_degree_histogram" -> Q(degreeHistogram, Some(degreeHistogramSql)),
     "graph_assortativity" -> Q(assortativity, Some(assortativitySql)),
     "graph_kcore" -> Q(kcore, Some(kcoreSql)),
+    "graph_label_prop" -> Q(labelProp, Some(labelPropSql)),
     "graph_modularity" -> Q(modularity, Some(modularitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),

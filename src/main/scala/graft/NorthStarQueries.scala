@@ -239,6 +239,60 @@ object NorthStarQueries {
       |SELECT query_id, neighbor_id, rnk, cos FROM ranked
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** N2h `mine_hard_negatives`: hard-negative mining for contrastive
+    * training — per query vector, the top-3 most-similar corpus vectors
+    * with a DIFFERENT label (similar-but-wrong examples are the negatives
+    * that actually teach a bi-encoder; random negatives are too easy —
+    * the DPR/ANCE data-prep step). Identical scale shape to the exact kNN:
+    * bounded query set broadcasts WITH its labels, corpus streams, the
+    * label-mismatch predicate prunes inside the join (no post-filter
+    * re-rank), ranking on the raw fold double + id tie-break (the proven
+    * cross-engine knn recipe). At 100 TB the same query swaps its
+    * candidate source from the full scan to the IVF/LSH bucket join. */
+  private def mineHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("label").as("neg_label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("neg_label"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("rnk"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val mineHardNegativesSql =
+    """WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+      |           WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    c.label AS neg_label,
+      |    list_reduce(list_transform(q.embedding,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(q.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(c.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos
+      |  FROM q, embeddings c
+      |  WHERE q.vec_id <> c.vec_id AND q.label <> c.label),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, neg_label,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, neighbor_id) AS rnk,
+      |         round(cos, 6) AS cos
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, neg_label, rnk, cos FROM ranked
+      |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   /** `knn_join_blocked`: the kNN JOIN — top-3 cosine neighbors for EVERY
     * vector (not a bounded query set), blocked by the label column so the
     * pair space is Σ|block|², never |corpus|². This is the scale shape of a
@@ -753,6 +807,84 @@ object NorthStarQueries {
       |SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fp,
       |       CAST(list_sum(fp) AS BIGINT) AS fp_sum
       |FROM w ORDER BY doc_id""".stripMargin
+
+  /** N1h `dedup_substring_spans`: ExactSubstr-style duplicated-span
+    * detection (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — the suffix-array method's query analog at
+    * fixed gram granularity): hash every 8-token gram with the portable
+    * integer polynomial (doc_fingerprint's recipe — bounded: max token
+    * hash ~3e3, Horner ×31 over 8 terms < 2^63, so DuckDB's non-wrapping
+    * BIGINT survives); grams held by ≥ 2 docs are "duplicated"; per doc,
+    * overlapping/adjacent duplicated gram positions merge into MAXIMAL
+    * spans (suffix-array maximality recovered by island merging), and the
+    * doc reports span count, covered tokens, and the duplicated-token
+    * ratio — the removal decision ExactSubstr feeds.
+    *
+    * Scale: the gram table is O(total tokens) rows keyed by the hash —
+    * one keyed agg finds shared grams, one hash join back, one per-doc
+    * window for the island merge; never pairwise in docs. This is the
+    * published verbatim-dedup alternative to MinHash (which targets
+    * NEAR-duplication) at 100 TB. The token-hash array materializes in
+    * its own projection (the doc_winnowing O(T²) lesson). */
+  private[graft] def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
+    val L = 8
+    val tk = split(col("text"), "\\s+")
+    val hc = transform(tk, t => length(t).cast("long") * 37L + ascii(t))
+    val withH = docs.select(col("doc_id"), hc.as("h"))
+    val grams = when(size(col("h")) >= L,
+      transform(sequence(lit(1), size(col("h")) - (L - 1)), i =>
+        aggregate(slice(col("h"), i, lit(L)), lit(0L),
+          (acc, x) => acc * 31L + x)))
+      .otherwise(array().cast("array<bigint>"))
+    val g = withH
+      .select(col("doc_id"), size(col("h")).cast("long").as("n_tokens"),
+        posexplode(grams))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gh")
+    val shared = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    g.join(shared, Seq("gh")).select("doc_id", "n_tokens", "p")
+      .withColumn("island", col("p") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("n_tokens")).as("n_tokens"),
+        (max(col("p")) - min(col("p")) + L).as("covered"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"),
+        min(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupSubstringSpans(s: SparkSession, d: String): DataFrame =
+    dedupSubstringSpansOf(fanOut(documents(s, d)))
+
+  private val dedupSubstringSpansSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |h AS (SELECT doc_id, len(tk) AS n,
+      |        list_transform(tk, x -> 37 * length(x) + ascii(x)) AS h FROM t),
+      |pos AS (SELECT doc_id, n, h, unnest(range(1, n - 6)) AS p FROM h),
+      |g AS (SELECT doc_id, n, p,
+      |        list_reduce(h[CAST(p AS INTEGER):CAST(p AS INTEGER) + 7],
+      |          (a, b) -> a * 31 + b) AS gh
+      |      FROM pos),
+      |shared AS (SELECT gh FROM g GROUP BY gh
+      |           HAVING count(DISTINCT doc_id) >= 2),
+      |dup AS (SELECT doc_id, n, p FROM g JOIN shared USING (gh)),
+      |isl AS (SELECT doc_id, n, p,
+      |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+      |            AS island
+      |        FROM dup),
+      |spans AS (SELECT doc_id, min(n) AS n, min(p) AS lo, max(p) AS hi
+      |          FROM isl GROUP BY doc_id, island)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(hi - lo + 8) AS BIGINT) AS dup_tokens,
+      |       CAST(min(n) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(hi - lo + 8) AS DOUBLE) / min(n), 6) AS dup_ratio
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** N4f `multimodal_audio_vad`: voice-activity segmentation over the
     * sliding audio chunks — chunks whose energy clears the threshold
@@ -1411,6 +1543,8 @@ object NorthStarQueries {
     "text_novelty" -> Q(textNovelty, Some(textNoveltySql)),
     "multimodal_audio_chunks" -> Q(multimodalAudioChunks, Some(multimodalAudioChunksSql)),
     "dedup_exact" -> Q(dedupExact, Some(dedupExactSql)),
+    "dedup_substring_spans" ->
+      Q(dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     "dedup_minhash" -> Q(dedupMinhash, None),
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
@@ -1423,6 +1557,8 @@ object NorthStarQueries {
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
     "knn_join_blocked" -> Q(knnJoinBlocked, Some(knnJoinBlockedSql)),
     "knn_q8_rescore" -> Q(knnQ8, Some(knnQ8Sql)),
+    "mine_hard_negatives" ->
+      Q(mineHardNegatives, Some(mineHardNegativesSql)),
     "knn_ann_lsh" -> Q(knnAnnLsh, None),
     "knn_ann_lsh_bound" -> Q(knnAnnLshBound, Some(annRecallBoundSql)),
     "knn_ann_ivf" -> Q(knnAnnIvf, None),

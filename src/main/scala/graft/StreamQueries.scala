@@ -255,8 +255,31 @@ object StreamQueries {
        |FROM events JOIN nation ON user_id % 25 = n_nationkey
        |GROUP BY 1, 2 ORDER BY day_epoch, n_name""".stripMargin
 
+  // ---- T12 stream_decontam_bloom -------------------------------------------
+
+  /** Batch-equivalent form of [[graft.streaming.StreamOps.decontamStreamBloom]]
+    * (stream ≡ batch asserted in StreamOpsSpec): eval-set Bloom built once
+    * distributed, corpus grams gated by the literal filter, exact-verify
+    * broadcast join, per-doc aggregation of the emitted pairs. Same oracle
+    * as decontam_overlap/decontam_bloom — the streaming plumbing must not
+    * change the answer. */
+  private def streamDecontamBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = fanOut(documents(s, d))
+    val bench = docs.filter(col("doc_id") % 53 === 0)
+      .select(explode(array_distinct(
+        graft.TrainDataQueries.gramsOf(col("text"), 5))).as("gram"))
+      .distinct().localCheckpoint()
+    val bloom = graft.ops.BloomOps.build(bench, col("gram"), 1L << 16, 0.01)
+    graft.streaming.StreamOps.decontamStreamBloom(
+        docs.filter(col("doc_id") % 53 =!= 0), bloom, bench)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[(String, Q)] = Seq(
     "stream_tumbling_count" -> Q(tumbling, Some(tumblingSql)),
+    "stream_decontam_bloom" ->
+      Q(streamDecontamBloom, Some(graft.TrainDataQueries.decontamOverlapSql)),
     "stream_static_join" -> Q(staticJoin, Some(staticJoinSql)),
     "stream_distinct_sketch" -> Q(distinctSketch, Some(distinctSketchSql)),
     "stream_sliding_avg" -> Q(sliding, Some(slidingSql)),

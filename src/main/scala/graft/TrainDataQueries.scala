@@ -74,7 +74,7 @@ object TrainDataQueries {
       docs.filter(col("doc_id") % 53 === 0)).orderBy("doc_id")
   }
 
-  private val decontamOverlapSql =
+  private[graft] val decontamOverlapSql =
     s"""WITH ${gramsCte(5)},
        |grams AS (
        |  SELECT DISTINCT doc_id, unnest(grams) AS gram FROM gramsrc),

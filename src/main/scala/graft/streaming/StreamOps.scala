@@ -354,6 +354,28 @@ object StreamOps {
       .filter(col("n_shared") > 0)
   }
 
+  /** The corpus-scale form of [[decontamStream]]: the eval set rides as a
+    * BLOOM FILTER literal (KBs at 8 bits/gram regardless of gram count —
+    * the literal gram array above caps out at expression-size limits long
+    * before a real eval set does), built ONCE in batch
+    * ([[graft.ops.BloomOps.build]], distributed, only the finished filter
+    * reaches the driver) and shipped to every micro-batch task; survivors
+    * exact-verify against the broadcast true gram set, so Bloom false
+    * positives die and the stream's answer matches the batch operator
+    * exactly. Stateless — gram gate + stream-static broadcast join, append
+    * mode, no watermark, no state store: ingest-rate decontamination.
+    * Emits contaminated (doc_id, gram) pairs; the consumer aggregates per
+    * doc (a stream cannot know a doc's gram set is complete). */
+  def decontamStreamBloom(docs: DataFrame, bloom: Array[Byte],
+      benchGrams: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.TrainDataQueries.gramsOf(col("text"), 5)))
+          .as("gram"))
+      .filter(graft.ops.BloomOps.mightContain(bloom, col("gram")))
+      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"))
+      .select("doc_id", "gram")
+
   /** Streaming crawl-frontier dedup: canonicalize each arriving URL
     * (case/port/fragment/tracking-param normalization — CorpusQueries' N20
     * expression) and keep the FIRST sighting of each canonical form within

@@ -753,6 +753,132 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_substring_spans: planted 8-token duplicate found, maximal, clean doc absent") {
+    import spark.implicits._
+    val shared = "a1 b2 c3 d4 e5 f6 g7 h8 i9 j10" // 10 shared tokens
+    val docs = Seq(
+      (1L, s"xx yy $shared zz"),
+      (2L, s"$shared qq rr ss"),
+      (3L, "totally different words with no overlap at all here ok")
+    ).toDF("doc_id", "text")
+    val rows = NorthStarQueries.dedupSubstringSpansOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // both holders report ONE maximal span covering all 10 shared tokens
+    // (3 duplicated 8-gram positions merge into one island: 8 + 2)
+    assert(rows.keySet == Set(1L, 2L), s"wrong docs flagged: $rows")
+    assert(rows(1L) == ((1L, 10L, 13L)), s"doc1: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 10L, 13L)), s"doc2: ${rows(2L)}")
+  }
+
+  test("dedup_substring_spans: corpus invariants at sf") {
+    val rows = Queries.byName("dedup_substring_spans").build(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val (spans, dup, total, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(spans >= 1 && dup >= 8, s"degenerate span row: $r")
+      assert(dup <= total, s"covered tokens exceed doc length: $r")
+      assert(ratio > 0 && ratio <= 1.0, s"ratio out of range: $r")
+      // each maximal span covers >= 8 tokens; spans are disjoint
+      assert(dup >= spans * 8, s"spans shorter than the gram width: $r")
+    }
+  }
+
+  test("chunk_cdc: boundaries resync after an insertion; fixed-width would lose all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // non-repeating body: accidental fixed-width matches are impossible,
+    // so any fixed-chunk survival would be a real alignment, not an echo
+    val base = (0 until 80).map(i => f"tok$i%03d").mkString(" ")
+    val docs = Seq((1L, base), (2L, "INSERTED-PREFIX " + base))
+      .toDF("doc_id", "text")
+    val shared = CorpusQueries.chunkCdcOf(docs).collect()
+    // content-defined boundaries re-synchronize after the insertion, so the
+    // unchanged suffix still produces identical chunks in both docs
+    assert(shared.nonEmpty,
+      "CDC failed to resync after a prefix insertion — no shared chunks")
+    shared.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= 2, s"counts: $r")
+      assert(r.getLong(3) >= 1, s"empty chunk: $r")
+    }
+    // fixed-width 32-char chunks of the same pair share NOTHING (alignment
+    // destroyed) — the contrast that justifies CDC
+    val fixedShared = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(ceil(length(text)/32.0) as int) - 1),
+           |i -> substring(text, i*32 + 1, 32))""".stripMargin)).as("ch"))
+      .groupBy("ch").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).count()
+    assert(fixedShared == 0,
+      "fixture too easy: fixed-width chunking also survived the insertion")
+  }
+
+  test("mine_hard_negatives: negatives really are top different-label neighbors") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.byName("mine_hard_negatives").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.embeddings(spark, sfDir)
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (q, n, negLabel, rnk) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+      assert(labels(n) == negLabel && negLabel != labels(q),
+        s"negative shares the query label: $r")
+      assert(rnk >= 1 && rnk <= 3)
+    }
+    // brute-force re-verify one query's negative set
+    val q0 = rows.map(_.getLong(0)).min
+    val vecs = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val qv = vecs.find(_._1 == q0).get
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs
+      .filter(v => v._1 != q0 && v._3 != qv._3)
+      .map(v => (v._1, cos(qv._2, v._2)))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    val got = rows.filter(_.getLong(0) == q0).sortBy(_.getInt(3))
+      .map(_.getLong(1)).toSeq
+    assert(got == expected, s"hard negatives for query $q0 not the true top-3")
+  }
+
+  test("embedding_quant_calib: per-dim stats coherent, clip rate ~1%") {
+    val rows = Queries.byName("embedding_quant_calib").build(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length).toSeq)
+    rows.foreach { r =>
+      val (maxAbs, p99, scale, n, nClip, rate) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))
+      assert(p99 <= maxAbs + 1e-9, s"p99 above max: $r")
+      assert(math.abs(scale - BigDecimal(p99 / 127.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(nClip <= n * 0.02, s"clip rate far above the 1% target: $r")
+      assert(math.abs(rate - nClip.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("graph_label_prop: communities are node ids and layout-independent") {
+    val a = Queries.byName("graph_label_prop").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(a.nonEmpty)
+    val nationKeys = Tables.nation(spark, sfDir)
+      .select("n_nationkey").collect()
+      .map(_.get(0).asInstanceOf[Number].longValue).toSet
+    assert(a.forall { case (_, c) => nationKeys.contains(c) },
+      "community label is not a node id")
+    assert(a.map(_._2).distinct.size < a.size,
+      "label propagation found no structure (all singleton communities)")
+  }
+
   for ((name, q) <- Queries.all) {
     test(s"query $name executes at sf0.001") {
       val n = q.build(spark, sfDir).count()

@@ -60,6 +60,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("streaming bloom decontam: pairs equal the batch operator's, FPs die at verify") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "totally unrelated words here now yes"))
+    val benchDocs = Seq((99L, "one two three four five")).toDF("doc_id", "text")
+    val benchGrams = benchDocs
+      .select(explode(graft.TrainDataQueries.gramsOf(col("text"), 5)).as("gram"))
+      .distinct()
+    // tiny expectedItems -> saturated filter -> every gram is a Bloom
+    // positive; the exact-verify join must still yield only true matches
+    val bloomSat = graft.ops.BloomOps.build(benchGrams, col("gram"), 1L, 0.5)
+    val streamedSat = runStream(corpus,
+      df => StreamOps.decontamStreamBloom(df.toDF("doc_id", "text"),
+        bloomSat, benchGrams),
+      "t_decontam_bloom_sat", OutputMode.Append())
+    assert(streamedSat.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "one two three four five")),
+      "false positives must die at the exact-verify join")
+    // properly-sized filter: same answer, and the per-doc aggregation of
+    // pairs equals the batch decontam operator
+    val bloom = graft.ops.BloomOps.build(benchGrams, col("gram"), 1L << 10, 0.01)
+    val streamed = runStream(corpus,
+      df => StreamOps.decontamStreamBloom(df.toDF("doc_id", "text"),
+        bloom, benchGrams),
+      "t_decontam_bloom", OutputMode.Append())
+    val agg = streamed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val batch = graft.TrainDataQueries.decontamOverlapOf(
+      corpus.toDF("doc_id", "text"), benchDocs)
+    assert(agg.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("tumbling window: stream result equals batch result") {
     val streamed = runStream(evs, StreamOps.tumblingCounts, "t_tumbling", OutputMode.Complete())
     val batch = StreamOps.tumblingCounts(evs.toDF())
