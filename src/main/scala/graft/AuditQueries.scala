@@ -157,6 +157,45 @@ object AuditQueries {
     profileAgg(s, d, approx = true)
       .selectExpr(profileStack).orderBy("col_name")
 
+  /** `profile_table_approx_bound`: the approx profile's only approximated
+    * stats are the four HLL distinct counts — per column, emit the exact
+    * distinct plus a boolean |approx − exact| ≤ 3·rsd·exact (default rsd
+    * 0.05, 3σ; deterministic for fixed data). One scan computes both
+    * flavors; DuckDB reproduces the exact half and asserts TRUE. */
+  private def profileTableApproxBound(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def pair(c: org.apache.spark.sql.Column, tag: String) = Seq(
+      countDistinct(c).as(s"${tag}_x"), approx_count_distinct(c).as(s"${tag}_a"))
+    val aggs = pair(col("o_custkey"), "ck") ++
+      pair(col("o_orderdate"), "dt") ++
+      pair(col("o_orderpriority"), "pr") ++
+      pair(col("o_totalprice").cast("decimal(12,2)"), "tp")
+    o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        """stack(4,
+          |  'o_custkey',       ck_x, abs(ck_a - ck_x) <= 0.15 * ck_x,
+          |  'o_orderdate',     dt_x, abs(dt_a - dt_x) <= 0.15 * dt_x,
+          |  'o_orderpriority', pr_x, abs(pr_a - pr_x) <= 0.15 * pr_x,
+          |  'o_totalprice',    tp_x, abs(tp_a - tp_x) <= 0.15 * tp_x
+          |) AS (col_name, exact_nd, nd_ok)""".stripMargin)
+      .orderBy("col_name")
+  }
+
+  private val profileTableApproxBoundSql =
+    """WITH a AS (SELECT
+      |  count(DISTINCT o_custkey) AS ck,
+      |  count(DISTINCT o_orderdate) AS dt,
+      |  count(DISTINCT o_orderpriority) AS pr,
+      |  count(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS tp
+      |FROM orders)
+      |SELECT u.col_name, u.exact_nd, TRUE AS nd_ok
+      |FROM a, (SELECT unnest(['o_custkey', 'o_orderdate',
+      |                        'o_orderpriority', 'o_totalprice'])
+      |           AS col_name,
+      |         unnest([(SELECT ck FROM a), (SELECT dt FROM a),
+      |                 (SELECT pr FROM a), (SELECT tp FROM a)]) AS exact_nd) u
+      |ORDER BY col_name""".stripMargin
+
   private val profileTableSql =
     """WITH a AS (SELECT
       |  count(*) AS n_rows,
@@ -860,6 +899,8 @@ object AuditQueries {
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
+    "profile_table_approx_bound" ->
+      Q(profileTableApproxBound, Some(profileTableApproxBoundSql)),
     "agg_histogram" -> Q(aggHistogram, Some(aggHistogramSql)),
     "agg_histogram_eqdepth" -> Q(aggHistogramEqdepth, Some(aggHistogramEqdepthSql)),
     "drift_psi" -> Q(driftPsi, Some(driftPsiSql)),

@@ -68,6 +68,117 @@ object NorthStarQueries {
 
   // ---- N1 dedup: exact n-gram (token-set) Jaccard --------------------------
 
+  /** Sketch-dedup bound oracles (`dedup_minhash_bound`,
+    * `dedup_simhash_bound`): the signatures are engine-specific, but the
+    * guarantees they exist for are not, and DuckDB can assert those as
+    * booleans beside SQL-reproducible counts (the r08 bound-oracle recipe
+    * that closed the ANN/sketch blind spot):
+    *
+    *  - minhash RECALL: every planted-family pair with exact 3-gram
+    *    Jaccard ≥ 0.9 must surface in `dedup_minhash`'s emitted pairs
+    *    (banding at 16 hashes/4 bands has collision prob ≥ 1−(1−t⁴)⁴ —
+    *    ~0.999 at t = 0.9 — and the est filter at 0.5 sits > 3σ below
+    *    0.9); and PRECISION floor: every emitted pair's TRUE 3-gram
+    *    Jaccard ≥ 0.15 (est 0.5 with σ = √(t(1−t)/16) ≈ 0.125 — a pair
+    *    estimated at 0.5 cannot truly be near-disjoint).
+    *  - simhash PIGEONHOLE: a 64-bit pair within hamming ≤ 3 differs in
+    *    at most 3 of 4 16-bit chunks, so the chunk join CANNOT miss it —
+    *    checked exhaustively over the bounded planted family, plus the
+    *    non-vacuity witness (the family's planted exact dups hash to
+    *    identical signatures, so close pairs exist).
+    *
+    * Exact references compute in-plan over the BOUNDED family (all-pairs
+    * there is family², never corpus²); the corpus-scale candidates come
+    * from the banded/chunked operators under test. */
+  private def dedupMinhashBound(s: SparkSession, d: String): DataFrame = {
+    val fam = documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b")))
+    val g = fam.select(col("doc_id"),
+      array_distinct(graft.TrainDataQueries.gramsOf(col("text"), 3)).as("gs"))
+      .localCheckpoint()
+    val exact = g.as("a")
+      .join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.gs"), col("b.gs"))).cast("double").as("i"),
+        (size(col("a.gs")) + size(col("b.gs"))).as("ab"))
+      .withColumn("j", col("i") / (col("ab") - col("i")))
+      .filter(col("j") >= 0.9)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val emitted = DedupOps
+      .minhashPairs(fanOut(documents(s, d)), h = 16, bands = 4)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val gAll = documents(s, d).select(col("doc_id"),
+      array_distinct(graft.TrainDataQueries.gramsOf(col("text"), 3)).as("gs"))
+    val emittedTrueJ = emitted
+      .join(gAll.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(gAll.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+      .select((size(array_intersect(col("ga"), col("gb"))).cast("double") /
+        (size(col("ga")) + size(col("gb")) -
+          size(array_intersect(col("ga"), col("gb"))))).as("j"))
+    val nFam = fam.agg(count(lit(1)).as("n_family_docs"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val missed = exact.join(emitted, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val weak = emittedTrueJ.agg(
+      count(when(col("j") < 0.15, lit(1))).as("n_weak"))
+    nFam.crossJoin(nExact).crossJoin(missed).crossJoin(weak)
+      .select(col("n_family_docs"), col("n_exact_pairs"),
+        (col("n_missed") === 0).as("recall_ok"),
+        (col("n_weak") === 0).as("precision_ok"))
+  }
+
+  private val dedupMinhashBoundSql =
+    """WITH fam AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE regexp_matches(text, '\bdup\b')),
+      |t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM fam),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS gs
+      |  FROM t),
+      |exact AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+      |        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+      |        >= 0.9)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fam) AS n_family_docs,
+      |       CAST(count(*) AS BIGINT) AS n_exact_pairs,
+      |       TRUE AS recall_ok, TRUE AS precision_ok
+      |FROM exact""".stripMargin
+
+  private def dedupSimhashBound(s: SparkSession, d: String): DataFrame = {
+    val famSigs = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+      .select(col("doc_id"),
+        DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
+      .localCheckpoint()
+    val close = famSigs.as("a")
+      .join(famSigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .localCheckpoint()
+    val emitted = dedupSimhash(s, d).select("doc_a", "doc_b")
+    val nFam = famSigs.agg(count(lit(1)).as("n_family_docs"))
+    val nClose = close.agg(count(lit(1)).as("n_close"))
+    val missed = close.select("doc_a", "doc_b")
+      .join(emitted, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    nFam.crossJoin(nClose).crossJoin(missed)
+      .select(col("n_family_docs"), (col("n_close") > 0).as("has_close_pairs"),
+        (col("n_missed") === 0).as("pigeonhole_ok"))
+  }
+
+  private val dedupSimhashBoundSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_family_docs,
+      |       TRUE AS has_close_pairs, TRUE AS pigeonhole_ok
+      |FROM documents WHERE regexp_matches(text, '\bdup\b')""".stripMargin
+
   /** Exact Jaccard over distinct token sets, restricted to the planted
     * near-dup family (docs containing `dup`) so candidates stay bounded;
     * the general-scale path is dedup_minhash. The 25-doc family shares its
@@ -566,6 +677,50 @@ object NorthStarQueries {
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** `dedup_embedding_lsh_bound`: the bucketed path's PRECISION is exact by
+    * construction (every candidate is cosine-verified), so the bound worth
+    * hashing is RECALL vs the exact all-pairs audit — recomputed in-plan
+    * over the same bounded vec_id < 200 slice (the all-pairs reference is
+    * affordable exactly because the slice is bounded; the LSH operator
+    * under test is the one that scales). Oracle reproduces the exact pair
+    * count and asserts the recall floor TRUE. Floor 0.5 sits well under
+    * the measured 0.82 at sf0.01 (148 exact pairs, 121 found). */
+  private def dedupEmbeddingLshBound(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val exact = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select("vec_a", "vec_b")
+      .localCheckpoint()
+    val emitted = dedupEmbeddingLsh(s, d).select("vec_a", "vec_b")
+    val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val found = exact.join(emitted, Seq("vec_a", "vec_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    nExact.crossJoin(found)
+      .select(col("n_exact_pairs"),
+        (col("n_found").cast("double") >=
+          lit(0.5) * col("n_exact_pairs")).as("recall_ok"))
+  }
+
+  private val dedupEmbeddingLshBoundSql =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_reduce(list_transform(a.embedding,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(a.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(b.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+      |FROM pairs WHERE cos >= 0.3""".stripMargin
 
   /** IVF ANN (rows-only; recall asserted in VectorOpsSpec): deterministic
     * k-means coarse quantizer, 16 lists, 4 probed per query — each query
@@ -1546,7 +1701,9 @@ object NorthStarQueries {
     "dedup_substring_spans" ->
       Q(dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     "dedup_minhash" -> Q(dedupMinhash, None),
+    "dedup_minhash_bound" -> Q(dedupMinhashBound, Some(dedupMinhashBoundSql)),
     "dedup_simhash" -> Q(dedupSimhash, None),
+    "dedup_simhash_bound" -> Q(dedupSimhashBound, Some(dedupSimhashBoundSql)),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_containment" -> Q(dedupContainment, Some(dedupContainmentSql)),
     "dedup_prefix_jaccard" -> Q(dedupPrefixJaccard, Some(dedupPrefixJaccardSql)),
@@ -1567,6 +1724,8 @@ object NorthStarQueries {
     "knn_ann_pq_bound" -> Q(knnAnnPqBound, Some(annRecallBoundSql)),
     "dedup_embedding" -> Q(dedupEmbedding, Some(dedupEmbeddingSql)),
     "dedup_embedding_lsh" -> Q(dedupEmbeddingLsh, None),
+    "dedup_embedding_lsh_bound" ->
+      Q(dedupEmbeddingLshBound, Some(dedupEmbeddingLshBoundSql)),
     "udaf_vector_centroid" -> Q(vectorCentroid, Some(vectorCentroidSql)),
     "text_token_stats" -> Q(tokenStats, Some(tokenStatsSql)),
     "lang_id" -> Q(langId, Some(langIdSql)),

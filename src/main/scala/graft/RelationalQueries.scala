@@ -963,6 +963,41 @@ object RelationalQueries {
       .orderBy("l_partkey")
   }
 
+  /** A4d bound oracle (`sketch_count_min_bound`): the Count-Min guarantee
+    * hash-checked — per probed hot key, est ≥ exact (CMS never
+    * undercounts: every counter the key hashes to holds its full count
+    * plus collisions) and overshoot ≤ ε·N with ε = 0.001 (the sketch's
+    * own width parameter; the 99%-confidence bound is deterministic here:
+    * fixed seed + fixed data = fixed collisions). DuckDB reproduces the
+    * exact top-20 and asserts both bounds TRUE. */
+  private def sketchCountMinBound(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val n = li.count()
+    val bytes = li.select(expr(
+      "count_min_sketch(l_partkey, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+      .as("cms")).collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val eps = math.ceil(0.001 * n).toLong
+    val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(20).collect()
+      .map { r =>
+        val est = cms.estimateCount(r.getLong(0))
+        (r.getLong(0), r.getLong(1), est >= r.getLong(1),
+          est - r.getLong(1) <= eps)
+      }
+    import s.implicits._
+    top.toSeq.toDF("l_partkey", "exact_cnt", "ge_exact", "within_eps")
+      .orderBy("l_partkey")
+  }
+
+  private val sketchCountMinBoundSql =
+    """WITH top AS (
+      |  SELECT l_partkey, count(*) AS exact_cnt FROM lineitem
+      |  GROUP BY 1 ORDER BY exact_cnt DESC, l_partkey LIMIT 20)
+      |SELECT l_partkey, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
+      |FROM top ORDER BY l_partkey""".stripMargin
+
   /** A5b `agg_cube`: full cube over two low-cardinality dims. */
   private def aggCube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -2237,6 +2272,8 @@ object RelationalQueries {
     "agg_hll_mergeable_bound" ->
       Q(aggHllMergeableBound, Some(aggHllMergeableBoundSql)),
     "sketch_count_min" -> Q(sketchCountMin, None),
+    "sketch_count_min_bound" ->
+      Q(sketchCountMinBound, Some(sketchCountMinBoundSql)),
     "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),
     "window_rank_family" -> Q(windowRankFamily, Some(windowRankFamilySql)),
     "unpivot_metrics" -> Q(unpivotMetrics, Some(unpivotMetricsSql)),

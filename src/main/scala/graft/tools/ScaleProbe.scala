@@ -483,6 +483,14 @@ object ScaleProbe {
     }
     def winnow(docs: DataFrame): Long =
       graft.NorthStarQueries.docWinnowingOf(docs).queryExecution.toRdd.count()
+    // r08 additions: ExactSubstr spans (gram table O(total tokens), keyed
+    // agg + join-back + per-doc window) and CDC chunking (pure per-row
+    // array math + one keyed agg) — both must scale like the corpus scan.
+    def spans(docs: DataFrame): Long =
+      graft.NorthStarQueries.dedupSubstringSpansOf(docs)
+        .queryExecution.toRdd.count()
+    def cdcChunks(docs: DataFrame): Long =
+      graft.CorpusQueries.chunkCdcOf(docs).queryExecution.toRdd.count()
     def rfm(o: DataFrame): Long = {
       val mx = o.agg(max("o_orderdate").as("dmax"))
       val per = o.groupBy("o_custkey")
@@ -686,6 +694,10 @@ object ScaleProbe {
         time(patternMatch(ev1)), time(patternMatch(evN))),
       ("winnowing fingerprints (per-row array math)",
         time(winnow(d1)), time(winnow(dN))),
+      ("substring-span dedup (8-gram islands)",
+        time(spans(d1)), time(spans(dN))),
+      ("CDC chunking (rolling-hash boundaries)",
+        time(cdcChunks(d1)), time(cdcChunks(dN))),
       ("rfm segmentation (ntile over customer aggregate)",
         time(rfm(o1)), time(rfm(oN))),
       ("k-core peeling (aggregated-graph rounds)",
