@@ -103,6 +103,78 @@ object GraphQueries {
        |ORDER BY rank DESC, n_name""".stripMargin
   }
 
+  /** `graph_wcc`: weakly-connected components by synchronous min-label
+    * propagation over the undirected trade graph, with an IN-PLAN
+    * convergence proof: after `Rounds + 1` rounds the last round must
+    * change nothing, and that boolean ships in the result — so the hash
+    * only passes when the fixed iteration count genuinely reached the
+    * fixpoint (an unconverged run fails loudly instead of shipping wrong
+    * components). Pure integer mins — no floats, no tie ambiguity. Per
+    * round ONE label join + keyed min + least() merge, O(E); the
+    * corpus-scale CC path with O(log n) large-star/small-star doubling is
+    * [[graft.ops.DedupOps]] (dedup_clusters) — this is the bounded-diameter
+    * flavor whose every round a DuckDB WITH-chain replays exactly (the
+    * doubling form's data-dependent round count can't be scripted). */
+  private def graphWcc(s: SparkSession, d: String): DataFrame = {
+    val e0 = tradeEdges(s, d)
+    val und = e0.select(col("src"), col("dst"))
+      .unionAll(e0.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+    def step(labels: DataFrame): DataFrame =
+      labels.join(
+          und.join(labels.withColumnRenamed("node", "dst")
+              .withColumnRenamed("comp", "ncomp"), "dst")
+            .groupBy(col("src").as("node")).agg(min(col("ncomp")).as("nbr")),
+          Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+    for (_ <- 1 to Rounds) labels = step(labels)
+    val last = step(labels)
+    val changed = labels.withColumnRenamed("comp", "prev")
+      .join(last, "node")
+      .agg(count(when(col("prev") =!= col("comp"), lit(1))).as("n_changed"))
+    last.groupBy("comp")
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(changed)
+      .select(col("comp").as("component"), col("n_nodes"),
+        (col("n_changed") === 0).as("converged"))
+      .orderBy("component")
+  }
+
+  private val graphWccSql = {
+    val iter = (i: Int) =>
+      s"""c$i AS (
+         |  SELECT l.node,
+         |         least(l.comp, coalesce(m.nbr, l.comp)) AS comp
+         |  FROM c${i - 1} l LEFT JOIN (
+         |    SELECT u.src AS node, min(p.comp) AS nbr
+         |    FROM und u JOIN c${i - 1} p ON u.dst = p.node
+         |    GROUP BY u.src) m ON m.node = l.node)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |c0 AS (SELECT DISTINCT src AS node, src AS comp FROM und),
+       |${(1 to Rounds + 1).map(iter).mkString(",\n")},
+       |chg AS (
+       |  SELECT count(*) FILTER (WHERE a.comp <> b.comp) AS n_changed
+       |  FROM c$Rounds a JOIN c${Rounds + 1} b ON a.node = b.node)
+       |SELECT comp AS component, CAST(count(*) AS BIGINT) AS n_nodes,
+       |       (SELECT n_changed FROM chg) = 0 AS converged
+       |FROM c${Rounds + 1} GROUP BY comp ORDER BY component""".stripMargin
+  }
+
   /** `graph_label_prop`: synchronous label propagation (Raghavan et al.
     * 2007) over the undirected trade graph — the linear-time community
     * detector beside [[graph_modularity]]'s partition scorer. Init label =
@@ -583,6 +655,7 @@ object GraphQueries {
     "graph_assortativity" -> Q(assortativity, Some(assortativitySql)),
     "graph_kcore" -> Q(kcore, Some(kcoreSql)),
     "graph_label_prop" -> Q(labelProp, Some(labelPropSql)),
+    "graph_wcc" -> Q(graphWcc, Some(graphWccSql)),
     "graph_modularity" -> Q(modularity, Some(modularitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),

@@ -171,6 +171,54 @@ object SearchQueries {
   private def datasetShuffleShard(s: SparkSession, d: String): DataFrame =
     datasetShuffleShardOf(documents(s, d))
 
+  // ---- shard_rendezvous: HRW (rendezvous) shard assignment -----------------
+
+  /** `shard_rendezvous`: highest-random-weight (rendezvous) hashing
+    * (Thaler & Ravishankar 1998) — each doc goes to the shard whose
+    * md5(doc_id#shard) key is the maximum. The property that justifies it
+    * over `dataset_shuffle_shard`'s mod-hash: removing a shard moves ONLY
+    * that shard's docs (the winner among the surviving keys is unchanged
+    * for everyone else), where mod-N reassigns ~(N−1)/N of the corpus.
+    * The result PROVES it: per shard, the count of docs whose assignment
+    * changes when shard 7 is dropped — exactly 0 for shards 0-6 and
+    * n_docs for shard 7, hash-checked (a full-value oracle, not a bound:
+    * every key is portable md5 string order). Map-only — one scan, one
+    * 8-key agg; nothing shuffles but the 8-row aggregate. */
+  private def shardRendezvous(s: SparkSession, d: String): DataFrame = {
+    val ks = (0 until 8).map(i =>
+      md5(concat(col("doc_id").cast("string"), lit("#" + i))))
+    val arr8 = array(ks: _*)
+    val arr7 = array(ks.take(7): _*)
+    val shard8 = (array_position(arr8, array_max(arr8)) - 1).cast("int")
+    val shard7 = (array_position(arr7, array_max(arr7)) - 1).cast("int")
+    documents(s, d)
+      .select(col("doc_id"), shard8.as("shard"), shard7.as("shard_drop7"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+        count(when(col("shard") =!= col("shard_drop7"), lit(1)))
+          .as("n_moved_on_drop7"))
+      .orderBy("shard")
+  }
+
+  private val shardRendezvousSql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8),
+      |      s -> md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)))
+      |      AS ks
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id,
+      |    CAST(list_position(ks, list_max(ks)) - 1 AS INTEGER) AS shard,
+      |    CAST(list_position(ks[1:7], list_max(ks[1:7])) - 1 AS INTEGER)
+      |      AS shard_drop7
+      |  FROM k)
+      |SELECT shard, count(*) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       CAST(count(*) FILTER (WHERE shard <> shard_drop7) AS BIGINT)
+      |         AS n_moved_on_drop7
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
   private val datasetShuffleShardSql =
     """WITH keyed AS (
       |  SELECT doc_id,
@@ -616,5 +664,6 @@ object SearchQueries {
     "search_bm25_batch" -> Q(searchBm25Batch, Some(searchBm25BatchSql)),
     "search_phrase" -> Q(searchPhrase, Some(searchPhraseSql)),
     "index_merge_delta" -> Q(indexMergeDelta, Some(indexPostingsSql)),
-    "dataset_shuffle_shard" -> Q(datasetShuffleShard, Some(datasetShuffleShardSql)))
+    "dataset_shuffle_shard" -> Q(datasetShuffleShard, Some(datasetShuffleShardSql)),
+    "shard_rendezvous" -> Q(shardRendezvous, Some(shardRendezvousSql)))
 }

@@ -866,6 +866,38 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("graph_wcc: converged fixpoint, components partition the node set") {
+    val rows = Queries.byName("graph_wcc").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      "fixed-round propagation did not reach the fixpoint")
+    val nNodes = rows.map(_.getLong(1)).sum
+    val allNodes = Tables.nation(spark, sfDir).count()
+    assert(nNodes <= allNodes && nNodes > 0,
+      s"component sizes sum to $nNodes of $allNodes nations")
+    // each component is identified by its minimum member, so ids are unique
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("shard_rendezvous: dropping a shard moves exactly that shard's docs") {
+    val rows = Queries.byName("shard_rendezvous").build(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 to 7), "missing shards")
+    val total = rows.map(_._2).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    rows.foreach { case (shard, nDocs, moved) =>
+      if (shard == 7) assert(moved == nDocs,
+        s"every doc of the dropped shard must move: $shard $nDocs $moved")
+      else assert(moved == 0,
+        s"HRW moved docs from a surviving shard: $shard moved=$moved")
+    }
+    // assignment is roughly balanced (md5 keys are uniform): no shard
+    // holds more than 3x its fair share
+    rows.foreach { case (s2, n, _) =>
+      assert(n <= total * 3 / 8 + 1, s"shard $s2 badly unbalanced: $n/$total")
+    }
+  }
+
   test("graph_label_prop: communities are node ids and layout-independent") {
     val a = Queries.byName("graph_label_prop").build(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
