@@ -157,6 +157,60 @@ object AuditQueries {
     profileAgg(s, d, approx = true)
       .selectExpr(profileStack).orderBy("col_name")
 
+  /** `dq_skew_report`: join-key skew diagnostics — the query an engineer
+    * runs BEFORE choosing a salting/AQE strategy (the operational
+    * companion of join_skew_salted): per candidate key column, total rows,
+    * distinct keys, the hottest key's count, the p99 per-key count, the
+    * skew ratio (max / mean — the replication factor a salted join must
+    * absorb), and the top-3 hot keys themselves. Scale shape: ONE keyed
+    * count per column (the only fact-scale pass), then scalar aggs over
+    * the key-sized count table; top-3 via TakeOrdered (k-bounded), never
+    * a global sort. All stats are integer-exact except p99 (the proven
+    * percentile/quantile_cont pair, rounded 4 dp) and the ratio (one
+    * exact-int multiply + one IEEE division, rounded 6 dp). */
+  private def dqSkewReport(s: SparkSession, d: String): DataFrame = {
+    def report(df: DataFrame, keyCol: String): DataFrame = {
+      val counts = df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val stats = counts.agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("c")).as("max_cnt"),
+        round(expr("percentile(c, 0.99)"), 4).as("p99_cnt"))
+      val top = counts.orderBy(col("c").desc, col("k")).limit(3)
+        .agg(array_join(transform(
+          sort_array(collect_list(struct((-col("c")).as("nc"), col("k")))),
+          x => concat(x.getField("k").cast("string"), lit(":"),
+            (-x.getField("nc")).cast("string"))), ",").as("top_keys"))
+      stats.crossJoin(top).select(lit(keyCol).as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_cnt"), col("p99_cnt"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"),
+          6).as("skew_ratio"),
+        col("top_keys"))
+    }
+    report(orders(s, d), "o_custkey")
+      .unionByName(report(lineitem(s, d), "l_partkey"))
+      .orderBy("key_col")
+  }
+
+  private val dqSkewReportSql = {
+    def one(table: String, key: String) =
+      s"""SELECT '$key' AS key_col,
+         |  CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |  CAST(max(c) AS BIGINT) AS max_cnt,
+         |  round(quantile_cont(c, 0.99), 4) AS p99_cnt,
+         |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6) AS skew_ratio,
+         |  (SELECT string_agg(CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+         |                     ',' ORDER BY c DESC, k)
+         |   FROM (SELECT k, c FROM (SELECT $key AS k, count(*) AS c
+         |                           FROM $table GROUP BY 1)
+         |         ORDER BY c DESC, k LIMIT 3)) AS top_keys
+         |FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1)"""
+        .stripMargin
+    s"""${one("orders", "o_custkey")}
+       |UNION ALL
+       |${one("lineitem", "l_partkey")}
+       |ORDER BY key_col""".stripMargin
+  }
+
   /** `profile_table_approx_bound`: the approx profile's only approximated
     * stats are the four HLL distinct counts — per column, emit the exact
     * distinct plus a boolean |approx − exact| ≤ 3·rsd·exact (default rsd
@@ -898,6 +952,7 @@ object AuditQueries {
     "dq_expectations" -> Q(dqExpectations, Some(dqExpectationsSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
+    "dq_skew_report" -> Q(dqSkewReport, Some(dqSkewReportSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
     "profile_table_approx_bound" ->
       Q(profileTableApproxBound, Some(profileTableApproxBoundSql)),

@@ -65,39 +65,18 @@ object CorpusQueries {
     * DuckDB's non-wrapping BIGINT). Output: every chunk repeated across
     * ≥ 2 docs, with its occurrence/doc counts and packed min
     * representative — the multimodal_frame_dedup contract, content-defined
-    * instead of frame-aligned. Per-row array math + ONE keyed agg; the
-    * char codes materialize in their own projection (the doc_winnowing
-    * O(T²) lesson — boundaries, window hashes, and chunk folds all
-    * reference them). */
+    * instead of frame-aligned. The whole per-doc pass is ONE native
+    * codegen expression ([[graft.functions.CdcChunks]]) + ONE keyed agg. */
   private[graft] def chunkCdcOf(docs: DataFrame): DataFrame = {
-    val codes = expr(
-      "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
-    val c = col("c")
-    val n = size(c)
-    // window-hash boundary positions (first 7 chars can't close a window),
-    // always closing the final chunk at n; array_distinct dedups an n that
-    // is already a content boundary
-    val bounds = array_distinct(concat(
-      when(n >= 8,
-        filter(sequence(lit(8), n), i =>
-          aggregate(slice(c, i - 7, lit(8)), lit(0L),
-            (acc, x) => acc * 31L + x) % 32L === 0L))
-        .otherwise(array().cast("array<int>")),
-      array(n)))
-    val chunks = transform(sequence(lit(1), size(col("b"))), j => {
-      val start = when(j === 1, lit(1))
-        .otherwise(element_at(col("b"), j - 1) + 1)
-      val end = element_at(col("b"), j)
-      struct(
-        aggregate(slice(c, start, end - start + 1), lit(0L),
-          (acc, x) => (acc * 31L + x) % 1000000007L).as("fp"),
-        (end - start + 1).cast("long").as("len"))
-    })
+    // the whole per-doc pass (code points → window-hash boundaries → chunk
+    // folds) is ONE native codegen expression ([[graft.functions.CdcChunks]];
+    // the r08a HOF formulation — transform/filter/nested-aggregate — ran
+    // interpreted per character: 1.6× slower at sf0.1, 10.9× at the 20×
+    // probe)
     docs
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), codes.as("c"))
-      .select(col("doc_id"), col("c"), bounds.as("b"))
-      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"),
+        posexplode(graft.functions.CdcChunks(col("text"))))
       .select(col("doc_id"), col("pos").cast("long").as("idx"),
         col("col.fp").as("fp"), col("col.len").as("len"))
       .groupBy("fp")

@@ -108,6 +108,12 @@ object Tables {
         graft.functions.WordGrams.info,
         graft.functions.WordGrams.builder)
     }
+    registerIfAbsent("cdc_chunks") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
+        graft.functions.CdcChunks.info,
+        graft.functions.CdcChunks.builder)
+    }
     registerIfAbsent("jaro_winkler") {
       reg.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),

@@ -866,6 +866,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dq_skew_report: stats agree with a direct recount") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.byName("dq_skew_report").build(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5),
+          r.getString(6)))).toMap
+    assert(rows.keySet == Set("o_custkey", "l_partkey"))
+    val counts = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("c")).collect().map(_.getLong(1))
+    val (nRows, nKeys, maxCnt, ratio, top) = rows("o_custkey")
+    assert(nRows == counts.sum && nKeys == counts.length &&
+      maxCnt == counts.max)
+    assert(math.abs(ratio - BigDecimal(maxCnt.toDouble * nKeys / nRows)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(top.split(",").length == 3 && top.split(",").forall(_.contains(":")))
+  }
+
   test("graph_wcc: converged fixpoint, components partition the node set") {
     val rows = Queries.byName("graph_wcc").build(spark, sfDir).collect()
     assert(rows.nonEmpty)
