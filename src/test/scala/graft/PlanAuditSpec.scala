@@ -616,6 +616,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"hashpartitioning\\(event_type\\S*, bucket".r.findFirstIn(pn).isDefined)
   }
 
+  test("assoc_rules: the dictionary-match subtree's exchange is REUSED, not recomputed") {
+    // items and pairs both grow from the same doc_id exchange; the r07 form
+    // recomputed the Aho-Corasick match 3x via a self-join — the fix is only
+    // real if AQE stage reuse actually collapses the identical exchanges
+    val p = finalPlan(q("assoc_rules"))
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 1,
+      s"match+basket subtree must execute once:\n$p")
+  }
+
+  test("chunk_cdc: native expression, distinct-agg exchanges only, no join") {
+    val p = finalPlan(q("chunk_cdc"))
+    assert(!p.contains("Join"), s"CDC dedup is scan + one agg:\n$p")
+    // count(*) + count(DISTINCT doc_id) in one groupBy plans as the
+    // standard two-exchange distinct-aggregate pair — anything beyond that
+    // would be a redundant shuffle
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed <= 2, s"expected the distinct-agg pair, got $keyed:\n$p")
+    val full = plan(q("chunk_cdc"))
+    assert(full.contains("cdc_chunks"), s"native expression missing:\n$full")
+  }
+
+  test("mine_hard_negatives: bounded query set broadcasts, corpus never shuffles pre-join") {
+    val p = finalPlan(q("mine_hard_negatives"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("dedup_substring_spans: gram table shuffles on the hash key only") {
+    val p = finalPlan(q("dedup_substring_spans"))
+    assert("Exchange hashpartitioning\\(gh".r.findFirstIn(p).isDefined,
+      s"shared-gram agg must key on the gram hash:\n$p")
+    assert(p.contains("partial_count"), s"map-side combine expected:\n$p")
+  }
+
+  test("shard_rendezvous: map-only — the only exchange carries the 8-row aggregate") {
+    val p = finalPlan(q("shard_rendezvous"))
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed <= 1, s"HRW assignment must not shuffle the corpus:\n$p")
+    assert(p.contains("partial_count"), s"map-side combine expected:\n$p")
+  }
+
   test("embedding_norms / length_histogram / url_canonicalize: scan-shaped or single keyed agg") {
     val pNorm = finalPlan(q("embedding_norms"))
     assert(!"Exchange hashpartitioning".r.findFirstIn(pNorm).isDefined,
