@@ -920,20 +920,15 @@ object NorthStarQueries {
   private[graft] def docWinnowingOf(docs: DataFrame): DataFrame = {
     val tk = split(col("text"), "\\s+")
     // The token-hash array materializes in its OWN projection: the gram
-    // expression references it 3× (+ size), and building grams directly off
-    // the transform(split(...)) expr re-inlines the whole hash pass per
-    // reference — O(T²) per doc (r07 plan audit). A non-cheap alias
-    // referenced 3× survives CollapseProject, so `h` computes once.
+    // expression referenced it 3× in the r07 HOF form, and building grams
+    // directly off the transform(split(...)) expr re-inlined the whole
+    // hash pass per reference — O(T²) per doc (r07 plan audit). The gram
+    // stage itself is now the native poly_grams expression (Horner ×31
+    // over 3 tokens — identical values, codegen'd single pass).
     val hc = transform(tk, t => length(t).cast("long") * 37L + ascii(t))
-    val h = col("h")
-    val grams = when(size(h) >= 3,
-      transform(sequence(lit(1), size(h) - 2), i =>
-        (element_at(h, i) * 31L + element_at(h, i + 1)) * 31L +
-          element_at(h, i + 2)))
-      .otherwise(array().cast("array<bigint>"))
     docs
       .select(col("doc_id"), hc.as("h"))
-      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"), graft.functions.PolyGrams(col("h"), 3).as("g"))
       .select(col("doc_id"),
         when(size(col("g")) >= 4,
           array_distinct(transform(sequence(lit(1), size(col("g")) - 3), j =>
@@ -986,14 +981,12 @@ object NorthStarQueries {
     val tk = split(col("text"), "\\s+")
     val hc = transform(tk, t => length(t).cast("long") * 37L + ascii(t))
     val withH = docs.select(col("doc_id"), hc.as("h"))
-    val grams = when(size(col("h")) >= L,
-      transform(sequence(lit(1), size(col("h")) - (L - 1)), i =>
-        aggregate(slice(col("h"), i, lit(L)), lit(0L),
-          (acc, x) => acc * 31L + x)))
-      .otherwise(array().cast("array<bigint>"))
+    // gram hashes via the native poly_grams expression (one codegen'd
+    // O(T·L) pass; the HOF transform/aggregate/slice form ran interpreted
+    // per gram)
     val g = withH
       .select(col("doc_id"), size(col("h")).cast("long").as("n_tokens"),
-        posexplode(grams))
+        posexplode(graft.functions.PolyGrams(col("h"), L)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "gh")
     val shared = g.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -108,6 +108,12 @@ object Tables {
         graft.functions.WordGrams.info,
         graft.functions.WordGrams.builder)
     }
+    registerIfAbsent("poly_grams") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("poly_grams"),
+        graft.functions.PolyGrams.info,
+        graft.functions.PolyGrams.builder)
+    }
     registerIfAbsent("cdc_chunks") {
       reg.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
