@@ -929,11 +929,10 @@ object NorthStarQueries {
     docs
       .select(col("doc_id"), hc.as("h"))
       .select(col("doc_id"), graft.functions.PolyGrams(col("h"), 3).as("g"))
+      // native monotone-deque sliding minimum (the HOF form paid an
+      // interpreted lambda + a 4-slice allocation per window)
       .select(col("doc_id"),
-        when(size(col("g")) >= 4,
-          array_distinct(transform(sequence(lit(1), size(col("g")) - 3), j =>
-            array_min(slice(col("g"), j, lit(4))))))
-          .otherwise(array_distinct(col("g"))).as("fp"))
+        graft.functions.WinnowMins(col("g"), 4).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         aggregate(col("fp"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
       .orderBy("doc_id")

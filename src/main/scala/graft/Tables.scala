@@ -108,6 +108,12 @@ object Tables {
         graft.functions.WordGrams.info,
         graft.functions.WordGrams.builder)
     }
+    registerIfAbsent("winnow_mins") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_mins"),
+        graft.functions.WinnowMins.info,
+        graft.functions.WinnowMins.builder)
+    }
     registerIfAbsent("poly_grams") {
       reg.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier("poly_grams"),
