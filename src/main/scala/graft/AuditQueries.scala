@@ -433,8 +433,9 @@ object AuditQueries {
     val tot = counts.agg(sum(col("n_old")).as("t_old"),
       sum(col("n_new")).as("t_new"))
     counts
-      .withColumn("c_old", sum(col("n_old")).over(w))
-      .withColumn("c_new", sum(col("n_new")).over(w))
+      // one projection → one Window node for both running sums
+      .select(col("xc"), sum(col("n_old")).over(w).as("c_old"),
+        sum(col("n_new")).over(w).as("c_new"))
       .crossJoin(broadcast(tot))
       .select(col("xc"),
         abs(col("c_old").cast("double") / col("t_old") -

@@ -728,6 +728,45 @@ object RelationalQueries {
       .orderBy("r", "f", "m")
   }
 
+  /** `rfm_segments_scaled`: A8's result from the SCALE algorithm — the
+    * three quartile assignments WITHOUT the three single-task
+    * `ntile(4).over(Window.orderBy(...))` sorts. Each metric gets a
+    * [[graft.ops.OrderedOps.globalRank]] pass over the per-customer
+    * aggregate (range shuffle + pinned layout + broadcast offsets; desc
+    * orders ride the SortOrder straight through the range partitioner), and
+    * [[graft.ops.OrderedOps.ntileFromRank]] turns (rank, N) into the
+    * identical ANSI quartile split arithmetically. Three range shuffles of
+    * the customer aggregate buy unbounded parallelism — at 10⁹+ customers
+    * the window form is three sequential one-task sorts of the whole
+    * aggregate. Same oracle as `rfm_segments`: hash-proof of the rewrite. */
+  private def rfmSegmentsScaled(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.OrderedOps.{globalRank, ntileFromRank}
+    val maxDay = orders(s, d).agg(max("o_orderdate").as("d_max"))
+    val per = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(Det.dec(col("o_totalprice"))).as("spend"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency", datediff(col("d_max"), col("last_day")))
+      .select("o_custkey", "n_orders", "spend", "recency")
+    val rR = globalRank(per, Seq(col("recency").asc, col("o_custkey").asc))
+      .withColumnRenamed("g_rank", "rk_r")
+    val rF = globalRank(rR, Seq(col("n_orders").desc, col("o_custkey").asc))
+      .withColumnRenamed("g_rank", "rk_f")
+    val rM = globalRank(rF, Seq(col("spend").desc, col("o_custkey").asc))
+      .withColumnRenamed("g_rank", "rk_m")
+    rM.crossJoin(broadcast(per.agg(count(lit(1)).as("n_total"))))
+      .select(col("spend"),
+        ntileFromRank(col("rk_r"), col("n_total"), 4).as("r"),
+        ntileFromRank(col("rk_f"), col("n_total"), 4).as("f"),
+        ntileFromRank(col("rk_m"), col("n_total"), 4).as("m"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("segment_spend"))
+      .orderBy("r", "f", "m")
+  }
+
   private val rfmSegmentsSql =
     """WITH per AS (
       |  SELECT o_custkey, max(o_orderdate) AS last_day, count(*) AS n_orders,
@@ -1288,9 +1327,14 @@ object RelationalQueries {
         lit(true).as("carry")))
     val w = Window.partitionBy("event_type", "bucket").orderBy(col("tsu"))
       .rangeBetween(-sixH, 0)
+    // Both window aggregates in ONE projection → one Window node (two
+    // chained withColumn calls left two stacked Window operators over the
+    // same frame in the physical plan — a second full pass over every
+    // partition for no semantic reason).
     tagged
-      .withColumn("n_6h", count(lit(1)).over(w))
-      .withColumn("val_6h", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("event_id"), col("event_type"), col("carry"),
+        count(lit(1)).over(w).as("n_6h"),
+        sum(dec(col("value"))).over(w).cast("double").as("val_6h"))
       .filter(!col("carry"))
       .select("event_id", "event_type", "n_6h", "val_6h")
       .orderBy("event_id")
@@ -1315,6 +1359,32 @@ object RelationalQueries {
       |             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
       |      FROM customer)
       |GROUP BY 1 ORDER BY decile""".stripMargin
+
+  /** `window_ntile_scaled`: W6's result from the SCALE algorithm. The
+    * ntile form's `Window.orderBy` with no partition spec coalesces the
+    * whole input into ONE task (the `WindowExec: No Partition Defined`
+    * warning in every test log was this query) — harmless when customers
+    * are dimension-sized, fatal when the binned column is a fact. The
+    * scalable plan: [[graft.ops.OrderedOps.globalRank]] (range-partition on
+    * the total order, pinned layout, P partition counts to the driver,
+    * broadcast prefix offsets, one local numbering pass) + ntile's
+    * first-buckets-get-the-remainder split as pure integer arithmetic on
+    * (rank, N) — parallelism stays at the partition count end to end.
+    * Same oracle as `window_ntile`: hash equality IS the rewrite proof,
+    * same pattern as `corr_spearman_scaled` / `drift_ks_scaled`. */
+  private def windowNtileScaled(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val ranked = graft.ops.OrderedOps.globalRank(
+      base, Seq(col("c_acctbal").asc, col("c_custkey").asc))
+    ranked
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_total"))))
+      .withColumn("decile", graft.ops.OrderedOps.ntileFromRank(
+        col("g_rank"), col("n_total"), 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+      .orderBy("decile")
+  }
 
   /** W7b `window_rank_family`: the remaining ANSI rank-family functions —
     * percent_rank, cume_dist, nth_value — per priority over a UNIQUE
@@ -2275,6 +2345,7 @@ object RelationalQueries {
     "sketch_count_min_bound" ->
       Q(sketchCountMinBound, Some(sketchCountMinBoundSql)),
     "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),
+    "window_ntile_scaled" -> Q(windowNtileScaled, Some(windowNtileSql)),
     "window_rank_family" -> Q(windowRankFamily, Some(windowRankFamilySql)),
     "unpivot_metrics" -> Q(unpivotMetrics, Some(unpivotMetricsSql)),
     "scd2_intervals" -> Q(scd2Intervals, Some(scd2IntervalsSql)),
@@ -2286,6 +2357,7 @@ object RelationalQueries {
     "agg_gini" -> Q(aggGini, Some(aggGiniSql)),
     "agg_bitmap_distinct" -> Q(aggBitmapDistinct, Some(aggBitmapDistinctSql)),
     "rfm_segments" -> Q(rfmSegments, Some(rfmSegmentsSql)),
+    "rfm_segments_scaled" -> Q(rfmSegmentsScaled, Some(rfmSegmentsSql)),
     "agg_salary_stats" -> Q(aggSalaryStats, Some(aggSalaryStatsSql)),
     "agg_count_distinct" -> Q(aggCountDistinct, Some(aggCountDistinctSql)),
     "agg_approx_distinct" -> Q(aggApproxDistinct, None),

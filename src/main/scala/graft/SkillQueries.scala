@@ -318,8 +318,14 @@ object SkillQueries {
   private def assocRules(s: SparkSession, d: String): DataFrame = {
     val m = SkillOps.matches(s, fanOut(documents(s, d))).select("doc_id", "term")
     val nDocs = documents(s, d).count() // scalar constant, dimension-sized
+    // localCheckpoint makes the single-match-pass guarantee STRUCTURAL:
+    // baskets (doc_id + ≤348-term sorted array, corpus-row-count rows, text
+    // column already dropped) materialize once, and neither the items nor
+    // the pairs branch can re-run the Aho-Corasick scan even when AQE
+    // exchange reuse doesn't fire (r08 driver context never confirmed it).
     val baskets = m.groupBy("doc_id")
       .agg(sort_array(collect_set(col("term"))).as("ts"))
+      .localCheckpoint()
     val items = baskets.select(explode(col("ts")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n_item"))
     // per-basket ordered pairs (t1 < t2 by the sorted array's order), built

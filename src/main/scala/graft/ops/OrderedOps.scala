@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -62,5 +62,53 @@ object OrderedOps {
     val schema = StructType(sorted.schema.fields ++
       valCols.map(v => StructField(s"cum_$v", LongType, nullable = false)))
     s.createDataFrame(rdd, schema)
+  }
+
+  /** 1-based global rank of every row under `sortExprs` (which must define
+    * a TOTAL order — include a unique tiebreak column, or per-row ranks are
+    * engine-dependent), appended as `g_rank`, all payload columns kept.
+    * Same two-pass recipe as `global_rownum`, generalized: range-partition
+    * on the sort expressions (desc orders supported — SortOrder flows
+    * through both the range partitioner and the local sort), pin the layout
+    * (two jobs over an unpinned range shuffle can sample different bounds),
+    * ship per-partition COUNTS to the driver (P longs), broadcast exclusive
+    * prefix offsets back, number each partition in one local pass. No
+    * single-partition Window anywhere — this is what replaces
+    * `ntile(k).over(Window.orderBy(...))` at 100 TB: rank + pure bucket
+    * arithmetic ([[ntileFromRank]]) instead of a one-task global sort. */
+  def globalRank(df: DataFrame, sortExprs: Seq[Column],
+      partitions: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df
+      .repartitionByRange(partitions, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .localCheckpoint()
+    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.size)
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
+    val bc = s.sparkContext.broadcast(offsets)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = bc.value(pid)
+      it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
+    }
+    s.createDataFrame(rdd, StructType(sorted.schema.fields :+
+      StructField("g_rank", LongType, nullable = false)))
+  }
+
+  /** ANSI ntile(buckets) bucket from a 1-based rank and the total row count
+    * — pure integer arithmetic, no window. With N rows the first N mod b
+    * buckets hold ceil(N/b) rows, the rest floor(N/b) (exactly ntile's
+    * split). Both inputs exact longs ⇒ engine-identical to the window
+    * form's output on any total order. */
+  def ntileFromRank(rank1: Column, nTotal: Column, buckets: Int): Column = {
+    val r0 = rank1 - lit(1L)
+    val q = nTotal.cast("long") / lit(buckets.toLong) // integer div below
+    val qi = floor(q).cast("long")
+    val rem = nTotal.cast("long") % lit(buckets.toLong)
+    val cut = rem * (qi + lit(1L))
+    when(r0 < cut, floor(r0 / (qi + lit(1L))).cast("long") + lit(1L))
+      .otherwise(floor((r0 - cut) / qi).cast("long") + rem + lit(1L))
+      .cast("int")
   }
 }

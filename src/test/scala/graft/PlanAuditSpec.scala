@@ -462,6 +462,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(got == win)
   }
 
+  test("window_ntile_scaled / rfm_segments_scaled: no Window node at all — " +
+      "quantile buckets come from range-partition ranks") {
+    for (name <- Seq("window_ntile_scaled", "rfm_segments_scaled")) {
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$name must not plan a window (the ntile form's empty partition " +
+          s"spec is a one-task global sort at scale):\n$p")
+    }
+    // and the twins must agree with their window forms row-for-row
+    for ((a, b) <- Seq("window_ntile" -> "window_ntile_scaled",
+        "rfm_segments" -> "rfm_segments_scaled")) {
+      val l = q(a).collect().map(_.toSeq).toSeq
+      val r = q(b).collect().map(_.toSeq).toSeq
+      assert(l == r, s"$b must reproduce $a exactly")
+    }
+  }
+
   test("sql_recursive_chain: recursion executes as UnionLoop; rollup map-side combines") {
     val df = q("sql_recursive_chain")
     df.collect()
