@@ -93,8 +93,8 @@ object CorpusQueries {
 
   private val chunkCdcSql =
     """WITH t AS (
-      |  SELECT doc_id, text, strlen(text) AS n FROM documents
-      |  WHERE strlen(text) > 0),
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) > 0),
       |cod AS (
       |  SELECT doc_id, n,
       |    list_transform(range(1, n + 1),

@@ -51,6 +51,16 @@ case class PolyGrams(left: Expression, right: Expression)
 object PolyGrams {
   def compute(h: ArrayData, k: Int): ArrayData = {
     val n = h.numElements()
+    // Guard before the hot loop: getLong on a null slot silently reads 0 —
+    // internal callers never produce null elements, but the function is
+    // SQL-registered, so user input must fail loudly, not hash wrong.
+    var c = 0
+    while (c < n) {
+      if (h.isNullAt(c)) throw new IllegalArgumentException(
+        s"poly_grams: null array element at index $c (null-bearing arrays " +
+          "are not supported)")
+      c += 1
+    }
     val m = math.max(n - k + 1, 0)
     val out = new Array[Long](m)
     var i = 0

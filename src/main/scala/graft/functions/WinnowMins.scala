@@ -48,6 +48,16 @@ case class WinnowMins(left: Expression, right: Expression)
 object WinnowMins {
   def compute(g: ArrayData, w: Int): ArrayData = {
     val n = g.numElements()
+    // Guard before the hot loop: getLong on a null slot silently reads 0 —
+    // internal callers never produce null elements, but the function is
+    // SQL-registered, so user input must fail loudly, not hash wrong.
+    var c = 0
+    while (c < n) {
+      if (g.isNullAt(c)) throw new IllegalArgumentException(
+        s"winnow_mins: null array element at index $c (null-bearing arrays " +
+          "are not supported)")
+      c += 1
+    }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (n < w) {
       var i = 0

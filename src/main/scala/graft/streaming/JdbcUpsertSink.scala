@@ -25,9 +25,10 @@ import org.apache.spark.sql.types._
   *    staging` on the driver. Incoming wins version ties, matching
   *    [[graft.ops.UpsertOps.upsertLatest]].
   *  - **Dup-tolerant append** (database.py:160-212, per-row rollback on
-  *    duplicates): [[appendIgnoreDupes]] inserts `staging EXCEPT existing`
-  *    in one set-based statement — the semantics of the reference's
-  *    row-at-a-time try/except, without paying a round-trip per row.
+  *    duplicates): [[appendIgnoreDupes]] inserts staging rows whose UNIQUE
+  *    tuple is absent (NOT EXISTS on the declared constraint subset) in one
+  *    set-based statement — the semantics of the reference's row-at-a-time
+  *    try/except, without paying a round-trip per row.
   *
   * Exactly-once under foreachBatch's at-least-once replay: a `_ledger`
   * table keyed by batch id is written IN THE SAME TRANSACTION as the MERGE.
@@ -43,11 +44,17 @@ import org.apache.spark.sql.types._
   * staging concurrently — the driver never holds rows, only statements.
   */
 class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
-    versionCol: String) {
+    versionCol: String, stringWidth: Int = 32672) {
 
   private val staging = s"${table}_staging"
   private val ledger = s"${table}_ledger"
   private val props = new Properties()
+
+  /** Every generated statement quotes identifiers (exact case) — unusual
+    * table/column names (reserved words, mixed case, spaces) must not break
+    * the SQL we synthesize. Spark's own JDBC reader/writer gets the quoted
+    * name too, so both sides agree on the stored exact-case identifier. */
+  private def q(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
 
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(url)
@@ -78,44 +85,52 @@ class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     case TimestampType => "TIMESTAMP"
     case DateType => "DATE"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case _ => "VARCHAR(500)"
+    // width is a constructor knob (default: Derby's VARCHAR ceiling) — the
+    // r08 hardcoded 500 made any longer payload fail the staging insert
+    case _ => s"VARCHAR($stringWidth)"
   }
 
   /** Idempotent DDL for target (PK on the business key), staging, ledger. */
   def ensureTables(schema: StructType): Unit = withConn { c =>
     val cols = schema.fields
-      .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+      .map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
     createQuietly(c,
-      s"CREATE TABLE $table ($cols, PRIMARY KEY (${keys.mkString(", ")}))")
-    createQuietly(c, s"CREATE TABLE $staging ($cols)")
+      s"CREATE TABLE ${q(table)} ($cols, PRIMARY KEY (${keys.map(q).mkString(", ")}))")
+    createQuietly(c, s"CREATE TABLE ${q(staging)} ($cols)")
     createQuietly(c,
-      s"CREATE TABLE $ledger (batch_id BIGINT NOT NULL PRIMARY KEY)")
+      s"CREATE TABLE ${q(ledger)} (batch_id BIGINT NOT NULL PRIMARY KEY)")
   }
 
   private def committed(c: Connection, batchId: Long): Boolean = {
-    val st = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+    val st = c.prepareStatement(s"SELECT 1 FROM ${q(ledger)} WHERE batch_id = ?")
     try { st.setLong(1, batchId); st.executeQuery().next() }
     finally st.close()
   }
 
   /** One row per key within the batch (MERGE rejects duplicate source
     * matches): highest version wins — the incoming-latest contract of
-    * UpsertOps.upsertLatest, computed distributed before any JDBC I/O. */
+    * UpsertOps.upsertLatest, computed distributed before any JDBC I/O.
+    * Same-key same-version rows tie-break on a full-row content hash, so a
+    * checkpoint-loss re-delivery of the identical batch under a new batch
+    * id elects the SAME winner and the >=-version MERGE stays idempotent
+    * (version-only ordering left the winner to partition luck). */
   private def dedupe(batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    val contentHash = xxhash64(batch.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, contentHash.desc)
     batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
 
   private def mergeSql(cols: Seq[String]): String = {
-    val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val nonKeys = cols.filterNot(keys.contains)
-    val sets = nonKeys.map(n => s"t.$n = s.$n").mkString(", ")
-    val ins = cols.mkString(", ")
-    val vals = cols.map(n => s"s.$n").mkString(", ")
-    s"""MERGE INTO $table t USING $staging s ON ($on)
-       |WHEN MATCHED AND s.$versionCol >= t.$versionCol
+    val sets = nonKeys.map(n => s"t.${q(n)} = s.${q(n)}").mkString(", ")
+    val ins = cols.map(q).mkString(", ")
+    val vals = cols.map(n => s"s.${q(n)}").mkString(", ")
+    s"""MERGE INTO ${q(table)} t USING ${q(staging)} s ON ($on)
+       |WHEN MATCHED AND s.${q(versionCol)} >= t.${q(versionCol)}
        |  THEN UPDATE SET $sets
        |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
   }
@@ -129,14 +144,14 @@ class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     val cols = batch.schema.fieldNames.toSeq
     // a crashed previous attempt may have left staging rows; the target is
     // untouched (nothing commits without the ledger row), so reset and redo
-    withConn(exec(_, s"DELETE FROM $staging"))
-    dedupe(batch).write.mode("append").jdbc(url, staging, props)
+    withConn(exec(_, s"DELETE FROM ${q(staging)}"))
+    dedupe(batch).write.mode("append").jdbc(url, q(staging), props)
     withConn { c =>
       c.setAutoCommit(false)
       try {
         exec(c, mergeSql(cols))
-        exec(c, s"DELETE FROM $staging")
-        try exec(c, s"INSERT INTO $ledger VALUES ($batchId)")
+        exec(c, s"DELETE FROM ${q(staging)}")
+        try exec(c, s"INSERT INTO ${q(ledger)} VALUES ($batchId)")
         catch {
           case e: SQLException if e.getSQLState == "23505" =>
             // another committer won the id race — their MERGE already
@@ -149,37 +164,57 @@ class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
   }
 
   /** Dup-tolerant append (database.py:160-212, the Skills fact path): add
-    * rows whose FULL tuple is not already present, set-based — one
-    * statement instead of the reference's per-row insert + rollback. */
-  def appendIgnoreDupes(batch: DataFrame): Unit = synchronized {
+    * rows whose unique tuple is not already present, set-based — one
+    * statement instead of the reference's per-row insert + rollback.
+    *
+    * `uniqueCols` mirrors the reference's UNIQUE constraint column subset
+    * (UC_JobSkill is UNIQUE (JobID, Source, SkillName), database.py:80-88
+    * — NOT all content columns: a row differing only in SkillCategory is
+    * rejected there). Defaults to the full tuple, the safe generalization
+    * when no constraint subset is declared. Within-batch conflicts on the
+    * unique tuple elect a deterministic winner (lowest content hash), so
+    * replays insert the same row. */
+  def appendIgnoreDupes(batch: DataFrame,
+      uniqueCols: Seq[String] = Seq.empty): Unit = synchronized {
+    val uc = if (uniqueCols.nonEmpty) uniqueCols
+      else batch.schema.fieldNames.toSeq
     ensureTablesNoKey(batch.schema)
-    withConn(exec(_, s"DELETE FROM $staging"))
-    batch.dropDuplicates().write.mode("append").jdbc(url, staging, props)
-    val cols = batch.schema.fieldNames.toSeq.mkString(", ")
+    withConn(exec(_, s"DELETE FROM ${q(staging)}"))
+    val deduped = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(uc.map(col): _*)
+        .orderBy(xxhash64(batch.columns.map(col): _*).asc)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    deduped.write.mode("append").jdbc(url, q(staging), props)
+    val cols = batch.schema.fieldNames.toSeq.map(q).mkString(", ")
+    val onUc = uc.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     withConn { c =>
       c.setAutoCommit(false)
       try {
-        exec(c, s"""INSERT INTO $table ($cols)
-                   |SELECT $cols FROM $staging
-                   |EXCEPT SELECT $cols FROM $table""".stripMargin)
-        exec(c, s"DELETE FROM $staging")
+        exec(c, s"""INSERT INTO ${q(table)} ($cols)
+                   |SELECT $cols FROM ${q(staging)} s
+                   |WHERE NOT EXISTS
+                   |  (SELECT 1 FROM ${q(table)} t WHERE $onUc)""".stripMargin)
+        exec(c, s"DELETE FROM ${q(staging)}")
         c.commit()
       } catch { case t: Throwable => c.rollback(); throw t }
     }
   }
 
-  /** DDL variant without a primary key — fact tables dedupe on the full
-    * row, not a business key (the reference's Skills table has a UNIQUE
-    * constraint over all content columns, database.py:80-88). */
+  /** DDL variant without a primary key — the unique-tuple check runs in
+    * [[appendIgnoreDupes]]'s INSERT itself (NOT EXISTS on the declared
+    * unique subset), so the table needs no constraint of its own. */
   def ensureTablesNoKey(schema: StructType): Unit = withConn { c =>
     val cols = schema.fields
-      .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-    createQuietly(c, s"CREATE TABLE $table ($cols)")
-    createQuietly(c, s"CREATE TABLE $staging ($cols)")
+      .map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
+    createQuietly(c, s"CREATE TABLE ${q(table)} ($cols)")
+    createQuietly(c, s"CREATE TABLE ${q(staging)} ($cols)")
   }
 
   /** Current table contents ("SELECT * FROM target") — read back through
     * Spark's JDBC source, partition-parallel against a real server. */
   def table(spark: SparkSession): DataFrame =
-    spark.read.jdbc(url, table, props)
+    spark.read.jdbc(url, q(table), props)
 }

@@ -67,6 +67,48 @@ class CdcChunksSpec extends SparkSpec {
     assert(empty.toString == "ArraySeq([0,0])", s"empty-string chunks: $empty")
   }
 
+  test("adversarial Unicode: surrogate pairs, combining marks, CJK — " +
+      "native ≡ HOF code-point for code-point") {
+    // the risk surface is code-point iteration: a UTF-16-code-unit walk
+    // would split every surrogate pair (emoji) in two and shift every
+    // boundary after it; both paths must agree on non-BMP content
+    val texts = Seq(
+      "emoji 😀😁 inside a sentence with enough text",
+      "😀" * 12,                       // surrogate pairs only
+      "café résumé naïve", // combining acute + precomposed
+      "世界こんにちは世界" * 3, // CJK
+      "mixed é世😀á ascii tail 1234567890",
+      "ÅÅÅ ring marks", // A + combining ring
+      ("🍕 pizza " * 8).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+        graft.functions.CdcChunks(col("text")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toSeq).toMap
+    val (bounds, mk) = hofChunks
+    val hof = df
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")
+        .as("c"))
+      .select(col("doc_id"), col("c"), bounds.as("b"))
+      .select(col("doc_id"), mk(col("b")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toSeq).toMap
+    texts.indices.foreach { i =>
+      assert(native(i.toLong).toString == hof(i.toLong).toString,
+        s"unicode divergence on text #$i '${texts(i).take(20)}': " +
+          s"native=${native(i.toLong)} hof=${hof(i.toLong)}")
+    }
+    // chunk lengths must still tile the CODE-POINT count (not the UTF-16
+    // or UTF-8 length) — pins the unit the expression iterates in
+    texts.indices.foreach { i =>
+      val cp = texts(i).codePointCount(0, texts(i).length).toLong
+      val total = native(i.toLong)
+        .map(_.asInstanceOf[org.apache.spark.sql.Row].getLong(1)).sum
+      assert(total == cp,
+        s"text #$i: chunk lengths sum $total != code-point count $cp")
+    }
+  }
+
   test("chunk lengths tile the text and fingerprints are order-sensitive") {
     val rows = Seq((1L, "abcdefgh" * 10), (2L, "hgfedcba" * 10))
       .toDF("doc_id", "text")

@@ -61,7 +61,7 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       val st = c.createStatement()
       val e = intercept[java.sql.SQLException] {
         st.execute(
-          "INSERT INTO joblistings VALUES (1, 99, 'dup')")
+          "INSERT INTO \"joblistings\" VALUES (1, 99, 'dup')")
       }
       assert(e.getSQLState == "23505", s"expected PK violation, got $e")
       st.close()
@@ -77,7 +77,7 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     val c = DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
-      st.execute("INSERT INTO joblistings_staging VALUES (9, 99, 'ghost')")
+      st.execute("INSERT INTO \"joblistings_staging\" VALUES (9, 99, 'ghost')")
       st.close()
     } finally c.close()
     assert(read() == Map(1L -> ((10L, "a"))), "uncommitted staging leaked")
@@ -103,6 +103,56 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(rows == Set((1L, "python"), (1L, "sql"), (2L, "python"),
       (2L, "spark")))
     assert(sink.table(spark).count() == 4, "duplicate facts re-appended")
+  }
+
+  test("appendIgnoreDupes with a unique-column subset mirrors UC_JobSkill: " +
+      "a row differing only outside the constraint is rejected") {
+    val url = "jdbc:derby:memory:g" +
+      java.util.UUID.randomUUID.toString.replace("-", "") + ";create=true"
+    val sink = new JdbcUpsertSink(url, "skills2", Seq("job_id", "skill"), "job_id")
+    val uc = Seq("job_id", "skill") // UNIQUE (JobID, SkillName) analog
+    val b0 = Seq((1L, "python", "lang"), (2L, "spark", "framework"))
+      .toDF("job_id", "skill", "category")
+    sink.appendIgnoreDupes(b0, uc)
+    // same (job_id, skill) with a DIFFERENT category: the reference's
+    // UNIQUE constraint rejects it — so must we; plus one genuinely new fact
+    val b1 = Seq((1L, "python", "tool"), (3L, "sql", "lang"))
+      .toDF("job_id", "skill", "category")
+    sink.appendIgnoreDupes(b1, uc)
+    val rows = sink.table(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "python", "lang"), (2L, "spark", "framework"),
+      (3L, "sql", "lang")), s"got $rows")
+  }
+
+  test("payloads longer than 500 chars survive the staging insert " +
+      "(width is a constructor knob, default Derby max)") {
+    val url = "jdbc:derby:memory:g" +
+      java.util.UUID.randomUUID.toString.replace("-", "") + ";create=true"
+    val sink = new JdbcUpsertSink(url, "big", Seq("job_id"), "scraped_at")
+    val long = "x" * 5000
+    val b0 = Seq((1L, 10L, long)).toDF("job_id", "scraped_at", "payload")
+    sink.writeBatch(b0, 0L)
+    val got = sink.table(spark).collect().map(_.getString(2)).toSeq
+    assert(got == Seq(long))
+  }
+
+  test("same key AND version in one batch: content-hash tiebreak elects " +
+      "the same winner on a new-batch-id re-delivery") {
+    val url = "jdbc:derby:memory:g" +
+      java.util.UUID.randomUUID.toString.replace("-", "") + ";create=true"
+    val sink = new JdbcUpsertSink(url, "ties", Seq("job_id"), "scraped_at")
+    val b = Seq((1L, 10L, "a"), (1L, 10L, "b"))
+      .toDF("job_id", "scraped_at", "payload")
+    sink.writeBatch(b, 0L)
+    val first = sink.table(spark).collect().map(_.getString(2)).toSeq
+    // checkpoint-loss re-delivery: same rows, NEW batch id (ledger miss);
+    // MERGE uses >=, so a different winner would overwrite — must not happen
+    sink.writeBatch(
+      b.orderBy(org.apache.spark.sql.functions.col("payload").desc), 1L)
+    val second = sink.table(spark).collect().map(_.getString(2)).toSeq
+    assert(first == second,
+      s"re-delivery committed a different winner: $first vs $second")
   }
 
   test("streaming end-to-end: foreachBatch into Derby, exactly-once") {

@@ -34,6 +34,38 @@ class PolyGramsSpec extends SparkSpec {
     }
   }
 
+  test("extreme magnitudes: Horner wraps with java long semantics on " +
+      "Long.Min/Max (the ANSI HOF would THROW here — callers keep " +
+      "magnitudes < 2^47 so neither path overflows in queries)") {
+    val rng = new scala.util.Random(42)
+    def ref(h: Seq[Long], k: Int): Seq[Long] =
+      if (h.size < k) Seq.empty
+      else (0 to h.size - k).map(i =>
+        h.slice(i, i + k).foldLeft(0L)((a, x) => a * 31L + x))
+    val docs = (1L to 20L).map { id =>
+      val n = rng.nextInt(30)
+      (id, Seq.fill(n)(rng.nextLong()) ++
+        (if (n > 2) Seq(Long.MinValue, Long.MaxValue) else Nil))
+    }
+    val native = docs.toDF("doc_id", "h").select(col("doc_id"),
+      graft.functions.PolyGrams(col("h"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    docs.foreach { case (id, h) =>
+      assert(native(id) == ref(h, 3), s"doc $id")
+    }
+  }
+
+  test("null array element fails loudly (never a silent 0-hash)") {
+    val df = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("h")
+    val t = scala.util.Try(
+      df.select(graft.functions.PolyGrams(col("h"), 2)).collect())
+    assert(t.isFailure)
+    var c: Throwable = t.failed.get
+    while (c.getCause != null && !c.getMessage.contains("poly_grams"))
+      c = c.getCause
+    assert(c.getMessage.contains("null array element"), s"got: $c")
+  }
+
   test("SQL registration: poly_grams callable from spark.sql") {
     val r = spark.sql(
       "SELECT poly_grams(array(1L, 2L, 3L, 4L), 3) AS g").collect().head

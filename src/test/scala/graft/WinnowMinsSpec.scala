@@ -42,4 +42,24 @@ object WinnowMinsSpec extends Properties("graft.winnow_mins") {
       Seq.empty[Long]
     ).forall(g => native(g, 4) == hofRef(g, 4))
   }
+
+  property("extreme magnitudes (Long.Min/Max boundaries)") =
+    forAll(Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf(Gen.const(Long.MinValue), Gen.const(Long.MaxValue),
+          Gen.chooseNum(Long.MinValue + 1, Long.MaxValue - 1))))) { g =>
+      native(g, 4) == hofRef(g, 4)
+    }
+
+  property("null array element fails loudly (never a silent 0-hash)") = {
+    val df = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L, 4L, 5L)))
+      .toDF("g")
+    val t = scala.util.Try(
+      df.select(graft.functions.WinnowMins(col("g"), 2)).collect())
+    t.isFailure && {
+      var c: Throwable = t.failed.get
+      while (c.getCause != null && !c.getMessage.contains("winnow_mins"))
+        c = c.getCause
+      c.getMessage.contains("null array element")
+    }
+  }
 }
