@@ -240,7 +240,7 @@ object NorthStarQueries {
   private def dedupContainment(s: SparkSession, d: String): DataFrame =
     DedupOps.containmentPairs(
       fanOut(documents(s, d).filter(regexp_like(col("text"), lit("\\bdup\\b")))),
-      maxDf = Long.MaxValue, minContainment = 0.9)
+      minContainment = 0.9)
       .orderBy("src_doc", "dst_doc")
 
   private val dedupContainmentSql =
@@ -1338,7 +1338,8 @@ object NorthStarQueries {
 
   private[graft] def datasetSplitAtomicOf(docs: DataFrame): DataFrame = {
     val fam = docs.filter(regexp_like(col("text"), lit("\\bdup\\b")))
-    val pairs = DedupOps.jaccardPairs(fam, maxDf = Long.MaxValue, minJaccard = 0.8)
+    // same lossless prefix-filtered candidate generation as dedup_split_leak
+    val pairs = DedupOps.prefixJaccardPairs(fam, minJaccard = 0.8)
       .select("doc_a", "doc_b")
     val cc = DedupOps.connectedComponents(pairs)
     docs.join(cc, Seq("doc_id"), "left_outer")
@@ -1385,8 +1386,8 @@ object NorthStarQueries {
     * that catches eval contamination the split itself creates: a hash split
     * scatters near-duplicate families across splits by construction, so a
     * model "generalizes" to test docs it effectively trained on. Candidate
-    * pairs come from the same inverted-index + exact-Jaccard machinery as
-    * dedup_ngram_jaccard; pairs whose splits DIFFER aggregate per ordered
+    * pairs come from the PPJoin prefix-filtered index (lossless at t = 0.8,
+    * r09) verified with exact Jaccard; pairs whose splits DIFFER aggregate per ordered
     * split pair (count + key checksum, so membership is verified, not just
     * counted). The fix a pipeline applies downstream is family-atomic
     * splitting (hash the dedup-cluster id, not the doc id); this op is the
@@ -1398,7 +1399,11 @@ object NorthStarQueries {
 
   private[graft] def dedupSplitLeakOf(docs: DataFrame): DataFrame = {
     val fam = docs.filter(regexp_like(col("text"), lit("\\bdup\\b")))
-    val pairs = DedupOps.jaccardPairs(fam, maxDf = Long.MaxValue, minJaccard = 0.8)
+    // prefix-filtered candidates (r09): lossless at t = 0.8, so the leak
+    // census is exact while the pair join reads each doc's rare fifth
+    // instead of its full posting list (the r08 20× probe's 15.8× ratio
+    // was candidate-pair volume, and this is its largest lever)
+    val pairs = DedupOps.prefixJaccardPairs(fam, minJaccard = 0.8)
     pairs
       .withColumn("split_a", splitOf(col("doc_a")))
       .withColumn("split_b", splitOf(col("doc_b")))

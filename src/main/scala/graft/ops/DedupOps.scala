@@ -231,25 +231,35 @@ object DedupOps {
   /** Directed token-set CONTAINMENT pairs — C(src→dst) = |src∩dst| / |src|,
     * the asymmetric near-dup measure that catches a short doc quoted or
     * embedded inside a longer one (Jaccard misses those: the size gap
-    * drowns the overlap). Same inverted-index candidate generation as
-    * [[jaccardPairs]] (df-cut on candidate generation only), but pairs are
-    * DIRECTED (both orientations scored; src is the side whose size
-    * normalizes), so the pair join uses ≠, not <. Verification cost is
-    * candidates × doc size, never all-pairs. */
-  def containmentPairs(docs: DataFrame, maxDf: Long, minContainment: Double): DataFrame = {
+    * drowns the overlap). Pairs are DIRECTED (both orientations scored;
+    * src is the side whose size normalizes), so the pair join uses ≠,
+    * not <. Verification cost is candidates × doc size, never all-pairs.
+    *
+    * Candidate generation uses the PPJoin prefix cut on the SRC side
+    * (r09): C ≥ t means src may miss at most |src| − ⌈t·|src|⌉ of its
+    * tokens from dst, so if src's first p = |src| − ⌈t·|src|⌉ + 1 tokens
+    * (canonical df-asc/tok-asc order) are ALL absent from dst the pair
+    * cannot qualify — LOSSLESS, like [[prefixJaccardPairs]]. Only src
+    * prefixes join the full posting lists (prefix_df × df per token, a
+    * ~10× cut at t = 0.9 over the full df × df self-join the r08 form
+    * paid). ⌈t·|src|⌉ is integer arithmetic ((9·sz + 9) DIV 10). */
+  def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame = {
+    require(minContainment == 0.9, "prefix size is specialized to t = 9/10")
+    import org.apache.spark.sql.expressions.Window
     val toks = tokenSets(docs).localCheckpoint()
-    val rare =
-      if (maxDf == Long.MaxValue) toks
-      else {
-        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-        toks.join(dfreq.filter(col("df") <= maxDf), Seq("tok"))
-      }
-    val cand = rare.as("x")
-      .join(rare.as("y"), col("x.tok") === col("y.tok") &&
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")))
+      .join(sizes, "doc_id")
+      .filter(col("r") <= col("sz") - expr("(sz * 9 + 9) DIV 10") + 1)
+      .select("doc_id", "tok")
+    val cand = prefix.as("x")
+      .join(toks.as("y"), col("x.tok") === col("y.tok") &&
         col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("src_doc"), col("y.doc_id").as("dst_doc"))
       .distinct()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cand
       .join(toks.select(col("doc_id").as("src_doc"), col("tok")), "src_doc")
       .join(toks.select(col("doc_id").as("dst_doc"), col("tok")), Seq("dst_doc", "tok"))

@@ -447,7 +447,7 @@ object ScaleProbe {
     def containment(docs: DataFrame): Long =
       graft.ops.DedupOps.containmentPairs(
         docs.filter(regexp_like(col("text"), lit("\\bdup\\b"))),
-        Long.MaxValue, 0.9).count()
+        0.9).count()
     def interleaveSort(docs: DataFrame): Long = {
       val wSrc = W7.partitionBy("source").orderBy("doc_id")
       docs.select(col("doc_id"), col("source"))

@@ -129,4 +129,22 @@ object OpProps extends Properties("graft.ops6") {
         pref == full
       }
     }
+
+  property("containment src-prefix cut is lossless vs the full directed join") =
+    forAll(corpusGen) { docs =>
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        // brute-force reference: every directed pair, exact containment
+        val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSet }
+        val full = (for {
+          (a, ta) <- toks; (b, tb) <- toks if a != b
+          c = BigDecimal(ta.intersect(tb).size.toDouble / ta.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if c >= 0.9
+        } yield (a, b, c)).toSet
+        val pref = graft.ops.DedupOps.containmentPairs(df, 0.9)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        pref == full
+      }
+    }
 }
