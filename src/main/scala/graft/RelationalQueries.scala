@@ -708,10 +708,13 @@ object RelationalQueries {
     * the documented 100 TB path replaces ntile with broadcast quantile cut
     * points (approx_percentile on the aggregate, exact thresholds applied
     * map-side, no global sort). */
-  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
+  private def rfmSegments(s: SparkSession, d: String): DataFrame =
+    rfmSegmentsOf(orders(s, d))
+
+  private[graft] def rfmSegmentsOf(ordersDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxDay = orders(s, d).agg(max("o_orderdate").as("d_max"))
-    val per = orders(s, d)
+    val maxDay = ordersDf.agg(max("o_orderdate").as("d_max"))
+    val per = ordersDf
       .groupBy("o_custkey")
       .agg(max("o_orderdate").as("last_day"),
         count(lit(1)).as("n_orders"),
@@ -739,10 +742,13 @@ object RelationalQueries {
     * the customer aggregate buy unbounded parallelism — at 10⁹+ customers
     * the window form is three sequential one-task sorts of the whole
     * aggregate. Same oracle as `rfm_segments`: hash-proof of the rewrite. */
-  private def rfmSegmentsScaled(s: SparkSession, d: String): DataFrame = {
+  private def rfmSegmentsScaled(s: SparkSession, d: String): DataFrame =
+    rfmSegmentsScaledOf(orders(s, d))
+
+  private[graft] def rfmSegmentsScaledOf(ordersDf: DataFrame): DataFrame = {
     import graft.ops.OrderedOps.{globalRank, ntileFromRank}
-    val maxDay = orders(s, d).agg(max("o_orderdate").as("d_max"))
-    val per = orders(s, d)
+    val maxDay = ordersDf.agg(max("o_orderdate").as("d_max"))
+    val per = ordersDf
       .groupBy("o_custkey")
       .agg(max("o_orderdate").as("last_day"),
         count(lit(1)).as("n_orders"),
@@ -1343,9 +1349,12 @@ object RelationalQueries {
   /** W6 `window_ntile`: equal-frequency decile assignment over account
     * balance (the feature-binning shape). The ntile ORDER BY carries the
     * unique key so bucket boundaries are a total order in both engines. */
-  private def windowNtile(s: SparkSession, d: String): DataFrame = {
+  private def windowNtile(s: SparkSession, d: String): DataFrame =
+    windowNtileOf(customer(s, d))
+
+  private[graft] def windowNtileOf(customerDf: DataFrame): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    customer(s, d)
+    customerDf
       .withColumn("decile", ntile(10).over(w))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
@@ -1372,8 +1381,11 @@ object RelationalQueries {
     * (rank, N) — parallelism stays at the partition count end to end.
     * Same oracle as `window_ntile`: hash equality IS the rewrite proof,
     * same pattern as `corr_spearman_scaled` / `drift_ks_scaled`. */
-  private def windowNtileScaled(s: SparkSession, d: String): DataFrame = {
-    val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+  private def windowNtileScaled(s: SparkSession, d: String): DataFrame =
+    windowNtileScaledOf(customer(s, d))
+
+  private[graft] def windowNtileScaledOf(customerDf: DataFrame): DataFrame = {
+    val base = customerDf.select(col("c_custkey"), col("c_acctbal"))
     val ranked = graft.ops.OrderedOps.globalRank(
       base, Seq(col("c_acctbal").asc, col("c_custkey").asc))
     ranked

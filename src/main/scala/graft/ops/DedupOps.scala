@@ -260,12 +260,21 @@ object DedupOps {
         col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("src_doc"), col("y.doc_id").as("dst_doc"))
       .distinct()
-    cand
+    // second lossless cut (pigeonhole): inter ≤ |dst|, so C ≥ t needs
+    // |dst| ≥ ⌈t·|src|⌉ — size-mismatched candidates die BEFORE the
+    // verification joins pay candidates × doc-size
+    val candSized = cand
+      .join(sizes.select(col("doc_id").as("src_doc"), col("sz").as("sz_src")),
+        "src_doc")
+      .join(sizes.select(col("doc_id").as("dst_doc"), col("sz").as("sz_dst")),
+        "dst_doc")
+      .filter(col("sz_dst") >= expr("(sz_src * 9 + 9) DIV 10"))
+      .select("src_doc", "dst_doc", "sz_src")
+    candSized
       .join(toks.select(col("doc_id").as("src_doc"), col("tok")), "src_doc")
       .join(toks.select(col("doc_id").as("dst_doc"), col("tok")), Seq("dst_doc", "tok"))
-      .groupBy("src_doc", "dst_doc")
+      .groupBy("src_doc", "dst_doc", "sz_src")
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("src_doc"), col("sz").as("sz_src")), "src_doc")
       .withColumn("containment",
         round(col("inter").cast("double") / col("sz_src"), 6))
       .filter(col("containment") >= minContainment)

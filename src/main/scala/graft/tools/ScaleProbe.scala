@@ -503,6 +503,16 @@ object ScaleProbe {
         .withColumn("m", ntile(4).over(W7.orderBy(col("spend").desc, col("o_custkey"))))
         .groupBy("r", "f", "m").agg(count(lit(1))).count()
     }
+    // r09 scale twins vs their one-task window forms: the ntile quartiles/
+    // deciles via globalRank + arithmetic bucket split — the contrast pair
+    // (like binned-vs-BNLJ range join) that proves the rewrite is the 100 TB
+    // path, not just a different plan
+    def rfmScaled(o: DataFrame): Long =
+      graft.RelationalQueries.rfmSegmentsScaledOf(o).queryExecution.toRdd.count()
+    def ntileWin(c: DataFrame): Long =
+      graft.RelationalQueries.windowNtileOf(c).queryExecution.toRdd.count()
+    def ntileScaled(c: DataFrame): Long =
+      graft.RelationalQueries.windowNtileScaledOf(c).queryExecution.toRdd.count()
 
 
     // r07m additions: k-core peeling (aggregated-graph iteration — cost is
@@ -585,7 +595,7 @@ object ScaleProbe {
     idxBuild(d1); bm25(d1); bm25Batch(d1); phrase(d1); idxMerge(d1); shard(d1)
     rangeNaive(ev1); rangeBucketed(ev1)
     knnBlocked(e1); containment(d1); interleaveSort(d1); asofNearestW(ev1)
-    patternMatch(ev1); winnow(d1); rfm(o1)
+    patternMatch(ev1); winnow(d1); rfm(o1); rfmScaled(o1); ntileWin(c1); ntileScaled(c1)
     kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir)); heavyHit(d1); pcaPower(e1); hampel(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
@@ -700,6 +710,12 @@ object ScaleProbe {
         time(cdcChunks(d1)), time(cdcChunks(dN))),
       ("rfm segmentation (ntile over customer aggregate)",
         time(rfm(o1)), time(rfm(oN))),
+      ("rfm segmentation SCALED (3x globalRank + arithmetic quartiles)",
+        time(rfmScaled(o1)), time(rfmScaled(oN))),
+      ("ntile deciles naive (one-task Window.orderBy — contrast)",
+        time(ntileWin(c1)), time(ntileWin(cN))),
+      ("ntile deciles SCALED (globalRank + bucket arithmetic)",
+        time(ntileScaled(c1)), time(ntileScaled(cN))),
       ("k-core peeling (aggregated-graph rounds)",
         time(kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir))),
         time(kcoreP(liN, oN, cN, Tables.supplier(spark, sfDir)))),
