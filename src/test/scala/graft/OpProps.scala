@@ -130,6 +130,30 @@ object OpProps extends Properties("graft.ops6") {
       }
     }
 
+  property("globalRank + ntileFromRank equals ntile().over(Window.orderBy) " +
+      "on random data, asc and desc") =
+    forAll(for {
+      n <- Gen.chooseNum(1, 60)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+      buckets <- Gen.oneOf(2, 3, 4, 7, 10)
+      desc <- Gen.oneOf(true, false)
+    } yield (vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }, buckets, desc)) {
+      case (rows, buckets, desc) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{broadcast, count, lit, ntile}
+        val df = rows.toDF("id", "v")
+        val ord = if (desc) Seq(col("v").desc, col("id").asc)
+          else Seq(col("v").asc, col("id").asc)
+        val win = df.withColumn("b", ntile(buckets).over(Window.orderBy(ord: _*)))
+          .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+        val scaled = graft.ops.OrderedOps.globalRank(df, ord, partitions = 5)
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+          .withColumn("b", graft.ops.OrderedOps.ntileFromRank(
+            col("g_rank"), col("n_total"), buckets))
+          .collect().map(r => r.getLong(0) -> r.getInt(r.length - 1)).toMap
+        scaled == win
+    }
+
   property("containment src-prefix cut is lossless vs the full directed join") =
     forAll(corpusGen) { docs =>
       docs.isEmpty || {
