@@ -542,6 +542,67 @@ object AuditQueries {
   private def corrPearson(s: SparkSession, d: String): DataFrame =
     corrPearsonOf(lineitem(s, d))
 
+  /** N37d `dq_chi_square`: chi-square independence screen between two
+    * categorical columns (order status × priority) — the DQ check that
+    * catches a broken upstream join or skewed backfill as a dependence
+    * shift between fields that should be (or stay) independent. The dense
+    * r×c grid (distinct × distinct, zero-observed cells included — absent
+    * combos still contribute their expected mass) joins integer row/col/
+    * grand totals; each cell's term is ((obs·n − row·col)/ (√: none))² via
+    * d·d with d = (obs·n − row·col) cast to double (exact < 2^53) over
+    * row·col·n — one IEEE multiply + divide per cell, rounded to 6 dp and
+    * summed in DECIMAL (the rounded-term-before-exact-sum discipline that
+    * keeps a float sum's order-dependence out of the hash). Output: cell
+    * count, degrees of freedom, χ². Scale: three keyed aggs with map-side
+    * combine ride one fact scan; the grid is |statuses|×|priorities|. */
+  private[graft] def dqChiSquareOf(o: DataFrame): DataFrame = {
+    val base = o.select(col("o_orderstatus").as("s"),
+      col("o_orderpriority").as("p"))
+    val obs = base.groupBy("s", "p").agg(count(lit(1)).as("n_sp"))
+    val rowT = base.groupBy("s").agg(count(lit(1)).as("n_s"))
+    val colT = base.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val grid = rowT.crossJoin(colT)
+      .join(obs, Seq("s", "p"), "left_outer")
+      .withColumn("o", coalesce(col("n_sp"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val d = (col("o") * col("n") - col("n_s") * col("n_p")).cast("double")
+    grid
+      .select(col("s"), col("p"), col("n"),
+        round(d * d / (col("n_s") * col("n_p") * col("n")).cast("double"), 6)
+          .as("term"))
+      .agg(max(col("n")).as("n_rows"),
+        ((countDistinct(col("s")) - 1) * (countDistinct(col("p")) - 1))
+          .as("dof"),
+        sum(col("term").cast("decimal(30,6)")).cast("double").as("chi2"))
+  }
+
+  private def dqChiSquare(s: SparkSession, d: String): DataFrame =
+    dqChiSquareOf(orders(s, d))
+
+  private val dqChiSquareSql =
+    """WITH base AS (SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders),
+      |obs AS (SELECT s, p, count(*) AS n_sp FROM base GROUP BY 1, 2),
+      |rt AS (SELECT s, CAST(count(*) AS BIGINT) AS n_s FROM base GROUP BY 1),
+      |ct AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM base GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+      |grid AS (
+      |  SELECT rt.s, ct.p, rt.n_s, ct.n_p, tot.n,
+      |         COALESCE(obs.n_sp, 0) AS o
+      |  FROM rt CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN obs ON obs.s = rt.s AND obs.p = ct.p),
+      |terms AS (
+      |  SELECT s, p, n,
+      |    round(CAST(o * n - n_s * n_p AS DOUBLE)
+      |            * CAST(o * n - n_s * n_p AS DOUBLE)
+      |          / CAST(n_s * n_p * n AS DOUBLE), 6) AS term
+      |  FROM grid)
+      |SELECT max(n) AS n_rows,
+      |       CAST((count(DISTINCT s) - 1) * (count(DISTINCT p) - 1) AS BIGINT)
+      |         AS dof,
+      |       CAST(sum(CAST(term AS DECIMAL(30,6))) AS DOUBLE) AS chi2
+      |FROM terms""".stripMargin
+
   private val corrPearsonSql =
     """WITH s AS (SELECT
       |  count(*) AS n,
@@ -963,6 +1024,7 @@ object AuditQueries {
     "drift_ks" -> Q(driftKs, Some(driftKsSql)),
     "drift_ks_scaled" -> Q(driftKsScaled, Some(driftKsSql)),
     "corr_pearson" -> Q(corrPearson, Some(corrPearsonSql)),
+    "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),
     "winsorize_stats" -> Q(winsorizeStats, Some(winsorizeStatsSql)))

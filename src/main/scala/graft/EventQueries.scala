@@ -632,6 +632,61 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** N28g `ts_ols_trend`: per-type ordinary-least-squares daily trend —
+    * the parametric complement of [[tsTheilSen]]'s robust slope (OLS gives
+    * the intercept and reacts to every point; Theil–Sen shrugs off
+    * outliers — a monitoring stack wants both, plus their disagreement as
+    * an outlier signal). Both regressors are INTEGER sums (x = epoch day,
+    * y = daily count), so the five sufficient statistics are exact longs
+    * and slope/intercept are each ONE IEEE division of exactly-represented
+    * integers (closed forms: (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) and
+    * (Sy·Sxx − Sx·Sxy)/(n·Sxx − Sx²)), rounded to 6 dp — engine-identical,
+    * the corr_pearson discipline. Scale: daily rollup is one keyed agg with
+    * map-side combine; the per-type regression runs on |types| × |days|
+    * rows — never corpus-sized. A 100 TB corpus changes the rollup's input,
+    * not the regression's. */
+  private def tsOlsTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("t"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("t") * col("y")).as("sxy"),
+        sum(col("t") * col("t")).as("sxx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val tsOlsTrendSql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+      |         count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(t) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(t * y) AS BIGINT) AS sxy,
+      |         CAST(sum(t * t) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+      |FROM s ORDER BY event_type""".stripMargin
+
   private val tsTheilSenSql =
     """WITH daily AS (
       |  SELECT event_type,
@@ -1029,6 +1084,7 @@ object EventQueries {
     "event_paths_topk" -> Q(eventPathsTopk, Some(eventPathsTopkSql)),
     "ts_autocorr" -> Q(tsAutocorr, Some(tsAutocorrSql)),
     "ts_theil_sen" -> Q(tsTheilSen, Some(tsTheilSenSql)),
+    "ts_ols_trend" -> Q(tsOlsTrend, Some(tsOlsTrendSql)),
     "ts_seasonal_profile" -> Q(tsSeasonalProfile, Some(tsSeasonalProfileSql)),
     "anomaly_seasonal" -> Q(anomalySeasonal, Some(anomalySeasonalSql)),
     "growth_cumulative_users" -> Q(growthCumulativeUsers, Some(growthCumulativeUsersSql)),

@@ -177,6 +177,41 @@ object StreamQueries {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
 
+  // ---- T9c stream_interval_join_semi ---------------------------------------
+
+  /** Batch twin of [[graft.streaming.StreamOps.purchasesWithRecentClicksSemi]]
+    * — the LEFT SEMI interval join: purchases with ≥1 click in the
+    * preceding hour, each emitted ONCE (the conversion-detection shape;
+    * semi semantics keep the click fan-out out of the result, so no
+    * downstream dropDuplicates pass and no duplicate state). Completes the
+    * inner/left-outer/left-semi interval-join matrix. Scale: identical
+    * join geometry to T9 — one user_id shuffle per side, time band bounds
+    * per-key pairing — but the probe side short-circuits on first match. */
+  private def intervalJoinSemi(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_semi")
+      .select(col("user_id"), col("purchase_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  private val intervalJoinSemiSql =
+    """SELECT p.user_id, p.event_id AS purchase_id
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (SELECT 1 FROM events c
+      |              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |                AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- T10 stream_topk_trend -----------------------------------------------
 
   /** Batch twin of [[graft.streaming.StreamOps.trendingTopK]] — the
@@ -287,6 +322,7 @@ object StreamQueries {
     "stream_dedup" -> Q(dedup, Some(dedupSql)),
     "stream_interval_join" -> Q(intervalJoin, Some(intervalJoinSql)),
     "stream_interval_join_outer" -> Q(intervalJoinOuter, Some(intervalJoinOuterSql)),
+    "stream_interval_join_semi" -> Q(intervalJoinSemi, Some(intervalJoinSemiSql)),
     "stream_topk_trend" -> Q(topkTrend, Some(topkTrendSql)),
   )
 }

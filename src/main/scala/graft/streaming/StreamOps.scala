@@ -152,6 +152,32 @@ object StreamOps {
         col("purchase_ts"), col("value"))
   }
 
+  /** T9c: the LEFT SEMI stream-stream interval join — purchases that had
+    * at least one click in the preceding hour, emitted ONCE each (semi
+    * semantics dedup the click fan-out inside the join, so conversion
+    * detection never multiplies purchases by click count). Completes the
+    * supported stream-stream interval matrix next to the inner
+    * ([[purchasesWithRecentClicks]]) and left-outer
+    * ([[purchasesWithRecentClicksOuter]]) forms; state stays
+    * watermark-bounded exactly like the inner join (semi emits eagerly on
+    * first match and drops the purchase from state). */
+  def purchasesWithRecentClicksSemi(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_semi")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** T7b: flatMapGroupsWithState — sessionization emitting one row per
     * CLOSED session (zero-or-more outputs per invocation, which is what
     * flatMap adds over mapGroupsWithState). Event-time logic kept in the

@@ -200,6 +200,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("left-semi interval join emits each converted purchase ONCE " +
+      "despite multiple matching clicks") {
+    val evs2 = Seq(
+      Ev(1, ts(0), 1, "click", 0.0),
+      Ev(5, ts(10), 1, "click", 0.0),       // second matching click — still 1 row
+      Ev(2, ts(30), 1, "purchase", 9.99),   // 2 clicks within 1h -> ONE row
+      Ev(3, ts(200), 1, "purchase", 5.0),   // no click within 1h -> no row
+      Ev(4, ts(10), 2, "click", 0.0))       // other user's click never joins
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(evs2: _*)
+    val q = StreamOps.purchasesWithRecentClicksSemi(mem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin_semi")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssjoin_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"semi join must emit one row per converted purchase, got $got")
+  }
+
   test("left-outer interval join releases unmatched purchases once the watermark passes") {
     val evs2 = Seq(
       Ev(1, ts(0), 1, "click", 0.0),
