@@ -522,6 +522,103 @@ object RelationalQueries {
       |  ON p.user_id = f.f_user AND f.f_ts > p.ts
       |ORDER BY event_id""".stripMargin
 
+  /** J8f `join_asof_forward` (r09): the FORWARD as-of direction — each
+    * purchase pairs with the user's EARLIEST click AT-OR-AFTER it ("next
+    * event after": next quote after an order, next session after a push).
+    * Completes the as-of matrix (backward / nearest / tolerance / forward).
+    * Same merge-scan recipe as `join_asof_nearest`: one union, one user_id
+    * shuffle, one ordered window pass — clicks sort AFTER purchases at
+    * equal ts ((us, kind) with purchase=0) so the (1, unbounded-following)
+    * frame's first non-null click IS the inclusive at-or-after match.
+    * Oracle: DuckDB's native forward ASOF LEFT JOIN (`c_ts >= ts`) — two
+    * independent as-of implementations must agree. */
+  private def asofForward(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), lit(0).as("kind"),
+        lit(null).cast("double").as("click_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(dsum(col("value")).as("click_value"))
+      .select(col("user_id"), lit(null).cast("long").as("event_id"),
+        col("us"), lit(1).as("kind"), col("click_value"))
+    val w = Window.partitionBy("user_id").orderBy("us", "kind")
+      .rowsBetween(1, Window.unboundedFollowing)
+    purchases.unionByName(clicks)
+      .select(col("user_id"), col("event_id"), col("kind"),
+        first(when(col("kind") === 1, col("us")), ignoreNulls = true)
+          .over(w).as("next_click_us"),
+        first(when(col("kind") === 1, col("click_value")), ignoreNulls = true)
+          .over(w).as("next_click_value"))
+      .filter(col("kind") === 0)
+      .select("user_id", "event_id", "next_click_us", "next_click_value")
+      .orderBy("event_id")
+  }
+
+  private val asofForwardSql =
+    s"""WITH purchases AS (
+       |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id AS c_user, ts AS c_ts,
+       |         ${sqlDsum("value")} AS click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT p.user_id, p.event_id, epoch_us(c.c_ts) AS next_click_us,
+       |       c.click_value AS next_click_value
+       |FROM purchases p ASOF LEFT JOIN clicks c
+       |  ON p.user_id = c.c_user AND c.c_ts >= p.ts
+       |ORDER BY event_id""".stripMargin
+
+  /** J13 `join_pit_scd2` (r09): the point-in-time join that CONSUMES W7's
+    * SCD2 intervals — each click resolves the dimension version valid at
+    * its timestamp (`valid_from ≤ ts < valid_to`, open current interval).
+    * This is a backward as-of join against version starts, so it runs as
+    * the same merge-scan window (union + one user_id shuffle + one ordered
+    * pass) instead of an interval join's band fan-out — at 100 TB the
+    * interval form pays candidates × versions, this pays one sort. At
+    * equal ts the version row sorts first ((us, kind, version_id)), so a
+    * click exactly at valid_from picks the NEW version and a same-ts
+    * version pair resolves to the higher event_id — byte-identical to the
+    * oracle's half-open interval semantics incl. zero-length intervals.
+    * Clicks before any version drop (inner PIT semantics). */
+  private def joinPitScd2(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).filter(col("user_id") < 50)
+    val versions = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id").as("version_id"), lit(0).as("kind"),
+        lit(null).cast("long").as("click_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(null).cast("long").as("version_id"), lit(1).as("kind"),
+        col("event_id").as("click_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("us", "kind", "version_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(clicks)
+      .select(col("kind"), col("click_id"), col("user_id"),
+        last(col("version_id"), ignoreNulls = true).over(w).as("version_id2"),
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true)
+          .over(w).as("valid_from_us"))
+      .filter(col("kind") === 1 && col("version_id2").isNotNull)
+      .select(col("click_id"), col("user_id"),
+        col("version_id2").as("version_id"), col("valid_from_us"))
+      .orderBy("click_id")
+  }
+
+  private val joinPitScd2Sql =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS version_id, epoch_us(ts) AS valid_from_us,
+      |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts, event_id)) AS valid_to_us
+      |  FROM events WHERE event_type = 'purchase' AND user_id < 50),
+      |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS us
+      |      FROM events WHERE event_type = 'click' AND user_id < 50)
+      |SELECT c.click_id, c.user_id, v.version_id, v.valid_from_us
+      |FROM c JOIN v ON c.user_id = v.user_id
+      | AND c.us >= v.valid_from_us
+      | AND (v.valid_to_us IS NULL OR c.us < v.valid_to_us)
+      |ORDER BY click_id""".stripMargin
+
   /** J8 via pure SQL: the same as-of join reached through `spark.sql` and the
     * `asof_match(left_ts, right_ts)` marker predicate, which
     * [[graft.plans.RewriteAsOfMarkerJoin]] rewrites into the whole-operator
@@ -2338,6 +2435,8 @@ object RelationalQueries {
     "join_asof_outer" -> Q(asofOuter, Some(asofOuterSql)),
     "join_asof_tolerance" -> Q(asofTolerance, Some(asofToleranceSql)),
     "join_asof_nearest" -> Q(asofNearest, Some(asofNearestSql)),
+    "join_asof_forward" -> Q(asofForward, Some(asofForwardSql)),
+    "join_pit_scd2" -> Q(joinPitScd2, Some(joinPitScd2Sql)),
     "join_interval_overlap" -> Q(intervalOverlap, Some(intervalOverlapSql)),
     "sql_asof" -> Q(sqlAsOf, Some(asofNativeSql)),
     "zorder_cluster" -> Q(zorderCluster, Some(zorderClusterSql)),
