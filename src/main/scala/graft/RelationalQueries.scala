@@ -2064,6 +2064,75 @@ object RelationalQueries {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
 
+  /** `tpch_q21`: the suppliers-who-kept-orders-waiting flagship — the
+    * hardest classic TPC-H shape: a fact self-correlation (EXISTS another
+    * supplier on the order / NOT EXISTS another LATE supplier) counted per
+    * supplier. Adapted to the testdata's columns (no commit/receipt dates:
+    * "late" = shipped more than 90 days after the order date; no nation
+    * filter — full per-supplier leaderboard, nation attached).
+    *
+    * The oracle states the textbook form — two correlated subqueries over
+    * lineitem. The Spark plan deliberately does NOT translate them: both
+    * correlations collapse into ONE keyed aggregate per order (distinct
+    * suppliers, distinct LATE suppliers, the single late supplier when
+    * unique, its late row count) — a hash-match between the two forms
+    * proves the rewrite. 100 TB shape: lineitem⋈orders shuffles once on
+    * orderkey and the per-order agg REUSES that partitioning (no second
+    * Exchange over the fact); the survivor set is order-count sized, its
+    * supplier rollup is a dim-sized shuffle; supplier+nation broadcast.
+    * Self-joining lineitem twice (the literal EXISTS plan) would triple
+    * fact shuffle volume instead. */
+  private def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    val f = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    // Two-stage distinct: a straight double-countDistinct would compile to
+    // an Expand (2x fact rows) feeding the shuffle; aggregating per
+    // (orderkey, suppkey) first keeps the fact shuffle at 1x with map-side
+    // partials, and the per-order roll-up runs on pair-reduced rows.
+    val perSupp = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(f, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(late, 1L).otherwise(0L)).as("n_late_rows"))
+    val per = perSupp
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("n_late_rows") > 0, col("l_suppkey"))).as("late_supp"),
+        sum(col("n_late_rows")).as("n_late_rows"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    per.groupBy("late_supp")
+      .agg(sum(col("n_late_rows")).as("numwait"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")),
+        col("late_supp") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val tpchQ21Sql =
+    """SELECT s_name, n_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY 1, 2
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   /** `join_bloom_prefilter`: explicit Bloom semi-join reduction
     * ([[graft.ops.BloomOps]]) — the build side (selective dim: urgent
     * half-million-dollar orders) folds into a distributed Bloom filter,
@@ -2447,6 +2516,7 @@ object RelationalQueries {
     "tpch_q18" -> Q(tpchQ18, Some(tpchQ18Sql)),
     "tpch_q10" -> Q(tpchQ10, Some(tpchQ10Sql)),
     "tpch_q14" -> Q(tpchQ14, Some(tpchQ14Sql)),
+    "tpch_q21" -> Q(tpchQ21, Some(tpchQ21Sql)),
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),

@@ -86,6 +86,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
   }
 
+  test("tpch_q21: correlations collapse to keyed aggs — no Expand, no fact self-join") {
+    val p = finalPlan(q("tpch_q21"))
+    assert(!p.contains("Expand"),
+      s"two-stage distinct must avoid the countDistinct Expand rewrite:\n$p")
+    // lineitem scans once: the EXISTS/NOT-EXISTS pair must NOT become
+    // extra scans (the textbook plan reads the fact three times)
+    val factScans = "Scan parquet".r.findAllIn(p).length
+    assert(factScans <= 4, s"expected <=4 scans (fact + 3 dims), got $factScans:\n$p")
+    // (orderkey,suppkey) partials -> orderkey roll-up -> suppkey rollup
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+  }
+
   test("corr_pearson: single scalar aggregate with map-side partials, no join, no window") {
     val p = finalPlan(q("corr_pearson"))
     assert(p.contains("partial_"), s"sufficient stats must partial-aggregate:\n$p")
