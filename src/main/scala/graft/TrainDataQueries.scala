@@ -640,6 +640,69 @@ object TrainDataQueries {
       |    '[!,.;:]', '', 'g'), '\s+', ' ', 'g')) = p_name AS roundtrip
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ---- N14b text_pii_redact: PII masking (emails/phones) -------------------
+
+  /** `text_pii_redact`: the privacy scrub every pretraining corpus runs
+    * before release — emails and phone numbers replaced with typed mask
+    * tokens, with per-doc match counts and a residual-PII audit bit. The
+    * synthetic corpus is PII-free, so PII is INJECTED deterministically
+    * in-query (doc_id%3 docs get an email derived from doc_id, doc_id%5
+    * docs a NANP-style phone; both ride the same expression on both
+    * engines) — the redaction provably fires and the `clean` audit column
+    * proves it removed everything it counted. Regexes stay in the
+    * Java∩RE2 common dialect (char classes + bounded quantifiers, no
+    * backrefs/lookaround) so Spark and DuckDB match identically.
+    * Scan-shaped: pure per-row expressions, no shuffle except the
+    * determinism sort; at 100 TB this is a map-only pass that pipelines
+    * into the scan (codegen regexps), the shape a redaction sweep must
+    * keep — never a UDF, never a collect. */
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+  private def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val withPii = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(withPii, piiEmailRe, "[EMAIL]"), piiPhoneRe, "[PHONE]")
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(withPii, lit(piiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(withPii, lit(piiPhoneRe)).cast("long").as("n_phones"),
+        redacted.as("redacted"),
+        (!(redacted.rlike(piiEmailRe) || redacted.rlike(piiPhoneRe))).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  private val textPiiRedactSql =
+    s"""WITH pii AS (
+      |  SELECT doc_id,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0
+      |           THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0
+      |           THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |           ELSE '' END AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(regexp_replace(t,
+      |      '$piiEmailRe', '[EMAIL]', 'g'), '$piiPhoneRe', '[PHONE]', 'g') AS redacted
+      |  FROM pii)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '$piiEmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '$piiPhoneRe')) AS BIGINT) AS n_phones,
+      |  redacted,
+      |  NOT (regexp_matches(redacted, '$piiEmailRe')
+      |       OR regexp_matches(redacted, '$piiPhoneRe')) AS clean
+      |FROM red ORDER BY doc_id""".stripMargin
+
   // ---- N10b dataset_interleave: deterministic mixture scheduling -----------
 
   /** `dataset_interleave`: the training-mix INTERLEAVE — given per-source
@@ -784,5 +847,6 @@ object TrainDataQueries {
     "domain_cap" -> Q(domainCap, Some(domainCapSql)),
     "quality_gate" -> Q(qualityGate, Some(qualityGateSql)),
     "corpus_report" -> Q(corpusReport, Some(corpusReportSql)),
-    "text_normalize" -> Q(textNormalize, Some(textNormalizeSql)))
+    "text_normalize" -> Q(textNormalize, Some(textNormalizeSql)),
+    "text_pii_redact" -> Q(textPiiRedact, Some(textPiiRedactSql)))
 }
