@@ -1549,6 +1549,49 @@ object RelationalQueries {
        |  SELECT l_returnflag, 'price' AS metric, price AS value FROM wide)
        |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** P7 `pivot_wide`: long-to-wide reshaping (the inverse of P6's unpivot) —
+    * per-nation order counts pivoted into one column per priority class via
+    * `RelationalGroupedDataset.pivot`. The pivot VALUES are declared
+    * explicitly: without them Spark runs an eager distinct job over the
+    * fact to discover the columns — at 100 TB that is a full extra scan
+    * before planning even starts, so a production pivot always ships its
+    * column list. One keyed agg (pivot compiles to per-group conditional
+    * counts with map-side partials, same cost as A2), both dims broadcast;
+    * missing (nation, priority) combos surface as null from the pivot and
+    * are coalesced to 0 to match the oracle's FILTER counts. */
+  private def pivotWide(s: SparkSession, d: String): DataFrame = {
+    val prio = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+    val piv = orders(s, d).select("o_custkey", "o_orderpriority")
+      .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderpriority", prio)
+      .agg(count(lit(1)))
+    val ren = prio.lazyZip(names).foldLeft(piv) {
+      case (df, (p, r)) => df.withColumnRenamed(p, r)
+    }
+    val cnt = names.map(r => coalesce(col(r), lit(0L)))
+    ren.select((col("n_name") +: cnt.lazyZip(names).map(_.as(_))) :+
+        cnt.reduce(_ + _).as("n_total"): _*)
+      .orderBy("n_name")
+  }
+
+  private val pivotWideSql =
+    """SELECT n_name,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+      |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+      |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+      |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+      |  count(*) AS n_total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
+
   /** W7 `scd2_intervals`: build slowly-changing-dimension validity windows
     * from a change feed — each purchase event becomes a version valid from
     * its timestamp until the user's next purchase (lead), open-ended for
@@ -2529,6 +2572,7 @@ object RelationalQueries {
     "window_ntile_scaled" -> Q(windowNtileScaled, Some(windowNtileSql)),
     "window_rank_family" -> Q(windowRankFamily, Some(windowRankFamilySql)),
     "unpivot_metrics" -> Q(unpivotMetrics, Some(unpivotMetricsSql)),
+    "pivot_wide" -> Q(pivotWide, Some(pivotWideSql)),
     "scd2_intervals" -> Q(scd2Intervals, Some(scd2IntervalsSql)),
     "ts_gap_fill" -> Q(tsGapFill, Some(tsGapFillSql)),
     "agg_counts" -> Q(aggCounts, Some(aggCountsSql)),
