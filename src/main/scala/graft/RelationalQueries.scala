@@ -2176,6 +2176,192 @@ object RelationalQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** `tpch_q13`: the customer order-count distribution flagship — how many
+    * customers placed exactly k (non-urgent) orders, including k = 0. The
+    * textbook shape (the oracle) is a LEFT OUTER join customer→orders with
+    * the predicate IN the join condition, then a two-level aggregate. The
+    * Spark plan rewrites it: aggregate orders per custkey FIRST (fact
+    * reduces to ≤ one row per customer map-side before any join), then
+    * LEFT-join the customer spine and coalesce absent counts to 0 —
+    * hash-equal to the outer-join form. 100 TB shape: the textbook plan
+    * shuffles every surviving order row into the join and carries them to
+    * the agg; the pre-agg plan shuffles order COUNTS (customer-cardinality)
+    * and the histogram re-agg is domain-sized (max orders per customer).
+    * Neither agg needs a second Exchange: the per-custkey agg's
+    * partitioning feeds the join on the same key. */
+  private def tpchQ13(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"))
+    customer(s, d).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val tpchQ13Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** `tpch_q19`: the disjunctive-predicate flagship — revenue from three
+    * OR'd (brand, size-range, quantity-range) branches. The danger shape at
+    * 100 TB is an OR that defeats scan pushdown and forces the full fact
+    * through the join. Two moves keep it cheap: (1) the disjunction's HULL
+    * on fact-local columns (`l_quantity` ∈ [1,30] — implied by every
+    * branch) is stated explicitly as a conjunct, so it reaches the Parquet
+    * scan as a pushed filter + row-group stat prune even when the planner
+    * won't derive it from the OR itself; (2) part is broadcast and the
+    * per-branch residual (brand × size × quantity) evaluates post-join in
+    * one codegen stage — no branch-per-scan UNION, which would read the
+    * fact three times. Exact decimal revenue, one scalar agg. */
+  private def tpchQ19(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
+      dec(col("l_discount")))
+    val branch =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    lineitem(s, d)
+      .filter(col("l_quantity").between(1, 30)) // disjunction hull → scan
+      .join(broadcast(part(s, d).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(count(lit(1)).as("n_lines"), sum(rev).cast("double").as("revenue"))
+  }
+
+  private val tpchQ19Sql =
+    """SELECT count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** `tpch_q15`: the top-supplier flagship — revenue per supplier over one
+    * quarter, returning the max-revenue supplier(s), ties included (the
+    * reason LIMIT 1 is wrong and the textbook uses a scalar subquery). The
+    * Spark plan: one fact agg to supplier cardinality (shipdate predicate
+    * pushed to the scan), a single-row max over that agg, broadcast back as
+    * an equality join — the fact is scanned ONCE and the "subquery" costs a
+    * supplier-sized scalar agg, not a re-scan. The revenue agg is
+    * localCheckpointed (supplier-cardinality rows — cheap): referencing it
+    * twice would otherwise plan two fact scans, because the max branch and
+    * the join branch differ by a join-key null filter and AQE's
+    * ReusedExchange only matches canonically-identical subtrees. Revenue is
+    * an exact decimal sum cast to double at the end, so the max-equality
+    * compares bit-identical float64 on both engines. */
+  private def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
+      dec(col("l_discount")))
+    val revenue = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(rev).cast("double").as("total_rev"))
+      .localCheckpoint()
+    val mx = revenue.agg(max(col("total_rev")).as("mx"))
+    revenue
+      .join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  private val tpchQ15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |      AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** `tpch_q7`: the volume-shipping flagship — revenue between two trading
+    * nations by (supplier nation, customer nation, year), both directions.
+    * The oracle states the textbook 6-join form with the nation-pair OR in
+    * the WHERE. The Spark plan pushes the pair predicate INTO the dims
+    * before the fact moves: nation filters to 2 rows, broadcast-joins cut
+    * supplier and customer to the two nations' members, the shrunken
+    * supplier dim broadcast-semi-reduces lineitem (~2/25 of the fact
+    * survives its FIRST shuffle), and only then does the orderkey shuffle
+    * join to orders and the custkey join to the shrunken customer run.
+    * The asymmetric-pair residual (supp ≠ cust nation) is one codegen
+    * filter. Exact decimal revenue per (nation, nation, year) group. */
+  private def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
+      dec(col("l_discount")))
+    val pair = Seq("NATION_3", "NATION_7")
+    val suppN = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custN = customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val tpchQ7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** `join_bloom_prefilter`: explicit Bloom semi-join reduction
     * ([[graft.ops.BloomOps]]) — the build side (selective dim: urgent
     * half-million-dollar orders) folds into a distributed Bloom filter,
@@ -2560,6 +2746,10 @@ object RelationalQueries {
     "tpch_q10" -> Q(tpchQ10, Some(tpchQ10Sql)),
     "tpch_q14" -> Q(tpchQ14, Some(tpchQ14Sql)),
     "tpch_q21" -> Q(tpchQ21, Some(tpchQ21Sql)),
+    "tpch_q13" -> Q(tpchQ13, Some(tpchQ13Sql)),
+    "tpch_q19" -> Q(tpchQ19, Some(tpchQ19Sql)),
+    "tpch_q15" -> Q(tpchQ15, Some(tpchQ15Sql)),
+    "tpch_q7" -> Q(tpchQ7, Some(tpchQ7Sql)),
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),

@@ -100,6 +100,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
   }
 
+  test("tpch_q13: orders pre-aggregate to custkey counts BEFORE the outer join") {
+    val p = finalPlan(q("tpch_q13"))
+    assert(p.contains("LeftOuter"), s"customer spine must outer-join:\n$p")
+    // the pre-agg plan broadcasts per-custkey COUNTS; the textbook plan
+    // would broadcast/shuffle raw order rows into the join instead
+    assert("HashAggregate\\(keys=\\[o_custkey".r.findAllIn(p).nonEmpty,
+      s"orders must reduce per custkey before the join:\n$p")
+    // custkey agg + c_count histogram agg; a third hash exchange means the
+    // join re-shuffled what the agg already partitioned
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+  }
+
+  test("tpch_q19: the OR's fact-local hull reaches the lineitem scan as a pushed filter") {
+    // pre-AQE explain: at tiny sf AQE empty-relation-folds the whole join,
+    // which would hide the scan this test audits
+    val df = q("tpch_q19")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull must push to the parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"part dim must broadcast:\n$p")
+  }
+
+  test("tpch_q15: revenue agg materializes once — no second fact scan for the scalar max") {
+    val p = finalPlan(q("tpch_q15"))
+    val factScans = "lineitem".r.findAllIn(p).length
+    assert(factScans == 0,
+      s"fact must be scanned inside the checkpointed revenue agg only, found $factScans refs:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length <= 1,
+      s"only the supplier dim may scan in the outer plan:\n$p")
+  }
+
+  test("tpch_q7: nation pair pushes into both dims; nation broadcast is reused; one fact scan") {
+    val p = plan(q("tpch_q7"))
+    assert(p.contains("In(n_name, [NATION_3,NATION_7])"),
+      s"nation-pair predicate must push to the nation scan:\n$p")
+    val f = finalPlan(q("tpch_q7"))
+    assert(f.contains("ReusedExchange"),
+      s"the filtered-nation broadcast must be shared by both dim sides:\n$f")
+    val factScans = "lineitem".r.findAllIn(f).length
+    assert(factScans <= 1, s"lineitem must scan once, got $factScans:\n$f")
+  }
+
   test("corr_pearson: single scalar aggregate with map-side partials, no join, no window") {
     val p = finalPlan(q("corr_pearson"))
     assert(p.contains("partial_"), s"sufficient stats must partial-aggregate:\n$p")
