@@ -2666,6 +2666,59 @@ object RelationalQueries {
        |       ${sqlDsum("o_totalprice")} AS total_price
        |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
+  /** S8c `format_roundtrip`: CSV and JSONL write→read fidelity over the
+    * documents table — the interchange formats every corpus pipeline must
+    * emit and re-ingest losslessly. The corpus text is augmented with an
+    * ADVERSARIAL column (embedded delimiter, quote, and newline) so the CSV
+    * leg actually exercises RFC-4180 quoting (`escape="` = doubled quotes)
+    * and the multiLine reader, not just happy-path tokens; JSONL exercises
+    * string escaping. Both read-backs state the schema EXPLICITLY — at
+    * 100 TB schema inference is a full extra pass over the data before the
+    * real job starts (CSV) or a sampled guess that can mistype columns
+    * (JSON), so production reads always ship their schema. The result is an
+    * order-independent content checksum (audit_checksum's md5-prefix-sum
+    * recipe) per format; the oracle computes the same checksum straight
+    * from the parquet source, so ANY mangled byte in either round trip
+    * breaks the hash match. Scale note: `multiLine` CSV makes files
+    * non-splittable (a quoted newline can sit on any byte boundary), so
+    * read parallelism = file count — the writer's natural many-part output
+    * is the sharding, never one giant CSV. */
+  private def formatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val root = s"/tmp/graft-fmt-${s.sparkContext.applicationId}-${new java.io.File(d).getName}"
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"),
+      concat(lit("x,\"y\"\nz|"), col("lang")).as("adv"))
+    docs.write.mode("overwrite").option("header", true).option("escape", "\"")
+      .csv(s"$root/csv")
+    docs.write.mode("overwrite").json(s"$root/jsonl")
+    val csvBack = s.read.schema(docs.schema).option("header", true)
+      .option("multiLine", true).option("escape", "\"").csv(s"$root/csv")
+    val jsonBack = s.read.schema(docs.schema).json(s"$root/jsonl")
+    def sig(df: DataFrame, fmt: String) =
+      df.select(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
+          col("lang"), col("source"), col("adv"))), 1, 8), 16, 10)
+          .cast("long").as("h"), col("n_chars"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          sum(col("h")).as("checksum"))
+        .select(lit(fmt).as("fmt"), col("n_docs"), col("total_chars"),
+          col("checksum"))
+    sig(csvBack, "csv").unionByName(sig(jsonBack, "jsonl")).orderBy("fmt")
+  }
+
+  private val formatRoundtripSql =
+    """WITH sig AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(sum(CAST('0x' || substring(md5(
+      |      doc_id || '|' || text || '|' || lang || '|' || source || '|' ||
+      |      'x,"y"' || chr(10) || 'z|' || lang), 1, 8) AS BIGINT)) AS BIGINT)
+      |      AS checksum
+      |  FROM documents)
+      |SELECT 'csv' AS fmt, n_docs, total_chars, checksum FROM sig
+      |UNION ALL
+      |SELECT 'jsonl' AS fmt, n_docs, total_chars, checksum FROM sig
+      |ORDER BY fmt""".stripMargin
+
   // ---- bucketed repeated join (shuffle-free fact⋈dim) -----------------------
 
   /** J9 `join_bucketed`: the daily-dashboard repeated join (the reference's
@@ -2809,6 +2862,7 @@ object RelationalQueries {
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
     "partitioned_write_prune" -> Q(partitionedWritePrune, Some(partitionedWritePruneSql)),
     "schema_evolution_read" -> Q(schemaEvolutionRead, Some(schemaEvolutionReadSql)),
+    "format_roundtrip" -> Q(formatRoundtrip, Some(formatRoundtripSql)),
     "join_null_safe" -> Q(joinNullSafe, Some(joinNullSafeSql)),
     "join_bucketed" -> Q(bucketedJoin, Some(bucketedJoinSql)),
   )
