@@ -2189,18 +2189,36 @@ object RelationalQueries {
     * and the histogram re-agg is domain-sized (max orders per customer).
     * Neither agg needs a second Exchange: the per-custkey agg's
     * partitioning feeds the join on the same key. */
-  private def tpchQ13(s: SparkSession, d: String): DataFrame = {
-    val perCust = orders(s, d)
+  private[graft] def tpchQ13Of(c: DataFrame, o: DataFrame): DataFrame = {
+    val perCust = o
       .filter(col("o_orderpriority") =!= "1-URGENT")
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("cnt"))
-    customer(s, d).select("c_custkey")
+    c.select("c_custkey")
       .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
       .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
+
+  /** The textbook Q13 plan (ScaleProbe contrast only — not registered):
+    * outer-join RAW order rows to the customer spine, then aggregate twice.
+    * Same result; at scale the join moves every surviving order row where
+    * [[tpchQ13Of]] moves one count per customer. */
+  private[graft] def tpchQ13TextbookOf(c: DataFrame, o: DataFrame): DataFrame =
+    c.select("c_custkey")
+      .join(o.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private def tpchQ13(s: SparkSession, d: String): DataFrame =
+    tpchQ13Of(customer(s, d), orders(s, d))
 
   private val tpchQ13Sql =
     """SELECT c_count, count(*) AS custdist FROM (

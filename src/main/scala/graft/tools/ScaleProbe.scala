@@ -388,6 +388,15 @@ object ScaleProbe {
     def q18(li: DataFrame, o: DataFrame, c: DataFrame): Long =
       RelationalQueries.tpchQ18Of(li, o, c).count()
 
+    // r09 Q13 contrast: the registered pre-agg plan moves one COUNT per
+    // customer through the outer join; the textbook plan moves every
+    // surviving order row. Both end at the same histogram — the ratio gap
+    // is the rewrite's 100 TB argument.
+    def q13Pre(c: DataFrame, o: DataFrame): Long =
+      RelationalQueries.tpchQ13Of(c, o).count()
+    def q13Text(c: DataFrame, o: DataFrame): Long =
+      RelationalQueries.tpchQ13TextbookOf(c, o).count()
+
     // r07f retrieval shapes: the inverted index is the word-count geometry
     // (two keyed map-side-combine aggs); BM25/phrase push the query-term
     // filter below every shuffle so cost tracks the MATCHING postings, not
@@ -592,6 +601,7 @@ object ScaleProbe {
     ks(o1); funnelW(ev1); leak(d1); atomicSplit(d1)
     bloomJ(li1, o1); decontamB(d1); theta(ev1)
     pearson(li1); spearman(li1); winsor(o1); reservoir(d1); entropy(d1); q18(li1, o1, c1)
+    q13Pre(c1, o1); q13Text(c1, o1)
     idxBuild(d1); bm25(d1); bm25Batch(d1); phrase(d1); idxMerge(d1); shard(d1)
     rangeNaive(ev1); rangeBucketed(ev1)
     knnBlocked(e1); containment(d1); interleaveSort(d1); asofNearestW(ev1)
@@ -676,6 +686,10 @@ object ScaleProbe {
         time(entropy(d1)), time(entropy(dN))),
       ("tpch q18 funnel (agg -> reused-shuffle semi-join)",
         time(q18(li1, o1, c1)), time(q18(liN, oN, cN))),
+      ("tpch q13 pre-agg (counts through the outer join)",
+        time(q13Pre(c1, o1)), time(q13Pre(cN, oN))),
+      ("tpch q13 textbook (raw order rows through the join — contrast)",
+        time(q13Text(c1, o1)), time(q13Text(cN, oN))),
       ("inverted index build (word-count geometry)",
         time(idxBuild(d1)), time(idxBuild(dN))),
       ("bm25 top-10 (query-term postings only)",
