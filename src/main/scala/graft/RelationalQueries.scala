@@ -2554,6 +2554,30 @@ object RelationalQueries {
       |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** U2b `set_intersect_all`: multiset intersection — per priority the
+    * occurrence count shared by BOTH status populations, i.e. min(#F, #O)
+    * per value (vs `set_intersect`'s set semantics, which would just say
+    * "present in both"). Spark plans `intersectAll` as per-side counts
+    * joined on the value with a min-replay generate — value-domain
+    * cardinality through the shuffle, never row cardinality, which is the
+    * property that holds at 100 TB. */
+  private def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      .intersectAll(
+        o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val setIntersectAllSql =
+    """SELECT o_orderpriority, count(*) AS n_common FROM (
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- skew-salted aggregation (SURVEY §4.3) --------------------------------
 
   /** Two-phase salted sum/count over a hot grouping key — the skewed-groupBy
@@ -2875,6 +2899,7 @@ object RelationalQueries {
     "join_full_outer" -> Q(fullOuter, Some(fullOuterSql)),
     "agg_pivot" -> Q(aggPivot, Some(aggPivotSql)),
     "set_except_all" -> Q(setExceptAll, Some(setExceptAllSql)),
+    "set_intersect_all" -> Q(setIntersectAll, Some(setIntersectAllSql)),
     "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
     "join_skew_salted" -> Q(joinSkewSalted, Some(joinSkewSaltedSql)),
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
