@@ -154,6 +154,44 @@ object OpProps extends Properties("graft.ops6") {
         scaled == win
     }
 
+  private val multisetGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+
+  property("intersectAll/exceptAll match the min/surplus multiset formulas") =
+    forAll(multisetGen, multisetGen) { (as, bs) =>
+      val a = as.toDF("v"); val b = bs.toDF("v")
+      val ca = as.groupBy(identity).view.mapValues(_.size).toMap
+      val cb = bs.groupBy(identity).view.mapValues(_.size).toMap
+      val gotI = a.intersectAll(b).groupBy("v").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expI = (ca.keySet ++ cb.keySet).flatMap { k =>
+        val m = math.min(ca.getOrElse(k, 0), cb.getOrElse(k, 0))
+        if (m > 0) Some(k -> m.toLong) else None
+      }.toMap
+      val gotE = a.exceptAll(b).groupBy("v").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expE = ca.flatMap { case (k, n) =>
+        val m = n - cb.getOrElse(k, 0)
+        if (m > 0) Some(k -> m.toLong) else None
+      }
+      gotI == expI && gotE == expE
+    }
+
+  property("pivot (explicit values) then unpivot is the identity on complete grids") =
+    forAll(Gen.listOfN(6, Gen.choose(0L, 200L)), Gen.const(Seq("m1", "m2", "m3"))) {
+      (vals, metrics) =>
+        // one row per (key, metric) with a deterministic value — a complete
+        // grid, so no pivot nulls and the round trip is exact
+        val keys = Seq("k1", "k2")
+        val long = for { (k, ki) <- keys.zipWithIndex; (m, mi) <- metrics.zipWithIndex }
+          yield (k, m, vals((ki * metrics.size + mi) % vals.size))
+        val df = long.toDF("k", "metric", "value")
+        val wide = df.groupBy("k").pivot("metric", metrics).agg(first("value"))
+        val back = wide.unpivot(Array(col("k")),
+            metrics.map(col).toArray, "metric", "value")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        vals.isEmpty || back == long.toSet
+    }
+
   property("containment src-prefix cut is lossless vs the full directed join") =
     forAll(corpusGen) { docs =>
       docs.isEmpty || {
