@@ -2554,6 +2554,35 @@ object RelationalQueries {
       |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** U1b `set_union_evolved`: union across a schema generation gap —
+    * the in-flight twin of S8b's parquet footer merge. Era-1 rows lack
+    * `o_orderpriority` entirely (the column did not exist yet);
+    * `unionByName(_, allowMissingColumns = true)` aligns by NAME and
+    * null-fills the missing column, where positional `union` would
+    * silently misalign columns — the classic pipeline corruption when two
+    * upstream jobs emit different schema versions. The aggregate groups on
+    * the evolved column so the oracle (CASE over the same era split)
+    * proves null backfill and row completeness across both branches. */
+  private def setUnionEvolved(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val v1 = o.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_totalprice")
+    val v2 = o.filter(col("o_orderdate") >= cutoff)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val setUnionEvolvedSql =
+    s"""SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN NULL
+       |            ELSE o_orderpriority END AS o_orderpriority,
+       |       count(*) AS cnt,
+       |       ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
   /** U2b `set_intersect_all`: multiset intersection — per priority the
     * occurrence count shared by BOTH status populations, i.e. min(#F, #O)
     * per value (vs `set_intersect`'s set semantics, which would just say
@@ -2900,6 +2929,7 @@ object RelationalQueries {
     "agg_pivot" -> Q(aggPivot, Some(aggPivotSql)),
     "set_except_all" -> Q(setExceptAll, Some(setExceptAllSql)),
     "set_intersect_all" -> Q(setIntersectAll, Some(setIntersectAllSql)),
+    "set_union_evolved" -> Q(setUnionEvolved, Some(setUnionEvolvedSql)),
     "skew_salted_agg" -> Q(skewSaltedAgg, Some(skewSaltedAggSql)),
     "join_skew_salted" -> Q(joinSkewSalted, Some(joinSkewSaltedSql)),
     "agg_incremental_merge" -> Q(incrementalAgg, Some(incrementalAggSql)),
