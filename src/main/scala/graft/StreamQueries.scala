@@ -311,7 +311,64 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  // ---- T5 stream_watermark_sim ---------------------------------------------
+
+  /** T5 batch twin: Structured Streaming's watermark late-data semantics,
+    * simulated at BATCH GRANULARITY exactly as Spark applies them — the
+    * watermark for micro-batch k is max(event time seen in batches < k)
+    * minus the delay, advanced only at batch boundaries, and an event is
+    * late-dropped iff its time is below its batch's watermark. The replay
+    * log's arrival order is event_id with a deterministic straggler
+    * perturbation (every 19th event arrives ~7 micro-batches late — hours
+    * of lateness against a 1 h watermark, so stragglers drop while
+    * in-order events never do). This is the oracle-checked analog of the
+    * MemoryStream watermark spec (StreamOpsSpec): the SPEC proves Spark's
+    * streaming runtime drops these rows; THIS query proves our batch
+    * statement of the rule agrees with an independent engine on every
+    * event. 100 TB shape: per-batch maxima (state-cardinality rows), a
+    * batch-domain running max — never a per-event global window — and a
+    * broadcast join back to the fact; the fact crosses the cluster once. */
+  private def watermarkSim(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val delay = 3600L
+    val ev = events(s, d).select(
+      col("event_type"),
+      unix_timestamp(col("ts")).as("tse"),
+      floor((col("event_id") +
+        when(col("event_id") % 19 === 0, 700L).otherwise(0L)) / 100)
+        .cast("long").as("batch"))
+    val batchMax = ev.groupBy("batch").agg(max(col("tse")).as("bmax"))
+    // batch-domain running max (rows = micro-batch count, not events)
+    val wm = batchMax.withColumn("wm",
+      max(col("bmax")).over(Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)) - delay)
+      .select("batch", "wm")
+    ev.join(broadcast(wm), Seq("batch"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("wm").isNotNull && col("tse") < col("wm"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .orderBy("event_type")
+  }
+
+  private val watermarkSimSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+      |    CAST(floor((event_id + CASE WHEN event_id % 19 = 0
+      |      THEN 700 ELSE 0 END) / 100) AS BIGINT) AS batch
+      |  FROM events),
+      |bm AS (SELECT batch, max(tse) AS bmax FROM ev GROUP BY 1),
+      |wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600 AS wm
+      |  FROM bm)
+      |SELECT event_type, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN wm IS NOT NULL AND tse < wm THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dropped
+      |FROM ev JOIN wm USING (batch)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "stream_watermark_sim" -> Q(watermarkSim, Some(watermarkSimSql)),
     "stream_tumbling_count" -> Q(tumbling, Some(tumblingSql)),
     "stream_decontam_bloom" ->
       Q(streamDecontamBloom, Some(graft.TrainDataQueries.decontamOverlapSql)),
