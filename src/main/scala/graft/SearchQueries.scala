@@ -78,7 +78,11 @@ object SearchQueries {
     * ordered on the decimal, never the float. Docs containing no query term
     * drop out via the inner join — the index does the candidate cut, the
     * scorer never scans non-matching docs. */
-  private[graft] def searchBm25Of(docs: DataFrame): DataFrame = {
+  /** Shared BM25 scorer: every query-term-matching doc with its exact
+    * DECIMAL(18,6) score (candidate-bounded — non-matching docs never leave
+    * the tf join). Consumed by `search_bm25` (global top-10) and
+    * `search_diversify` (per-source capped top-10). */
+  private def bm25ScoredOf(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .filter(col("term").isin(queryTerms: _*))
@@ -103,9 +107,34 @@ object SearchQueries {
         termScore.cast("decimal(18,6)").as("term_score"))
       .groupBy("doc_id")
       .agg(sum(col("term_score")).as("score_d"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  private[graft] def searchBm25Of(docs: DataFrame): DataFrame =
+    bm25ScoredOf(docs)
       .orderBy(col("score_d").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"), col("n_terms_hit"),
+        col("score_d").cast("double").as("score"))
+
+  /** `search_diversify`: result diversification — the global BM25 top-10
+    * with AT MOST 2 results per source domain, the standard fix for one
+    * domain monopolizing a result page. Candidate-bounded windows only:
+    * the per-source row_number partitions the MATCHING docs (index cut),
+    * never the corpus, and the final top-10 is a TakeOrdered over the
+    * capped survivors — no global sort materializes. Rank arithmetic stays
+    * on the exact DECIMAL score with doc_id tiebreaks, so both engines
+    * elect identical rows. */
+  private[graft] def searchDiversifyOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_d").desc, col("doc_id"))
+    bm25ScoredOf(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= 2)
+      .orderBy(col("score_d").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("source"), col("src_rank"),
         col("score_d").cast("double").as("score"))
   }
 
@@ -141,6 +170,46 @@ object SearchQueries {
       |FROM scored
       |GROUP BY doc_id
       |ORDER BY sum(CAST(term_score AS DECIMAL(18,6))) DESC, doc_id
+      |LIMIT 10""".stripMargin
+
+  private def searchDiversify(s: SparkSession, d: String): DataFrame =
+    searchDiversifyOf(documents(s, d))
+
+  private val searchDiversifySql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'join', 'stream')
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+      |                   AS total_tokens
+      |          FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    round(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+      |                   / (CAST(f.df AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |         / (CAST(t.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * round(CAST(l.dl * s.n_docs AS DOUBLE)
+      |                                         / CAST(s.total_tokens AS DOUBLE), 6)))),
+      |      6) AS term_score
+      |  FROM tf t JOIN df f USING (term) JOIN dl l USING (doc_id), stats s),
+      |agg AS (
+      |  SELECT doc_id, sum(CAST(term_score AS DECIMAL(18,6))) AS score_d
+      |  FROM scored GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT a.doc_id, d.source, a.score_d,
+      |    CAST(row_number() OVER (PARTITION BY d.source
+      |      ORDER BY a.score_d DESC, a.doc_id) AS INTEGER) AS src_rank
+      |  FROM agg a JOIN documents d USING (doc_id))
+      |SELECT doc_id, source, src_rank, CAST(score_d AS DOUBLE) AS score
+      |FROM ranked WHERE src_rank <= 2
+      |ORDER BY score_d DESC, doc_id
       |LIMIT 10""".stripMargin
 
   // ---- dataset_shuffle_shard: deterministic epoch shuffle ------------------
@@ -661,6 +730,7 @@ object SearchQueries {
     "search_snippet" -> Q(searchSnippet, Some(searchSnippetSql)),
     "search_cooccur" -> Q(searchCooccur, Some(searchCooccurSql)),
     "search_bm25" -> Q(searchBm25, Some(searchBm25Sql)),
+    "search_diversify" -> Q(searchDiversify, Some(searchDiversifySql)),
     "search_bm25_batch" -> Q(searchBm25Batch, Some(searchBm25BatchSql)),
     "search_phrase" -> Q(searchPhrase, Some(searchPhraseSql)),
     "index_merge_delta" -> Q(indexMergeDelta, Some(indexPostingsSql)),
