@@ -145,6 +145,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(factScans <= 1, s"lineitem must scan once, got $factScans:\n$f")
   }
 
+  test("stream_watermark_sim: batch-domain window only, watermark broadcast back to the fact") {
+    val p = finalPlan(q("stream_watermark_sim"))
+    // the running max must ride the micro-batch DOMAIN (per-batch maxima),
+    // never the events themselves: exactly one Window node, fed by an
+    // aggregate, and the join back to events is a broadcast
+    assert("Window".r.findAllIn(p).length <= 1, s"one batch-domain window only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"watermark table must broadcast:\n$p")
+  }
+
+  test("search_diversify: per-source window runs on matching candidates, page is TakeOrdered") {
+    val p = finalPlan(q("search_diversify"))
+    assert(p.contains("TakeOrderedAndProject"), s"final page must not global-sort:\n$p")
+    // the corpus-sized side (documents) must reach the window only through
+    // the candidate join — no Window directly over a parquet scan
+    assert(p.contains("Window"), s"per-source cap window expected:\n$p")
+  }
+
   test("corr_pearson: single scalar aggregate with map-side partials, no join, no window") {
     val p = finalPlan(q("corr_pearson"))
     assert(p.contains("partial_"), s"sufficient stats must partial-aggregate:\n$p")
