@@ -542,6 +542,59 @@ object AuditQueries {
   private def corrPearson(s: SparkSession, d: String): DataFrame =
     corrPearsonOf(lineitem(s, d))
 
+  /** N37e `eval_cohen_kappa`: inter-annotator agreement (Cohen's κ) between
+    * two binary document judges — the standard eval-pipeline check that two
+    * labeling passes (two quality rules, a rule vs a model, two model
+    * versions) agree beyond chance before either is trusted as training
+    * signal. The "annotators" here are two deterministic quality rules
+    * (char-length ≥ 400 vs token-count ≥ 80 — correlated but not
+    * identical, κ ≈ 0.79 at test sf). All four sufficient counts (n, a⁺,
+    * b⁺, agreements) ride ONE scalar aggregate with map-side combine —
+    * the corr_pearson shape: bytes crossing the cluster = 4 longs per
+    * partition at any corpus size. p_o, p_e and κ are then fixed sequences
+    * of IEEE ops on exactly-representable integers (no libm), identical
+    * float64 on both engines, rounded 6 dp at output only. */
+  private[graft] def evalCohenKappaOf(docs: DataFrame): DataFrame = {
+    val a = (col("n_chars") >= 400).cast("long")
+    val b = (size(split(col("text"), " ")) >= 80).cast("long")
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val pe = (col("na") * col("nb") + (col("n") - col("na")) *
+        (col("n") - col("nb"))).cast("double") /
+      (col("n") * col("n")).cast("double")
+    docs.select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("na"),
+        sum(col("b")).as("nb"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+      .select(col("n").as("n_docs"),
+        col("na").as("n_pos_a"), col("nb").as("n_pos_b"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0d) - pe), 6).as("kappa"))
+  }
+
+  private def evalCohenKappa(s: SparkSession, d: String): DataFrame =
+    evalCohenKappaOf(documents(s, d))
+
+  private val evalCohenKappaSql =
+    """WITH f AS (
+      |  SELECT CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN len(string_split(text, ' ')) >= 80
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |agg AS (
+      |  SELECT count(*) AS n, CAST(sum(a) AS BIGINT) AS na,
+      |         CAST(sum(b) AS BIGINT) AS nb,
+      |         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      |  FROM f)
+      |SELECT n AS n_docs, na AS n_pos_a, nb AS n_pos_b,
+      |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+      |  round(CAST(na*nb + (n-na)*(n-nb) AS DOUBLE)
+      |        / CAST(n*n AS DOUBLE), 6) AS pe,
+      |  round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+      |         - CAST(na*nb + (n-na)*(n-nb) AS DOUBLE) / CAST(n*n AS DOUBLE))
+      |        / (1.0 - CAST(na*nb + (n-na)*(n-nb) AS DOUBLE)
+      |                 / CAST(n*n AS DOUBLE)), 6) AS kappa
+      |FROM agg""".stripMargin
+
   /** N37d `dq_chi_square`: chi-square independence screen between two
     * categorical columns (order status × priority) — the DQ check that
     * catches a broken upstream join or skewed backfill as a dependence
@@ -1024,6 +1077,7 @@ object AuditQueries {
     "drift_ks" -> Q(driftKs, Some(driftKsSql)),
     "drift_ks_scaled" -> Q(driftKsScaled, Some(driftKsSql)),
     "corr_pearson" -> Q(corrPearson, Some(corrPearsonSql)),
+    "eval_cohen_kappa" -> Q(evalCohenKappa, Some(evalCohenKappaSql)),
     "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),
