@@ -574,6 +574,79 @@ object AuditQueries {
   private def evalCohenKappa(s: SparkSession, d: String): DataFrame =
     evalCohenKappaOf(documents(s, d))
 
+  /** N37f `eval_calibration`: reliability table + expected calibration
+    * error for a per-document score against a binary outcome — the eval
+    * every score-thresholding curation step should run before its scores
+    * gate data (an overconfident scorer silently reshapes the corpus).
+    * Prediction = the composite quality score (the `quality_score` rule,
+    * 6 dp — identical float64 on both engines); outcome = the char-length
+    * judge. Per decile bin: size, mean confidence (exact DECIMAL sum of
+    * 6-dp scores → one division), observed rate (exact ints → one
+    * division), |conf − acc| rounded 6 dp; the summary row (bin = −1)
+    * carries ECE = Σ n_b·gap_b / N with the 6-dp gaps weighted in exact
+    * DECIMAL so the 10-term sum cannot reorder. One fact scan, a 10-key
+    * agg with map-side combine, a 10-row rollup — nothing fact-sized
+    * moves. */
+  private[graft] def evalCalibrationOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val score = round(uniq * 0.4 + lenScore * 0.6, 6)
+    val base = docs.select(score.as("score"),
+      (col("n_chars") >= 400).cast("long").as("y"))
+    val bins = base
+      .groupBy(least(floor(col("score") * 10).cast("int"), lit(9)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score").cast("decimal(8,6)")).as("ssum"),
+        sum(col("y")).as("pos"))
+      .select(col("bin"), col("n_docs"),
+        round(col("ssum").cast("double") / col("n_docs"), 6).as("conf"),
+        round(col("pos").cast("double") / col("n_docs"), 6).as("acc"),
+        round(abs(col("ssum").cast("double") / col("n_docs") -
+          col("pos").cast("double") / col("n_docs")), 6).as("gap"))
+    val ece = bins.agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("gap").cast("decimal(8,6)") * col("n_docs")).as("wg"))
+      .select(lit(-1).as("bin"), col("n_docs"),
+        lit(null).cast("double").as("conf"), lit(null).cast("double").as("acc"),
+        round(col("wg").cast("double") / col("n_docs"), 6).as("gap"))
+    bins.unionByName(ece).orderBy("bin")
+  }
+
+  private def evalCalibration(s: SparkSession, d: String): DataFrame =
+    evalCalibrationOf(documents(s, d))
+
+  private val evalCalibrationSql =
+    """WITH scored AS (
+      |  SELECT round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) * 0.4
+      |          + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0,
+      |                  1.0) * 0.6, 6) AS score,
+      |         CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |bins AS (
+      |  SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+      |         count(*) AS n_docs,
+      |         sum(CAST(score AS DECIMAL(8,6))) AS ssum,
+      |         CAST(sum(y) AS BIGINT) AS pos
+      |  FROM scored GROUP BY 1),
+      |tab AS (
+      |  SELECT bin, n_docs,
+      |    round(CAST(ssum AS DOUBLE) / n_docs, 6) AS conf,
+      |    round(CAST(pos AS DOUBLE) / n_docs, 6) AS acc,
+      |    round(abs(CAST(ssum AS DOUBLE) / n_docs
+      |              - CAST(pos AS DOUBLE) / n_docs), 6) AS gap
+      |  FROM bins)
+      |SELECT bin, n_docs, conf, acc, gap FROM tab
+      |UNION ALL
+      |SELECT -1 AS bin, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(NULL AS DOUBLE) AS conf, CAST(NULL AS DOUBLE) AS acc,
+      |  round(CAST(sum(CAST(gap AS DECIMAL(8,6)) * n_docs) AS DOUBLE)
+      |        / sum(n_docs), 6) AS gap
+      |FROM tab
+      |ORDER BY bin""".stripMargin
+
   private val evalCohenKappaSql =
     """WITH f AS (
       |  SELECT CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
@@ -1078,6 +1151,7 @@ object AuditQueries {
     "drift_ks_scaled" -> Q(driftKsScaled, Some(driftKsSql)),
     "corr_pearson" -> Q(corrPearson, Some(corrPearsonSql)),
     "eval_cohen_kappa" -> Q(evalCohenKappa, Some(evalCohenKappaSql)),
+    "eval_calibration" -> Q(evalCalibration, Some(evalCalibrationSql)),
     "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),
