@@ -617,6 +617,124 @@ object AuditQueries {
   private def evalCalibration(s: SparkSession, d: String): DataFrame =
     evalCalibrationOf(documents(s, d))
 
+  /** N37g `eval_confusion`: the confusion matrix and precision/recall/F1 of
+    * a score-threshold classifier (quality score ≥ 0.6) against the
+    * char-length judge — the first table anyone asks for when a filter
+    * rule is proposed. TP/FP/FN/TN are four conditional counts in ONE
+    * map-side-combine scalar agg; precision, recall and F1 are IEEE
+    * sequences over those exact integers (F1 via 2·tp/(2·tp+fp+fn) — one
+    * division, no compounding), rounded 6 dp at output. */
+  private[graft] def evalConfusionOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val score = round(uniq * 0.4 + lenScore * 0.6, 6)
+    val p = (score >= 0.6).cast("long")
+    val y = (col("n_chars") >= 400).cast("long")
+    docs.select(p.as("p"), y.as("y"))
+      .agg(
+        sum(when(col("p") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("p") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+          .as("recall"),
+        round((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+  }
+
+  private def evalConfusion(s: SparkSession, d: String): DataFrame =
+    evalConfusionOf(documents(s, d))
+
+  private val evalConfusionSql =
+    """WITH f AS (
+      |  SELECT CASE WHEN round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) * 0.4
+      |          + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0,
+      |                  1.0) * 0.6, 6) >= 0.6 THEN 1 ELSE 0 END AS p,
+      |         CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |         CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |         CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |         CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM f)
+      |SELECT tp, fp, fn, tn,
+      |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+      |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+      |  round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+      |FROM m""".stripMargin
+
+  /** N37h `eval_auc`: exact tie-averaged ROC-AUC (Mann–Whitney form) of
+    * the quality score against the char-length judge — the threshold-free
+    * complement of `eval_confusion`: does the score RANK kept docs above
+    * dropped ones at all operating points. The corr_spearman discipline:
+    * ranks live on the DISTINCT-SCORE DOMAIN (per-score count + positive
+    * count, then a domain-sized prefix sum), never on the corpus, and the
+    * .5-average-rank halves are killed by the 2×-rank integer trick —
+    * AUC = (Σ pos_s·R2_s − nP·(nP+1)) / (2·nP·nN) with R2_s =
+    * 2·cum_before + cnt + 1, every term an exact integer, ONE IEEE
+    * division at the end. Scale: the fact reduces map-side to the score
+    * domain; the prefix-sum window rides domain rows (the
+    * corr_spearman_scaled rewrite applies verbatim if the domain ever
+    * outgrows one task). */
+  private[graft] def evalAucOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val score = round(uniq * 0.4 + lenScore * 0.6, 6)
+    val y = (col("n_chars") >= 400).cast("long")
+    val dom = docs.select(score.as("s"), y.as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = dom
+      .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("pos"), col("cnt"),
+        (lit(2L) * col("cum") + col("cnt") + lit(1L)).as("r2"))
+    ranked.agg(
+        sum(col("cnt")).as("n_docs"),
+        sum(col("pos")).as("np"),
+        sum(col("cnt") - col("pos")).as("nn"),
+        sum(col("pos") * col("r2")).as("pr2"))
+      .select(col("n_docs"), col("np").as("n_pos"),
+        round((col("pr2") - col("np") * (col("np") + lit(1L))).cast("double") /
+          (lit(2L) * col("np") * col("nn")).cast("double"), 6).as("auc"))
+  }
+
+  private def evalAuc(s: SparkSession, d: String): DataFrame =
+    evalAucOf(documents(s, d))
+
+  private val evalAucSql =
+    """WITH f AS (
+      |  SELECT round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) * 0.4
+      |          + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0,
+      |                  1.0) * 0.6, 6) AS s,
+      |         CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |dom AS (
+      |  SELECT s, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM f GROUP BY 1),
+      |ranked AS (
+      |  SELECT pos, cnt,
+      |    2 * coalesce(sum(cnt) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS r2
+      |  FROM dom)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |  CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(pos * r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+      |        / CAST(2 * sum(pos) * sum(cnt - pos) AS DOUBLE), 6) AS auc
+      |FROM ranked""".stripMargin
+
   private val evalCalibrationSql =
     """WITH scored AS (
       |  SELECT round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -1152,6 +1270,8 @@ object AuditQueries {
     "corr_pearson" -> Q(corrPearson, Some(corrPearsonSql)),
     "eval_cohen_kappa" -> Q(evalCohenKappa, Some(evalCohenKappaSql)),
     "eval_calibration" -> Q(evalCalibration, Some(evalCalibrationSql)),
+    "eval_confusion" -> Q(evalConfusion, Some(evalConfusionSql)),
+    "eval_auc" -> Q(evalAuc, Some(evalAucSql)),
     "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),
