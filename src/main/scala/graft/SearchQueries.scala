@@ -212,6 +212,103 @@ object SearchQueries {
       |ORDER BY score_d DESC, doc_id
       |LIMIT 10""".stripMargin
 
+  /** N38k `search_ndcg`: nDCG@10 of the BM25 ranking against a binary
+    * relevance judgment (doc contains ALL query terms) — the ranking-eval
+    * every retrieval stack owes before its order is trusted. Discount
+    * weights 1/log2(i+1) are the one libm surface: each is rounded to
+    * 6 dp BEFORE use (the lm_bigram_score discipline), DCG/IDCG then
+    * accumulate rel·w in exact DECIMAL so the 10-term sums cannot
+    * reorder, and nDCG is one IEEE division rounded at output. IDCG
+    * counts ALL relevant docs (a relevant doc BM25 missed still raises
+    * the bar — recall failures lower the metric, as they should). Scale:
+    * the ranked page is 10 rows, the relevance flags ride the same corpus
+    * scan as the scorer, and the weight table is a 10-row literal range —
+    * nothing here grows with the corpus except the one candidate-bounded
+    * BM25 pass. */
+  private[graft] def searchNdcgOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = queryTerms.map(t => array_contains(toks, t))
+      .reduce(_ && _).cast("long")
+    val relFlags = docs.select(col("doc_id"), rel.as("rel"))
+    val top = bm25ScoredOf(docs)
+      .orderBy(col("score_d").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_d").desc, col("doc_id"))))
+    val w = round(lit(1.0d) / log2(col("rank") + lit(1.0d)), 6)
+    val dcg = top.join(relFlags, Seq("doc_id"))
+      .select((col("rel") * w.cast("decimal(8,6)")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0).cast("decimal(18,6)")).as("dcg"))
+    val nRel = relFlags.agg(sum(col("rel")).as("n_rel"))
+    val ideal = nRel.crossJoin(
+        dcg.sparkSession.range(1, 11).select(col("id").as("rank")))
+      .filter(col("rank") <= col("n_rel"))
+      .select(col("n_rel"),
+        round(lit(1.0d) / log2(col("rank") + lit(1.0d)), 6)
+          .cast("decimal(8,6)").as("t"))
+      .groupBy("n_rel")
+      .agg(sum(col("t")).as("idcg"))
+    dcg.crossJoin(ideal)
+      .select(col("n_rel"),
+        col("dcg").cast("double").as("dcg"),
+        col("idcg").cast("double").as("idcg"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .as("ndcg"))
+  }
+
+  private def searchNdcg(s: SparkSession, d: String): DataFrame =
+    searchNdcgOf(documents(s, d))
+
+  private val searchNdcgSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'join', 'stream')
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+      |                   AS total_tokens
+      |          FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    round(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+      |                   / (CAST(f.df AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |         / (CAST(t.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * round(CAST(l.dl * s.n_docs AS DOUBLE)
+      |                                         / CAST(s.total_tokens AS DOUBLE), 6)))),
+      |      6) AS term_score
+      |  FROM tf t JOIN df f USING (term) JOIN dl l USING (doc_id), stats s),
+      |agg AS (
+      |  SELECT doc_id, sum(CAST(term_score AS DECIMAL(18,6))) AS score_d
+      |  FROM scored GROUP BY doc_id),
+      |top AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank
+      |  FROM agg ORDER BY score_d DESC, doc_id LIMIT 10),
+      |rel AS (
+      |  SELECT doc_id, CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+      |    AND list_contains(string_split(lower(text), ' '), 'join')
+      |    AND list_contains(string_split(lower(text), ' '), 'stream')
+      |    THEN 1 ELSE 0 END AS rel
+      |  FROM documents),
+      |dcg AS (
+      |  SELECT coalesce(sum(CAST(rel AS DECIMAL(8,6))
+      |    * CAST(round(1.0 / log2(rank + 1.0), 6) AS DECIMAL(8,6))), 0)
+      |    AS dcg
+      |  FROM top JOIN rel USING (doc_id)),
+      |nrel AS (SELECT CAST(sum(rel) AS BIGINT) AS n_rel FROM rel),
+      |idcg AS (
+      |  SELECT n_rel, sum(CAST(round(1.0 / log2(i + 1.0), 6)
+      |    AS DECIMAL(8,6))) AS idcg
+      |  FROM nrel, range(1, 11) r(i) WHERE i <= n_rel GROUP BY n_rel)
+      |SELECT n_rel, CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+      |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+      |FROM dcg, idcg""".stripMargin
+
   // ---- dataset_shuffle_shard: deterministic epoch shuffle ------------------
 
   /** `dataset_shuffle_shard`: the reproducible global shuffle a training
@@ -731,6 +828,7 @@ object SearchQueries {
     "search_cooccur" -> Q(searchCooccur, Some(searchCooccurSql)),
     "search_bm25" -> Q(searchBm25, Some(searchBm25Sql)),
     "search_diversify" -> Q(searchDiversify, Some(searchDiversifySql)),
+    "search_ndcg" -> Q(searchNdcg, Some(searchNdcgSql)),
     "search_bm25_batch" -> Q(searchBm25Batch, Some(searchBm25BatchSql)),
     "search_phrase" -> Q(searchPhrase, Some(searchPhraseSql)),
     "index_merge_delta" -> Q(indexMergeDelta, Some(indexPostingsSql)),
