@@ -1078,7 +1078,84 @@ object EventQueries {
       |  AND round(abs(value - med), 6) > round(3.0 * 1.4826 * mad, 6)
       |ORDER BY event_id""".stripMargin
 
+  /** N28h `ab_welch_ttest`: the A/B experiment readout — Welch's unequal-
+    * variance t statistic and Welch–Satterthwaite degrees of freedom for
+    * the purchase-value metric between a deterministic user split
+    * (user_id parity — the hash-split every experiment platform uses,
+    * no rand()). ENTIRELY libm-free: six sufficient statistics (n, Σx,
+    * Σx² per arm) accumulate in exact DECIMAL inside ONE map-side-combine
+    * scalar agg (6 numbers per partition at any scale), and t, dof fall
+    * out as fixed sequences of +,−,×,÷,sqrt — all correctly-rounded IEEE
+    * ops, bit-identical on any engine, rounded 6 dp at output only. */
+  private[graft] def abWelchTtestOf(ev: DataFrame): DataFrame = {
+    val xd = col("value").cast("decimal(12,2)")
+    val arm = (col("user_id") % 2 === 0).cast("long")
+    val stats = ev.filter(col("event_type") === "purchase")
+      .select(arm.as("a"), xd.as("xd"),
+        (xd * xd).cast("decimal(30,4)").as("xx"))
+      .agg(
+        sum(col("a")).as("n1"),
+        sum(when(col("a") === 1, col("xd"))).as("s1"),
+        sum(when(col("a") === 1, col("xx"))).as("ss1"),
+        sum(lit(1L) - col("a")).as("n2"),
+        sum(when(col("a") === 0, col("xd"))).as("s2"),
+        sum(when(col("a") === 0, col("xx"))).as("ss2"))
+    def m(sx: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = sx.cast("double") / n.cast("double")
+    def v(sx: org.apache.spark.sql.Column, ssx: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (ssx.cast("double") - sx.cast("double") * sx.cast("double") /
+        n.cast("double")) / (n.cast("double") - lit(1.0d))
+    val se1 = v(col("s1"), col("ss1"), col("n1")) / col("n1").cast("double")
+    val se2 = v(col("s2"), col("ss2"), col("n2")) / col("n2").cast("double")
+    stats.select(
+      col("n1").as("n_a"), col("n2").as("n_b"),
+      round(m(col("s1"), col("n1")), 6).as("mean_a"),
+      round(m(col("s2"), col("n2")), 6).as("mean_b"),
+      round((m(col("s1"), col("n1")) - m(col("s2"), col("n2"))) /
+        sqrt(se1 + se2), 6).as("t_stat"),
+      round((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1").cast("double") - lit(1.0d)) +
+          se2 * se2 / (col("n2").cast("double") - lit(1.0d))), 6).as("dof"))
+  }
+
+  private def abWelchTtest(s: SparkSession, d: String): DataFrame =
+    abWelchTtestOf(events(s, d))
+
+  private val abWelchTtestSql =
+    """WITH f AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+      |         CAST(value AS DECIMAL(12,2)) AS xd,
+      |         CAST(CAST(value AS DECIMAL(12,2))
+      |              * CAST(value AS DECIMAL(12,2)) AS DECIMAL(30,4)) AS xx
+      |  FROM events WHERE event_type = 'purchase'),
+      |st AS (
+      |  SELECT CAST(sum(a) AS BIGINT) AS n1,
+      |         sum(CASE WHEN a = 1 THEN xd END) AS s1,
+      |         sum(CASE WHEN a = 1 THEN xx END) AS ss1,
+      |         CAST(sum(1 - a) AS BIGINT) AS n2,
+      |         sum(CASE WHEN a = 0 THEN xd END) AS s2,
+      |         sum(CASE WHEN a = 0 THEN xx END) AS ss2
+      |  FROM f),
+      |d AS (
+      |  SELECT n1, n2,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |    ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+      |      / CAST(n1 AS DOUBLE) AS se1,
+      |    ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |        / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+      |      / CAST(n2 AS DOUBLE) AS se2
+      |  FROM st)
+      |SELECT n1 AS n_a, n2 AS n_b,
+      |  round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+      |  round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+      |  round((se1 + se2) * (se1 + se2)
+      |        / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+      |           + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS dof
+      |FROM d""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "ab_welch_ttest" -> Q(abWelchTtest, Some(abWelchTtestSql)),
     "rolling_active_users" -> Q(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "attribution_linear" -> Q(attributionLinear, Some(attributionLinearSql)),
     "event_paths_topk" -> Q(eventPathsTopk, Some(eventPathsTopkSql)),
