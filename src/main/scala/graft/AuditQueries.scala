@@ -712,6 +712,43 @@ object AuditQueries {
   private def evalAuc(s: SparkSession, d: String): DataFrame =
     evalAucOf(documents(s, d))
 
+  /** `eval_auc_scaled`: eval_auc's 100 TB form — the distinct-score-domain
+    * prefix sum runs through [[graft.ops.OrderedOps.cumSumsByKey]]
+    * (range-partitioned per-partition sums + broadcast offsets — no
+    * single-task Window even when the score domain is huge). Scores are
+    * micro-unit longs via the exact DECIMAL(8,6) cent-scaling trick, so
+    * the key is unique-integer as cumSumsByKey requires. SAME ORACLE as
+    * eval_auc: hash equality proves the rewrite, the corr_spearman_scaled
+    * pattern. */
+  private[graft] def evalAucScaledOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val score = round(uniq * 0.4 + lenScore * 0.6, 6)
+    val y = (col("n_chars") >= 400).cast("long")
+    val dom = docs.select(
+        (score.cast("decimal(8,6)") * 1000000).cast("long").as("sc"),
+        y.as("y"))
+      .groupBy("sc")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val ranked = graft.ops.OrderedOps.cumSumsByKey(dom, "sc", Seq("cnt", "pos"))
+      .select(col("pos"), col("cnt"),
+        (lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + lit(1L))
+          .as("r2"))
+    ranked.agg(
+        sum(col("cnt")).as("n_docs"),
+        sum(col("pos")).as("np"),
+        sum(col("cnt") - col("pos")).as("nn"),
+        sum(col("pos") * col("r2")).as("pr2"))
+      .select(col("n_docs"), col("np").as("n_pos"),
+        round((col("pr2") - col("np") * (col("np") + lit(1L))).cast("double") /
+          (lit(2L) * col("np") * col("nn")).cast("double"), 6).as("auc"))
+  }
+
+  private def evalAucScaled(s: SparkSession, d: String): DataFrame =
+    evalAucScaledOf(documents(s, d))
+
   private val evalAucSql =
     """WITH f AS (
       |  SELECT round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -1272,6 +1309,7 @@ object AuditQueries {
     "eval_calibration" -> Q(evalCalibration, Some(evalCalibrationSql)),
     "eval_confusion" -> Q(evalConfusion, Some(evalConfusionSql)),
     "eval_auc" -> Q(evalAuc, Some(evalAucSql)),
+    "eval_auc_scaled" -> Q(evalAucScaled, Some(evalAucSql)),
     "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),

@@ -162,6 +162,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), s"per-source cap window expected:\n$p")
   }
 
+  test("eval_auc_scaled: no Window node — domain prefix sum via range-partitioned offsets") {
+    val df = q("eval_auc_scaled")
+    df.collect()
+    // cumSumsByKey materializes mid-build (localCheckpoint), so audit the
+    // exposed domain helper path: the registry query's final plan must be
+    // window-free end to end
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"scaled AUC must not plan a Window:\n$p")
+  }
+
   test("corr_pearson: single scalar aggregate with map-side partials, no join, no window") {
     val p = finalPlan(q("corr_pearson"))
     assert(p.contains("partial_"), s"sufficient stats must partial-aggregate:\n$p")
