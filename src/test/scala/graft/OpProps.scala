@@ -192,6 +192,40 @@ object OpProps extends Properties("graft.ops6") {
         vals.isEmpty || back == long.toSet
     }
 
+  // AUC rank formula vs the Mann-Whitney pair-count definition: the
+  // numerators (Σ pos·R2 − nP(nP+1) vs 2·concordant + ties) must agree as
+  // EXACT INTEGERS on any tie structure — the strongest check tie-averaged
+  // rank math can get.
+  private val labeledGen = Gen.listOf(for {
+    s <- Gen.choose(0, 9)
+    y <- Gen.oneOf(0L, 1L)
+  } yield (s.toLong, y))
+
+  property("AUC 2x-rank numerator equals the pair-count numerator on arbitrary ties") =
+    forAll(labeledGen) { xs =>
+      val nP = xs.count(_._2 == 1L).toLong
+      val nN = xs.size - nP
+      nP == 0 || nN == 0 || {
+        // rank-formula numerator, computed with the same domain machinery
+        val dom = xs.toDF("s", "y").groupBy("s")
+          .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        var cum = 0L
+        var pr2 = 0L
+        dom.foreach { case (_, cnt, pos) =>
+          pr2 += pos * (2 * cum + cnt + 1); cum += cnt
+        }
+        val rankNum = pr2 - nP * (nP + 1)
+        // O(n^2) Mann-Whitney: 2 per concordant pair, 1 per tie
+        val pairNum = (for {
+          (sp, yp) <- xs if yp == 1L
+          (sn, yn) <- xs if yn == 0L
+        } yield if (sp > sn) 2L else if (sp == sn) 1L else 0L).sum
+        rankNum == pairNum
+      }
+    }
+
   property("containment src-prefix cut is lossless vs the full directed join") =
     forAll(corpusGen) { docs =>
       docs.isEmpty || {
