@@ -2380,6 +2380,461 @@ object RelationalQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** `tpch_q5`: the local-supplier-volume flagship — revenue per nation for
+    * orders where the customer and the shipping supplier share a nation,
+    * restricted to one region and one order-year. The 100 TB plan order:
+    * region→nation filters to the region's member nations (a handful of
+    * rows) and broadcasts into BOTH supplier and customer, so each dim
+    * shrinks to ~1/|regions| before any fact movement; the shrunken
+    * supplier broadcast-reduces lineitem map-side, the date predicate on
+    * orders is pushed to its scan, and only then do the two fact-sized
+    * shuffles (orderkey, custkey) run. The co-nation requirement
+    * (`c_nationkey = s_nationkey`) is a one-codegen-stage residual after
+    * the customer join — NOT a join key, so no extra Exchange. Revenue is
+    * the exact-decimal sum cast to double (Det discipline). */
+  private def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
+      dec(col("l_discount")))
+    val regionNations = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val suppN = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(regionNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nationkey"),
+        col("n_name"))
+    val custN = customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(regionNations.select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("supp_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val tpchQ5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** `tpch_q8`: the market-share flagship — of all ECONOMY-part revenue
+    * sold to EUROPE customers over two years, the fraction supplied by one
+    * nation, per order-year. The classic trap is computing numerator and
+    * denominator as two scans; here both are conditional aggregates over
+    * ONE joined stream (`sum(when(supp_nation = X))` / `sum(all)`), so the
+    * fact is read and shuffled once. Dim reductions move first at 100 TB:
+    * part filters on p_type and broadcast-reduces lineitem map-side (the
+    * most selective cut, 1/6), the EUROPE customer set is dim-sized and
+    * broadcast after the orderkey shuffle, and the supplier→nation name
+    * lookup is a broadcast. Numerator and denominator are exact DECIMAL
+    * sums; the share is ONE double division rounded 6 dp at output. */
+  private def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
+      dec(col("l_discount")))
+    val euroCust = customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppN = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(euroCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(new java.math.BigDecimal("0.00")).cast("decimal(12,2)")))
+          .cast("double") /
+        sum(rev).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val tpchQ8Sql =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |  ROUND(
+      |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      |        * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |      ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |      AS DOUBLE), 6) AS mkt_share
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** `tpch_q9`: the product-profit flagship, adapted to the synthetic
+    * schema — there is no `partsupp`, so unit cost is `p_retailprice`
+    * (profit = revenue − retailprice·quantity; the reference grid has no
+    * supply-cost column at all, and the SHAPE — a LIKE-filtered part dim
+    * driving a 4-way join aggregated by (supplier nation, order year) — is
+    * what the flagship exercises). At 100 TB: the `p_name LIKE '%widget%'`
+    * cut broadcast-reduces lineitem FIRST (both engines push the contains
+    * filter to the part scan), supplier→nation is a broadcast lookup, and
+    * the only fact-sized shuffle is the orderkey join for the order year.
+    * Profit terms are exact DECIMAL products (25,4) subtracted before the
+    * sum, cast to double once at output. */
+  private def tpchQ9(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val profit = dec(col("l_extendedprice")) *
+      (lit(one).cast("decimal(12,2)") - dec(col("l_discount"))) -
+      dec(col("p_retailprice")) * dec(col("l_quantity"))
+    val suppN = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part(s, d).filter(col("p_name").contains("widget"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val tpchQ9Sql =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |    - CAST(p_retailprice AS DECIMAL(12,2))
+      |      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** `tpch_q12`: the late-shipment priority flagship, adapted — the
+    * synthetic grid has no ship mode or commit/receipt dates, so "late" is
+    * shipped > 60 days after the order date and the grouping attribute is
+    * `l_returnflag` (Q12's SHAPE: a fact-fact join feeding two conditional
+    * counts per group — critical-priority vs not). At 100 TB the join is
+    * the only fact shuffle; the 1997 order-date cut is pushed to the
+    * orders scan so the smaller (filtered) side builds, and the lateness
+    * predicate is a post-join codegen residual (it references both sides,
+    * so no engine can push it — stating it after the join keeps the scans
+    * clean). Counts are exact longs; no decimal needed. */
+  private def tpchQ12(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  private val tpchQ12Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** `tpch_q11`: the important-stock flagship, adapted — no `partsupp`, so
+    * the "value" of a part is its shipped revenue from ASIA-region
+    * suppliers, and the query returns parts whose value exceeds a fixed
+    * FRACTION of the group's total value (Q11's defining shape: an
+    * aggregate compared against a scalar subquery over the SAME aggregate).
+    * The Spark plan computes the per-part agg ONCE, `localCheckpoint`s it
+    * (part-cardinality rows — cheap; same Q15 rationale: the scalar-sum
+    * branch and the filter branch would otherwise each re-scan the fact
+    * because ReusedExchange needs canonical identity), takes the
+    * single-row total, and broadcasts it back as a cross-join threshold
+    * filter. Fact cost: ONE scan, one partkey shuffle — the textbook form
+    * pays two of each. Value sums are exact DECIMAL; the threshold compare
+    * casts to double on both engines (identical rationals → identical
+    * float64 → identical compare). */
+  private def tpchQ11(s: SparkSession, d: String): DataFrame = {
+    val one = new java.math.BigDecimal("1.00")
+    val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
+      dec(col("l_discount")))
+    val asiaSupp = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(rev).cast("double").as("part_value"))
+      .localCheckpoint()
+    val total = perPart.agg(sum(col("part_value")).as("total_value"))
+    perPart
+      .join(broadcast(total))
+      .filter(col("part_value") > col("total_value") * lit(0.001))
+      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  private val tpchQ11Sql =
+    """WITH value AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |      AS DOUBLE) AS part_value
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, part_value
+      |FROM value
+      |WHERE part_value > (SELECT SUM(part_value) FROM value) * 0.001
+      |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  /** `tpch_q16`: the supplier-count-by-part-attributes flagship, adapted —
+    * supplier/part association rides `lineitem` (no `partsupp`), and the
+    * excluded-supplier predicate is a negative account balance (no comment
+    * column for the complaints LIKE). The shape survives intact: an
+    * anti-joined exclusion list, a DISTINCT (attrs, supplier) reduction,
+    * and a per-attrs distinct count, ordered count-desc. At 100 TB: the
+    * exclusion list is dim-sized → broadcast LEFT ANTI before the distinct
+    * (cheaper than after — excluded suppliers' rows never shuffle); the
+    * distinct pairs reduce map-side (partkey+suppkey combine) before the
+    * attrs rollup, so the second shuffle moves pair-cardinality, not
+    * fact-cardinality; part attrs join AFTER the pair reduction, dim
+    * broadcast. Brand/type/size predicates push to the part scan. */
+  private def tpchQ16(s: SparkSession, d: String): DataFrame = {
+    val parts = part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    lineitem(s, d)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(badSupp), col("l_suppkey") === col("bad_suppkey"),
+        "left_anti")
+      .distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val tpchQ16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** `tpch_q2`: the minimum-cost-supplier flagship, adapted — no
+    * `partsupp`, so a supplier's "quote" for a part is the minimum
+    * `l_extendedprice` it ever shipped that part at, and the query keeps,
+    * per small LARGE-type part, the EUROPE supplier(s) whose quote equals the
+    * part's minimum quote (ties kept — the reason the textbook uses a
+    * correlated MIN subquery, not a rank-1 pick). Plan: the part filter
+    * and the region→supplier reduction are both broadcast BEFORE the fact
+    * moves; quotes aggregate per (part, supplier) map-side combine; the
+    * per-part MIN is quote-cardinality work re-using the same partkey
+    * partitioning; the min-equality join-back compares exact DECIMAL
+    * (never a float). Fact cost: one scan, one shuffle — the correlated
+    * form would re-scan per part. Output cost cast to double at the end. */
+  private def tpchQ2(s: SparkSession, d: String): DataFrame = {
+    val parts = part(s, d)
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+      .select("p_partkey", "p_name")
+    val euroSupp = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal",
+        "s_nationkey")
+      .join(broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val quotes = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(parts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(dec(col("l_extendedprice"))).as("quote"))
+    val minQuote = quotes.groupBy(col("l_partkey").as("mq_partkey"))
+      .agg(min(col("quote")).as("min_quote"))
+    quotes
+      .join(minQuote, col("l_partkey") === col("mq_partkey") &&
+        col("quote") === col("min_quote"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        col("quote").cast("double").as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  private val tpchQ2Sql =
+    """WITH quotes AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS quote
+      |  FROM lineitem
+      |  WHERE l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_size <= 10 AND p_type = 'LARGE')
+      |    AND l_suppkey IN (
+      |      SELECT s_suppkey FROM supplier
+      |      JOIN nation ON s_nationkey = n_nationkey
+      |      JOIN region ON n_regionkey = r_regionkey
+      |      WHERE r_name = 'EUROPE')
+      |  GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  CAST(quote AS DOUBLE) AS min_cost
+      |FROM quotes
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE quote = (SELECT MIN(q2.quote) FROM quotes q2
+      |               WHERE q2.l_partkey = quotes.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  /** `tpch_q20`: the excess-volume supplier flagship, adapted — no
+    * `partsupp.ps_availqty`, so the inner correlated comparison becomes:
+    * suppliers (in one region) whose 1997 shipped quantity of `red*` parts
+    * exceeds 17% of their ALL-TIME shipped quantity of those parts. The
+    * shape survives: a name-LIKE part semi-reduction, a per-supplier
+    * grouped HAVING comparing two aggregates of the same group, and a
+    * final supplier semi-join (IN). At 100 TB: the part cut broadcasts
+    * into the fact scan; BOTH sums (1997 and all-time) are conditional
+    * aggregates over ONE pass — the textbook's correlated subquery
+    * re-reads the fact per supplier; the qualifying-supplier set is
+    * supplier-cardinality and broadcast-semi-joins the dim. Quantity sums
+    * ride exact DECIMAL; the 30% threshold compares in float64 once. */
+  private def tpchQ20(s: SparkSession, d: String): DataFrame = {
+    val redParts = part(s, d).filter(col("p_name").startsWith("red"))
+      .select("p_partkey")
+    val qualifying = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(
+        sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+          dec(col("l_quantity")))
+          .otherwise(lit(new java.math.BigDecimal("0.00"))
+            .cast("decimal(12,2)")))
+          .cast("double").as("qty_1997"),
+        sum(dec(col("l_quantity"))).cast("double").as("qty_total"))
+      .filter(col("qty_1997") > col("qty_total") * lit(0.17))
+      .select("l_suppkey")
+    supplier(s, d)
+      .join(broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  private val tpchQ20Sql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey
+      |    FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'red%')
+      |    GROUP BY l_suppkey
+      |    HAVING CAST(SUM(CASE
+      |        WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+      |         AND l_shipdate < TIMESTAMP '1998-01-01'
+      |        THEN CAST(l_quantity AS DECIMAL(12,2))
+      |        ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |      > CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.17)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** `join_bloom_prefilter`: explicit Bloom semi-join reduction
     * ([[graft.ops.BloomOps]]) — the build side (selective dim: urgent
     * half-million-dollar orders) folds into a distributed Bloom filter,
@@ -2874,6 +3329,14 @@ object RelationalQueries {
     "tpch_q19" -> Q(tpchQ19, Some(tpchQ19Sql)),
     "tpch_q15" -> Q(tpchQ15, Some(tpchQ15Sql)),
     "tpch_q7" -> Q(tpchQ7, Some(tpchQ7Sql)),
+    "tpch_q5" -> Q(tpchQ5, Some(tpchQ5Sql)),
+    "tpch_q8" -> Q(tpchQ8, Some(tpchQ8Sql)),
+    "tpch_q9" -> Q(tpchQ9, Some(tpchQ9Sql)),
+    "tpch_q12" -> Q(tpchQ12, Some(tpchQ12Sql)),
+    "tpch_q11" -> Q(tpchQ11, Some(tpchQ11Sql)),
+    "tpch_q16" -> Q(tpchQ16, Some(tpchQ16Sql)),
+    "tpch_q2" -> Q(tpchQ2, Some(tpchQ2Sql)),
+    "tpch_q20" -> Q(tpchQ20, Some(tpchQ20Sql)),
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),
