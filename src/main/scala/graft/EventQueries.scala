@@ -933,6 +933,69 @@ object EventQueries {
       |       AS DECIMAL(18,6))) AS DOUBLE) AS credited
       |FROM j GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** `attribution_time_decay`: time-decay multi-touch attribution — the
+    * complement of [[attributionLinear]]'s equal split: each purchase's
+    * value splits across the user's trailing-7-day clicks in proportion to
+    * 2^(−Δt/12h) (a 12-hour half-life; the touch just before the purchase
+    * earns ~2× the touch 12 hours earlier). Identical scale shape to the
+    * linear form: the purchase×click pairing is the watermark-bounded
+    * interval join, and the per-purchase weight normalization rides a
+    * window over the join's own key (no new shuffle). Determinism: Δt is
+    * an exact epoch-second difference; the one libm pow() rounds 6 dp
+    * BEFORE use (the idf discipline), weights sum exactly in
+    * DECIMAL(18,6), each pair's credit is a fixed double sequence rounded
+    * 6 dp, and the day rollup sums DECIMAL. */
+  private[graft] def attributionTimeDecayOf(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val wk = expr("INTERVAL 7 DAYS")
+    val wn = Window.partitionBy("p_id")
+    val dtHours = (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+      .cast("double") / lit(3600000000.0d)
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") < col("p_ts") && col("c_ts") >= col("p_ts") - wk)
+      .withColumn("w",
+        round(pow(lit(0.5d), dtHours / lit(12.0d)), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("wsum", sum(col("w")).over(wn))
+      .withColumn("credit",
+        round(Det.dec(col("value")).cast("double") *
+          (col("w").cast("double") / col("wsum").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(to_date(col("c_ts")).as("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("double").as("credited"))
+      .orderBy("day")
+  }
+
+  private def attributionTimeDecay(s: SparkSession, d: String): DataFrame =
+    attributionTimeDecayOf(events(s, d))
+
+  private val attributionTimeDecaySql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.p_id, p.value, c.c_ts,
+      |    CAST(round(pow(0.5,
+      |      CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS DOUBLE)
+      |        / 3600000000.0 / 12.0), 6) AS DECIMAL(18,6)) AS w
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |   AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+      |n AS (
+      |  SELECT p_id, value, c_ts, w,
+      |         sum(w) OVER (PARTITION BY p_id) AS wsum
+      |  FROM j)
+      |SELECT CAST(c_ts AS DATE) AS day, count(*) AS n_touches,
+      |  CAST(sum(CAST(round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)
+      |        * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS credited
+      |FROM n GROUP BY 1 ORDER BY day""".stripMargin
+
   // ---- N26f event_paths_topk: top user journeys ----------------------------
 
   /** `event_paths_topk`: the top-10 opening user journeys — each user's
@@ -1120,6 +1183,85 @@ object EventQueries {
   private def abWelchTtest(s: SparkSession, d: String): DataFrame =
     abWelchTtestOf(events(s, d))
 
+  // ---- eval_subsample_ci: deterministic subsample (batch-means) CI ---------
+
+  /** `eval_subsample_ci`: a deterministic disjoint-subsample (batch-means /
+    * m-out-of-n-bootstrap-without-replacement) 95% CI for the mean purchase
+    * value — the uncertainty estimate a pipeline metric owes before any
+    * quality gate thresholds on it. Every row lands in one of B=32
+    * replicates by CONTENT hash (no rand(), no partition-index dependence —
+    * reproducible on any cluster layout); each replicate mean rides an
+    * exact DECIMAL sum and rounds 6 dp into DECIMAL(18,6), so the
+    * second-moment accumulation (squares, sums) stays exact and
+    * order-independent; sd(replicate means)/√B estimates the SE of the
+    * grand mean under equal hash splits. Scale shape: ONE fact scan into a
+    * 32-key map-side-combine aggregate, then a 32-row exact reduction —
+    * the driver-side stage is 32 rows at ANY corpus size (the Poisson
+    * bootstrap plays the same trick with weighted replicates; the disjoint
+    * split keeps it hash-provable). Final sqrt/± is a fixed IEEE sequence
+    * rounded 6 dp. */
+  private[graft] def evalSubsampleCiOf(ev: DataFrame): DataFrame = {
+    val rep = (conv(substring(md5(col("event_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 32).as("rep")
+    val reps = ev.filter(col("event_type") === "purchase")
+      .select(rep, Det.dec(col("value")).as("xd"))
+      .groupBy("rep")
+      .agg(round(sum(col("xd")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(18,6)").as("mean_r"))
+    val st = reps.agg(
+      count(lit(1)).as("b"),
+      sum(col("mean_r")).as("sm"),
+      sum((col("mean_r") * col("mean_r")).cast("decimal(38,12)")).as("smm"))
+    val bd = col("b").cast("double")
+    val mbar = col("sm").cast("double") / bd
+    val varMeans = (col("smm").cast("double") - bd * mbar * mbar) /
+      (bd - lit(1.0d))
+    val se = sqrt(varMeans / bd)
+    st.select(
+      col("b"),
+      round(mbar, 6).as("mean_value"),
+      round(se, 6).as("se"),
+      round(mbar - lit(1.96d) * se, 6).as("ci_lo"),
+      round(mbar + lit(1.96d) * se, 6).as("ci_hi"))
+  }
+
+  private def evalSubsampleCi(s: SparkSession, d: String): DataFrame =
+    evalSubsampleCiOf(events(s, d))
+
+  private val evalSubsampleCiSql =
+    """WITH f AS (
+      |  SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+      |           AS BIGINT) % 32 AS rep,
+      |         CAST(value AS DECIMAL(12,2)) AS xd
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT rep,
+      |    CAST(round(CAST(sum(xd) AS DOUBLE) / count(*), 6)
+      |      AS DECIMAL(18,6)) AS mean_r
+      |  FROM f GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS b,
+      |         sum(mean_r) AS sm,
+      |         sum(CAST(mean_r * mean_r AS DECIMAL(38,12))) AS smm
+      |  FROM r)
+      |SELECT b,
+      |  round(CAST(sm AS DOUBLE) / CAST(b AS DOUBLE), 6) AS mean_value,
+      |  round(sqrt(((CAST(smm AS DOUBLE)
+      |      - CAST(b AS DOUBLE) * (CAST(sm AS DOUBLE) / CAST(b AS DOUBLE))
+      |        * (CAST(sm AS DOUBLE) / CAST(b AS DOUBLE)))
+      |      / (CAST(b AS DOUBLE) - 1.0)) / CAST(b AS DOUBLE)), 6) AS se,
+      |  round(CAST(sm AS DOUBLE) / CAST(b AS DOUBLE)
+      |    - 1.96 * sqrt(((CAST(smm AS DOUBLE)
+      |      - CAST(b AS DOUBLE) * (CAST(sm AS DOUBLE) / CAST(b AS DOUBLE))
+      |        * (CAST(sm AS DOUBLE) / CAST(b AS DOUBLE)))
+      |      / (CAST(b AS DOUBLE) - 1.0)) / CAST(b AS DOUBLE)), 6) AS ci_lo,
+      |  round(CAST(sm AS DOUBLE) / CAST(b AS DOUBLE)
+      |    + 1.96 * sqrt(((CAST(smm AS DOUBLE)
+      |      - CAST(b AS DOUBLE) * (CAST(sm AS DOUBLE) / CAST(b AS DOUBLE))
+      |        * (CAST(sm AS DOUBLE) / CAST(b AS DOUBLE)))
+      |      / (CAST(b AS DOUBLE) - 1.0)) / CAST(b AS DOUBLE)), 6) AS ci_hi
+      |FROM st""".stripMargin
+
   private val abWelchTtestSql =
     """WITH f AS (
       |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
@@ -1156,6 +1298,9 @@ object EventQueries {
 
   def all: Seq[(String, Q)] = Seq(
     "ab_welch_ttest" -> Q(abWelchTtest, Some(abWelchTtestSql)),
+    "eval_subsample_ci" -> Q(evalSubsampleCi, Some(evalSubsampleCiSql)),
+    "attribution_time_decay" ->
+      Q(attributionTimeDecay, Some(attributionTimeDecaySql)),
     "rolling_active_users" -> Q(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "attribution_linear" -> Q(attributionLinear, Some(attributionLinearSql)),
     "event_paths_topk" -> Q(eventPathsTopk, Some(eventPathsTopkSql)),

@@ -288,6 +288,75 @@ object GraphQueries {
       |FROM pern JOIN nation n ON pern.node = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+  /** `graph_clustering_coeff`: local clustering coefficient per node —
+    * 2·tri(v) / (deg(v)·(deg(v)−1)), the "how clique-like is this node's
+    * neighborhood" metric that [[triangles]]' raw counts feed (Watts &
+    * Strogatz 1998). Same aggregated-graph discipline: the canonical
+    * edge list is computed ONCE and localCheckpointed (it feeds the degree
+    * count and all three triangle roles — without the checkpoint each
+    * reference re-runs the fact-scale dim joins), triangles enumerate via
+    * the id-ordered two-join, degrees are one keyed count over both
+    * endpoints, and the coefficient is one fixed double division rounded
+    * 6 dp. Nodes with deg < 2 report 0 (no possible wedge), via a left
+    * join + coalesce so isolated-but-present nodes stay in the result. */
+  private def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ab = und.select(col("u").as("a"), col("v").as("b"))
+    val bc = und.select(col("u").as("b"), col("v").as("c"))
+    val ac = und.select(col("u").as("a"), col("v").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0d) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg").cast("double") *
+              (col("deg").cast("double") - lit(1.0d))), 6))
+          .otherwise(lit(0.0d)).as("coeff"))
+      .join(nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("deg"), col("n_triangles"), col("coeff"))
+      .orderBy("n_name")
+  }
+
+  private val clusteringCoeffSql =
+    """WITH raw AS (
+      |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  WHERE c.c_nationkey <> su.s_nationkey),
+      |e AS (SELECT DISTINCT least(cn, sn) AS u, greatest(cn, sn) AS v FROM raw),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pern AS (
+      |  SELECT node, count(*) AS n_tri
+      |  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+      |  GROUP BY 1)
+      |SELECT n.n_name, deg,
+      |  COALESCE(n_tri, 0) AS n_triangles,
+      |  CASE WHEN deg >= 2 THEN
+      |    round(2.0 * CAST(COALESCE(n_tri, 0) AS DOUBLE)
+      |      / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)), 6)
+      |  ELSE 0.0 END AS coeff
+      |FROM deg LEFT JOIN pern USING (node)
+      |JOIN nation n ON deg.node = n.n_nationkey
+      |ORDER BY n.n_name""".stripMargin
+
   // ---- N31c graph_bfs: single-source shortest hops -------------------------
 
   /** `graph_bfs`: breadth-first shortest-hop distances from nation 0 over
@@ -659,5 +728,7 @@ object GraphQueries {
     "graph_modularity" -> Q(modularity, Some(modularitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),
+    "graph_clustering_coeff" ->
+      Q(clusteringCoeff, Some(clusteringCoeffSql)),
     "graph_bfs" -> Q(bfs, Some(bfsSql)))
 }

@@ -404,6 +404,83 @@ object NorthStarQueries {
       |SELECT query_id, neighbor_id, neg_label, rnk, cos FROM ranked
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** `knn_matryoshka_recall`: Matryoshka-truncation retrieval audit
+    * (Kusupati et al. 2022) — MRL-style embeddings promise that a PREFIX of
+    * the vector preserves ranking; before a pipeline ships 16-of-64-dim
+    * vectors to cut ANN scan bytes 4×, it owes this measurement: per query,
+    * recall@5 of the 16-dim-prefix cosine top-5 against the full-64-dim
+    * top-5. One broadcast-query pass computes BOTH scores per candidate
+    * (the prefix slice is free — same row, no second scan), two rank
+    * windows share the single query_id shuffle, and the overlap count is a
+    * (query, neighbor) self-equijoin of two ≤5-row-per-query lists.
+    * Ranking on raw fold doubles with id tie-breaks (the knn recipe);
+    * recall is an exact small-integer ratio. */
+  private def knnMatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("neighbor_id"))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("cos_pre").desc, col("neighbor_id"))
+    val both = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_full", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cos_pre",
+        VectorOps.cosine(slice(col("qv"), 1, 16), slice(col("cv"), 1, 16)))
+      .withColumn("rnk_full", row_number().over(wFull))
+      .withColumn("rnk_pre", row_number().over(wPre))
+    val overlap = both
+      .filter(col("rnk_full") <= 5 && col("rnk_pre") <= 5)
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    q.select("query_id")
+      .join(overlap, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(5.0),
+          6).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  private val knnMatryoshkaRecallSql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(q.embedding,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(q.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(c.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos_full,
+      |    list_reduce(list_transform(q.embedding[1:16],
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(q.embedding[1:16],
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(c.embedding[1:16],
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos_pre
+      |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_full DESC, neighbor_id) AS rnk_full,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_pre DESC, neighbor_id) AS rnk_pre
+      |  FROM scored),
+      |overlap AS (
+      |  SELECT query_id, count(*) AS n_overlap
+      |  FROM ranked WHERE rnk_full <= 5 AND rnk_pre <= 5
+      |  GROUP BY 1)
+      |SELECT q.vec_id AS query_id,
+      |  COALESCE(n_overlap, 0) AS n_overlap,
+      |  round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 5.0, 6) AS recall_at_5
+      |FROM q LEFT JOIN overlap ON q.vec_id = overlap.query_id
+      |ORDER BY query_id""".stripMargin
+
   /** `knn_join_blocked`: the kNN JOIN — top-3 cosine neighbors for EVERY
     * vector (not a bounded query set), blocked by the label column so the
     * pair space is Σ|block|², never |corpus|². This is the scale shape of a
@@ -1709,6 +1786,8 @@ object NorthStarQueries {
     "dedup_pipeline" -> Q(dedupPipeline, Some(dedupPipelineSql)),
     "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),
     "knn_cosine_topk" -> Q(knnCosine, Some(knnCosineSql)),
+    "knn_matryoshka_recall" ->
+      Q(knnMatryoshkaRecall, Some(knnMatryoshkaRecallSql)),
     "knn_join_blocked" -> Q(knnJoinBlocked, Some(knnJoinBlockedSql)),
     "knn_q8_rescore" -> Q(knnQ8, Some(knnQ8Sql)),
     "mine_hard_negatives" ->

@@ -818,7 +818,112 @@ object SearchQueries {
        |SELECT doc_id, CAST(final_dec AS DOUBLE) AS final, CAST(rnk AS INTEGER) AS rnk
        |FROM ranked WHERE rnk <= 5 ORDER BY rnk""".stripMargin
 
+  // ---- search_rrf_fusion: hybrid lexical + semantic retrieval --------------
+
+  /** `search_rrf_fusion`: reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    * 2009) of the lexical BM25 ranking and a semantic embedding ranking —
+    * the standard hybrid-retrieval merge (score-free, so the two systems'
+    * incomparable score scales never touch): rrf(d) = Σ 1/(60 + rank_i(d))
+    * over the rankings that retrieved d. The semantic query is document 7's
+    * embedding (`doc_id` = `vec_id` in the synthetic grid), the lexical
+    * query the fixed 3-term set. Scale shape: BOTH candidate lists are
+    * top-50 TakeOrdereds (lexical is already index-cut to matching docs;
+    * semantic is a map-only broadcast-query cosine scan — the IVF/LSH
+    * bucket path swaps in at corpus scale), so the rank windows and the
+    * full-outer fusion join run on ≤ 50-row lists, never the corpus. Rank
+    * reciprocals are rounded 6 dp before the fixed-sequence sum; ranking
+    * on raw-double cosine with id tie-breaks is the proven cross-engine
+    * kNN recipe. */
+  private def searchRrfFusion(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.VectorOps
+    val docs = documents(s, d)
+    val lexW = Window.orderBy(col("score_d").desc, col("doc_id"))
+    val lex = bm25ScoredOf(docs)
+      .orderBy(col("score_d").desc, col("doc_id")).limit(50)
+      .withColumn("lex_rank", row_number().over(lexW))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val semW = Window.orderBy(col("cos").desc, col("doc_id"))
+    val sem = e.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        VectorOps.cosine(col("embedding"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(50)
+      .withColumn("sem_rank", row_number().over(semW))
+      .select(col("doc_id"), col("sem_rank"))
+    val rrf = round(
+      coalesce(round(lit(1.0) / (lit(60) + col("lex_rank")), 6), lit(0.0)) +
+        coalesce(round(lit(1.0) / (lit(60) + col("sem_rank")), 6), lit(0.0)),
+      6)
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", rrf)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_score"))
+  }
+
+  private val searchRrfFusionSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'join', 'stream')
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+      |                   AS total_tokens
+      |          FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    round(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+      |                   / (CAST(f.df AS DOUBLE) + 0.5) + 1.0), 6)
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |         / (CAST(t.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * round(CAST(l.dl * s.n_docs AS DOUBLE)
+      |                                         / CAST(s.total_tokens AS DOUBLE), 6)))),
+      |      6) AS term_score
+      |  FROM tf t JOIN df f USING (term) JOIN dl l USING (doc_id), stats s),
+      |lex_top AS (
+      |  SELECT doc_id, sum(CAST(term_score AS DECIMAL(18,6))) AS score_d
+      |  FROM scored GROUP BY doc_id
+      |  ORDER BY score_d DESC, doc_id LIMIT 50),
+      |lex AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY score_d DESC, doc_id) AS lex_rank
+      |  FROM lex_top),
+      |q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+      |sem0 AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    list_reduce(list_transform(q.embedding,
+      |        (x, i) -> CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+      |      (u, v) -> u + v)
+      |    / (sqrt(list_reduce(list_transform(q.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v))
+      |     * sqrt(list_reduce(list_transform(c.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (u, v) -> u + v)))
+      |    AS cos
+      |  FROM q, embeddings c WHERE c.vec_id <> 7),
+      |sem_top AS (SELECT * FROM sem0 ORDER BY cos DESC, doc_id LIMIT 50),
+      |sem AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+      |  FROM sem_top)
+      |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      |  CAST(lex_rank AS INTEGER) AS lex_rank,
+      |  CAST(sem_rank AS INTEGER) AS sem_rank,
+      |  round(COALESCE(round(1.0 / (60 + lex_rank), 6), 0.0)
+      |      + COALESCE(round(1.0 / (60 + sem_rank), 6), 0.0), 6) AS rrf_score
+      |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      |ORDER BY rrf_score DESC, COALESCE(lex.doc_id, sem.doc_id)
+      |LIMIT 10""".stripMargin
+
   def all: Seq[(String, Q)] = Seq(
+    "search_rrf_fusion" -> Q(searchRrfFusion, Some(searchRrfFusionSql)),
     "search_more_like_this" -> Q(searchMoreLikeThis, Some(searchMoreLikeThisSql)),
     "search_prf_expand" -> Q(searchPrfExpand, Some(searchPrfExpandSql)),
     "search_rerank_twostage" -> Q(searchRerankTwostage, Some(searchRerankTwostageSql)),
