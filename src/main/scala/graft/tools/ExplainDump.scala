@@ -75,7 +75,11 @@ object ExplainDump {
     "set_intersect_all", "set_union_evolved", "stream_watermark_sim",
     "search_diversify", "search_ndcg", "eval_cohen_kappa",
     "eval_calibration", "eval_confusion", "eval_auc", "eval_auc_scaled",
-    "ab_welch_ttest")
+    "ab_welch_ttest",
+    "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q11", "tpch_q16",
+    "tpch_q2", "tpch_q20",
+    "search_rrf_fusion", "knn_matryoshka_recall", "eval_subsample_ci",
+    "attribution_time_decay", "graph_clustering_coeff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
