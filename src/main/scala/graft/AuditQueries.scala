@@ -1250,6 +1250,57 @@ object AuditQueries {
         .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad"))
         .select(lit(name).as("chk"), col("n_bad"))
 
+  /** `dq_k_anonymity`: the k-anonymity / l-diversity privacy audit
+    * (Sweeney 2002; Machanavajjhala et al. 2007) a pipeline owes before
+    * releasing or training on joined user data — can any quasi-identifier
+    * combination single out fewer than k individuals, and do those groups
+    * carry diverse sensitive values? Quasi-identifiers here: (nation,
+    * market segment); sensitive attribute: the account-balance band
+    * (1000-unit buckets, floored). ONE customer scan into a
+    * (nation, segment)-keyed agg computing the group size and the distinct
+    * sensitive-band count (map-side combine; the distinct is bounded by
+    * the band domain), then a group-cardinality-sized rollup into one
+    * summary row: total groups, groups below k=5, rows in those groups
+    * (re-identification exposure), the exposure rate, and the minimum
+    * l across groups (l < 2 = a homogeneous group leaks its sensitive
+    * value even at size ≥ k). All integers except the one rounded rate. */
+  private[graft] def dqKAnonymityOf(c: DataFrame): DataFrame = {
+    val band = floor(col("c_acctbal") / 1000.0d).cast("long")
+    val groups = c
+      .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("grp_n"),
+        countDistinct(col("band")).as("l_div"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("grp_n") < 5, 1L).otherwise(0L)).as("groups_below_k"),
+      sum(when(col("grp_n") < 5, col("grp_n")).otherwise(0L))
+        .as("rows_at_risk"),
+      round(sum(when(col("grp_n") < 5, col("grp_n")).otherwise(0L))
+        .cast("double") / sum(col("grp_n")).cast("double"), 6)
+        .as("risk_rate"),
+      min(col("l_div")).as("min_l"))
+  }
+
+  private def dqKAnonymity(s: SparkSession, d: String): DataFrame =
+    dqKAnonymityOf(customer(s, d))
+
+  private val dqKAnonymitySql =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS grp_n,
+      |    count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_div
+      |  FROM customer
+      |  GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_below_k,
+      |  CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  round(CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(grp_n) AS DOUBLE), 6) AS risk_rate,
+      |  CAST(min(l_div) AS BIGINT) AS min_l
+      |FROM g""".stripMargin
+
   private def dqReferential(s: SparkSession, d: String): DataFrame = {
     def orphans(name: String, child: DataFrame, fk: String,
         parent: DataFrame, pk: String) = fkOrphans(name, child, fk, parent, pk)
@@ -1290,6 +1341,7 @@ object AuditQueries {
 
   def all: Seq[(String, Q)] = Seq(
     "dq_referential" -> Q(dqReferential, Some(dqReferentialSql)),
+    "dq_k_anonymity" -> Q(dqKAnonymity, Some(dqKAnonymitySql)),
     "dq_benford" -> Q(dqBenford, Some(dqBenfordSql)),
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "dq_expectations" -> Q(dqExpectations, Some(dqExpectationsSql)),

@@ -415,8 +415,7 @@ object NorthStarQueries {
     * (query, neighbor) self-equijoin of two ≤5-row-per-query lists.
     * Ranking on raw fold doubles with id tie-breaks (the knn recipe);
     * recall is an exact small-integer ratio. */
-  private def knnMatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+  private[graft] def knnMatryoshkaRecallOf(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"),
@@ -442,6 +441,9 @@ object NorthStarQueries {
           6).as("recall_at_5"))
       .orderBy("query_id")
   }
+
+  private def knnMatryoshkaRecall(s: SparkSession, d: String): DataFrame =
+    knnMatryoshkaRecallOf(embeddings(s, d))
 
   private val knnMatryoshkaRecallSql =
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),

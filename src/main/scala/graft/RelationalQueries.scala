@@ -2392,27 +2392,28 @@ object RelationalQueries {
     * (`c_nationkey = s_nationkey`) is a one-codegen-stage residual after
     * the customer join — NOT a join key, so no extra Exchange. Revenue is
     * the exact-decimal sum cast to double (Det discipline). */
-  private def tpchQ5(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tpchQ5Of(li: DataFrame, o: DataFrame, c: DataFrame,
+      su: DataFrame, na: DataFrame, re: DataFrame): DataFrame = {
     val one = new java.math.BigDecimal("1.00")
     val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
       dec(col("l_discount")))
-    val regionNations = nation(s, d)
-      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+    val regionNations = na
+      .join(broadcast(re.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey", "n_name")
-    val suppN = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val suppN = su.select("s_suppkey", "s_nationkey")
       .join(broadcast(regionNations),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey").as("supp_nationkey"),
         col("n_name"))
-    val custN = customer(s, d).select("c_custkey", "c_nationkey")
+    val custN = c.select("c_custkey", "c_nationkey")
       .join(broadcast(regionNations.select("n_nationkey")),
         col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey", "c_nationkey")
-    lineitem(s, d)
+    li
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
-      .join(orders(s, d)
+      .join(o
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
           .select("o_orderkey", "o_custkey"),
@@ -2423,6 +2424,10 @@ object RelationalQueries {
       .agg(sum(rev).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  private def tpchQ5(s: SparkSession, d: String): DataFrame =
+    tpchQ5Of(lineitem(s, d), orders(s, d), customer(s, d), supplier(s, d),
+      nation(s, d), region(s, d))
 
   private val tpchQ5Sql =
     """SELECT n_name,
@@ -3192,7 +3197,7 @@ object RelationalQueries {
        |       ${sqlDsum("o_totalprice")} AS total_price
        |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
-  /** S8c `format_roundtrip`: CSV and JSONL write→read fidelity over the
+  /** S8c `format_roundtrip`: CSV, JSONL, and ORC write→read fidelity over the
     * documents table — the interchange formats every corpus pipeline must
     * emit and re-ingest losslessly. The corpus text is augmented with an
     * ADVERSARIAL column (embedded delimiter, quote, and newline) so the CSV
@@ -3217,9 +3222,15 @@ object RelationalQueries {
     docs.write.mode("overwrite").option("header", true).option("escape", "\"")
       .csv(s"$root/csv")
     docs.write.mode("overwrite").json(s"$root/jsonl")
+    // ORC: the other columnar interchange format Spark bundles natively —
+    // binary-safe (no quoting/escaping layer to get wrong), schema in the
+    // footer, splittable; the round trip proves the writer/reader pair and
+    // the type mapping, and the same checksum catches any divergence.
+    docs.write.mode("overwrite").orc(s"$root/orc")
     val csvBack = s.read.schema(docs.schema).option("header", true)
       .option("multiLine", true).option("escape", "\"").csv(s"$root/csv")
     val jsonBack = s.read.schema(docs.schema).json(s"$root/jsonl")
+    val orcBack = s.read.schema(docs.schema).orc(s"$root/orc")
     def sig(df: DataFrame, fmt: String) =
       df.select(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"),
           col("lang"), col("source"), col("adv"))), 1, 8), 16, 10)
@@ -3228,7 +3239,8 @@ object RelationalQueries {
           sum(col("h")).as("checksum"))
         .select(lit(fmt).as("fmt"), col("n_docs"), col("total_chars"),
           col("checksum"))
-    sig(csvBack, "csv").unionByName(sig(jsonBack, "jsonl")).orderBy("fmt")
+    sig(csvBack, "csv").unionByName(sig(jsonBack, "jsonl"))
+      .unionByName(sig(orcBack, "orc")).orderBy("fmt")
   }
 
   private val formatRoundtripSql =
@@ -3243,6 +3255,8 @@ object RelationalQueries {
       |SELECT 'csv' AS fmt, n_docs, total_chars, checksum FROM sig
       |UNION ALL
       |SELECT 'jsonl' AS fmt, n_docs, total_chars, checksum FROM sig
+      |UNION ALL
+      |SELECT 'orc' AS fmt, n_docs, total_chars, checksum FROM sig
       |ORDER BY fmt""".stripMargin
 
   // ---- bucketed repeated join (shuffle-free fact⋈dim) -----------------------

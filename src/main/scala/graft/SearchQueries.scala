@@ -834,15 +834,13 @@ object SearchQueries {
     * reciprocals are rounded 6 dp before the fixed-sequence sum; ranking
     * on raw-double cosine with id tie-breaks is the proven cross-engine
     * kNN recipe. */
-  private def searchRrfFusion(s: SparkSession, d: String): DataFrame = {
+  private[graft] def searchRrfFusionOf(docs: DataFrame, e: DataFrame): DataFrame = {
     import graft.ops.VectorOps
-    val docs = documents(s, d)
     val lexW = Window.orderBy(col("score_d").desc, col("doc_id"))
     val lex = bm25ScoredOf(docs)
       .orderBy(col("score_d").desc, col("doc_id")).limit(50)
       .withColumn("lex_rank", row_number().over(lexW))
       .select(col("doc_id"), col("lex_rank"))
-    val e = embeddings(s, d)
     val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
     val semW = Window.orderBy(col("cos").desc, col("doc_id"))
     val sem = e.filter(col("vec_id") =!= 7)
@@ -863,6 +861,9 @@ object SearchQueries {
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
         col("rrf_score"))
   }
+
+  private def searchRrfFusion(s: SparkSession, d: String): DataFrame =
+    searchRrfFusionOf(documents(s, d), embeddings(s, d))
 
   private val searchRrfFusionSql =
     """WITH tf AS (

@@ -606,6 +606,26 @@ object ScaleProbe {
     rangeNaive(ev1); rangeBucketed(ev1)
     knnBlocked(e1); containment(d1); interleaveSort(d1); asofNearestW(ev1)
     patternMatch(ev1); winnow(d1); rfm(o1); rfmScaled(o1); ntileWin(c1); ntileScaled(c1)
+    // r09-continuation shapes: the Q5 dim-funnel join (dims constant while
+    // the fact grows — the broadcast-reduction story), RRF hybrid fusion
+    // (both rank windows candidate-bounded while corpus+index grow),
+    // matryoshka prefix recall (pinned 20-query broadcast scan), time-decay
+    // attribution (user-bounded interval join), subsample CI (32-key
+    // map-side-combine scan: the flattest shape in the suite by design).
+    val supp1 = Tables.supplier(spark, sfDir)
+    val nat1 = Tables.nation(spark, sfDir)
+    val reg1 = Tables.region(spark, sfDir)
+    def q5(li: DataFrame, o: DataFrame, c: DataFrame): Long =
+      graft.RelationalQueries.tpchQ5Of(li, o, c, supp1, nat1, reg1).count()
+    def rrf(docs: DataFrame, e: DataFrame): Long =
+      graft.SearchQueries.searchRrfFusionOf(docs, e).count()
+    def matry(e: DataFrame): Long =
+      graft.NorthStarQueries.knnMatryoshkaRecallOf(e).count()
+    def attrDecay(ev: DataFrame): Long =
+      graft.EventQueries.attributionTimeDecayOf(ev).count()
+    def ciSub(ev: DataFrame): Long =
+      graft.EventQueries.evalSubsampleCiOf(ev).count()
+    q5(li1, o1, c1); rrf(d1, e1); matry(e1); attrDecay(ev1); ciSub(ev1)
     kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir)); heavyHit(d1); pcaPower(e1); hampel(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
@@ -739,6 +759,16 @@ object ScaleProbe {
         time(pcaPower(e1)), time(pcaPower(eN))),
       ("hampel filter (5-frame median + MAD window)",
         time(hampel(ev1)), time(hampel(evN))),
+      ("tpch q5 dim-funnel join (dims constant, fact grows)",
+        time(q5(li1, o1, c1)), time(q5(liN, oN, cN))),
+      ("rrf hybrid fusion (candidate-bounded windows)",
+        time(rrf(d1, e1)), time(rrf(dN, eN))),
+      ("matryoshka prefix recall (pinned 20-query broadcast scan)",
+        time(matry(e1)), time(matry(eN))),
+      ("time-decay attribution (user-bounded interval join)",
+        time(attrDecay(ev1)), time(attrDecay(evN))),
+      ("subsample CI (32-key map-side-combine scan)",
+        time(ciSub(ev1)), time(ciSub(evN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")

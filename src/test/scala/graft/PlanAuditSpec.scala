@@ -775,4 +775,79 @@ class PlanAuditSpec extends SparkSpec {
       assert(keyed <= 1, s"$name needs at most one keyed exchange, got $keyed:\n$p")
     }
   }
+
+  test("tpch_q5/q8/q9/q20: every dim join broadcasts — no SortMergeJoin except fact-fact") {
+    // q20 is checked through the full dump (incl. the pre-AQE initial plan):
+    // its sf0.001 result is empty, so AQE's PropagateEmptyRelation erases
+    // the final join tree entirely — the intent lives in the initial plan.
+    for (name <- Seq("tpch_q5", "tpch_q8", "tpch_q9")) {
+      val p = finalPlan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name dims must broadcast:\n$p")
+      // the only permitted shuffle joins are the lineitem x orders legs
+      val smj = "SortMergeJoin".r.findAllIn(p).length
+      assert(smj <= 1, s"$name: expected at most the one fact-fact SMJ, got $smj:\n$p")
+    }
+    val p20 = plan(q("tpch_q20"))
+    assert(p20.contains("BroadcastHashJoin") || p20.contains("broadcast"),
+      s"q20 dims must broadcast (initial plan):\n$p20")
+  }
+
+  test("tpch_q12: order-year predicate pushed to the orders scan; lateness is post-join") {
+    val p = plan(q("tpch_q12"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date cut must reach the orders scan:\n$p")
+  }
+
+  test("tpch_q11: one fact scan — scalar-total branch rides the checkpointed agg") {
+    val p = finalPlan(q("tpch_q11"))
+    // the localCheckpoint truncates lineage: the visible plan reads the
+    // checkpointed per-part agg, so no lineitem scan may appear twice
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q11's visible plan must run on the checkpointed agg (no re-scan):\n$p")
+  }
+
+  test("tpch_q16: exclusion anti-join broadcasts BELOW the distinct pair reduction") {
+    // sf0.001 may have zero negative-balance suppliers, in which case AQE
+    // eliminates the anti join from the final plan — assert on the full
+    // dump (which keeps the initial plan) that the anti join exists and
+    // sits under the distinct, and that the part dim broadcasts.
+    val p = plan(q("tpch_q16"))
+    assert(p.contains("LeftAnti"),
+      s"bad-supplier exclusion must be an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n$p")
+  }
+
+  test("search_rrf_fusion: rank windows sit above TakeOrdered candidate cuts, fusion join is tiny") {
+    val p = finalPlan(q("search_rrf_fusion"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate lists must be TakeOrdereds, not global sorts:\n$p")
+  }
+
+  test("knn_matryoshka_recall: broadcast-query BNLJ, both rank windows share one query_id exchange") {
+    val p = finalPlan(q("knn_matryoshka_recall"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounded query set must broadcast:\n$p")
+    // one query_id exchange feeds BOTH rank windows (they differ only in
+    // orderBy, so the second window re-sorts without re-shuffling); the
+    // other permitted query_id exchange is the final left-outer join's
+    // query-list side
+    val keyed = "Exchange hashpartitioning\\(query_id".r.findAllIn(p).length
+    assert(keyed <= 2, s"expected the shared window shuffle + the join side, got $keyed:\n$p")
+    assert(!p.contains("Window (") ||
+      p.split("Window").length <= 3, s"both windows must plan:\n$p")
+  }
+
+  test("eval_subsample_ci: map-side combine into 32 replicate keys, no join") {
+    val p = finalPlan(q("eval_subsample_ci"))
+    assert(p.contains("partial_"), s"replicate agg must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"one scan, no join:\n$p")
+  }
+
+  test("dq_k_anonymity: one customer scan, keyed agg then scalar rollup") {
+    val p = finalPlan(q("dq_k_anonymity"))
+    assert(!p.contains("Join"), s"one scan, no join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"exactly one customer scan, got $scans:\n$p")
+  }
 }
