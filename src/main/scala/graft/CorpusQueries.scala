@@ -271,6 +271,171 @@ object CorpusQueries {
       |FROM occ o JOIN model m USING (bg)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- N16c dsir_importance_select: DSIR data selection --------------------
+
+  /** Importance-resampling data selection (DSIR, Xie et al. 2023): score
+    * every raw-corpus document by how target-domain-like it reads —
+    * mean over token occurrences of ln(p_target(w)/p_raw(w)) under two
+    * add-one-smoothed unigram LMs (target = the `src0` slice standing in
+    * for "high-quality domain"; raw = the rest) — and keep the top-20.
+    * This is the standard cheap alternative to classifier-based selection
+    * when curating a pretraining mixture toward a reference corpus.
+    *
+    * 100 TB shape: identical geometry to [[lmBigramScoreOf]] — the two
+    * LMs are vocabulary-sized keyed aggs with map-side combine (never
+    * broadcast), scoring shuffles occurrences and model on the WORD key,
+    * and the doc rollup is one keyed agg; text crosses the cluster as
+    * tokens, the final top-20 is a TakeOrdered. Determinism: per-token
+    * log-ratios round 6 dp before the exact DECIMAL per-doc sum; the
+    * joint-vocabulary size V closes the smoothing denominators. */
+  private[graft] def dsirImportanceSelectOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(lower(col("text")), "\\s+")).as("w"))
+    val isT = col("source") === "src0"
+    val counts = toks
+      .groupBy("w")
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(isT, 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("w"), round(log(
+        ((col("ct") + lit(1L)).cast("double") /
+          (col("nt") + col("v")).cast("double")) /
+        ((col("cr") + lit(1L)).cast("double") /
+          (col("nr") + col("v")).cast("double"))), 6)
+        .cast(DecimalType(18, 6)).as("logratio"))
+    toks.filter(!isT)
+      .join(model, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("logratio")).as("slr"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("slr").cast("double") / col("n_toks"), 4).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private def dsirImportanceSelect(s: SparkSession, d: String): DataFrame =
+    dsirImportanceSelectOf(documents(s, d))
+
+  private val dsirImportanceSelectSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |counts AS (
+      |  SELECT w,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM toks GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+      |         CAST(count(*) AS BIGINT) AS v
+      |  FROM counts),
+      |model AS (
+      |  SELECT w,
+      |    CAST(round(ln(
+      |      (CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+      |      / (CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) AS logratio
+      |  FROM counts, totals)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  round(CAST(sum(logratio) AS DOUBLE) / count(*), 4) AS dsir_score
+      |FROM toks JOIN model USING (w)
+      |WHERE source <> 'src0'
+      |GROUP BY 1
+      |ORDER BY dsir_score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  // ---- N16d lm_heldout_perplexity: leakage-free LM evaluation --------------
+
+  /** Held-out bigram perplexity — [[lmBigramScoreOf]] trains and scores on
+    * the same corpus, which is fine for outlier SCREENING but overstates
+    * model quality; this is the leakage-free form every LM-based filter
+    * owes its threshold calibration: train an add-one-smoothed bigram LM
+    * on a deterministic 90% hash split, score only the held-out 10%.
+    * Unseen bigrams get P = (0+1)/(c1+V) (and unseen contexts P = 1/V) —
+    * smoothing, not silent drops, so gibberish can't hide. Per-doc mean
+    * log-prob and its perplexity exp(−mean) (one libm exp on an
+    * already-6-dp-rounded mean, rounded 4 dp at output — the idf
+    * discipline applied to exp).
+    *
+    * 100 TB shape: the split predicate is a map-side hash; the model is
+    * two vocabulary-sized keyed aggs; scoring LEFT-joins held-out bigram
+    * occurrences to the model on the bigram key (absent rows are the
+    * unseen-mass path, no second scan); one doc rollup. */
+  private[graft] def lmHeldoutPerplexityOf(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 10
+    val train = docs.filter(bucket < 9)
+    val test = docs.filter(bucket === 9)
+    val c2 = train
+      .select(explode(TrainDataQueries.gramsOf(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val occ = test
+      .select(col("doc_id"), explode(TrainDataQueries.gramsOf(col("text"), 2)).as("bg"))
+      .withColumn("w", element_at(split(col("bg"), " "), 1))
+    occ
+      .join(c2, Seq("bg"), "left_outer")
+      .join(c1, Seq("w"), "left_outer")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), round(log(
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6)
+        .cast(DecimalType(18, 6)).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_logp"),
+        round(exp(-round(col("slp").cast("double") / col("n_bigrams"), 6)), 4)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  private def lmHeldoutPerplexity(s: SparkSession, d: String): DataFrame =
+    lmHeldoutPerplexityOf(documents(s, d))
+
+  private val lmHeldoutPerplexitySql =
+    """WITH split AS (
+      |  SELECT doc_id, text,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 10 AS bucket
+      |  FROM documents),
+      |trainsrc AS (SELECT string_split(lower(text), ' ') AS t
+      |             FROM split WHERE bucket < 9),
+      |c2 AS (
+      |  SELECT bg, count(*) AS c2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)),
+      |      i -> array_to_string(t[i:i+1], ' '))) AS bg
+      |    FROM trainsrc)
+      |  GROUP BY 1),
+      |c1 AS (SELECT w, count(*) AS c1
+      |       FROM (SELECT unnest(t) AS w FROM trainsrc) GROUP BY 1),
+      |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> array_to_string(t[i:i+1], ' '))) AS bg
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |        FROM split WHERE bucket = 9)),
+      |scored AS (
+      |  SELECT o.doc_id,
+      |    CAST(round(ln(
+      |      CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+      |      / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS logp
+      |  FROM occ o
+      |  LEFT JOIN c2 USING (bg)
+      |  LEFT JOIN c1 ON string_split(o.bg, ' ')[1] = c1.w, vocab v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp,
+      |  round(exp(-round(CAST(sum(logp) AS DOUBLE) / count(*), 6)), 4) AS ppl
+      |FROM scored
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ---- N17 sample_temperature: mixture reweighting -------------------------
 
   /** Temperature-based source reweighting (the multilingual/domain mixture
@@ -989,6 +1154,10 @@ object CorpusQueries {
     "chunk_dedup" -> Q(chunkDedup, Some(chunkDedupSql)),
     "chunk_cdc" -> Q(chunkCdc, Some(chunkCdcSql)),
     "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
+    "dsir_importance_select" ->
+      Q(dsirImportanceSelect, Some(dsirImportanceSelectSql)),
+    "lm_heldout_perplexity" ->
+      Q(lmHeldoutPerplexity, Some(lmHeldoutPerplexitySql)),
     "sample_temperature" -> Q(sampleTemperature, Some(sampleTemperatureSql)),
     "embedding_norms" -> Q(embeddingNorms, Some(embeddingNormsSql)),
     "embedding_quant_calib" ->
