@@ -650,6 +650,86 @@ object AuditQueries {
   private def evalConfusion(s: SparkSession, d: String): DataFrame =
     evalConfusionOf(documents(s, d))
 
+  /** `eval_conformal_coverage`: split conformal calibration (Vovk et al.;
+    * Angelopoulos & Bates 2023 tutorial form) for the quality score — the
+    * distribution-free guarantee a score-thresholding curation step can
+    * actually hold: on a deterministic hash-half calibration set, take the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity a = 1 − score among
+    * true-quality docs (α = 0.1); on the OTHER half, the fraction of
+    * true-quality docs with a ≤ q̂ must then be ≥ 1−α in expectation —
+    * reported as the coverage check. The order statistic is an EXACT rank
+    * pick (row_number over (a, doc_id)), not an interpolated quantile, so
+    * both engines elect the identical q̂; scores and a round 6 dp. Scale:
+    * the rank window here is calibration-set-bounded; at corpus scale the
+    * same pick runs on OrderedOps.globalRank (the window_ntile_scaled
+    * machinery) — one range-partition rank, no single-task sort. */
+  private[graft] def evalConformalCoverageOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val score = round(uniq * 0.4 + lenScore * 0.6, 6)
+    val half = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 2
+    val scored = docs
+      .filter(col("n_chars") >= 400)
+      .select(col("doc_id"), round(lit(1.0) - score, 6).as("a"),
+        half.as("half"))
+    val cal = scored.filter(col("half") === 0)
+    val calN = cal.agg(count(lit(1)).as("n_cal"),
+      ceil((count(lit(1)) + lit(1L)).cast("double") * lit(0.9d))
+        .cast("long").as("k"))
+    val w = Window.orderBy(col("a"), col("doc_id"))
+    val qhat = cal.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(calN))
+      .filter(col("rn") === least(col("k"), col("n_cal")))
+      .select(col("n_cal"), col("a").as("qhat"))
+    scored.filter(col("half") === 1)
+      .crossJoin(broadcast(qhat))
+      .agg(
+        first(col("n_cal")).as("n_cal"),
+        first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("qhat"), col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+  }
+
+  private def evalConformalCoverage(s: SparkSession, d: String): DataFrame =
+    evalConformalCoverageOf(documents(s, d))
+
+  private val evalConformalCoverageSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    round(1.0 - round(
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 0.4
+      |      + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0,
+      |              1.0) * 0.6, 6), 6) AS a,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 2 AS half
+      |  FROM documents WHERE n_chars >= 400),
+      |cal AS (SELECT * FROM scored WHERE half = 0),
+      |caln AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+      |    CAST(ceil(CAST(count(*) + 1 AS DOUBLE) * 0.9) AS BIGINT) AS k
+      |  FROM cal),
+      |ranked AS (
+      |  SELECT a, row_number() OVER (ORDER BY a, doc_id) AS rn FROM cal),
+      |qhat AS (
+      |  SELECT n_cal, a AS qhat FROM ranked, caln
+      |  WHERE rn = least(k, n_cal))
+      |SELECT q.n_cal, q.qhat,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN t.a <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  round(CAST(sum(CASE WHEN t.a <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS coverage
+      |FROM scored t, qhat q
+      |WHERE t.half = 1
+      |GROUP BY 1, 2""".stripMargin
+
   private val evalConfusionSql =
     """WITH f AS (
       |  SELECT CASE WHEN round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -1360,6 +1440,8 @@ object AuditQueries {
     "eval_cohen_kappa" -> Q(evalCohenKappa, Some(evalCohenKappaSql)),
     "eval_calibration" -> Q(evalCalibration, Some(evalCalibrationSql)),
     "eval_confusion" -> Q(evalConfusion, Some(evalConfusionSql)),
+    "eval_conformal_coverage" ->
+      Q(evalConformalCoverage, Some(evalConformalCoverageSql)),
     "eval_auc" -> Q(evalAuc, Some(evalAucSql)),
     "eval_auc_scaled" -> Q(evalAucScaled, Some(evalAucSql)),
     "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
