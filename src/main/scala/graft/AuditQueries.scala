@@ -50,6 +50,61 @@ object AuditQueries {
     * the key and bucketed into added / removed / changed / same, with a
     * per-status key sum so the partition itself is verified, not just its
     * size. The data-regression check every pipeline migration runs. */
+  /** `cdc_apply`: apply a change-data-capture log (upserts + deletes) onto
+    * a keyed snapshot — the MERGE primitive every lakehouse table
+    * maintenance job runs (Delta/Iceberg MERGE INTO; the reference's
+    * SQL-side upsert, database.py:116-123, generalized to include
+    * deletes). The changelog here is derived deterministically from the
+    * snapshot (keys ≡0 mod 97 → DELETE; mod 13 → UPDATE price ×1.10 in
+    * exact DECIMAL), so the oracle can replay the identical merge. Plan:
+    * ONE full-outer-shaped pass — snapshot LEFT joins the changelog on the
+    * key (the changelog is fact-proportional at scale, so this is a keyed
+    * shuffle join, NOT a broadcast; inserts would ride the same join's
+    * right-outer leg), deletes drop, updates coalesce, and the result
+    * reduces to an auditable summary (row counts by disposition + the
+    * exact post-merge price mass). At 100 TB both sides bucket on the key
+    * and the join plans shuffle-free (the J9 layout). */
+  private[graft] def cdcApplyOf(o: DataFrame): DataFrame = {
+    val snap = o.select(col("o_orderkey").as("k"),
+      Det.dec(col("o_totalprice")).as("price"))
+    val log = snap
+      .filter(col("k") % 97 === 0 || col("k") % 13 === 0)
+      .select(col("k").as("ck"),
+        when(col("k") % 97 === 0, "D").otherwise("U").as("op"),
+        (col("price") * lit(new java.math.BigDecimal("1.10"))
+          .cast("decimal(12,2)")).as("new_price"))
+    snap.join(log, col("k") === col("ck"), "left_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        when(col("op") === "U", lit(1L)).otherwise(lit(0L)).as("updated"),
+        when(col("op") === "U", col("new_price").cast("decimal(16,4)"))
+          .otherwise(col("price").cast("decimal(16,4)")).as("eff_price"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("updated")).as("n_updated"),
+        sum(col("eff_price")).cast("double").as("total_price_after"))
+  }
+
+  private def cdcApply(s: SparkSession, d: String): DataFrame =
+    cdcApplyOf(orders(s, d))
+
+  private val cdcApplySql =
+    """WITH snap AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders),
+      |log AS (
+      |  SELECT k AS ck,
+      |    CASE WHEN k % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    price * CAST(1.10 AS DECIMAL(12,2)) AS new_price
+      |  FROM snap WHERE k % 97 = 0 OR k % 13 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_updated,
+      |  CAST(sum(CASE WHEN op = 'U' THEN CAST(new_price AS DECIMAL(16,4))
+      |    ELSE CAST(price AS DECIMAL(16,4)) END) AS DOUBLE)
+      |    AS total_price_after
+      |FROM snap LEFT JOIN log ON k = ck
+      |WHERE op IS NULL OR op <> 'D'""".stripMargin
+
   private[graft] def tableDiffOf(o: DataFrame): DataFrame = {
     val oldT = o.filter(col("o_orderkey") % 97 =!= 0)
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
@@ -1426,6 +1481,7 @@ object AuditQueries {
     "audit_checksum" -> Q(auditChecksum, Some(auditChecksumSql)),
     "dq_expectations" -> Q(dqExpectations, Some(dqExpectationsSql)),
     "table_diff" -> Q(tableDiff, Some(tableDiffSql)),
+    "cdc_apply" -> Q(cdcApply, Some(cdcApplySql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "dq_skew_report" -> Q(dqSkewReport, Some(dqSkewReportSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),

@@ -965,6 +965,66 @@ object NorthStarQueries {
       |        6) AS score
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** `score_standardize_by_source`: per-source z-normalization of the
+    * quality score — the recalibration a multi-source corpus owes before
+    * any GLOBAL score threshold: sources have different score baselines
+    * (boilerplate-heavy crawls score low on uniqueness, short-form high),
+    * so a raw global cut silently over-prunes some sources; z within
+    * source makes "bottom 10% of ITS source" comparable across sources.
+    * One scan computes the 6-dp score; per-source mean/std ride exact
+    * DECIMAL sufficient statistics (sum, sum-of-squares — the Welch
+    * recipe) in a source-keyed map-side-combine agg; stats broadcast back
+    * (source-cardinality rows) and z is one fixed IEEE sequence rounded
+    * 6 dp. No window, no second scan. */
+  private[graft] def scoreStandardizeBySourceOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(uniq * 0.4 + lenScore * 0.6, 6).as("sc"))
+    val stats = scored
+      .select(col("source"), col("sc").cast("decimal(18,6)").as("xd"))
+      .withColumn("xx", (col("xd") * col("xd")).cast("decimal(38,12)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ns"), sum(col("xd")).as("sm"),
+        sum(col("xx")).as("smm"))
+    val nsd = col("ns").cast("double")
+    val mean = col("sm").cast("double") / nsd
+    val std = sqrt((col("smm").cast("double") - nsd * mean * mean) /
+      (nsd - lit(1.0d)))
+    scored.join(broadcast(stats), Seq("source"))
+      .select(col("doc_id"), col("source"), col("sc").as("score"),
+        round((col("sc") - mean) / std, 6).as("z_src"))
+      .orderBy("doc_id")
+  }
+
+  private def scoreStandardizeBySource(s: SparkSession, d: String): DataFrame =
+    scoreStandardizeBySourceOf(documents(s, d))
+
+  private val scoreStandardizeBySourceSql =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) * 0.4
+      |          + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0,
+      |                  1.0) * 0.6, 6) AS sc
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+      |    sum(CAST(sc AS DECIMAL(18,6))) AS sm,
+      |    sum(CAST(CAST(sc AS DECIMAL(18,6)) * CAST(sc AS DECIMAL(18,6))
+      |        AS DECIMAL(38,12))) AS smm
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, scored.source, sc AS score,
+      |  round((sc - CAST(sm AS DOUBLE) / CAST(ns AS DOUBLE))
+      |    / sqrt((CAST(smm AS DOUBLE)
+      |        - CAST(ns AS DOUBLE) * (CAST(sm AS DOUBLE) / CAST(ns AS DOUBLE))
+      |          * (CAST(sm AS DOUBLE) / CAST(ns AS DOUBLE)))
+      |      / (CAST(ns AS DOUBLE) - 1.0)), 6) AS z_src
+      |FROM scored JOIN st ON scored.source = st.source
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic position-weighted token fingerprint (rolling-hash style,
     * pure integer math so any engine reproduces it). */
   private def docFingerprint(s: SparkSession, d: String): DataFrame = {
@@ -1808,6 +1868,8 @@ object NorthStarQueries {
     "text_token_stats" -> Q(tokenStats, Some(tokenStatsSql)),
     "lang_id" -> Q(langId, Some(langIdSql)),
     "quality_score" -> Q(qualityScore, Some(qualityScoreSql)),
+    "score_standardize_by_source" ->
+      Q(scoreStandardizeBySource, Some(scoreStandardizeBySourceSql)),
     "doc_fingerprint" -> Q(docFingerprint, Some(docFingerprintSql)),
     "doc_winnowing" -> Q(docWinnowing, Some(docWinnowingSql)),
     "heavy_hitters_exact" -> Q(heavyHittersExact, Some(heavyHittersExactSql)),
