@@ -103,6 +103,81 @@ object GraphQueries {
        |ORDER BY rank DESC, n_name""".stripMargin
   }
 
+  /** `graph_ppr`: PERSONALIZED PageRank from nation 0 — the teleport mass
+    * returns to the SOURCE instead of spreading uniformly, so ranks answer
+    * "important relative to whom?" (the similar-item / local-community
+    * primitive behind pinterest-style related-content and seed-expansion
+    * labeling — Gleich 2015). Identical scale discipline to
+    * [[pagerank]]: the contribution structure (w/out_w) is precomputed
+    * once, each of the fixed rounds is ONE edge-keyed join + keyed agg
+    * over the AGGREGATED graph, ranks round 6 dp per round so a DuckDB
+    * WITH-chain replays every round to the same hash, and localCheckpoint
+    * truncates the iterative lineage. Differences from the global form:
+    * the initial vector is the indicator e(source), and the teleport term
+    * is Teleport·e(source) — nodes unreachable from the source correctly
+    * converge to 0 instead of the uniform floor. */
+  private def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val SourceNode = 0L
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
+    val frac = edges.join(outW, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("out_w")).as("f"))
+      .localCheckpoint()
+    val nodes = frac.select(col("src").as("node")).unionAll(
+      frac.select(col("dst"))).distinct().localCheckpoint()
+    val e = when(col("node") === SourceNode, lit(1.0d)).otherwise(lit(0.0d))
+    var ranks = nodes.select(col("node"), e.as("r"))
+    for (_ <- 1 to Rounds) {
+      val contrib = frac.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("f") * col("r")).as("mass"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(Teleport) * e +
+            lit(Damping) * coalesce(col("mass"), lit(0.0)), 6).as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("r").as("ppr"))
+      .orderBy(col("ppr").desc, col("n_name"))
+  }
+
+  private val graphPprSql = {
+    val iter = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         round(CAST($Teleport AS DOUBLE)
+         |             * (CASE WHEN n.node = 0 THEN 1.0 ELSE 0.0 END)
+         |           + CAST($Damping AS DOUBLE) * coalesce(m.mass, CAST(0.0 AS DOUBLE)), 6) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT f.dst AS node, SUM(f.f * p.r) AS mass
+         |    FROM frac f JOIN r${i - 1} p ON f.src = p.node
+         |    GROUP BY f.dst) m ON m.node = n.node)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |frac AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / ow.out_w AS f
+       |  FROM edges e JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src) ow
+       |    ON e.src = ow.src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM frac UNION ALL SELECT dst FROM frac)),
+       |r0 AS (SELECT node,
+       |         CASE WHEN node = 0 THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END AS r
+       |       FROM nodes),
+       |${(1 to Rounds).map(iter).mkString(",\n")}
+       |SELECT n.n_name, r$Rounds.r AS ppr
+       |FROM r$Rounds JOIN nation n ON r$Rounds.node = n.n_nationkey
+       |ORDER BY ppr DESC, n_name""".stripMargin
+  }
+
   /** `graph_wcc`: weakly-connected components by synchronous min-label
     * propagation over the undirected trade graph, with an IN-PLAN
     * convergence proof: after `Rounds + 1` rounds the last round must
@@ -730,5 +805,6 @@ object GraphQueries {
     "graph_triangles" -> Q(triangles, Some(trianglesSql)),
     "graph_clustering_coeff" ->
       Q(clusteringCoeff, Some(clusteringCoeffSql)),
+    "graph_ppr" -> Q(graphPpr, Some(graphPprSql)),
     "graph_bfs" -> Q(bfs, Some(bfsSql)))
 }
