@@ -271,6 +271,104 @@ object CorpusQueries {
       |FROM occ o JOIN model m USING (bg)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- N14b text_hashing_vectorizer: feature-hashing trick -----------------
+
+  /** The hashing-trick vectorizer (Weinberger et al. 2009; fastText's
+    * input layer): each token hashes into one of D=32 buckets, per-doc
+    * bucket tf counts become the sparse feature vector — the stateless,
+    * vocabulary-free featurization a fast quality classifier trains on
+    * (no vocab build pass, no dictionary to ship, collisions accepted by
+    * design). Map-side: tokenize → md5-bucket → (doc, bucket) count with
+    * combine; output serializes the sparse vector as "idx:tf" CSV (the
+    * array-output-hashability rule). ONE scan, one keyed agg — at 100 TB
+    * this is word-count geometry with a D-bounded second key. */
+  private[graft] def textHashingVectorizerOf(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("w")), 1, 8), 16, 10)
+      .cast("long") % 32
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("b"), col("tf")))),
+          x => concat(x.getField("b"), lit(":"), x.getField("tf"))), ",")
+          .as("features"))
+      .orderBy("doc_id")
+  }
+
+  private def textHashingVectorizer(s: SparkSession, d: String): DataFrame =
+    textHashingVectorizerOf(documents(s, d))
+
+  private val textHashingVectorizerSql =
+    """WITH tf AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 32 AS b,
+      |    count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS n_buckets,
+      |  array_to_string(list(b || ':' || tf ORDER BY b), ',') AS features
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- N15c source_overlap_matrix: cross-source contamination forensics ----
+
+  /** Cross-source 8-gram overlap matrix — which sources share verbatim
+    * content with which (mirror detection, syndication forensics, the
+    * source-level view the doc-level dedup family feeds on). A gram that
+    * appears in both source A and source B contributes once to cell
+    * (A, B): grams dedupe to DISTINCT (gram, source) pairs FIRST (so a
+    * boilerplate gram repeated within one source can't inflate the cell),
+    * then self-join on the gram key with A < B. 100 TB: the gram table is
+    * O(total tokens) and the join shuffles on the gram hash; per-gram
+    * fan-out is |sources-containing-gram|² — df-capped by dropping grams
+    * in more than 10 sources (stopword-grams carry no forensic signal;
+    * the same df-cut the PPJoin index uses). */
+  private[graft] def sourceOverlapMatrixOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("source"),
+        explode(TrainDataQueries.gramsOf(col("text"), 8)).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val df_ = grams.groupBy("gh").agg(count(lit(1)).as("nsrc"))
+      .filter(col("nsrc") <= 10)
+    val kept = grams.join(df_, Seq("gh"))
+    val a = kept.select(col("gh"), col("source").as("src_a"))
+    val b = kept.select(col("gh"), col("source").as("src_b"))
+    a.join(b, Seq("gh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 2)
+      .orderBy(col("shared_grams").desc, col("src_a"), col("src_b"))
+  }
+
+  private def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame =
+    sourceOverlapMatrixOf(documents(s, d))
+
+  private val sourceOverlapMatrixSql =
+    """WITH toksrc AS (
+      |  SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+      |gramsrc AS (
+      |  SELECT source,
+      |         list_transform(range(1, len(t) - 6),
+      |                        i -> array_to_string(t[i:i+7], ' ')) AS grams
+      |  FROM toksrc),
+      |grams AS (
+      |  SELECT DISTINCT source, unnest(grams) AS g FROM gramsrc),
+      |kept AS (
+      |  SELECT source, g FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g
+      |              HAVING count(*) <= 10))
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  count(*) AS shared_grams
+      |FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2
+      |ORDER BY shared_grams DESC, src_a, src_b""".stripMargin
+
   // ---- N16c dsir_importance_select: DSIR data selection --------------------
 
   /** Importance-resampling data selection (DSIR, Xie et al. 2023): score
@@ -1156,6 +1254,10 @@ object CorpusQueries {
     "lm_bigram_score" -> Q(lmBigramScore, Some(lmBigramScoreSql)),
     "dsir_importance_select" ->
       Q(dsirImportanceSelect, Some(dsirImportanceSelectSql)),
+    "text_hashing_vectorizer" ->
+      Q(textHashingVectorizer, Some(textHashingVectorizerSql)),
+    "source_overlap_matrix" ->
+      Q(sourceOverlapMatrix, Some(sourceOverlapMatrixSql)),
     "lm_heldout_perplexity" ->
       Q(lmHeldoutPerplexity, Some(lmHeldoutPerplexitySql)),
     "sample_temperature" -> Q(sampleTemperature, Some(sampleTemperatureSql)),

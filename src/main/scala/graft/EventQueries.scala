@@ -996,6 +996,68 @@ object EventQueries {
       |      AS DECIMAL(18,6))) AS DOUBLE) AS credited
       |FROM n GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** `funnel_latency_percentiles`: time-to-convert distribution — exact
+    * p50/p90/p99 of the click→purchase delay (each purchase's gap to the
+    * user's MOST RECENT click in the trailing 7 days; the as-of shape).
+    * The percentiles are EXACT ⌈q·n⌉-th order statistics picked by rank —
+    * no interpolation, no t-digest estimate — because an SLO/latency
+    * report that feeds an alert threshold should not carry sketch error
+    * silently (the sketch path exists separately: `sketch_percentiles`).
+    * Scale: the delay table is purchase-proportional; ranking rides
+    * [[graft.ops.OrderedOps.globalRank]] (range-partition ranks +
+    * broadcast offsets — NO single-task Window), the same machinery the
+    * ntile/rfm scale twins are hash-proven on; the three rank picks are
+    * integer equality filters. Delays are exact integer micros floored to
+    * seconds; both engines elect identical rows. */
+  private[graft] def funnelLatencyPercentilesOf(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val wk = expr("INTERVAL 7 DAYS")
+    val delays = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") < col("p_ts") && col("c_ts") >= col("p_ts") - wk)
+      .groupBy("p_id")
+      .agg(min(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+        .as("min_us"))
+      .select(col("p_id"),
+        floor(col("min_us") / lit(1000000L)).as("delay_s"))
+    val ranked = graft.ops.OrderedOps.globalRank(delays,
+      Seq(col("delay_s"), col("p_id")))
+    val n = delays.count()
+    val picks = Seq(0.5, 0.9, 0.99)
+      .map(q => (q, math.min(math.ceil(q * n).toLong, n)))
+    picks.map { case (q, k) =>
+      ranked.filter(col("g_rank") === k)
+        .select(lit(q).as("pctl"), lit(n).as("n_delays"), col("delay_s"))
+    }.reduce(_ unionAll _).orderBy("pctl")
+  }
+
+  private def funnelLatencyPercentiles(s: SparkSession, d: String): DataFrame =
+    funnelLatencyPercentilesOf(events(s, d))
+
+  private val funnelLatencyPercentilesSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+      |d AS (
+      |  SELECT p_id,
+      |    CAST(FLOOR(min(epoch_us(p.p_ts) - epoch_us(c.c_ts)) / 1000000)
+      |      AS BIGINT) AS delay_s
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |   AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+      |  GROUP BY 1),
+      |r AS (SELECT delay_s,
+      |        row_number() OVER (ORDER BY delay_s, p_id) AS rn FROM d),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |q AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS pctl)
+      |SELECT pctl, nn.n AS n_delays, r.delay_s
+      |FROM q CROSS JOIN nn CROSS JOIN r
+      |WHERE r.rn = least(CAST(ceil(pctl * nn.n) AS BIGINT), nn.n)
+      |ORDER BY pctl""".stripMargin
+
   // ---- N26f event_paths_topk: top user journeys ----------------------------
 
   /** `event_paths_topk`: the top-10 opening user journeys — each user's
@@ -1301,6 +1363,8 @@ object EventQueries {
     "eval_subsample_ci" -> Q(evalSubsampleCi, Some(evalSubsampleCiSql)),
     "attribution_time_decay" ->
       Q(attributionTimeDecay, Some(attributionTimeDecaySql)),
+    "funnel_latency_percentiles" ->
+      Q(funnelLatencyPercentiles, Some(funnelLatencyPercentilesSql)),
     "rolling_active_users" -> Q(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "attribution_linear" -> Q(attributionLinear, Some(attributionLinearSql)),
     "event_paths_topk" -> Q(eventPathsTopk, Some(eventPathsTopkSql)),
