@@ -79,7 +79,11 @@ object ExplainDump {
     "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q12", "tpch_q11", "tpch_q16",
     "tpch_q2", "tpch_q20",
     "search_rrf_fusion", "knn_matryoshka_recall", "eval_subsample_ci",
-    "attribution_time_decay", "graph_clustering_coeff")
+    "attribution_time_decay", "graph_clustering_coeff",
+    "dq_k_anonymity", "dsir_importance_select", "lm_heldout_perplexity",
+    "eval_conformal_coverage", "cdc_apply", "score_standardize_by_source",
+    "graph_ppr", "text_hashing_vectorizer", "source_overlap_matrix",
+    "funnel_latency_percentiles", "format_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
