@@ -2840,6 +2840,134 @@ object RelationalQueries {
       |      > CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.17)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** `tpch_q4`: the order-priority-checking flagship, adapted — no
+    * `l_commitdate`/`l_receiptdate` in this data, so "late" is the same
+    * lateness Q21 uses: a line shipped more than 45 days after the order
+    * date. Count one-quarter orders per priority that have AT LEAST ONE
+    * late line. The Spark plan rewrites the EXISTS as algebra:
+    * ∃ line with `l_shipdate > o_orderdate + 45d` ⟺
+    * `max(l_shipdate) per order > o_orderdate + 45d`, so the fact reduces
+    * to ORDER-cardinality map-side (partial max) before its only shuffle —
+    * a semi-join would shuffle raw matching lines. And because every
+    * qualifying order sits in [qstart, qend), no line at or before
+    * `qstart + 45d` can ever witness the EXISTS: that hull conjunct is
+    * stated on the fact scan, where it prunes row groups by footer stats.
+    * The join keys carry order cardinality on both sides. */
+  private def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    val lastShip = lineitem(s, d).select("l_orderkey", "l_shipdate")
+      .filter(col("l_shipdate") > lit("1996-08-15").cast("timestamp"))
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("last_ship") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val tpchQ4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** `tpch_q17`: the small-quantity-order revenue flagship, adapted — no
+    * `p_container`, so the part cut is brand + type-prefix. Average yearly
+    * revenue lost if orders below 20% of a part's mean quantity stopped:
+    * lines of the cut parts whose quantity is under a fifth of that part's
+    * own average. The textbook correlates a per-part AVG subquery — a
+    * second fact scan per part. The Spark plan scans the fact ONCE: the
+    * ~1/150 part cut broadcasts into the scan, then ONE partkey shuffle
+    * computes both per-part aggregates as window functions over the
+    * reduced subset (group-bounded — lines per part, not corpus-sized),
+    * and the comparison runs cross-multiplied in exact DECIMAL
+    * (`5 · qty · cnt < Σqty` ⟺ `qty < 0.2 · avg`) so no division can
+    * disagree between engines. The single `/7.0` happens once at output
+    * on an exactly-agreed decimal sum. */
+  private def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = part(s, d)
+      .filter(col("p_brand") === "Brand#23" && col("p_type").startsWith("MEDIUM"))
+      .select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(cut), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("price"))
+      .withColumn("part_lines", count(lit(1)).over(w))
+      .withColumn("part_qty_sum", sum(col("qty")).over(w))
+      .filter(col("qty") * lit(5) * col("part_lines") < col("part_qty_sum"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  private val tpchQ17Sql =
+    """SELECT count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23' AND p_type LIKE 'MEDIUM%'
+      |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 *
+      |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l3
+      |       WHERE l3.l_partkey = p_partkey)""".stripMargin
+
+  /** `tpch_q22`: the global-sales-opportunity flagship, adapted — no
+    * `c_phone`, so the "country code" IS `c_nationkey` restricted to seven
+    * nations; and since every customer here has SOME order, "never
+    * ordered" becomes "dormant": no order since 2000-01-01. Customers of
+    * those nations with above-average balance (average over
+    * positive-balance customers of the same nations) and no recent order,
+    * grouped per nation. Scale plan: the scalar threshold is a one-row
+    * (Σ, n) aggregate cross-joined broadcast, compared cross-multiplied in
+    * exact DECIMAL (`bal · n > Σ`) — no division, no float boundary flip;
+    * the NOT EXISTS is a left ANTI join against recent-order custkeys
+    * pre-reduced to DISTINCT map-side (order scan is date-pruned by the
+    * pushed predicate); the final agg is nation-cardinality. */
+  private def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7, 9, 11, 13)
+    val cust = customer(s, d)
+      .filter(col("c_nationkey").isin(codes: _*))
+      .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
+    val thr = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("bal_sum"), count(lit(1)).as("bal_cnt"))
+    val active = orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    cust.crossJoin(broadcast(thr))
+      .filter(col("bal") * col("bal_cnt") > col("bal_sum"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  private val tpchQ22Sql =
+    """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      |  AND CAST(c_acctbal AS DECIMAL(12,2)) *
+      |      (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0
+      |       AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer c3
+      |       WHERE c3.c_acctbal > 0
+      |       AND c3.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_nationkey
+      |ORDER BY cntrycode""".stripMargin
+
   /** `join_bloom_prefilter`: explicit Bloom semi-join reduction
     * ([[graft.ops.BloomOps]]) — the build side (selective dim: urgent
     * half-million-dollar orders) folds into a distributed Bloom filter,
@@ -3351,6 +3479,9 @@ object RelationalQueries {
     "tpch_q16" -> Q(tpchQ16, Some(tpchQ16Sql)),
     "tpch_q2" -> Q(tpchQ2, Some(tpchQ2Sql)),
     "tpch_q20" -> Q(tpchQ20, Some(tpchQ20Sql)),
+    "tpch_q4" -> Q(tpchQ4, Some(tpchQ4Sql)),
+    "tpch_q17" -> Q(tpchQ17, Some(tpchQ17Sql)),
+    "tpch_q22" -> Q(tpchQ22, Some(tpchQ22Sql)),
     "join_bloom_prefilter" -> Q(joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "agg_grouping_sets" -> Q(aggGroupingSets, Some(aggGroupingSetsSql)),
     "agg_hll_mergeable" -> Q(aggHllMergeable, None),

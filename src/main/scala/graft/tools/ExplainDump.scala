@@ -83,7 +83,8 @@ object ExplainDump {
     "dq_k_anonymity", "dsir_importance_select", "lm_heldout_perplexity",
     "eval_conformal_coverage", "cdc_apply", "score_standardize_by_source",
     "graph_ppr", "text_hashing_vectorizer", "source_overlap_matrix",
-    "funnel_latency_percentiles", "format_roundtrip")
+    "funnel_latency_percentiles", "format_roundtrip",
+    "tpch_q4", "tpch_q17", "tpch_q22")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

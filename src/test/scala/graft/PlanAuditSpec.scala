@@ -145,6 +145,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(factScans <= 1, s"lineitem must scan once, got $factScans:\n$f")
   }
 
+  test("tpch_q4: EXISTS compiles to a per-order max pre-agg with the date hull pushed") {
+    // pre-AQE explain so the lineitem scan is visible even when AQE folds
+    val df = q("tpch_q4")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThan(l_shipdate,"),
+      s"the quarter+45d hull must push to the lineitem scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).nonEmpty &&
+      p.contains("max(l_shipdate"),
+      s"the EXISTS must reduce to a per-order max, not a raw-line semi join:\n$p")
+    assert(!p.contains("LeftSemi"),
+      s"no semi join: the max-reduction replaces it:\n$p")
+  }
+
+  test("tpch_q17: part cut broadcasts; both window aggs share ONE partkey exchange") {
+    // pre-AQE explain: at tiny sf the Brand#23+MEDIUM cut is empty and AQE
+    // folds the whole plan to EmptyRelation, hiding the shape under audit
+    val df = q("tpch_q17")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"part cut must broadcast:\n$p")
+    val winExchanges = "hashpartitioning\\(l_partkey".r.findAllIn(p).length
+    assert(winExchanges <= 1,
+      s"count+sum windows must share one partkey shuffle, got $winExchanges:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(
+      df.queryExecution.executedPlan.toString).length
+    assert(windows <= 1, s"both frame aggregates must fuse into one Window:\n$p")
+  }
+
+  test("tpch_q22: scalar threshold broadcasts as one row; anti join consumes DISTINCT custkeys") {
+    val df = q("tpch_q22")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the (sum,count) threshold row must broadcast, not shuffle:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"the recency predicate must push to the orders scan:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    // the anti join's build side must be the DISTINCT custkey reduction,
+    // so order rows never reach the join
+    assert(p.contains("o_custkey") && "HashAggregate".r.findAllIn(p).nonEmpty,
+      s"recent orders must reduce to distinct custkeys map-side:\n$p")
+  }
+
   test("stream_watermark_sim: batch-domain window only, watermark broadcast back to the fact") {
     val p = finalPlan(q("stream_watermark_sim"))
     // the running max must ride the micro-batch DOMAIN (per-batch maxima),
