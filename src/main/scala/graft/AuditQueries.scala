@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Operational data-integrity queries: the replication-validation and
   * CDC-regression checks a production pipeline runs around every load
@@ -907,6 +908,70 @@ object AuditQueries {
       |        / CAST(2 * sum(pos) * sum(cnt - pos) AS DOUBLE), 6) AS auc
       |FROM ranked""".stripMargin
 
+  /** N37i `eval_pr_auc`: exact average precision (the PR-curve area) of the
+    * same heuristic scorer [[evalAucOf]] grades by ROC — the metric that
+    * actually matters when positives are rare (ROC-AUC stays rosy under
+    * class imbalance; AP collapses with precision). Tie handling is pinned
+    * by grouping to the DISTINCT score domain first: descending through
+    * score groups g, AP = (1/P) Σ_g pos_g · (cumpos_g / cumcnt_g) — the
+    * block-end-precision convention, equal to classic
+    * (1/P) Σ_{positives} P@k when scores are unique. Each group term is one
+    * IEEE multiply+divide of exact integers rounded to 6 dp and summed in
+    * DECIMAL (the rounded-term discipline). Scale: the cumulative counts
+    * run through [[graft.ops.OrderedOps.cumSumsByKey]] on the NEGATED
+    * micro-unit score key (range-partitioned prefix sums + broadcast
+    * offsets — descending order with no single-task Window), the
+    * eval_auc_scaled / corr_spearman_scaled machinery. */
+  private[graft] def evalPrAucOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val score = round(uniq * 0.4 + lenScore * 0.6, 6)
+    val y = (col("n_chars") >= 400).cast("long")
+    val dom = docs.select(
+        (-(score.cast("decimal(8,6)") * 1000000).cast("long")).as("nsc"),
+        y.as("y"))
+      .groupBy("nsc")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    graft.ops.OrderedOps.cumSumsByKey(dom, "nsc", Seq("cnt", "pos"))
+      .select(col("pos"),
+        round(col("pos").cast("double") * col("cum_pos") / col("cum_cnt"), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("term")).as("tsum"))
+      .select(col("n_pos"),
+        round(col("tsum").cast("double") / col("n_pos").cast("double"), 6)
+          .as("ap"))
+  }
+
+  private def evalPrAuc(s: SparkSession, d: String): DataFrame =
+    evalPrAucOf(documents(s, d))
+
+  private val evalPrAucSql =
+    """WITH f AS (
+      |  SELECT round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) * 0.4
+      |          + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0,
+      |                  1.0) * 0.6, 6) AS s,
+      |         CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |dom AS (
+      |  SELECT s, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM f GROUP BY 1),
+      |c AS (
+      |  SELECT pos,
+      |    sum(cnt) OVER (ORDER BY s DESC) AS cum_cnt,
+      |    sum(pos) OVER (ORDER BY s DESC) AS cum_pos
+      |  FROM dom),
+      |t AS (
+      |  SELECT pos,
+      |    CAST(round(CAST(pos AS DOUBLE) * cum_pos / cum_cnt, 6)
+      |      AS DECIMAL(18,6)) AS term
+      |  FROM c)
+      |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(term) AS DOUBLE) / CAST(sum(pos) AS DOUBLE), 6) AS ap
+      |FROM t""".stripMargin
+
   private val evalCalibrationSql =
     """WITH scored AS (
       |  SELECT round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -1500,6 +1565,7 @@ object AuditQueries {
       Q(evalConformalCoverage, Some(evalConformalCoverageSql)),
     "eval_auc" -> Q(evalAuc, Some(evalAucSql)),
     "eval_auc_scaled" -> Q(evalAucScaled, Some(evalAucSql)),
+    "eval_pr_auc" -> Q(evalPrAuc, Some(evalPrAucSql)),
     "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),

@@ -248,6 +248,93 @@ object ClusterQueries {
       |       round(CAST(L AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 6) AS loading
       |FROM d2, n2 ORDER BY dim""".stripMargin
 
+  // ---- N29d embedding_gram_matrix: distributed covariance ------------------
+
+  /** `embedding_gram_matrix`: the exact d×d second-moment (gram) and
+    * covariance matrix of the embedding corpus — the primitive PCA-beyond-
+    * top-1, ZCA whitening, and Mahalanobis OOD scoring all start from
+    * (power iteration [[embeddingPcaPower]] deliberately AVOIDS
+    * materializing it; this op is for when you need the matrix itself).
+    * Shape: each row emits its upper-triangle pair products MAP-SIDE via
+    * nested array HOFs (no self-join, no per-row shuffle amplification);
+    * each product lands as the exact 6-dp-scaled long
+    * `floor(x·y·1e6 + 0.5)` (the CentroidAgg idiom — order-independent
+    * integer sums, no float accumulation), then ONE keyed agg onto the
+    * d(d+1)/2 = 2080 pair keys with map-side combine, so the shuffle
+    * carries ≤ 2080 rows per task whatever the corpus size. Means ride a
+    * second d-keyed agg (broadcast back onto the pair grid);
+    * cov = E[xy] − E[x]E[y] in IEEE doubles derived from the exact longs.
+    * At 100 TB the plan is unchanged: d²-bounded shuffle, k·d² driver
+    * output — this is RowMatrix.computeGramianMatrix as a declarative
+    * plan. */
+  private[graft] def embeddingGramMatrixOf(emb: DataFrame): DataFrame = {
+    val pairs = expr(
+      """flatten(transform(embedding, (x, i) ->
+        |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j) ->
+        |    struct(i + 1 AS i, i + j + 1 AS j,
+        |      CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000.0D
+        |        + 0.5D) AS BIGINT) AS l))))""".stripMargin)
+    val grid = emb
+      .select(explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.l").as("l"))
+      .groupBy("i", "j")
+      .agg(sum(col("l")).as("pl"), count(lit(1)).as("n"))
+    val means = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("k"),
+        floor(col("x").cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("ml"))
+      .groupBy("k").agg(sum(col("ml")).as("mlsum"))
+    val mi = means.select(col("k").as("i"), col("mlsum").as("mi"))
+    val mj = means.select(col("k").as("j"), col("mlsum").as("mj"))
+    grid
+      .join(broadcast(mi), "i").join(broadcast(mj), "j")
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("n"),
+        // + 0.0 folds IEEE negative zero to +0.0 — Spark's round() and
+        // DuckDB's disagree on the SIGN of a zero from a tiny negative,
+        // and the driver's repr-sort treats -0.0 and 0.0 as different rows
+        (round(col("pl").cast("double") /
+          (col("n").cast("double") * 1000000.0d), 6) + lit(0.0d)).as("exy"),
+        (round(col("pl").cast("double") / (col("n").cast("double") * 1000000.0d)
+          - (col("mi").cast("double") / (col("n").cast("double") * 1000000.0d))
+          * (col("mj").cast("double") / (col("n").cast("double") * 1000000.0d)),
+          6) + lit(0.0d)).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  private def embeddingGramMatrix(s: SparkSession, d: String): DataFrame =
+    embeddingGramMatrixOf(fanOut(embeddings(s, d)))
+
+  private val embeddingGramMatrixSql =
+    """WITH pr AS (
+      |  SELECT unnest(flatten(list_transform(embedding, (x, i) ->
+      |    list_transform(embedding[i:], (y, j) ->
+      |      {'i': i, 'j': i + j - 1,
+      |       'l': CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000
+      |              + 0.5) AS BIGINT)})))) AS u
+      |  FROM embeddings),
+      |grid AS (
+      |  SELECT u.i AS i, u.j AS j, CAST(SUM(u.l) AS BIGINT) AS pl,
+      |         count(*) AS n
+      |  FROM pr GROUP BY 1, 2),
+      |mv AS (
+      |  SELECT u.i AS k, CAST(SUM(u.l) AS BIGINT) AS mlsum FROM (
+      |    SELECT unnest(list_transform(embedding, (x, i) -> {'i': i,
+      |      'l': CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)}))
+      |      AS u
+      |    FROM embeddings) GROUP BY 1)
+      |SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
+      |  g.n,
+      |  round(CAST(g.pl AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000), 6)
+      |    + 0.0 AS exy,
+      |  round(CAST(g.pl AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000)
+      |    - (CAST(a.mlsum AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000))
+      |    * (CAST(b.mlsum AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000)), 6)
+      |    + 0.0 AS cov
+      |FROM grid g JOIN mv a ON g.i = a.k JOIN mv b ON g.j = b.k
+      |ORDER BY i, j""".stripMargin
+
   // ---- N29c embedding_outliers: OOD pruning --------------------------------
 
   /** `embedding_outliers`: the out-of-distribution prune — the top 1% of
@@ -305,5 +392,7 @@ object ClusterQueries {
     "kmeans_assign" -> Q(kmeansAssign, Some(kmeansAssignSql)),
     "embedding_outliers" -> Q(embeddingOutliers, Some(embeddingOutliersSql)),
     "embedding_pca_power" -> Q(embeddingPcaPower, Some(embeddingPcaPowerSql)),
+    "embedding_gram_matrix" ->
+      Q(embeddingGramMatrix, Some(embeddingGramMatrixSql)),
     "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)))
 }

@@ -313,6 +313,68 @@ object CorpusQueries {
       |  array_to_string(list(b || ':' || tf ORDER BY b), ',') AS features
       |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- N14c score_logistic_infer: batch classifier inference ---------------
+
+  /** Batch inference of a fixed linear (logistic) quality classifier over
+    * hashed text features — the fastText/CCNet-style "run the published
+    * quality model over the whole corpus" pass that sits between
+    * [[textHashingVectorizerOf]] (its input layer) and `quality_gate` (its
+    * consumer). The model is shipped as CLOSED-FORM weights on the same
+    * D=32 hash buckets the vectorizer uses (`w_b = ((37b+11) mod 21 − 10)
+    * / 10`, bias 0.3 — a stand-in for trained weights with the exact same
+    * execution shape: weights enter the plan as expressions, no join), so
+    * scoring is ONE token-level map (`tokenize → bucket → weight`) into
+    * ONE doc-keyed agg — word-count geometry, trivially map-side combined.
+    * Determinism discipline: the logit is an integer weight-sum divided
+    * once (IEEE-exact), rounded 6 dp; the single libm `exp` runs on that
+    * already-rounded logit and the probability rounds to 4 dp (the
+    * perplexity recipe); the keep decision compares the rounded logit to
+    * zero — no float boundary can flip between engines. At 100 TB this is
+    * the cheapest possible model-scoring plan: no shuffle beyond the
+    * doc-key agg the tokenization already implies, and a real trained
+    * weight vector would broadcast instead of inlining with zero plan
+    * change. */
+  private[graft] def scoreLogisticInferOf(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("w")), 1, 8), 16, 10)
+      .cast("long") % 32
+    val wnumX10 = (col("b") * 37 + 11) % 21 - 10
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(wnumX10).as("wsum_x10"))
+      .withColumn("logit",
+        round(lit(0.3) + col("wsum_x10").cast("double") /
+          (col("n_tokens") * 10L).cast("double"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4).as("p_keep"),
+        (col("logit") > 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def scoreLogisticInfer(s: SparkSession, d: String): DataFrame =
+    scoreLogisticInferOf(documents(s, d))
+
+  private val scoreLogisticInferSql =
+    """WITH agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum((CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 32
+      |              * 37 + 11) % 21 - 10) AS BIGINT) AS wsum_x10
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY doc_id),
+      |sc AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(CAST(0.3 AS DOUBLE)
+      |      + CAST(wsum_x10 AS DOUBLE) / CAST(n_tokens * 10 AS DOUBLE), 6)
+      |      AS logit
+      |  FROM agg)
+      |SELECT doc_id, n_tokens, logit,
+      |  round(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
+      |  logit > 0.0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   // ---- N15c source_overlap_matrix: cross-source contamination forensics ----
 
   /** Cross-source 8-gram overlap matrix — which sources share verbatim
@@ -1256,6 +1318,8 @@ object CorpusQueries {
       Q(dsirImportanceSelect, Some(dsirImportanceSelectSql)),
     "text_hashing_vectorizer" ->
       Q(textHashingVectorizer, Some(textHashingVectorizerSql)),
+    "score_logistic_infer" ->
+      Q(scoreLogisticInfer, Some(scoreLogisticInferSql)),
     "source_overlap_matrix" ->
       Q(sourceOverlapMatrix, Some(sourceOverlapMatrixSql)),
     "lm_heldout_perplexity" ->

@@ -731,6 +731,113 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ---- N31k graph_louvain_pass: modularity-ascent local moves --------------
+
+  /** `graph_louvain_pass`: two synchronous rounds of Louvain's local-move
+    * step (Blondel et al. 2008) over the weighted undirected trade graph —
+    * the SEARCH half of community detection next to [[modularity]]'s
+    * scorer and [[labelProp]]'s frequency heuristic (label prop follows
+    * edge weight alone; this follows modularity GAIN, which also penalizes
+    * joining already-heavy communities). Per round every node evaluates
+    * each neighboring community c (plus staying put) by the gain of
+    * inserting i into c∖{i}: ΔQ ∝ 2m·k_{i,c} − k_i·Σtot(c∖i) — the
+    * comparison runs on that cross-multiplied EXACT-LONG form (no float
+    * division anywhere; at petabyte edge counts the same plan runs in
+    * DECIMAL(38)), ties to the smallest community id, updates applied
+    * synchronously (the labelProp determinism pin). Scale per round: one
+    * join of the community vector onto the aggregated edge list, three
+    * community-sized keyed aggs, one per-node argmax window (group-bounded
+    * — a node's candidate set is its neighbor-community count);
+    * localCheckpoint truncates the iterative lineage. */
+  private def louvainPass(s: SparkSession, d: String): DataFrame = {
+    val e0 = tradeEdges(s, d)
+    val und = e0.select(col("src"), col("dst"), col("w"))
+      .unionAll(e0.select(col("dst"), col("src"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
+    val kdeg = und.groupBy(col("src").as("node")).agg(sum("w").as("k"))
+      .localCheckpoint()
+    val m2df = und.agg(sum("w").as("m2")).localCheckpoint()
+    var comm = kdeg.select(col("node"), col("node").as("c"))
+    val byGain = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("score").desc, col("cd"))
+    for (_ <- 1 to 2) {
+      val sig = comm.join(kdeg, "node")
+        .groupBy(col("c").as("cd")).agg(sum("k").as("sig"))
+      val kic = und
+        .join(comm.select(col("node").as("dst"), col("c").as("cd")), "dst")
+        .groupBy("src", "cd").agg(sum("w").as("kic"))
+      val cand = kic.select(col("src"), col("cd"), col("kic"))
+        .unionAll(comm.select(col("node").as("src"), col("c").as("cd"),
+          lit(0L).as("kic")))
+        .groupBy("src", "cd").agg(sum("kic").as("kic"))
+      comm = cand
+        .join(kdeg.select(col("node").as("src"), col("k")), "src")
+        .join(sig, "cd")
+        .join(comm.select(col("node").as("src"), col("c").as("own")), "src")
+        .crossJoin(broadcast(m2df))
+        .withColumn("score", col("m2") * col("kic") -
+          col("k") * (col("sig") -
+            when(col("own") === col("cd"), col("k")).otherwise(lit(0L))))
+        .withColumn("rn", row_number().over(byGain))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("cd").as("c"))
+        .localCheckpoint()
+    }
+    comm.join(nation(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("c").cast("long").as("community"))
+      .orderBy("n_name")
+  }
+
+  private val louvainPassSql = {
+    val iter = (i: Int) =>
+      s"""sig$i AS (
+         |  SELECT c AS cd, CAST(SUM(k) AS BIGINT) AS sig
+         |  FROM c${i - 1} JOIN kd USING (node) GROUP BY 1),
+         |kic$i AS (
+         |  SELECT u.src, cm.c AS cd, CAST(SUM(u.w) AS BIGINT) AS kic
+         |  FROM und u JOIN c${i - 1} cm ON u.dst = cm.node GROUP BY 1, 2),
+         |cand$i AS (
+         |  SELECT src, cd, CAST(SUM(kic) AS BIGINT) AS kic FROM (
+         |    SELECT src, cd, kic FROM kic$i
+         |    UNION ALL SELECT node AS src, c AS cd, 0 AS kic FROM c${i - 1})
+         |  GROUP BY 1, 2),
+         |sc$i AS (
+         |  SELECT cand.src, cand.cd,
+         |    m2.m2 * cand.kic - kd.k * (sig.sig -
+         |      CASE WHEN own.c = cand.cd THEN kd.k ELSE 0 END) AS score
+         |  FROM cand$i cand
+         |  JOIN kd ON cand.src = kd.node
+         |  JOIN sig$i sig ON cand.cd = sig.cd
+         |  JOIN c${i - 1} own ON cand.src = own.node, m2),
+         |c$i AS (
+         |  SELECT src AS node, cd AS c FROM (
+         |    SELECT src, cd, row_number() OVER (PARTITION BY src
+         |      ORDER BY score DESC, cd) AS rn FROM sc$i)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT src, dst, w FROM edges
+       |    UNION ALL SELECT dst, src, w FROM edges)
+       |  WHERE src <> dst GROUP BY 1, 2),
+       |kd AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
+       |       FROM und GROUP BY 1),
+       |m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM und),
+       |c0 AS (SELECT node, node AS c FROM kd),
+       |${(1 to 2).map(iter).mkString(",\n")}
+       |SELECT n.n_name, CAST(c2.c AS BIGINT) AS community
+       |FROM c2 JOIN nation n ON c2.node = n.n_nationkey
+       |ORDER BY n_name""".stripMargin
+  }
+
   // ---- N31h graph_modularity: partition quality ----------------------------
 
   /** `graph_modularity`: Newman modularity of the REGION partition over the
@@ -799,6 +906,7 @@ object GraphQueries {
     "graph_assortativity" -> Q(assortativity, Some(assortativitySql)),
     "graph_kcore" -> Q(kcore, Some(kcoreSql)),
     "graph_label_prop" -> Q(labelProp, Some(labelPropSql)),
+    "graph_louvain_pass" -> Q(louvainPass, Some(louvainPassSql)),
     "graph_wcc" -> Q(graphWcc, Some(graphWccSql)),
     "graph_modularity" -> Q(modularity, Some(modularitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),

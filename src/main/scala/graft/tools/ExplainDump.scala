@@ -84,7 +84,9 @@ object ExplainDump {
     "eval_conformal_coverage", "cdc_apply", "score_standardize_by_source",
     "graph_ppr", "text_hashing_vectorizer", "source_overlap_matrix",
     "funnel_latency_percentiles", "format_roundtrip",
-    "tpch_q4", "tpch_q17", "tpch_q22")
+    "tpch_q4", "tpch_q17", "tpch_q22",
+    "score_logistic_infer", "eval_pr_auc", "embedding_gram_matrix",
+    "graph_louvain_pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -186,6 +186,38 @@ class PlanAuditSpec extends SparkSpec {
       s"recent orders must reduce to distinct custkeys map-side:\n$p")
   }
 
+  test("score_logistic_infer: word-count geometry — one doc-keyed agg, no UDF, no second shuffle") {
+    val p = finalPlan(q("score_logistic_infer"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"classifier scoring must stay codegen, no UDFs:\n$p")
+    val hashEx = "hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(hashEx <= 1,
+      s"tokenize→weight must feed ONE doc-keyed exchange, got $hashEx:\n$p")
+    // the only other exchange is the deterministic output sort
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"agg + output-sort exchanges only, got $exchanges:\n$p")
+  }
+
+  test("eval_pr_auc: descending prefix sums with ZERO Window nodes") {
+    val p = finalPlan(q("eval_pr_auc"))
+    assert(!p.contains("Window"),
+      s"cumSumsByKey must replace the global-order Window:\n$p")
+  }
+
+  test("embedding_gram_matrix: map-side pair explode (no self-join), means broadcast") {
+    val p = finalPlan(q("embedding_gram_matrix"))
+    assert(p.contains("Generate"),
+      s"pair products must come from an explode, not a join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the d-sized mean joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"mean grid joins must be broadcast hash joins:\n$p")
+    // exactly one keyed exchange for the (i,j) grid (+ output sort)
+    val gridEx = "hashpartitioning\\(i".r.findAllIn(p).length
+    assert(gridEx <= 1, s"one (i,j) grid exchange, got $gridEx:\n$p")
+  }
+
   test("stream_watermark_sim: batch-domain window only, watermark broadcast back to the fact") {
     val p = finalPlan(q("stream_watermark_sim"))
     // the running max must ride the micro-batch DOMAIN (per-batch maxima),
