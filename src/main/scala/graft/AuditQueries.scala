@@ -213,6 +213,45 @@ object AuditQueries {
     profileAgg(s, d, approx = true)
       .selectExpr(profileStack).orderBy("col_name")
 
+  /** `dq_freshness`: per-stream staleness audit — the operational check a
+    * pipeline owes its consumers before anyone trains on or dashboards a
+    * feed: for every event type, how many events, when did the LAST one
+    * land, how far behind the freshest stream is it (lag), and a stale
+    * bit at the 24 h SLA. The reference clock is the corpus-wide max
+    * timestamp (self-relative — the audit is reproducible with no wall
+    * clock in the plan, the determinism rule every query here obeys).
+    * All integer arithmetic on epoch micros with exact `div` lag
+    * bucketing — no float time math. Scale: ONE scan into a type-keyed
+    * (count, max) agg with map-side combine; the reference clock is a
+    * one-row broadcast back onto the type-sized table. */
+  private[graft] def dqFreshnessOf(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val per = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("us")).as("last_us"))
+    per.crossJoin(broadcast(base.agg(max(col("us")).as("ref_us"))))
+      .select(col("event_type"), col("n_events"),
+        expr("last_us div 1000000").as("last_epoch_s"),
+        expr("(ref_us - last_us) div 3600000000").as("lag_hours"),
+        (expr("(ref_us - last_us) div 3600000000") >= 24L).as("stale"))
+      .orderBy("event_type")
+  }
+
+  private def dqFreshness(s: SparkSession, d: String): DataFrame =
+    dqFreshnessOf(events(s, d))
+
+  private val dqFreshnessSql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      |per AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |         CAST(max(us) AS BIGINT) AS last_us
+      |  FROM e GROUP BY 1),
+      |ref AS (SELECT CAST(max(us) AS BIGINT) AS ref_us FROM e)
+      |SELECT event_type, n_events,
+      |  last_us // 1000000 AS last_epoch_s,
+      |  (ref_us - last_us) // 3600000000 AS lag_hours,
+      |  (ref_us - last_us) // 3600000000 >= 24 AS stale
+      |FROM per, ref ORDER BY event_type""".stripMargin
+
   /** `dq_skew_report`: join-key skew diagnostics — the query an engineer
     * runs BEFORE choosing a salting/AQE strategy (the operational
     * companion of join_skew_salted): per candidate key column, total rows,
@@ -1549,6 +1588,7 @@ object AuditQueries {
     "cdc_apply" -> Q(cdcApply, Some(cdcApplySql)),
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "dq_skew_report" -> Q(dqSkewReport, Some(dqSkewReportSql)),
+    "dq_freshness" -> Q(dqFreshness, Some(dqFreshnessSql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
     "profile_table_approx_bound" ->
       Q(profileTableApproxBound, Some(profileTableApproxBoundSql)),

@@ -248,6 +248,85 @@ object ClusterQueries {
       |       round(CAST(L AS DOUBLE) / sqrt(CAST(nn AS DOUBLE)), 6) AS loading
       |FROM d2, n2 ORDER BY dim""".stripMargin
 
+  // ---- N29e sample_kcenter: greedy k-center coreset -------------------------
+
+  /** `sample_kcenter`: Gonzalez greedy k-center (1985) over the embedding
+    * corpus — the 2-approximation diversity/coreset selector (pick the
+    * point FARTHEST from everything chosen so far, k times) that
+    * complements the density-driven samplers: stratified/weighted keep
+    * mass, k-center keeps COVERAGE (every point ends within
+    * coverage_radius of a pick — the facility-location guarantee a
+    * diverse eval set or annotation batch wants). Deterministic pin: seed
+    * = lowest vec_id; each round ranks on the raw exact-fold Σ(x−c)²
+    * double with vec_id tie-break (the embedding_outliers discipline —
+    * both engines produce the identical fold), distances to the chosen
+    * set as a `least(...)` over broadcast center literals (map-only, the
+    * kmeansLloyd idiom: no join, ONE row returns to the driver per round
+    * — k driver syncs total). Output: the k picks with their
+    * distance-at-selection and the final coverage radius. 100 TB: each
+    * round is one scan + TakeOrdered(1); k scans total — at huge k you'd
+    * switch to k-means|| style oversampling, same sync contract. */
+  private def sampleKcenter(s: SparkSession, d: String): DataFrame = {
+    val KC = 5
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toSeq
+    val seed = e.orderBy("vec_id").limit(1).collect()(0)
+    var picks = Seq((1L, seed.getAs[Long]("vec_id"), 0.0d))
+    var centers = Seq(vecOf(seed))
+    for (r <- 2 to KC) {
+      val mind = centers.map(c => VectorOps.exactDist2(col("embedding"), c))
+        .reduce(least(_, _))
+      val pick = e.withColumn("md", mind)
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+      picks = picks :+ ((r.toLong, pick.getAs[Long]("vec_id"),
+        pick.getAs[Double]("md")))
+      centers = centers :+ vecOf(pick)
+    }
+    val mindAll = centers.map(c => VectorOps.exactDist2(col("embedding"), c))
+      .reduce(least(_, _))
+    val radius = e.withColumn("md", mindAll)
+      .agg(max(col("md")).as("r")).collect()(0).getDouble(0)
+    import s.implicits._
+    picks.toDF("sel_round", "vec_id", "raw_d")
+      .select(col("sel_round"), col("vec_id"),
+        round(col("raw_d"), 6).as("dist_at_pick"),
+        round(lit(radius), 6).as("coverage_radius"))
+      .orderBy("sel_round")
+  }
+
+  private val sampleKcenterSql = {
+    def dist(v: String, c: String) =
+      s"""list_reduce(list_transform($v, (x, i) -> (x - $c[i]) * (x - $c[i])),
+         |      (u, w) -> u + w)""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      s"""s$r AS (SELECT vec_id, v, md FROM m${r - 1}
+         |        ORDER BY md DESC, vec_id LIMIT 1),
+         |m$r AS (SELECT m.vec_id, m.v,
+         |          least(m.md, ${dist("m.v", s"s$r.v")}) AS md
+         |        FROM m${r - 1} m, s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |          FROM embeddings),
+       |s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |m1 AS (SELECT e.vec_id, e.v, ${dist("e.v", "s1.v")} AS md
+       |       FROM e, s1),
+       |$rounds,
+       |rad AS (SELECT max(md) AS r FROM m5),
+       |picks AS (
+       |  SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,
+       |         CAST(0.0 AS DOUBLE) AS d FROM s1
+       |  ${(2 to 5).map(r =>
+            s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, md FROM s$r")
+            .mkString("\n  ")})
+       |SELECT sel_round, vec_id, round(d, 6) AS dist_at_pick,
+       |       round(rad.r, 6) AS coverage_radius
+       |FROM picks, rad ORDER BY sel_round""".stripMargin
+  }
+
   // ---- N29d embedding_gram_matrix: distributed covariance ------------------
 
   /** `embedding_gram_matrix`: the exact d×d second-moment (gram) and
@@ -394,5 +473,6 @@ object ClusterQueries {
     "embedding_pca_power" -> Q(embeddingPcaPower, Some(embeddingPcaPowerSql)),
     "embedding_gram_matrix" ->
       Q(embeddingGramMatrix, Some(embeddingGramMatrixSql)),
+    "sample_kcenter" -> Q(sampleKcenter, Some(sampleKcenterSql)),
     "dedup_semantic" -> Q(dedupSemantic, Some(dedupSemanticSql)))
 }

@@ -731,6 +731,89 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ---- N31n graph_closeness: multi-source BFS centrality -------------------
+
+  /** `graph_closeness`: closeness + harmonic centrality from SIMULTANEOUS
+    * multi-source BFS — every node is a source, frontiers expand together
+    * (4 rounds bounds the radius; the trade graph's diameter is under
+    * that, and at web scale the same plan runs with HyperANF's HLL
+    * neighborhood sketches instead of exact (s,v) pairs — Boldi et al.
+    * 2011 — because exact all-pairs state is O(n²)). Per round: frontier
+    * join onto the aggregated edge list, distinct, anti-join against the
+    * seen set, union — O(E·sources) worst case HERE, O(E·rounds) with
+    * sketches. Closeness = (reached−1)/Σd (Wasserman–Faust truncated at
+    * the round horizon — unreached pairs excluded, stated in-row via
+    * n_reached); harmonic = Σ 1/d handles disconnection natively. The
+    * only floats are one IEEE division (closeness) and the per-term
+    * rounded 1/d grid {1, .5, .333333, .25} summed in DECIMAL. */
+  private def closeness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .unionAll(tradeEdges(s, d).filter(col("src") =!= col("dst"))
+        .select(col("dst"), col("src")).distinct())
+      .distinct().localCheckpoint()
+    var dist = und.select(col("src").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (r <- 1 to 4) {
+      val frontier = dist.filter(col("d") === (r - 1))
+        .join(und, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v")).distinct()
+      val newly = frontier.join(dist.select("s", "v"), Seq("s", "v"),
+        "left_anti").select(col("s"), col("v"), lit(r.toLong).as("d"))
+      dist = dist.unionAll(newly).localCheckpoint()
+    }
+    dist.groupBy("s")
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("dist_sum"),
+        sum(when(col("d") > 0, round(lit(1.0) / col("d"), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6))).as("harm"))
+      .join(nation(s, d), col("s") === col("n_nationkey"))
+      .select(col("n_name"), col("n_reached"), col("dist_sum"),
+        round((col("n_reached") - 1).cast("double") /
+          col("dist_sum").cast("double"), 6).as("closeness"),
+        col("harm").cast("double").as("harmonic"))
+      .orderBy("n_name")
+  }
+
+  private val closenessSql = {
+    val iter = (r: Int) =>
+      s"""f$r AS (
+         |  SELECT DISTINCT p.s, u.dst AS v
+         |  FROM d${r - 1} p JOIN und u ON p.v = u.src WHERE p.d = ${r - 1}),
+         |d$r AS (
+         |  SELECT * FROM d${r - 1}
+         |  UNION ALL
+         |  SELECT f.s, f.v, CAST($r AS BIGINT) AS d FROM f$r f
+         |  WHERE NOT EXISTS (SELECT 1 FROM d${r - 1} x
+         |                    WHERE x.s = f.s AND x.v = f.v))""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |und AS (SELECT src, dst FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |d0 AS (SELECT DISTINCT src AS s, src AS v, CAST(0 AS BIGINT) AS d
+       |       FROM und),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT n.n_name, g.n_reached, g.dist_sum,
+       |  round(CAST(g.n_reached - 1 AS DOUBLE)
+       |        / CAST(g.dist_sum AS DOUBLE), 6) AS closeness,
+       |  CAST(g.harm AS DOUBLE) AS harmonic
+       |FROM (
+       |  SELECT s, count(*) AS n_reached, CAST(SUM(d) AS BIGINT) AS dist_sum,
+       |         SUM(CAST(CASE WHEN d > 0
+       |                       THEN round(CAST(1.0 AS DOUBLE) / d, 6)
+       |                       ELSE 0.0 END AS DECIMAL(18,6))) AS harm
+       |  FROM d4 GROUP BY s) g
+       |JOIN nation n ON g.s = n.n_nationkey
+       |ORDER BY n_name""".stripMargin
+  }
+
   // ---- N31k graph_louvain_pass: modularity-ascent local moves --------------
 
   /** `graph_louvain_pass`: two synchronous rounds of Louvain's local-move
@@ -907,6 +990,7 @@ object GraphQueries {
     "graph_kcore" -> Q(kcore, Some(kcoreSql)),
     "graph_label_prop" -> Q(labelProp, Some(labelPropSql)),
     "graph_louvain_pass" -> Q(louvainPass, Some(louvainPassSql)),
+    "graph_closeness" -> Q(closeness, Some(closenessSql)),
     "graph_wcc" -> Q(graphWcc, Some(graphWccSql)),
     "graph_modularity" -> Q(modularity, Some(modularitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),

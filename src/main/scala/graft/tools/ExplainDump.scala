@@ -86,7 +86,8 @@ object ExplainDump {
     "funnel_latency_percentiles", "format_roundtrip",
     "tpch_q4", "tpch_q17", "tpch_q22",
     "score_logistic_infer", "eval_pr_auc", "embedding_gram_matrix",
-    "graph_louvain_pass")
+    "graph_louvain_pass", "dq_freshness", "graph_closeness",
+    "sample_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

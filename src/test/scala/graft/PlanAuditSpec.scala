@@ -218,6 +218,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(gridEx <= 1, s"one (i,j) grid exchange, got $gridEx:\n$p")
   }
 
+  test("dq_freshness: one type-keyed agg, reference clock broadcast as one row") {
+    val p = finalPlan(q("dq_freshness"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the corpus-max reference row must broadcast:\n$p")
+    val hashEx = "hashpartitioning\\(event_type".r.findAllIn(p).length
+    assert(hashEx <= 1, s"one type-keyed exchange, got $hashEx:\n$p")
+  }
+
   test("stream_watermark_sim: batch-domain window only, watermark broadcast back to the fact") {
     val p = finalPlan(q("stream_watermark_sim"))
     // the running max must ride the micro-batch DOMAIN (per-batch maxima),
