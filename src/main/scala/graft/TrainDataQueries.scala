@@ -345,6 +345,83 @@ object TrainDataQueries {
        |    AS rep_ratio
        |FROM gramsrc ORDER BY doc_id""".stripMargin
 
+  // ---- N9b text_rake_keywords: phrase-level keyword extraction -------------
+
+  /** `text_rake_keywords`: RAKE (Rose et al. 2010) over the corpus — the
+    * PHRASE-level keyword extractor beside [[tfidfTopkOf]]'s single-term
+    * ranking (multi-word content phrases are what a topic/tag pipeline
+    * actually wants; tf-idf fragments them). Candidate phrases are the
+    * maximal stopword-free token runs: stopwords map to a delimiter
+    * in-array (one transform — no regex backtracking over the document),
+    * the array re-joins and splits on it, empties filtered. Word score =
+    * deg(w)/freq(w) with deg summing the LENGTH of every phrase occurrence
+    * containing w (RAKE's co-occurrence degree, self included); phrase
+    * score = Σ word scores, each word score rounded to 6 dp and
+    * DECIMAL-summed (the rounded-term discipline — one IEEE division per
+    * word, engine-identical). Output: top-20 phrases by (score, phrase).
+    * Scale: two vocabulary-bounded keyed aggs (word stats broadcast back
+    * onto the phrase dictionary), phrase dictionary bounded by distinct
+    * phrase strings, top-k via TakeOrdered — never a global sort. */
+  private[graft] def textRakeKeywordsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stop = Seq("the", "a")
+    val tokens = split(lower(col("text")), "\\s+")
+    val marked = transform(tokens,
+      t => when(t.isInCollection(stop), lit("|")).otherwise(t))
+    val phrases = filter(
+      transform(split(array_join(marked, " "), "\\|"), p => trim(p)),
+      p => p =!= "")
+    val occ = docs.select(explode(phrases).as("phrase")).localCheckpoint()
+    val wordOcc = occ.select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"),
+        size(split(col("phrase"), " ")).as("plen"))
+    val wstats = wordOcc.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("wscore"))
+    val dict = occ.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    val pscore = dict.select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(wstats), "w")
+      .groupBy("phrase").agg(sum(col("wscore")).as("sc"))
+    dict.join(pscore, "phrase")
+      .select(col("phrase"), col("n_occurrences"),
+        col("sc").cast("double").as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(20)
+  }
+
+  private def textRakeKeywords(s: SparkSession, d: String): DataFrame =
+    textRakeKeywordsOf(documents(s, d))
+
+  private val textRakeKeywordsSql =
+    """WITH occ AS (
+      |  SELECT trim(p) AS phrase FROM (
+      |    SELECT unnest(string_split(array_to_string(
+      |      list_transform(string_split(lower(text), ' '),
+      |        t -> CASE WHEN t IN ('the', 'a') THEN '|' ELSE t END),
+      |      ' '), '|')) AS p
+      |    FROM documents)
+      |  WHERE trim(p) <> ''),
+      |wordocc AS (
+      |  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+      |         len(string_split(phrase, ' ')) AS plen
+      |  FROM occ),
+      |wstats AS (
+      |  SELECT w, CAST(round(CAST(SUM(plen) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS wscore
+      |  FROM wordocc GROUP BY w),
+      |dict AS (SELECT phrase, count(*) AS n_occurrences FROM occ GROUP BY 1),
+      |pw AS (
+      |  SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dict),
+      |ps AS (
+      |  SELECT pw.phrase, SUM(ws.wscore) AS sc
+      |  FROM pw JOIN wstats ws ON pw.w = ws.w GROUP BY 1)
+      |SELECT d.phrase, d.n_occurrences, CAST(ps.sc AS DOUBLE) AS rake_score
+      |FROM dict d JOIN ps ON d.phrase = ps.phrase
+      |ORDER BY rake_score DESC, d.phrase LIMIT 20""".stripMargin
+
   // ---- N9 tfidf_topk: per-document term ranking ----------------------------
 
   /** Top-3 TF-IDF terms per document: tf from one (doc, term) aggregation,
@@ -844,6 +921,7 @@ object TrainDataQueries {
     "pack_sequences" -> Q(packSequences, Some(packSequencesSql)),
     "repetition_ratio" -> Q(repetitionRatio, Some(repetitionRatioSql)),
     "tfidf_topk" -> Q(tfidfTopk, Some(tfidfTopkSql)),
+    "text_rake_keywords" -> Q(textRakeKeywords, Some(textRakeKeywordsSql)),
     "domain_cap" -> Q(domainCap, Some(domainCapSql)),
     "quality_gate" -> Q(qualityGate, Some(qualityGateSql)),
     "corpus_report" -> Q(corpusReport, Some(corpusReportSql)),
