@@ -346,7 +346,48 @@ object ClusterQueries {
     * At 100 TB the plan is unchanged: d²-bounded shuffle, k·d² driver
     * output — this is RowMatrix.computeGramianMatrix as a declarative
     * plan. */
+  /** The one-row aggregate the gram matrix reduces to — exposed for the
+    * plan audit (the registry query unpacks it driver-side, hiding the agg
+    * behind a local scan): ObjectHashAggregate with a partial_ stage, no
+    * Generate, no join — ONE ~17 KB buffer per task reaches the shuffle. */
+  private[graft] def gramAggRow(emb: DataFrame): DataFrame =
+    emb.agg(VectorOps.gramUdaf(Dim).as("g"))
+
+  /** Query path: [[VectorOps.GramAgg]] — a single typed-Aggregator pass
+    * (tight primitive loop, zero per-pair allocation) replacing the HOF
+    * explode below, which materializes n·d(d+1)/2 struct rows through a
+    * Generate node for the same exact-long sums (~10× the per-row work;
+    * kept as the executable spec, equality asserted in GramMatrixSpec).
+    * Driver sync is d² longs — the kmeansLloyd contract. */
   private[graft] def embeddingGramMatrixOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val row = gramAggRow(emb).select(col("g.*")).head()
+    val pairs = row.getAs[scala.collection.Seq[Long]](0)
+    val dims = row.getAs[scala.collection.Seq[Long]](1)
+    val n = row.getLong(2)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long, Long)]
+    var k = 0
+    for (i <- 1 to Dim; j <- i to Dim) {
+      buf += ((i, j, pairs(k), dims(i - 1), dims(j - 1))); k += 1
+    }
+    buf.toSeq.toDF("i", "j", "pl", "mi", "mj")
+      .select(col("i"), col("j"), lit(n).as("n"),
+        // + 0.0 folds IEEE negative zero to +0.0 — Spark's round() and
+        // DuckDB's disagree on the SIGN of a zero from a tiny negative,
+        // and the driver's repr-sort treats -0.0 and 0.0 as different rows
+        (round(col("pl").cast("double") /
+          (col("n").cast("double") * 1000000.0d), 6) + lit(0.0d)).as("exy"),
+        (round(col("pl").cast("double") / (col("n").cast("double") * 1000000.0d)
+          - (col("mi").cast("double") / (col("n").cast("double") * 1000000.0d))
+          * (col("mj").cast("double") / (col("n").cast("double") * 1000000.0d)),
+          6) + lit(0.0d)).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** The HOF-explode formulation — the executable spec of [[GramAgg]]'s
+    * semantics (same scaled-long per-pair rounding, same (i,j) labeling). */
+  private[graft] def embeddingGramMatrixHofOf(emb: DataFrame): DataFrame = {
     val pairs = expr(
       """flatten(transform(embedding, (x, i) ->
         |  transform(slice(embedding, i + 1, size(embedding) - i), (y, j) ->

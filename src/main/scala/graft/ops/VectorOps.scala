@@ -445,4 +445,61 @@ object VectorOps {
   def centroidUdaf(s: SparkSession, dim: Int): Column =
     udaf(new CentroidAgg(dim), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
       .apply(col("embedding"))
+
+  /** Second-moment companion of [[CentroidAgg]]: one pass accumulates the
+    * upper-triangle pair-product sums (d(d+1)/2 slots, row-major i ≤ j),
+    * the per-dimension first-moment sums, and the count — each product as
+    * the exact 6-dp-scaled long floor(x_i·x_j·1e6 + 0.5) (order-independent
+    * integer sums, the CentroidAgg discipline). The buffer is ~17 KB at
+    * d = 64; merge is element-wise long addition, so Spark combines
+    * partials map-side and the shuffle carries ONE buffer per task — the
+    * explode-and-groupBy formulation of the same math materializes
+    * n·d(d+1)/2 rows through a Generate node instead (kept as the
+    * executable spec; this is the query path, ~10× less per-row work). */
+  class GramAgg(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Long], Array[Long], Long),
+        (Seq[Long], Seq[Long], Long)] {
+    private val nPairs = dim * (dim + 1) / 2
+    def zero: (Array[Long], Array[Long], Long) =
+      (Array.fill(nPairs)(0L), Array.fill(dim)(0L), 0L)
+    def reduce(b: (Array[Long], Array[Long], Long), a: Seq[Float])
+        : (Array[Long], Array[Long], Long) = {
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim && i < a.length) { v(i) = a(i).toDouble; i += 1 }
+      var k = 0
+      i = 0
+      while (i < dim) {
+        b._2(i) += math.floor(v(i) * 1e6 + 0.5).toLong
+        var j = i
+        while (j < dim) {
+          b._1(k) += math.floor(v(i) * v(j) * 1e6 + 0.5).toLong
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      (b._1, b._2, b._3 + 1)
+    }
+    def merge(x: (Array[Long], Array[Long], Long),
+        y: (Array[Long], Array[Long], Long))
+        : (Array[Long], Array[Long], Long) = {
+      var k = 0
+      while (k < nPairs) { x._1(k) += y._1(k); k += 1 }
+      var i = 0
+      while (i < dim) { x._2(i) += y._2(i); i += 1 }
+      (x._1, x._2, x._3 + y._3)
+    }
+    def finish(b: (Array[Long], Array[Long], Long))
+        : (Seq[Long], Seq[Long], Long) =
+      (b._1.toSeq, b._2.toSeq, b._3)
+    def bufferEncoder = Encoders.tuple(
+      Encoders.kryo[Array[Long]], Encoders.kryo[Array[Long]],
+      Encoders.scalaLong)
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Seq[Long], Seq[Long], Long)]()
+  }
+
+  def gramUdaf(dim: Int): Column =
+    udaf(new GramAgg(dim), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      .apply(col("embedding"))
 }

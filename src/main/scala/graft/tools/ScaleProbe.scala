@@ -627,6 +627,19 @@ object ScaleProbe {
       graft.EventQueries.evalSubsampleCiOf(ev).count()
     q5(li1, o1, c1); rrf(d1, e1); matry(e1); attrDecay(ev1); ciSub(ev1)
     kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir)); heavyHit(d1); pcaPower(e1); hampel(ev1)
+    // r09 batch-2 shapes: gram matrix (d²-bounded pair agg — the shuffle
+    // carries ≤2080 keys/task however the corpus grows), RAKE keywords
+    // (vocabulary-bounded aggs), logistic scoring (pure word-count
+    // geometry), PR-AUC (distinct-score-domain prefix sums).
+    def gram(e: DataFrame): Long =
+      graft.ClusterQueries.embeddingGramMatrixOf(e).count()
+    def rake(docs: DataFrame): Long =
+      graft.TrainDataQueries.textRakeKeywordsOf(docs).count()
+    def logInfer(docs: DataFrame): Long =
+      graft.CorpusQueries.scoreLogisticInferOf(docs).count()
+    def prAuc(docs: DataFrame): Long =
+      graft.AuditQueries.evalPrAucOf(docs).count()
+    gram(e1); rake(d1); logInfer(d1); prAuc(d1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -769,6 +782,14 @@ object ScaleProbe {
         time(attrDecay(ev1)), time(attrDecay(evN))),
       ("subsample CI (32-key map-side-combine scan)",
         time(ciSub(ev1)), time(ciSub(evN))),
+      ("gram matrix (d²-bounded pair agg)",
+        time(gram(e1)), time(gram(eN))),
+      ("rake keywords (vocab-bounded aggs)",
+        time(rake(d1)), time(rake(dN))),
+      ("logistic scoring (word-count geometry)",
+        time(logInfer(d1)), time(logInfer(dN))),
+      ("pr-auc (distinct-score prefix sums)",
+        time(prAuc(d1)), time(prAuc(dN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")

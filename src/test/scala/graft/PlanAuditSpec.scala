@@ -205,17 +205,16 @@ class PlanAuditSpec extends SparkSpec {
       s"cumSumsByKey must replace the global-order Window:\n$p")
   }
 
-  test("embedding_gram_matrix: map-side pair explode (no self-join), means broadcast") {
-    val p = finalPlan(q("embedding_gram_matrix"))
-    assert(p.contains("Generate"),
-      s"pair products must come from an explode, not a join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the d-sized mean joins must broadcast:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"mean grid joins must be broadcast hash joins:\n$p")
-    // exactly one keyed exchange for the (i,j) grid (+ output sort)
-    val gridEx = "hashpartitioning\\(i".r.findAllIn(p).length
-    assert(gridEx <= 1, s"one (i,j) grid exchange, got $gridEx:\n$p")
+  test("embedding_gram_matrix: one typed-agg pass — partial combine, no Generate, no join") {
+    // the registry query unpacks the one-row aggregate driver-side, so the
+    // audit targets the exposed agg helper (the collect-during-build rule)
+    val p = finalPlan(
+      ClusterQueries.gramAggRow(Tables.embeddings(spark, sfDir)))
+    assert(p.contains("partial_gramagg") || p.contains("partial_"),
+      s"gram buffer must combine map-side (partial aggregation):\n$p")
+    assert(!p.contains("Generate"),
+      s"no pair explode: the Aggregator folds products in-buffer:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in the agg pass:\n$p")
   }
 
   test("dq_freshness: one type-keyed agg, reference clock broadcast as one row") {
