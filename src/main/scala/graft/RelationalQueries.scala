@@ -1140,6 +1140,90 @@ object RelationalQueries {
       |SELECT l_partkey, exact_cnt, TRUE AS ge_exact, TRUE AS within_eps
       |FROM top ORDER BY l_partkey""".stripMargin
 
+  /** A4f `join_size_cms`: join-cardinality estimation by Count-Min INNER
+    * PRODUCT (Cormode & Muthukrishnan 2005 §4.2) — the planning query an
+    * engineer runs BEFORE a 100 TB join to size shuffle partitions and
+    * pick a strategy: |A ⋈ B| = Σ_k cA(k)·cB(k) exactly, and the CMS
+    * estimate min_d Σ_w A_d[w]·B_d[w] needs only two 4×8192-cell
+    * summaries where the exact form needs full keyed aggs on both sides.
+    * Unlike `sketch_count_min` (engine-private hashes, rows-only), the
+    * sketch here is built IN-PLAN from the portable md5 bucket hash, so
+    * the estimate itself is cross-engine deterministic and the WHOLE op
+    * hash-verifies: exact size, estimate, the one-sided guarantee
+    * est ≥ exact (collisions only ADD mass), and the measured bound
+    * est − exact ≤ ⌈ε·N_A·N_B⌉ with ε = e/width (width 8192 keeps the
+    * cross-collision mass ~N_A·N_B/w well under the signal). Shape: per side one
+    * 4-way posexplode into a (depth,bucket)-keyed agg (32 K cells,
+    * map-side combined), a cell-aligned join of two 32 K-row tables, and
+    * a 4-row rollup — the fact scans never meet. */
+  private def joinSizeCms(s: SparkSession, d: String): DataFrame = {
+    val depths = 4
+    val width = 8192L
+    def cms(df: DataFrame, key: String): DataFrame = {
+      val buckets = array((0 until depths).map { dep =>
+        conv(substring(md5(concat(lit(dep.toString), lit(":"),
+          col(key).cast("string"))), 1, 8), 16, 10).cast("long") % width
+      }: _*)
+      df.select(posexplode(buckets).as(Seq("depth", "b")))
+        .groupBy("depth", "b").agg(count(lit(1)).as("cnt"))
+    }
+    val a = lineitem(s, d).select(col("l_orderkey").as("k"))
+    val b = orders(s, d).select(col("o_orderkey").as("k"))
+    val est = cms(a, "k").withColumnRenamed("cnt", "ca")
+      .join(cms(b, "k").withColumnRenamed("cnt", "cb"), Seq("depth", "b"))
+      .groupBy("depth").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_size"))
+    val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca") * col("cb")).as("exact_size"))
+    val ns = a.agg(count(lit(1)).as("na"))
+      .crossJoin(b.agg(count(lit(1)).as("nb")))
+    exact.crossJoin(broadcast(est)).crossJoin(broadcast(ns))
+      .select(col("exact_size"), col("est_size"),
+        (col("est_size") >= col("exact_size")).as("ge_exact"),
+        (col("est_size") - col("exact_size") <=
+          ceil(lit(math.E / 8192.0) * col("na") * col("nb")).cast("long"))
+          .as("within_eps"),
+        round((col("est_size") - col("exact_size")).cast("double") /
+          col("exact_size").cast("double"), 6).as("rel_overshoot"))
+  }
+
+  private val joinSizeCmsSql =
+    """WITH ca_ AS (
+      |  SELECT depth, CAST('0x' || substring(md5(depth || ':' || k), 1, 8)
+      |           AS BIGINT) % 8192 AS b, count(*) AS cnt
+      |  FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+      |       range(0, 4) t(depth)
+      |  GROUP BY 1, 2),
+      |cb_ AS (
+      |  SELECT depth, CAST('0x' || substring(md5(depth || ':' || k), 1, 8)
+      |           AS BIGINT) % 8192 AS b, count(*) AS cnt
+      |  FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+      |       range(0, 4) t(depth)
+      |  GROUP BY 1, 2),
+      |est AS (
+      |  SELECT CAST(min(ip) AS BIGINT) AS est_size FROM (
+      |    SELECT a.depth, SUM(a.cnt * b.cnt) AS ip
+      |    FROM ca_ a JOIN cb_ b ON a.depth = b.depth AND a.b = b.b
+      |    GROUP BY 1)),
+      |exact AS (
+      |  SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_size FROM
+      |    (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1) a
+      |    JOIN
+      |    (SELECT o_orderkey AS k, count(*) AS cnt FROM orders GROUP BY 1) b
+      |    ON a.k = b.k),
+      |ns AS (SELECT (SELECT count(*) FROM lineitem) AS na,
+      |              (SELECT count(*) FROM orders) AS nb)
+      |SELECT exact_size, est_size,
+      |  est_size >= exact_size AS ge_exact,
+      |  est_size - exact_size <=
+      |    CAST(ceil(CAST(2.718281828459045 AS DOUBLE) / 8192.0 * na * nb)
+      |         AS BIGINT)
+      |    AS within_eps,
+      |  round(CAST(est_size - exact_size AS DOUBLE)
+      |        / CAST(exact_size AS DOUBLE), 6) AS rel_overshoot
+      |FROM exact, est, ns""".stripMargin
+
   /** A5b `agg_cube`: full cube over two low-cardinality dims. */
   private def aggCube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -1155,6 +1239,72 @@ object RelationalQueries {
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   // ---- §2.1 S5/S6 upsert-as-batch ------------------------------------------
+
+  /** A6d `median_two_pass`: the EXACT global median without a global sort —
+    * the third leg beside A6b (exact percentile: buffers and sorts every
+    * group member) and A6c (mergeable sketch: approximate). Pass 1 is one
+    * $1000-integer-bucket keyed agg (map-side combined; ~100 cells reach
+    * the driver); the driver locates which bucket(s) hold the two median
+    * positions by pure integer cumulative arithmetic. Pass 2 scans again
+    * with the bucket predicate PUSHED (a ~1/100 slice), global-ranks just
+    * that slice through [[graft.ops.OrderedOps.globalRank]] (range
+    * partitions + broadcast offsets — no one-task sort even inside the
+    * slice), and reads the two order statistics; ties need no tiebreak
+    * because any row at a tied position carries the same value.
+    * Interpolation mirrors both engines' percentile: v1 + (v2−v1)·0.5,
+    * rounded 4 dp. Emits the pass-2 row count so the hash itself proves
+    * the second scan touched a slice, not the table. At 100 TB this is
+    * the textbook two-pass selection: the data is never globally sorted,
+    * and both passes are scan+keyed-agg shaped. */
+  private def medianTwoPass(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(dec(col("l_extendedprice")).as("v"))
+    val bucketCol = expr("CAST(v * 100 AS BIGINT) div 100000")
+    val counts = base.groupBy(bucketCol.as("bk")).agg(count(lit(1)).as("c"))
+      .orderBy("bk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = counts.map(_._2).sum
+    val h = (n - 1).toDouble * 0.5 + 1.0
+    val p1 = math.floor(h).toLong
+    val p2 = math.ceil(h).toLong
+    // buckets whose [cumBefore+1, cum] range intersects [p1, p2]
+    var cum = 0L
+    val picked = counts.flatMap { case (bk, c) =>
+      val before = cum; cum += c
+      if (before < p2 && cum >= p1) Some((bk, before, c)) else None
+    }
+    val pass2Rows = picked.map(_._3).sum
+    val cumBefore = picked.head._2
+    val bks = picked.map(_._1)
+    val slice = base.filter(bucketCol.isin(bks: _*))
+    val ranked = graft.ops.OrderedOps.globalRank(slice, Seq(col("v").asc))
+    ranked
+      .filter(col("g_rank").isin(p1 - cumBefore, p2 - cumBefore))
+      .agg(min(col("v")).as("v1"), max(col("v")).as("v2"))
+      .select(lit(n).as("n_rows"), lit(pass2Rows).as("pass2_rows"),
+        round(col("v1").cast("double") +
+          (col("v2").cast("double") - col("v1").cast("double")) * 0.5, 4)
+          .as("median"))
+  }
+
+  private val medianTwoPassSql =
+    """WITH src AS (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v FROM lineitem),
+      |b AS (SELECT CAST(v * 100 AS BIGINT) // 100000 AS bk, count(*) AS c
+      |      FROM src GROUP BY 1),
+      |cum AS (SELECT bk, c, sum(c) OVER (ORDER BY bk) AS cum FROM b),
+      |par AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+      |pos AS (SELECT n,
+      |          CAST(floor((n - 1) * 0.5 + 1) AS BIGINT) AS p1,
+      |          CAST(ceil((n - 1) * 0.5 + 1) AS BIGINT) AS p2 FROM par),
+      |sel AS (SELECT CAST(SUM(c) AS BIGINT) AS pass2_rows
+      |        FROM cum, pos WHERE cum - c < p2 AND cum >= p1),
+      |vals AS (
+      |  SELECT min(v) AS v1, max(v) AS v2 FROM (
+      |    SELECT v, row_number() OVER (ORDER BY v) AS rn FROM src), pos
+      |  WHERE rn IN (p1, p2))
+      |SELECT pos.n AS n_rows, sel.pass2_rows,
+      |  round(CAST(v1 AS DOUBLE)
+      |        + (CAST(v2 AS DOUBLE) - CAST(v1 AS DOUBLE)) * 0.5, 4) AS median
+      |FROM vals, pos, sel""".stripMargin
 
   /** A6b `agg_percentiles`: exact interpolated percentiles per group — the
     * salary-dashboard median/p90/p99 (README.md:10). Exact (sort-based)
@@ -3488,6 +3638,7 @@ object RelationalQueries {
     "agg_hll_mergeable_bound" ->
       Q(aggHllMergeableBound, Some(aggHllMergeableBoundSql)),
     "sketch_count_min" -> Q(sketchCountMin, None),
+    "join_size_cms" -> Q(joinSizeCms, Some(joinSizeCmsSql)),
     "sketch_count_min_bound" ->
       Q(sketchCountMinBound, Some(sketchCountMinBoundSql)),
     "window_ntile" -> Q(windowNtile, Some(windowNtileSql)),
@@ -3511,6 +3662,7 @@ object RelationalQueries {
     "agg_approx_distinct_bound" ->
       Q(aggApproxDistinctBound, Some(aggApproxDistinctBoundSql)),
     "agg_percentiles" -> Q(aggPercentiles, Some(aggPercentilesSql)),
+    "median_two_pass" -> Q(medianTwoPass, Some(medianTwoPassSql)),
     "sketch_percentiles" -> Q(sketchPercentiles, None),
     "sketch_percentiles_bound" ->
       Q(sketchPercentilesBound, Some(sketchPercentilesBoundSql)),

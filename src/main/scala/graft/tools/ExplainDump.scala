@@ -87,7 +87,8 @@ object ExplainDump {
     "tpch_q4", "tpch_q17", "tpch_q22",
     "score_logistic_infer", "eval_pr_auc", "embedding_gram_matrix",
     "graph_louvain_pass", "dq_freshness", "graph_closeness",
-    "sample_kcenter", "text_rake_keywords")
+    "sample_kcenter", "text_rake_keywords", "join_size_cms",
+    "median_two_pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -217,6 +217,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join anywhere in the agg pass:\n$p")
   }
 
+  test("join_size_cms: sketch cells combine map-side; the fact scans never join raw") {
+    val p = finalPlan(q("join_size_cms"))
+    assert(p.contains("partial_count"),
+      s"every cell/count agg must have a map-side partial stage:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast one-row combines, no cartesian:\n$p")
+    // every join input is an aggregate (cells / keyed counts / one-row
+    // totals): a raw lineitem x orders join would defeat the op's purpose,
+    // and it would surface as a join keyed on l_orderkey/o_orderkey
+    assert(!p.contains("SortMergeJoin [l_orderkey"),
+      s"no raw fact-to-fact join:\n$p")
+  }
+
   test("dq_freshness: one type-keyed agg, reference clock broadcast as one row") {
     val p = finalPlan(q("dq_freshness"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
