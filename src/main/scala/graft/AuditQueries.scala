@@ -252,6 +252,55 @@ object AuditQueries {
       |  (ref_us - last_us) // 3600000000 >= 24 AS stale
       |FROM per, ref ORDER BY event_type""".stripMargin
 
+  /** `dq_key_discovery`: candidate-key profiling — which column (sets)
+    * uniquely identify a row: the audit run before declaring a MERGE/upsert
+    * business key (the reference hard-codes its unique constraints,
+    * database.py:80-88; this DISCOVERS them). Per candidate: row count,
+    * exact distinct count, is-key bit, uniqueness ratio. Exact distincts
+    * here (each one keyed-agg shaped, map-side combined); at 100 TB the
+    * cheap first pass is approx_count_distinct over ALL candidates in one
+    * scan (the profile_table_approx shape) with the exact confirm run only
+    * on candidates the sketch puts near 1.0. */
+  private def dqKeyDiscovery(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def cand(name: String, cols: Seq[String]): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+          countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
+        .select(lit(name).as("candidate"), col("n_rows"), col("n_distinct"),
+          (col("n_distinct") === col("n_rows")).as("is_key"),
+          round(col("n_distinct").cast("double") /
+            col("n_rows").cast("double"), 6).as("uniqueness"))
+    cand("o_orderkey", Seq("o_orderkey"))
+      .unionAll(cand("o_custkey", Seq("o_custkey")))
+      .unionAll(cand("o_custkey,o_orderdate", Seq("o_custkey", "o_orderdate")))
+      .orderBy("candidate")
+  }
+
+  private val dqKeyDiscoverySql =
+    """WITH t AS (SELECT * FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS candidate, count(*) AS n_rows,
+      |    count(DISTINCT o_orderkey) AS n_distinct,
+      |    count(DISTINCT o_orderkey) = count(*) AS is_key,
+      |    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+      |          / CAST(count(*) AS DOUBLE), 6) AS uniqueness
+      |  FROM t
+      |  UNION ALL
+      |  SELECT 'o_custkey', count(*),
+      |    count(DISTINCT o_custkey),
+      |    count(DISTINCT o_custkey) = count(*),
+      |    round(CAST(count(DISTINCT o_custkey) AS DOUBLE)
+      |          / CAST(count(*) AS DOUBLE), 6)
+      |  FROM t
+      |  UNION ALL
+      |  SELECT 'o_custkey,o_orderdate', count(*),
+      |    count(DISTINCT (o_custkey, o_orderdate)),
+      |    count(DISTINCT (o_custkey, o_orderdate)) = count(*),
+      |    round(CAST(count(DISTINCT (o_custkey, o_orderdate)) AS DOUBLE)
+      |          / CAST(count(*) AS DOUBLE), 6)
+      |  FROM t)
+      |ORDER BY candidate""".stripMargin
+
   /** `dq_skew_report`: join-key skew diagnostics — the query an engineer
     * runs BEFORE choosing a salting/AQE strategy (the operational
     * companion of join_skew_salted): per candidate key column, total rows,
@@ -1589,6 +1638,7 @@ object AuditQueries {
     "profile_table" -> Q(profileTable, Some(profileTableSql)),
     "dq_skew_report" -> Q(dqSkewReport, Some(dqSkewReportSql)),
     "dq_freshness" -> Q(dqFreshness, Some(dqFreshnessSql)),
+    "dq_key_discovery" -> Q(dqKeyDiscovery, Some(dqKeyDiscoverySql)),
     "profile_table_approx" -> Q(profileTableApprox, None),
     "profile_table_approx_bound" ->
       Q(profileTableApproxBound, Some(profileTableApproxBoundSql)),

@@ -1306,6 +1306,50 @@ object RelationalQueries {
       |        + (CAST(v2 AS DOUBLE) - CAST(v1 AS DOUBLE)) * 0.5, 4) AS median
       |FROM vals, pos, sel""".stripMargin
 
+  /** A6e `agg_weighted_percentile`: exact WEIGHTED quantiles (median and
+    * p90 of price, weighted by quantity) — the quantile a revenue or
+    * token-budget question actually asks ("half the UNITS sold below what
+    * price?"), which A6b's unweighted form cannot answer. Definition: the
+    * lower weighted quantile — smallest v with cumW(v) ≥ q·W — evaluated
+    * as pure cross-multiplied integers (2·cum ≥ W, 10·cum ≥ 9·W: no float
+    * threshold can flip a boundary). The cumulative weights run through
+    * [[graft.ops.OrderedOps.cumSumsByKey]] on the cent-scaled value domain
+    * (range-partitioned prefix sums — zero Window nodes at any domain
+    * size); the fact reduces map-side to the distinct-value domain first,
+    * so the prefix pass never sees corpus-sized input. */
+  private def aggWeightedPercentile(s: SparkSession, d: String): DataFrame = {
+    val rows = lineitem(s, d).select(
+      (dec(col("l_extendedprice")) * 100).cast("long").as("vc"),
+      (dec(col("l_quantity")) * 100).cast("long").as("w"))
+    val dom = rows.groupBy("vc").agg(sum(col("w")).as("w"))
+    val cum = graft.ops.OrderedOps.cumSumsByKey(dom, "vc", Seq("w"))
+    val tot = dom.agg(sum(col("w")).as("tw"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum_w") * 2 >= col("tw"), col("vc"))).as("v50"),
+        min(when(col("cum_w") * 10 >= col("tw") * 9, col("vc"))).as("v90"),
+        max(col("tw")).as("tw"))
+      .select(col("tw").as("total_weight"),
+        (col("v50").cast("double") / 100.0).as("wp50"),
+        (col("v90").cast("double") / 100.0).as("wp90"))
+  }
+
+  private val aggWeightedPercentileSql =
+    """WITH rows_c AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           AS vc,
+      |         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+      |  FROM lineitem),
+      |dom AS (SELECT vc, CAST(SUM(w) AS BIGINT) AS w FROM rows_c GROUP BY 1),
+      |cum AS (SELECT vc, sum(w) OVER (ORDER BY vc) AS cum_w FROM dom),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM dom)
+      |SELECT tot.tw AS total_weight,
+      |  CAST(min(CASE WHEN cum_w * 2 >= tw THEN vc END) AS DOUBLE) / 100.0
+      |    AS wp50,
+      |  CAST(min(CASE WHEN cum_w * 10 >= tw * 9 THEN vc END) AS DOUBLE)
+      |    / 100.0 AS wp90
+      |FROM cum, tot GROUP BY tot.tw""".stripMargin
+
   /** A6b `agg_percentiles`: exact interpolated percentiles per group — the
     * salary-dashboard median/p90/p99 (README.md:10). Exact (sort-based)
     * here; at 100 TB the approx_percentile sketch is the first fallback.
@@ -3663,6 +3707,8 @@ object RelationalQueries {
       Q(aggApproxDistinctBound, Some(aggApproxDistinctBoundSql)),
     "agg_percentiles" -> Q(aggPercentiles, Some(aggPercentilesSql)),
     "median_two_pass" -> Q(medianTwoPass, Some(medianTwoPassSql)),
+    "agg_weighted_percentile" ->
+      Q(aggWeightedPercentile, Some(aggWeightedPercentileSql)),
     "sketch_percentiles" -> Q(sketchPercentiles, None),
     "sketch_percentiles_bound" ->
       Q(sketchPercentilesBound, Some(sketchPercentilesBoundSql)),

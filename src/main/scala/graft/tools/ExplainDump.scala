@@ -88,7 +88,7 @@ object ExplainDump {
     "score_logistic_infer", "eval_pr_auc", "embedding_gram_matrix",
     "graph_louvain_pass", "dq_freshness", "graph_closeness",
     "sample_kcenter", "text_rake_keywords", "join_size_cms",
-    "median_two_pass")
+    "median_two_pass", "agg_weighted_percentile", "dq_key_discovery")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
