@@ -731,6 +731,127 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ---- N31o graph_mst_boruvka: minimum spanning forest rounds --------------
+
+  /** `graph_mst_boruvka`: two Borůvka rounds toward the minimum spanning
+    * forest of the weighted trade graph — THE distributed MST algorithm
+    * (each component picks its lightest outgoing edge, components merge;
+    * O(log n) rounds to completion) and the backbone of single-linkage
+    * clustering over a similarity graph. Determinism pins: the per-
+    * component pick orders by (w, other-component, u, v) — a total order,
+    * so ties cannot diverge; merging runs SIX fixed min-label rounds on
+    * the component graph (correct while the pick-forest diameter ≤ 6 —
+    * always here; the large/small-star CC operator is the guaranteed-
+    * O(log n) merge at adversarial scale, dedup_clusters). Per round:
+    * one label join onto the aggregated edge list, a component-keyed
+    * argmin window (group-bounded), and label iterations on the
+    * COMPONENT-sized graph — never fact-scale. Output: the picked edges
+    * per round plus the component count after each merge, all exact
+    * integers. */
+  private def mstBoruvka(s: SparkSession, d: String): DataFrame = {
+    val e0 = tradeEdges(s, d)
+    val und = e0.select(col("src"), col("dst"), col("w"))
+      .unionAll(e0.select(col("dst"), col("src"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
+    var comp = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("c")).localCheckpoint()
+    val byPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("ca").orderBy(col("w"), col("cb"), col("src"), col("dst"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to 2) {
+      val tagged = und
+        .join(comp.select(col("node").as("src"), col("c").as("ca")), "src")
+        .join(comp.select(col("node").as("dst"), col("c").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb"))
+      val picks = tagged.withColumn("rn", row_number().over(byPick))
+        .filter(col("rn") === 1)
+        .select(col("ca"), col("cb"), col("src"), col("dst"), col("w"))
+        .localCheckpoint()
+      // merge labels on the COMPONENT graph (both directions)
+      val pickPairs = picks.select(col("ca"), col("cb"))
+        .unionAll(picks.select(col("cb"), col("ca")))
+        .distinct().localCheckpoint()
+      var lbl = comp.select(col("c")).distinct()
+        .select(col("c").as("cid"), col("c").as("lbl")).localCheckpoint()
+      for (_ <- 1 to 6) {
+        val nbrMin = pickPairs
+          .join(lbl.select(col("cid"), col("lbl")), col("cb") === col("cid"))
+          .groupBy(col("ca")).agg(min(col("lbl")).as("nl"))
+        lbl = lbl.join(nbrMin, col("cid") === col("ca"), "left")
+          .select(col("cid"), least(col("lbl"),
+            coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+      }
+      comp = comp.join(lbl, col("c") === col("cid"))
+        .select(col("node"), col("lbl").as("c")).localCheckpoint()
+      val nComp = comp.select(col("c")).distinct().count()
+      out += picks.select(lit(r).as("round"),
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"),
+        lit(nComp).as("n_components_after")).distinct()
+    }
+    out.reduce(_ unionAll _).orderBy("round", "u", "v")
+  }
+
+  private val mstBoruvkaSql = {
+    def mergeRounds(r: Int): String = (1 to 6).map { k =>
+      s"""l${r}_$k AS MATERIALIZED (
+         |  SELECT l.cid,
+         |    least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+         |  FROM l${r}_${k - 1} l LEFT JOIN (
+         |    SELECT p.ca, min(x.lbl) AS nl
+         |    FROM pp$r p JOIN l${r}_${k - 1} x ON p.cb = x.cid
+         |    GROUP BY 1) m ON l.cid = m.ca)""".stripMargin
+    }.mkString(",\n")
+    def round(r: Int, compSrc: String): String =
+      s"""tag$r AS MATERIALIZED (
+         |  SELECT u.src, u.dst, u.w, a.c AS ca, b.c AS cb
+         |  FROM und u
+         |  JOIN $compSrc a ON u.src = a.node
+         |  JOIN $compSrc b ON u.dst = b.node
+         |  WHERE a.c <> b.c),
+         |pk$r AS MATERIALIZED (
+         |  SELECT ca, cb, src, dst, w FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY ca
+         |      ORDER BY w, cb, src, dst) AS rn FROM tag$r)
+         |  WHERE rn = 1),
+         |pp$r AS MATERIALIZED (SELECT DISTINCT ca, cb FROM (
+         |  SELECT ca, cb FROM pk$r UNION ALL SELECT cb, ca FROM pk$r)),
+         |l${r}_0 AS MATERIALIZED (SELECT DISTINCT c AS cid, c AS lbl FROM $compSrc),
+         |${mergeRounds(r)},
+         |comp$r AS MATERIALIZED (
+         |  SELECT p.node, l.lbl AS c
+         |  FROM $compSrc p JOIN l${r}_6 l ON p.c = l.cid),
+         |nc$r AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n FROM comp$r)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT src, dst, w FROM edges
+       |    UNION ALL SELECT dst, src, w FROM edges)
+       |  WHERE src <> dst GROUP BY 1, 2),
+       |comp0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS c FROM und),
+       |${round(1, "comp0")},
+       |${round(2, "comp1")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INTEGER) AS round, least(src, dst) AS u,
+       |         greatest(src, dst) AS v, w,
+       |         (SELECT n FROM nc1) AS n_components_after
+       |  FROM pk1
+       |  UNION
+       |  SELECT CAST(2 AS INTEGER), least(src, dst), greatest(src, dst), w,
+       |         (SELECT n FROM nc2)
+       |  FROM pk2)
+       |ORDER BY round, u, v""".stripMargin
+  }
+
   // ---- N31n graph_closeness: multi-source BFS centrality -------------------
 
   /** `graph_closeness`: closeness + harmonic centrality from SIMULTANEOUS
@@ -991,6 +1112,7 @@ object GraphQueries {
     "graph_label_prop" -> Q(labelProp, Some(labelPropSql)),
     "graph_louvain_pass" -> Q(louvainPass, Some(louvainPassSql)),
     "graph_closeness" -> Q(closeness, Some(closenessSql)),
+    "graph_mst_boruvka" -> Q(mstBoruvka, Some(mstBoruvkaSql)),
     "graph_wcc" -> Q(graphWcc, Some(graphWccSql)),
     "graph_modularity" -> Q(modularity, Some(modularitySql)),
     "graph_pagerank" -> Q(pagerank, Some(pagerankSql)),

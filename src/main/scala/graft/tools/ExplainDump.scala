@@ -88,7 +88,8 @@ object ExplainDump {
     "score_logistic_infer", "eval_pr_auc", "embedding_gram_matrix",
     "graph_louvain_pass", "dq_freshness", "graph_closeness",
     "sample_kcenter", "text_rake_keywords", "join_size_cms",
-    "median_two_pass", "agg_weighted_percentile", "dq_key_discovery")
+    "median_two_pass", "agg_weighted_percentile", "dq_key_discovery",
+    "graph_mst_boruvka")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
