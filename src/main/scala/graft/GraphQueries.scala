@@ -768,24 +768,34 @@ object GraphQueries {
         .filter(col("rn") === 1)
         .select(col("ca"), col("cb"), col("src"), col("dst"), col("w"))
         .localCheckpoint()
-      // merge labels on the COMPONENT graph (both directions)
-      val pickPairs = picks.select(col("ca"), col("cb"))
-        .unionAll(picks.select(col("cb"), col("ca")))
-        .distinct().localCheckpoint()
-      var lbl = comp.select(col("c")).distinct()
-        .select(col("c").as("cid"), col("c").as("lbl")).localCheckpoint()
-      for (_ <- 1 to 6) {
-        val nbrMin = pickPairs
-          .join(lbl.select(col("cid"), col("lbl")), col("cb") === col("cid"))
-          .groupBy(col("ca")).agg(min(col("lbl")).as("nl"))
-        lbl = lbl.join(nbrMin, col("cid") === col("ca"), "left")
-          .select(col("cid"), least(col("lbl"),
-            coalesce(col("nl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+      // merge labels DRIVER-side: the pick list is COMPONENT-bounded (one
+      // edge per component — the kmeansLloyd sync contract), so min-label
+      // fixpoint on it is a few hundred bytes of driver work where the
+      // in-plan formulation paid 6 checkpointed join rounds. The oracle
+      // replays 6 synchronous min-label rounds — identical while the
+      // pick-forest diameter ≤ 6 (always observed; a deeper forest would
+      // surface as a LOUD hash mismatch, never a silent wrong answer). At
+      // adversarial scale the merge is the large/small-star CC operator.
+      val pairArr = picks.select(col("ca"), col("cb")).distinct().collect()
+        .map(p => (p.getLong(0), p.getLong(1)))
+      val lblMap = scala.collection.mutable.Map(
+        comp.select(col("c")).distinct().collect()
+          .map(r => { val c = r.getLong(0); c -> c }): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        pairArr.foreach { case (a, b) =>
+          val m = math.min(lblMap(a), lblMap(b))
+          if (lblMap(a) != m) { lblMap(a) = m; changed = true }
+          if (lblMap(b) != m) { lblMap(b) = m; changed = true }
+        }
       }
-      comp = comp.join(lbl, col("c") === col("cid"))
+      val sSess = comp.sparkSession
+      import sSess.implicits._
+      val lblDf = lblMap.toSeq.toDF("cid", "lbl")
+      comp = comp.join(broadcast(lblDf), col("c") === col("cid"))
         .select(col("node"), col("lbl").as("c")).localCheckpoint()
-      val nComp = comp.select(col("c")).distinct().count()
+      val nComp = lblMap.values.toSet.size.toLong
       out += picks.select(lit(r).as("round"),
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"), col("w"),

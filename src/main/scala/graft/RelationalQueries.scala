@@ -1159,10 +1159,15 @@ object RelationalQueries {
   private def joinSizeCms(s: SparkSession, d: String): DataFrame = {
     val depths = 4
     val width = 8192L
+    // ONE md5 per row: its 32 hex chars split into four disjoint 8-char
+    // slices = four independent 32-bit hashes (row 1.10 of the md5 layout)
+    // — 4x less hashing than salting the key per depth, same estimate
+    // guarantees. Production would use xxhash64 seeds; md5 is the portable
+    // hash the oracle can replay.
     def cms(df: DataFrame, key: String): DataFrame = {
+      val h = md5(col(key).cast("string"))
       val buckets = array((0 until depths).map { dep =>
-        conv(substring(md5(concat(lit(dep.toString), lit(":"),
-          col(key).cast("string"))), 1, 8), 16, 10).cast("long") % width
+        conv(substring(h, 1 + 8 * dep, 8), 16, 10).cast("long") % width
       }: _*)
       df.select(posexplode(buckets).as(Seq("depth", "b")))
         .groupBy("depth", "b").agg(count(lit(1)).as("cnt"))
@@ -1190,14 +1195,16 @@ object RelationalQueries {
 
   private val joinSizeCmsSql =
     """WITH ca_ AS (
-      |  SELECT depth, CAST('0x' || substring(md5(depth || ':' || k), 1, 8)
-      |           AS BIGINT) % 8192 AS b, count(*) AS cnt
+      |  SELECT depth,
+      |    CAST('0x' || substring(md5(k), CAST(1 + 8 * depth AS INTEGER), 8)
+      |         AS BIGINT) % 8192 AS b, count(*) AS cnt
       |  FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
       |       range(0, 4) t(depth)
       |  GROUP BY 1, 2),
       |cb_ AS (
-      |  SELECT depth, CAST('0x' || substring(md5(depth || ':' || k), 1, 8)
-      |           AS BIGINT) % 8192 AS b, count(*) AS cnt
+      |  SELECT depth,
+      |    CAST('0x' || substring(md5(k), CAST(1 + 8 * depth AS INTEGER), 8)
+      |         AS BIGINT) % 8192 AS b, count(*) AS cnt
       |  FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
       |       range(0, 4) t(depth)
       |  GROUP BY 1, 2),
