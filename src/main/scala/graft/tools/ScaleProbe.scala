@@ -640,6 +640,38 @@ object ScaleProbe {
     def prAuc(docs: DataFrame): Long =
       graft.AuditQueries.evalPrAucOf(docs).count()
     gram(e1); rake(d1); logInfer(d1); prAuc(d1)
+    // r09 batch-3 shapes: weighted percentile (distinct-value-domain
+    // prefix sums), CMS join sizer (two 32K-cell summaries, fact scans
+    // never meet).
+    def wpct(li: DataFrame): Long = {
+      val rows = li.select(
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("vc"),
+        (col("l_quantity").cast("decimal(12,2)") * 100).cast("long").as("w"))
+      val dom = rows.groupBy("vc").agg(sum(col("w")).as("w"))
+      val cum = graft.ops.OrderedOps.cumSumsByKey(dom, "vc", Seq("w"))
+      val tot = dom.agg(sum(col("w")).as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .agg(min(when(col("cum_w") * 2 >= col("tw"), col("vc"))).as("v50"))
+        .count()
+    }
+    def cmsJoin(li: DataFrame, o: DataFrame): Long = {
+      def cms(df: DataFrame, key: String): DataFrame = {
+        val h = md5(col(key).cast("string"))
+        val buckets = array((0 until 4).map { dep =>
+          conv(substring(h, 1 + 8 * dep, 8), 16, 10).cast("long") % 8192L
+        }: _*)
+        df.select(posexplode(buckets).as(Seq("depth", "b")))
+          .groupBy("depth", "b").agg(count(lit(1)).as("cnt"))
+      }
+      cms(li.select(col("l_orderkey").as("k")), "k")
+        .withColumnRenamed("cnt", "ca")
+        .join(cms(o.select(col("o_orderkey").as("k")), "k")
+          .withColumnRenamed("cnt", "cb"), Seq("depth", "b"))
+        .groupBy("depth").agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("est")).count()
+    }
+    wpct(li1); cmsJoin(li1, o1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -790,6 +822,10 @@ object ScaleProbe {
         time(logInfer(d1)), time(logInfer(dN))),
       ("pr-auc (distinct-score prefix sums)",
         time(prAuc(d1)), time(prAuc(dN))),
+      ("weighted percentile (value-domain prefix sums)",
+        time(wpct(li1)), time(wpct(liN))),
+      ("cms join sizer (two 32K-cell summaries)",
+        time(cmsJoin(li1, o1)), time(cmsJoin(liN, oN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
