@@ -1060,6 +1060,74 @@ object AuditQueries {
       |  round(CAST(sum(term) AS DOUBLE) / CAST(sum(pos) AS DOUBLE), 6) AS ap
       |FROM t""".stripMargin
 
+  /** N37l `eval_gains_table`: the cumulative-gains / lift table — rank the
+    * corpus by the model score, cut into score deciles, and report per
+    * decile how much of the positive class the top-k% captures and its
+    * lift over random triage. THE operational readout for "review the top
+    * 10% first" decisions, which AUC/AP (global ranking quality) and
+    * calibration (probability honesty) don't answer. Deciles come from
+    * [[graft.ops.OrderedOps.globalRank]] + arithmetic
+    * [[graft.ops.OrderedOps.ntileFromRank]] over (score desc, doc_id) —
+    * the zero-one-task-Window ntile (window_ntile_scaled machinery; the
+    * only Window left runs on the TEN-row decile table). capture =
+    * cum_pos/P and lift = pos·N/(n·P) are single IEEE divisions of exact
+    * integers, rounded 6 dp. */
+  private[graft] def evalGainsTableOf(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n.cast("double") / 80.0, lit(1.0))
+    val score = round(uniq * 0.4 + lenScore * 0.6, 6)
+    val y = (col("n_chars") >= 400).cast("long")
+    val base = docs.select(col("doc_id"), score.as("s"), y.as("y"))
+    val ranked = graft.ops.OrderedOps.globalRank(
+      base, Seq(col("s").desc, col("doc_id").asc))
+    val tot = base.agg(count(lit(1)).as("n_total"),
+      sum(col("y")).as("p_total"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", graft.ops.OrderedOps.ntileFromRank(
+        col("g_rank"), col("n_total"), 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        max(col("n_total")).as("nt"), max(col("p_total")).as("pt"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        round(col("cum_pos").cast("double") / col("pt").cast("double"), 6)
+          .as("capture_rate"),
+        round((col("n_pos") * col("nt")).cast("double") /
+          (col("n_docs") * col("pt")).cast("double"), 6).as("lift"))
+      .orderBy("decile")
+  }
+
+  private def evalGainsTable(s: SparkSession, d: String): DataFrame =
+    evalGainsTableOf(documents(s, d))
+
+  private val evalGainsTableSql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) * 0.4
+      |          + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0,
+      |                  1.0) * 0.6, 6) AS s,
+      |    CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |r AS (SELECT y, ntile(10) OVER (ORDER BY s DESC, doc_id) AS decile
+      |      FROM f),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+      |               CAST(sum(y) AS BIGINT) AS pt FROM f),
+      |dec AS (
+      |  SELECT decile, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos
+      |  FROM r GROUP BY 1)
+      |SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
+      |  round(CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+      |        / CAST(pt AS DOUBLE), 6) AS capture_rate,
+      |  round(CAST(n_pos * nt AS DOUBLE)
+      |        / CAST(n_docs * pt AS DOUBLE), 6) AS lift
+      |FROM dec, tot ORDER BY decile""".stripMargin
+
   private val evalCalibrationSql =
     """WITH scored AS (
       |  SELECT round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -1656,6 +1724,7 @@ object AuditQueries {
     "eval_auc" -> Q(evalAuc, Some(evalAucSql)),
     "eval_auc_scaled" -> Q(evalAucScaled, Some(evalAucSql)),
     "eval_pr_auc" -> Q(evalPrAuc, Some(evalPrAucSql)),
+    "eval_gains_table" -> Q(evalGainsTable, Some(evalGainsTableSql)),
     "dq_chi_square" -> Q(dqChiSquare, Some(dqChiSquareSql)),
     "corr_spearman" -> Q(corrSpearman, Some(corrSpearmanSql)),
     "corr_spearman_scaled" -> Q(corrSpearmanScaled, Some(corrSpearmanSql)),

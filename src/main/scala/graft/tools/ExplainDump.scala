@@ -89,7 +89,7 @@ object ExplainDump {
     "graph_louvain_pass", "dq_freshness", "graph_closeness",
     "sample_kcenter", "text_rake_keywords", "join_size_cms",
     "median_two_pass", "agg_weighted_percentile", "dq_key_discovery",
-    "graph_mst_boruvka")
+    "graph_mst_boruvka", "eval_gains_table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
