@@ -134,18 +134,23 @@ object Bench {
         jitWaitMs += awaitJitQuiescent()
       }
       val (gc0, jit0) = (gcMillis(), jitMillis())
-      val times = (1 to reps).map { _ =>
+      // rawTimes keeps EXECUTION ORDER (r09 verdict #7: med/min spreads up
+      // to 2.7x inside driver runs were opaque — the detail file now shows
+      // whether rep 1 or rep 3 carries the inflation, i.e. leftover warmup
+      // vs. intermittent external contention)
+      val rawTimes = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val times = rawTimes.sorted
       // true median: average the two middle elements when reps is even
       // (times(n/2) alone would report the upper of the two)
       val med =
         if (times.size % 2 == 1) times(times.size / 2)
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
       val (ccUsed, _) = codeCache()
-      (name, med, times.head,
+      (name, med, times.head, rawTimes,
         ccUsed >> 20, gcMillis() - gc0, jitMillis() - jit0, jitWaitMs)
     }
     def fmt(v: Double): String = f"$v%.3f"
@@ -162,10 +167,12 @@ object Bench {
     // The printed "queries" map carries the slowest queries that fit a
     // ~1200-char budget; "detail" points at the complete map.
     val detailPath = "BENCH_DETAIL.json"
-    val allQs = results.map { case (k, med, min, ccMb, gcMs, jitMs, jitWaitMs) =>
-      "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(min) +
-        ",\"cc_mb\":" + ccMb + ",\"gc_ms\":" + gcMs +
-        ",\"jit_ms\":" + jitMs + ",\"jit_wait_ms\":" + jitWaitMs + "}"
+    val allQs = results.map {
+      case (k, med, min, raw, ccMb, gcMs, jitMs, jitWaitMs) =>
+        "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(min) +
+          ",\"reps_s\":" + raw.map(fmt).mkString("[", ",", "]") +
+          ",\"cc_mb\":" + ccMb + ",\"gc_ms\":" + gcMs +
+          ",\"jit_ms\":" + jitMs + ",\"jit_wait_ms\":" + jitWaitMs + "}"
     }.mkString("{", ",", "}")
     val (ccEnd, ccMax) = codeCache()
     val jvmJson = s"""{"cc_used_mb":${ccEnd >> 20},"cc_max_mb":${ccMax >> 20},"gc_s":${fmt(gcMillis() / 1000.0)},"jit_s":${fmt(jitMillis() / 1000.0)}}"""
@@ -178,7 +185,7 @@ object Bench {
     val slowFirst = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
-    slowFirst.foreach { case (k, med, _, _, _, _, _) =>
+    slowFirst.foreach { case (k, med, _, _, _, _, _, _) =>
       val entryLen = k.length + fmt(med).length + 4
       if (used + entryLen <= budget) { picked += ((k, med)); used += entryLen }
     }

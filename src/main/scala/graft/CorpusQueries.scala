@@ -387,12 +387,18 @@ object CorpusQueries {
     * O(total tokens) and the join shuffles on the gram hash; per-gram
     * fan-out is |sources-containing-gram|² — df-capped by dropping grams
     * in more than 10 sources (stopword-grams carry no forensic signal;
-    * the same df-cut the PPJoin index uses). */
+    * the same df-cut the PPJoin index uses). The gram key is a PORTABLE
+    * 60-bit hash (15 md5 hex chars — the audit_checksum conv recipe) that
+    * the oracle replays verbatim, so both engines compute the SAME
+    * function: a collision merges identically on both sides instead of
+    * silently diverging from a raw-string oracle join (r09 advice; text
+    * still never shuffles — the 8-byte key does). */
   private[graft] def sourceOverlapMatrixOf(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("source"),
         explode(TrainDataQueries.gramsOf(col("text"), 8)).as("g"))
-      .select(col("source"), xxhash64(col("g")).as("gh"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       .distinct()
     val df_ = grams.groupBy("gh").agg(count(lit(1)).as("nsrc"))
       .filter(col("nsrc") <= 10)
@@ -419,14 +425,16 @@ object CorpusQueries {
       |                        i -> array_to_string(t[i:i+7], ' ')) AS grams
       |  FROM toksrc),
       |grams AS (
-      |  SELECT DISTINCT source, unnest(grams) AS g FROM gramsrc),
+      |  SELECT DISTINCT source,
+      |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS gh
+      |  FROM (SELECT source, unnest(grams) AS g FROM gramsrc)),
       |kept AS (
-      |  SELECT source, g FROM grams
-      |  WHERE g IN (SELECT g FROM grams GROUP BY g
-      |              HAVING count(*) <= 10))
+      |  SELECT source, gh FROM grams
+      |  WHERE gh IN (SELECT gh FROM grams GROUP BY gh
+      |               HAVING count(*) <= 10))
       |SELECT a.source AS src_a, b.source AS src_b,
       |  count(*) AS shared_grams
-      |FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+      |FROM kept a JOIN kept b ON a.gh = b.gh AND a.source < b.source
       |GROUP BY 1, 2
       |HAVING count(*) >= 2
       |ORDER BY shared_grams DESC, src_a, src_b""".stripMargin
@@ -1154,7 +1162,9 @@ object CorpusQueries {
   private def bpeEncode(s: SparkSession, d: String): DataFrame =
     bpeEncodeOf(documents(s, d))
 
-  private[graft] def bpeEncodeOf(docs: DataFrame): DataFrame = {
+  /** The 3-round training half: vocabulary-sized aggs, one single-row
+    * argmax collect per round — returns the learned merges in order. */
+  private[graft] def bpeTrainedMerges(docs: DataFrame): Seq[String] = {
     val rounds = 3
     var vocab = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
@@ -1180,6 +1190,28 @@ object CorpusQueries {
         .withColumn("s", trim(rep(rep(concat(lit(" "), col("s"), lit(" "))))))
         .localCheckpoint()
     }
+    merges.toSeq
+  }
+
+  private[graft] def bpeEncodeOf(docs: DataFrame): DataFrame = {
+    val merges = bpeTrainedMerges(docs)
+    // encode: one native codegen call per document (functions/BpeStats.scala)
+    // — the merge list ships as an array literal in the plan, the
+    // broadcast-dictionary shape; replaced the interpreted HOF fold that was
+    // the r09 driver bench's largest wall-time (18.3 s med → ~1 s).
+    docs
+      .select(col("doc_id"),
+        graft.functions.BpeStats(lower(col("text")), merges).as("st"))
+      .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+        col("st.n_tokens").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The original interpreted-HOF formulation, kept as the semantic
+    * reference for BpeStatsSpec's native ≡ HOF differential (the same
+    * native-expression discipline as cdc_chunks / CdcChunksSpec). */
+  private[graft] def bpeEncodeHofOf(docs: DataFrame): DataFrame = {
+    val merges = bpeTrainedMerges(docs)
     val encodeWord: Column => Column = { w =>
       val charSplit = array_join(
         transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), " ")

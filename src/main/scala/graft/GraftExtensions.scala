@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"), graft.functions.JaroWinkler.info,
       graft.functions.JaroWinkler.builder))
     ext.injectFunction((
+      FunctionIdentifier("bpe_stats"), graft.functions.BpeStats.info,
+      graft.functions.BpeStats.builder))
+    ext.injectFunction((
       FunctionIdentifier("asof_match"), graft.plans.AsOfMatch.info,
       graft.plans.AsOfMatch.builder))
     // dictionary matching over the built-in skill taxonomy: generator

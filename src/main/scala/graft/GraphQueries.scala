@@ -654,6 +654,12 @@ object GraphQueries {
   private val KCore = 2
   private val KCoreRounds = 6
 
+  /** Borůvka merge dispatch: pick-pair sets at or under this size replay the
+    * six synchronous min-label rounds driver-side (a bounded limit(cap+1)
+    * collect); larger sets run the identical rounds in-plan. Sized so the
+    * driver path tops out around a few hundred KB of pair data. */
+  private val DriverMergeCap = 4096
+
   /** `graph_kcore`: the 2-core of the strong-tie graph by iterative
     * PEELING — repeatedly drop nodes of degree < k until stable; what
     * survives is the cohesive backbone community detection starts from.
@@ -740,26 +746,41 @@ object GraphQueries {
     * clustering over a similarity graph. Determinism pins: the per-
     * component pick orders by (w, other-component, u, v) — a total order,
     * so ties cannot diverge; merging runs SIX fixed min-label rounds on
-    * the component graph (correct while the pick-forest diameter ≤ 6 —
-    * always here; the large/small-star CC operator is the guaranteed-
-    * O(log n) merge at adversarial scale, dedup_clusters). Per round:
-    * one label join onto the aggregated edge list, a component-keyed
-    * argmin window (group-bounded), and label iterations on the
-    * COMPONENT-sized graph — never fact-scale. Output: the picked edges
-    * per round plus the component count after each merge, all exact
-    * integers. */
+    * the component graph IN-PLAN (exactly the oracle's l{r}_1..6 CTEs —
+    * the two sides compute the same function by construction; a pick
+    * forest deeper than 6 would under-merge IDENTICALLY on both, and the
+    * large/small-star CC operator is the guaranteed-O(log n) merge at
+    * adversarial scale, dedup_clusters). Per round: one label join onto
+    * the aggregated edge list, a component-keyed argmin window
+    * (group-bounded), and label iterations on the COMPONENT-sized graph —
+    * never fact-scale, and NOTHING component-sized ever collects to the
+    * driver (round 1 of an MST over a 100 TB similarity graph has one
+    * component per VERTEX — a driver-side merge would be an O(|V|)
+    * collect; GraphProps runs a random differential vs a driver-side
+    * replay and BoruvkaMergeSpec drives this path at 10⁵ components).
+    * Output: the picked edges per round plus the component count after
+    * each merge, all exact integers. */
   private def mstBoruvka(s: SparkSession, d: String): DataFrame = {
     val e0 = tradeEdges(s, d)
     val und = e0.select(col("src"), col("dst"), col("w"))
       .unionAll(e0.select(col("dst"), col("src"), col("w")))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
+    boruvkaRounds(und, 2)
+  }
+
+  /** The Borůvka engine over a pre-aggregated symmetric edge list
+    * (src, dst, w): `rounds` pick+merge iterations, each merge six
+    * synchronous in-plan min-label rounds on the component graph.
+    * Exposed for GraphProps/BoruvkaMergeSpec (synthetic graphs where
+    * round-1 component count is far beyond driver-collect comfort). */
+  private[graft] def boruvkaRounds(und: DataFrame, rounds: Int): DataFrame = {
     var comp = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("c")).localCheckpoint()
     val byPick = org.apache.spark.sql.expressions.Window
       .partitionBy("ca").orderBy(col("w"), col("cb"), col("src"), col("dst"))
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- 1 to 2) {
+    for (r <- 1 to rounds) {
       val tagged = und
         .join(comp.select(col("node").as("src"), col("c").as("ca")), "src")
         .join(comp.select(col("node").as("dst"), col("c").as("cb")), "dst")
@@ -768,38 +789,62 @@ object GraphQueries {
         .filter(col("rn") === 1)
         .select(col("ca"), col("cb"), col("src"), col("dst"), col("w"))
         .localCheckpoint()
-      // merge labels DRIVER-side: the pick list is COMPONENT-bounded (one
-      // edge per component — the kmeansLloyd sync contract), so min-label
-      // fixpoint on it is a few hundred bytes of driver work where the
-      // in-plan formulation paid 6 checkpointed join rounds. The oracle
-      // replays 6 synchronous min-label rounds — identical while the
-      // pick-forest diameter ≤ 6 (always observed; a deeper forest would
-      // surface as a LOUD hash mismatch, never a silent wrong answer). At
-      // adversarial scale the merge is the large/small-star CC operator.
-      val pairArr = picks.select(col("ca"), col("cb")).distinct().collect()
+      // merge: six synchronous min-label rounds on the pick-pair graph.
+      // Components NOT in any pick pair keep their label (the in-plan left
+      // join's coalesce / the driver path's identity fallback), so the
+      // fixpoint restricted to pick-pair components is the full fixpoint.
+      // GUARDED dispatch (r09 verdict #2): probe the pick-pair count with a
+      // bounded limit(cap+1) collect — if it fits, replay the SAME six
+      // synchronous rounds driver-side (microseconds, and skips ~12 tiny
+      // shuffle stages whose fixed overhead dominates small graphs);
+      // otherwise run them IN-PLAN, the exact shape of the oracle's
+      // pp{r}/l{r}_k CTEs — component-graph-sized joins, nothing
+      // O(components) ever reaches the driver.
+      val ppLocal = picks.select(col("ca"), col("cb")).distinct()
+        .limit(DriverMergeCap + 1).collect()
         .map(p => (p.getLong(0), p.getLong(1)))
-      val lblMap = scala.collection.mutable.Map(
-        comp.select(col("c")).distinct().collect()
-          .map(r => { val c = r.getLong(0); c -> c }): _*)
-      var changed = true
-      while (changed) {
-        changed = false
-        pairArr.foreach { case (a, b) =>
-          val m = math.min(lblMap(a), lblMap(b))
-          if (lblMap(a) != m) { lblMap(a) = m; changed = true }
-          if (lblMap(b) != m) { lblMap(b) = m; changed = true }
+      comp = if (ppLocal.length <= DriverMergeCap) {
+        val sym = (ppLocal ++ ppLocal.map(p => (p._2, p._1))).distinct
+        var lblM: Map[Long, Long] =
+          sym.map(_._1).distinct.map(c => c -> c).toMap
+        for (_ <- 1 to 6) {
+          val m = sym.groupBy(_._1)
+            .map { case (ca, ps) => ca -> ps.map(p => lblM(p._2)).min }
+          lblM = lblM.map { case (cid, l) =>
+            cid -> math.min(l, m.getOrElse(cid, l)) }
         }
+        val sSess = comp.sparkSession
+        import sSess.implicits._
+        val changed = lblM.filter { case (cid, l) => l != cid }.toSeq
+        comp.join(broadcast(changed.toDF("cid", "lbl")),
+            col("c") === col("cid"), "left")
+          .select(col("node"), coalesce(col("lbl"), col("c")).as("c"))
+          .localCheckpoint()
+      } else {
+        val pp = picks.select(col("ca"), col("cb"))
+          .unionAll(picks.select(col("cb").as("ca"), col("ca").as("cb")))
+          .distinct().localCheckpoint()
+        var lbl = comp.select(col("c")).distinct()
+          .select(col("c").as("cid"), col("c").as("lbl"))
+        for (_ <- 1 to 6) {
+          val m = pp.join(lbl.select(col("cid").as("cb"), col("lbl")), "cb")
+            .groupBy("ca").agg(min("lbl").as("nl"))
+          lbl = lbl
+            .join(m.select(col("ca").as("cid"), col("nl")), Seq("cid"), "left")
+            .select(col("cid"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        }
+        lbl = lbl.localCheckpoint()
+        comp.join(lbl.select(col("cid").as("c"), col("lbl")), "c")
+          .select(col("node"), col("lbl").as("c")).localCheckpoint()
       }
-      val sSess = comp.sparkSession
-      import sSess.implicits._
-      val lblDf = lblMap.toSeq.toDF("cid", "lbl")
-      comp = comp.join(broadcast(lblDf), col("c") === col("cid"))
-        .select(col("node"), col("lbl").as("c")).localCheckpoint()
-      val nComp = lblMap.values.toSet.size.toLong
+      // the after-merge component count is a one-row distinct aggregate on
+      // the label column — broadcast-joined onto the picks, never collected
+      val nc = comp.select(countDistinct(col("c")).as("n_components_after"))
       out += picks.select(lit(r).as("round"),
         least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"), col("w"),
-        lit(nComp).as("n_components_after")).distinct()
+        greatest(col("src"), col("dst")).as("v"), col("w")).distinct()
+        .crossJoin(broadcast(nc))
     }
     out.reduce(_ unionAll _).orderBy("round", "u", "v")
   }

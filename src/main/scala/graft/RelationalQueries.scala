@@ -1152,37 +1152,47 @@ object RelationalQueries {
     * hash-verifies: exact size, estimate, the one-sided guarantee
     * est ≥ exact (collisions only ADD mass), and the measured bound
     * est − exact ≤ ⌈ε·N_A·N_B⌉ with ε = e/width (width 8192 keeps the
-    * cross-collision mass ~N_A·N_B/w well under the signal). Shape: per side one
-    * 4-way posexplode into a (depth,bucket)-keyed agg (32 K cells,
-    * map-side combined), a cell-aligned join of two 32 K-row tables, and
-    * a 4-row rollup — the fact scans never meet. */
+    * cross-collision mass ~N_A·N_B/w well under the signal). Shape: per
+    * side ONE fact scan into a (key, count) map-side-combined pre-reduce
+    * that feeds all three consumers (sketch, exact join, row totals) —
+    * by CMS linearity (counters are plain sums) the count-weighted sketch
+    * is IDENTICAL to the per-row build while the md5 cost drops from fact
+    * rows to distinct keys; then a 4-way posexplode into a
+    * (depth,bucket)-keyed agg (32 K cells), a cell-aligned join of two
+    * 32 K-row tables, and a 4-row rollup — the fact scans never meet. */
   private def joinSizeCms(s: SparkSession, d: String): DataFrame = {
     val depths = 4
     val width = 8192L
-    // ONE md5 per row: its 32 hex chars split into four disjoint 8-char
+    // (key, count) pre-reduce, localCheckpointed once per side for its
+    // three consumers (r09 verdict #4: the per-row build paid 4 portable
+    // md5s per FACT row — scan-bound 14.0x at the 20x probe)
+    def keyCounts(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("kcnt"))
+        .localCheckpoint()
+    // ONE md5 per key: its 32 hex chars split into four disjoint 8-char
     // slices = four independent 32-bit hashes (row 1.10 of the md5 layout)
     // — 4x less hashing than salting the key per depth, same estimate
     // guarantees. Production would use xxhash64 seeds; md5 is the portable
     // hash the oracle can replay.
-    def cms(df: DataFrame, key: String): DataFrame = {
-      val h = md5(col(key).cast("string"))
+    def cms(kc: DataFrame): DataFrame = {
+      val h = md5(col("k").cast("string"))
       val buckets = array((0 until depths).map { dep =>
         conv(substring(h, 1 + 8 * dep, 8), 16, 10).cast("long") % width
       }: _*)
-      df.select(posexplode(buckets).as(Seq("depth", "b")))
-        .groupBy("depth", "b").agg(count(lit(1)).as("cnt"))
+      kc.select(col("kcnt"), posexplode(buckets).as(Seq("depth", "b")))
+        .groupBy("depth", "b").agg(sum(col("kcnt")).as("cnt"))
     }
-    val a = lineitem(s, d).select(col("l_orderkey").as("k"))
-    val b = orders(s, d).select(col("o_orderkey").as("k"))
-    val est = cms(a, "k").withColumnRenamed("cnt", "ca")
-      .join(cms(b, "k").withColumnRenamed("cnt", "cb"), Seq("depth", "b"))
+    val ka = keyCounts(lineitem(s, d), "l_orderkey")
+    val kb = keyCounts(orders(s, d), "o_orderkey")
+    val est = cms(ka).withColumnRenamed("cnt", "ca")
+      .join(cms(kb).withColumnRenamed("cnt", "cb"), Seq("depth", "b"))
       .groupBy("depth").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est_size"))
-    val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
-      .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+    val exact = ka.select(col("k"), col("kcnt").as("ca"))
+      .join(kb.select(col("k"), col("kcnt").as("cb")), "k")
       .agg(sum(col("ca") * col("cb")).as("exact_size"))
-    val ns = a.agg(count(lit(1)).as("na"))
-      .crossJoin(b.agg(count(lit(1)).as("nb")))
+    val ns = ka.agg(sum(col("kcnt")).as("na"))
+      .crossJoin(kb.agg(sum(col("kcnt")).as("nb")))
     exact.crossJoin(broadcast(est)).crossJoin(broadcast(ns))
       .select(col("exact_size"), col("est_size"),
         (col("est_size") >= col("exact_size")).as("ge_exact"),
@@ -2825,9 +2835,12 @@ object RelationalQueries {
     * because ReusedExchange needs canonical identity), takes the
     * single-row total, and broadcasts it back as a cross-join threshold
     * filter. Fact cost: ONE scan, one partkey shuffle — the textbook form
-    * pays two of each. Value sums are exact DECIMAL; the threshold compare
-    * casts to double on both engines (identical rationals → identical
-    * float64 → identical compare). */
+    * pays two of each. Value sums ride exact DECIMAL(18,4) through BOTH
+    * aggregation levels and the threshold compares CROSS-MULTIPLIED
+    * (`1000 · part > total` ⟺ `part > total · 0.001` — the q17/q22
+    * pattern), so no order-dependent float accumulation can flip a
+    * boundary part between runs or engines; the double cast happens once
+    * per row at output. */
   private def tpchQ11(s: SparkSession, d: String): DataFrame = {
     val one = new java.math.BigDecimal("1.00")
     val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -
@@ -2843,13 +2856,16 @@ object RelationalQueries {
       .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
-      .agg(sum(rev).cast("double").as("part_value"))
+      // bounded (18,4) keeps the *1000 cross-multiply inside DECIMAL
+      // headroom on both engines; the cast is exact (scale-4 sums)
+      .agg(sum(rev).cast("decimal(18,4)").as("pv_dec"))
       .localCheckpoint()
-    val total = perPart.agg(sum(col("part_value")).as("total_value"))
+    val total = perPart.agg(sum(col("pv_dec")).as("tv_dec"))
     perPart
       .join(broadcast(total))
-      .filter(col("part_value") > col("total_value") * lit(0.001))
-      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+      .filter(col("pv_dec") * lit(1000).cast("decimal(4,0)") > col("tv_dec"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("pv_dec").cast("double").as("part_value"))
       .orderBy(col("part_value").desc, col("p_partkey"))
   }
 
@@ -2858,16 +2874,16 @@ object RelationalQueries {
       |  SELECT l_partkey,
       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
       |      * (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-      |      AS DOUBLE) AS part_value
+      |      AS DECIMAL(18,4)) AS pv_dec
       |  FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'ASIA'
       |  GROUP BY 1)
-      |SELECT l_partkey AS p_partkey, part_value
+      |SELECT l_partkey AS p_partkey, CAST(pv_dec AS DOUBLE) AS part_value
       |FROM value
-      |WHERE part_value > (SELECT SUM(part_value) FROM value) * 0.001
+      |WHERE pv_dec * CAST(1000 AS DECIMAL(4,0)) > (SELECT SUM(pv_dec) FROM value)
       |ORDER BY part_value DESC, p_partkey""".stripMargin
 
   /** `tpch_q16`: the supplier-count-by-part-attributes flagship, adapted —
@@ -2992,7 +3008,7 @@ object RelationalQueries {
     * aggregates over ONE pass — the textbook's correlated subquery
     * re-reads the fact per supplier; the qualifying-supplier set is
     * supplier-cardinality and broadcast-semi-joins the dim. Quantity sums
-    * ride exact DECIMAL; the 30% threshold compares in float64 once. */
+    * ride exact DECIMAL; the 17% threshold compares in float64 once. */
   private def tpchQ20(s: SparkSession, d: String): DataFrame = {
     val redParts = part(s, d).filter(col("p_name").startsWith("red"))
       .select("p_partkey")

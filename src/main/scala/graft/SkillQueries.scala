@@ -111,7 +111,16 @@ object SkillQueries {
 
   // ---- flagship v2: the REAL reference dictionary --------------------------
 
-  private def sqlEsc(x: String): String = x.replace("'", "''")
+  /** DuckDB single-quoted-literal escaping: the ONLY escape in that dialect
+    * is the doubled quote ('' → '); backslashes are literal characters.
+    * SqlLiteralProps pins the round-trip on adversarial input. */
+  private[graft] def sqlEsc(x: String): String = x.replace("'", "''")
+
+  /** Regex-metachar escaping in the Java∩RE2 common dialect (the oracle's
+    * regexp_matches runs RE2; Spark-side matching runs java.util.regex).
+    * SqlLiteralProps pins literal-match behavior on adversarial terms. */
+  private[graft] def regexLit(t: String): String =
+    t.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
 
   /** The full 348-term taxonomy as a VALUES list — generated from the SAME
     * Seq the Spark query uses, so dict and oracle can never drift. */
@@ -125,8 +134,7 @@ object SkillQueries {
     * pattern string sidesteps SQL-dialect escape differences. */
   private def refMultiPatterns: String =
     ReferenceTaxonomy.allTerms.filter(_.contains(" ")).map { t =>
-      val escaped = t.replaceAll("([.*+?^${}()|\\[\\]\\\\])", "\\\\$1")
-      s"('${sqlEsc(t)}', '${sqlEsc("\\b" + escaped + "\\b")}')"
+      s"('${sqlEsc(t)}', '${sqlEsc("\\b" + regexLit(t) + "\\b")}')"
     }.mkString(", ")
 
   /** skill_category_counts over the reference's REAL 16-category / 348-term

@@ -120,6 +120,12 @@ object Tables {
         graft.functions.PolyGrams.info,
         graft.functions.PolyGrams.builder)
     }
+    registerIfAbsent("bpe_stats") {
+      reg.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_stats"),
+        graft.functions.BpeStats.info,
+        graft.functions.BpeStats.builder)
+    }
     registerIfAbsent("cdc_chunks") {
       reg.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),

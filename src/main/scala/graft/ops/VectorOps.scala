@@ -464,9 +464,14 @@ object VectorOps {
       (Array.fill(nPairs)(0L), Array.fill(dim)(0L), 0L)
     def reduce(b: (Array[Long], Array[Long], Long), a: Seq[Float])
         : (Array[Long], Array[Long], Long) = {
+      // fixed-dim contract, checked loudly: the HOF spec formulation uses
+      // the ACTUAL array length, so a silent pad/truncate here would let a
+      // malformed row diverge agg-vs-spec without failing (r09 advice)
+      require(a.length == dim,
+        s"GramAgg: embedding length ${a.length} != configured dim $dim")
       val v = new Array[Double](dim)
       var i = 0
-      while (i < dim && i < a.length) { v(i) = a(i).toDouble; i += 1 }
+      while (i < dim) { v(i) = a(i).toDouble; i += 1 }
       var k = 0
       i = 0
       while (i < dim) {

@@ -1,0 +1,33 @@
+package graft
+
+/** The r09 verdict's scale hole: the Borůvka component merge used to collect
+  * the pick pairs AND every component label to the driver — O(|V|) in round
+  * 1 of a real MST, where every vertex is its own component. This spec
+  * drives the rewritten in-plan merge at 10⁵ round-1 components (a path
+  * graph, the worst single-linkage shape) and checks it against the
+  * driver-side replay. */
+class BoruvkaMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("10^5-component forest: in-plan merge, no O(components) collect") {
+    val n = 100000
+    // path graph with alternating weights 1,2: round-1 picks are exactly
+    // the weight-1 edges (2k, 2k+1) — n/2 two-node stars
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1, 1L + i % 2))
+    val und = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+      .toDF("src", "dst", "w")
+    val got = GraphQueries.boruvkaRounds(und, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    val r1 = got.filter(_._1 == 1)
+    assert(r1.size == n / 2, s"round-1 picks: ${r1.size}")
+    assert(r1.forall(_._5 == n / 2), "round-1 component count")
+    assert(r1.forall(p => p._3 == p._2 + 1 && p._4 == 1L && p._2 % 2 == 0),
+      "round-1 picks must be the weight-1 edges")
+    // round 2 (pick graph is a PATH of n/2 supernodes — the deep-merge
+    // shape): must equal the driver replay of the same six synchronous
+    // min-label rounds
+    val expected = BoruvkaReference.rounds(edges, 2)
+    assert(got == expected, "full two-round output must match the replay")
+  }
+}

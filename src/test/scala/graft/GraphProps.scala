@@ -92,4 +92,65 @@ object GraphProps extends Properties("graft.graph") {
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       got == expected
     }
+
+  private val wEdgeGen: Gen[(Long, Long, Long)] = for {
+    a <- Gen.choose(0L, 15L)
+    b <- Gen.choose(0L, 15L)
+    w <- Gen.choose(1L, 5L)
+  } yield (a, b, w)
+
+  property("boruvkaRounds (in-plan merge) equals driver-side replay on " +
+      "random weighted graphs") =
+    forAll(Gen.listOfN(20, wEdgeGen)) { edges =>
+      val clean = edges.filter(e => e._1 != e._2)
+      clean.isEmpty || {
+        val expected = BoruvkaReference.rounds(clean, 2)
+        val und = clean.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+          .groupBy(e => (e._1, e._2))
+          .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+        val got = GraphQueries.boruvkaRounds(und.toDF("src", "dst", "w"), 2)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq.sorted
+        got == expected
+      }
+    }
+}
+
+/** Driver-side replay of boruvkaRounds — including the SAME six synchronous
+  * min-label merge rounds (NOT a full union-find fixpoint: a pick forest
+  * deeper than 6 under-merges identically in the query, the oracle, and
+  * here — the three formulations compute the same function by
+  * construction). Shared by GraphProps and BoruvkaMergeSpec. */
+private[graft] object BoruvkaReference {
+  def rounds(edges: Seq[(Long, Long, Long)],
+      nRounds: Int): Seq[(Int, Long, Long, Long, Long)] = {
+    val und = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    var comp: Map[Long, Long] = und.map(_._1).distinct.map(n => n -> n).toMap
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    for (r <- 1 to nRounds) {
+      val tagged = und
+        .map { case (s, d, w) => (comp(s), comp(d), s, d, w) }
+        .filter(t => t._1 != t._2)
+      val picks = tagged.groupBy(_._1).map { case (_, ts) =>
+        ts.minBy(t => (t._5, t._2, t._3, t._4)) }.toSeq
+      val pp = picks.flatMap(p => Seq((p._1, p._2), (p._2, p._1))).distinct
+      var lbl: Map[Long, Long] = comp.values.toSet.map((c: Long) => c -> c).toMap
+      for (_ <- 1 to 6) {
+        val m = pp.groupBy(_._1)
+          .map { case (ca, ps) => ca -> ps.map(p => lbl(p._2)).min }
+        lbl = lbl.map { case (cid, l) => cid -> math.min(l, m.getOrElse(cid, l)) }
+      }
+      comp = comp.map { case (n, c) => n -> lbl(c) }
+      val nc = lbl.values.toSet.size.toLong
+      out ++= picks
+        .map(p => (r, math.min(p._3, p._4), math.max(p._3, p._4), p._5, nc))
+        .distinct
+    }
+    out.toSeq.sorted
+  }
 }

@@ -218,9 +218,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("join_size_cms: sketch cells combine map-side; the fact scans never join raw") {
+    // r10 shape: each side pre-reduces to (key, count) ONCE during build
+    // (localCheckpointed — the fact scan and its partial_count live behind
+    // the checkpoint, the documented builder-gotcha), so the EXPOSED plan
+    // is all count-weighted cell aggs over the checkpointed key tables
     val p = finalPlan(q("join_size_cms"))
-    assert(p.contains("partial_count"),
-      s"every cell/count agg must have a map-side partial stage:\n$p")
+    assert(p.contains("partial_sum"),
+      s"every cell agg must have a map-side partial stage:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"inputs must be the checkpointed (key,count) pre-reduces:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"only broadcast one-row combines, no cartesian:\n$p")
     // every join input is an aggregate (cells / keyed counts / one-row
