@@ -91,6 +91,25 @@ class BpeStatsSpec extends SparkSpec {
     assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
   }
 
+  test("randomized fuzz: native ≡ HOF over 60 random corpora and merge lists") {
+    // deterministic seed — reproducible failures; alphabet skews small so
+    // merges actually fire, with unicode mixed in
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aab bccd  e\tf😀世é'"
+    def randWord(): String =
+      (1 to (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 60).foreach { round =>
+      val texts = (1 to (1 + rnd.nextInt(4)))
+        .map(_ => (1 to (1 + rnd.nextInt(12))).map(_ => randWord()).mkString(" "))
+      val merges = (1 to rnd.nextInt(4)).map { _ =>
+        val a = alphabet(rnd.nextInt(alphabet.length))
+        val b = alphabet(rnd.nextInt(alphabet.length))
+        s"$a $b"
+      }.filterNot(m => m.contains("  ") || m.startsWith(" ") || m.endsWith(" "))
+      compare(texts, merges)
+    }
+  }
+
   test("full bpe_encode query: native registry entry ≡ HOF twin on sf0.001") {
     val docs = Tables.documents(spark, sfDir)
     val native = CorpusQueries.bpeEncodeOf(docs).collect()
