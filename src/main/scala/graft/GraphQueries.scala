@@ -773,8 +773,13 @@ object GraphQueries {
     * (src, dst, w): `rounds` pick+merge iterations, each merge six
     * synchronous in-plan min-label rounds on the component graph.
     * Exposed for GraphProps/BoruvkaMergeSpec (synthetic graphs where
-    * round-1 component count is far beyond driver-collect comfort). */
-  private[graft] def boruvkaRounds(und: DataFrame, rounds: Int): DataFrame = {
+    * round-1 component count is far beyond driver-collect comfort).
+    * `mergeCap` overrides the dispatch threshold so tests can run BOTH
+    * merge paths on the SAME graph and assert equality — the two paths
+    * compute the same function by construction, and BoruvkaMergeSpec
+    * pins it. */
+  private[graft] def boruvkaRounds(und: DataFrame, rounds: Int,
+      mergeCap: Int = DriverMergeCap): DataFrame = {
     var comp = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("c")).localCheckpoint()
     val byPick = org.apache.spark.sql.expressions.Window
@@ -801,9 +806,9 @@ object GraphQueries {
       // pp{r}/l{r}_k CTEs — component-graph-sized joins, nothing
       // O(components) ever reaches the driver.
       val ppLocal = picks.select(col("ca"), col("cb")).distinct()
-        .limit(DriverMergeCap + 1).collect()
+        .limit(mergeCap + 1).collect()
         .map(p => (p.getLong(0), p.getLong(1)))
-      comp = if (ppLocal.length <= DriverMergeCap) {
+      comp = if (ppLocal.length <= mergeCap) {
         val sym = (ppLocal ++ ppLocal.map(p => (p._2, p._1))).distinct
         var lblM: Map[Long, Long] =
           sym.map(_._1).distinct.map(c => c -> c).toMap

@@ -30,4 +30,28 @@ class BoruvkaMergeSpec extends SparkSpec {
     val expected = BoruvkaReference.rounds(edges, 2)
     assert(got == expected, "full two-round output must match the replay")
   }
+
+  test("guard boundary: driver replay ≡ in-plan merge on the SAME graph") {
+    // a weighted graph big enough that the merge does real work, run once
+    // with the cap forcing the driver path (mergeCap = 1e6) and once
+    // forcing the in-plan path (mergeCap = 0) — byte-identical output pins
+    // the dispatch as a pure perf choice, never a semantic one
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong,
+        1L + rnd.nextInt(9)) }.filter(e => e._1 != e._2)
+    val und = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+      .toDF("src", "dst", "w")
+    def run(cap: Int) =
+      GraphQueries.boruvkaRounds(und, 2, mergeCap = cap).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq.sorted
+    val driverPath = run(1000000)
+    val inPlanPath = run(0)
+    assert(driverPath.nonEmpty)
+    assert(driverPath == inPlanPath,
+      "the two merge paths must compute the identical function")
+  }
 }
