@@ -66,6 +66,20 @@ def main():
     tot_n = sum(t for q, t in new.items() if q in base)
     print(f"total (shared queries): {tot_b:.1f}s -> {tot_n:.1f}s; "
           f"{len(regressions)} regression(s) at >{THRESHOLD}x + >{ABS_FLOOR}s")
+    # Drift-signature aid (BENCH_HISTORY r09b/c/e/f, r10b): machine drift
+    # moves unchanged queries in BOTH directions between runs. Count the
+    # softer >1.3x movers each way so the adjudicator sees the signature in
+    # the gate output itself; flags still require the isolated-ProbeQ +
+    # git-diff protocol before any fix is filed.
+    up = sum(1 for q, t in new.items()
+             if q in base and t > 1.3 * base[q] and t - base[q] > 0.1)
+    down = sum(1 for q, t in new.items()
+               if q in base and base[q] > 1.3 * t and base[q] - t > 0.1)
+    if regressions:
+        print(f"drift check: {up} quer{'y' if up == 1 else 'ies'} up >1.3x, "
+              f"{down} down >1.3x — both-directions movement with unchanged "
+              f"code suggests machine drift (adjudicate: isolated ProbeQ + "
+              f"git diff per flagged query)")
     return 1 if regressions else 0
 
 
