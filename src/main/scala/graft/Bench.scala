@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** The JIT-quiescence protocol shared by Bench's timed reps and ProbeQ's
+  * isolated adjudication readings — ONE implementation so the two can
+  * never drift apart (a protocol tune applied to only one of them would
+  * silently desynchronize the adjudication instrument from the numbers it
+  * adjudicates). */
+private[graft] object JitQuiesce {
+  def jitMillis(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime else -1L
+  }
+
+  /** Sleep until the compiler goes quiet (compilation-time delta < 15 ms
+    * over a 100 ms window; capped). Returns waited ms — spent only while
+    * the JIT is actually active, and always OUTSIDE timed regions. */
+  def await(capMs: Long = 3000L): Long = {
+    val start = System.nanoTime()
+    var prev = jitMillis()
+    if (prev < 0) return 0L // not monitorable on this JVM
+    var waited = 0L
+    var quiet = false
+    while (!quiet && waited < capMs) {
+      Thread.sleep(100)
+      waited = (System.nanoTime() - start) / 1000000L
+      val now = jitMillis()
+      quiet = now - prev < 15
+      prev = now
+    }
+    waited
+  }
+}
+
 /** Driver-run benchmark: every registered query timed at the given scale
   * factor; one JSON line on stdout. A small untimed warmup first so JVM/
   * codegen/datasource initialization isn't attributed to whichever query
@@ -91,11 +123,7 @@ object Bench {
     }
     def gcMillis(): Long = ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
-    def jitMillis(): Long = {
-      val c = ManagementFactory.getCompilationMXBean
-      if (c != null && c.isCompilationTimeMonitoringSupported)
-        c.getTotalCompilationTime else -1L
-    }
+    def jitMillis(): Long = JitQuiesce.jitMillis()
     // r09 mitigation: the r08 counters proved the code cache never fills
     // (146 MB / 1 GB) but 490 s of cumulative JIT thread time still ran
     // CONCURRENTLY with timed reps (e.g. 19.7 s of JIT inside a 4.4 s
@@ -105,21 +133,8 @@ object Bench {
     // 100 ms window; capped) before starting the timed reps. The wait is
     // outside the timed region and only spends time while the JIT is
     // actually active; per-query waited ms is recorded as jit_wait_ms.
-    def awaitJitQuiescent(capMs: Long = 3000L): Long = {
-      val start = System.nanoTime()
-      var prev = jitMillis()
-      if (prev < 0) return 0L // not monitorable on this JVM
-      var waited = 0L
-      var quiet = false
-      while (!quiet && waited < capMs) {
-        Thread.sleep(100)
-        waited = (System.nanoTime() - start) / 1000000L
-        val now = jitMillis()
-        quiet = now - prev < 15
-        prev = now
-      }
-      waited
-    }
+    // Protocol lives in JitQuiesce (shared with ProbeQ — see its scaladoc).
+    def awaitJitQuiescent(): Long = JitQuiesce.await()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       resetState()
       val jitBeforeWarm = jitMillis()

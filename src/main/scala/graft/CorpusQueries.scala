@@ -1210,8 +1210,14 @@ object CorpusQueries {
   /** The original interpreted-HOF formulation, kept as the semantic
     * reference for BpeStatsSpec's native ≡ HOF differential (the same
     * native-expression discipline as cdc_chunks / CdcChunksSpec). */
-  private[graft] def bpeEncodeHofOf(docs: DataFrame): DataFrame = {
-    val merges = bpeTrainedMerges(docs)
+  private[graft] def bpeEncodeHofOf(docs: DataFrame): DataFrame =
+    bpeHofStatsOf(docs, bpeTrainedMerges(docs)).orderBy("doc_id")
+
+  /** The HOF encode half with an explicit merge list — THE single
+    * definition of the reference semantics; BpeStatsSpec differentials run
+    * against this (not a copy) so spec and reference cannot drift. */
+  private[graft] def bpeHofStatsOf(docs: DataFrame,
+      merges: Seq[String]): DataFrame = {
     val encodeWord: Column => Column = { w =>
       val charSplit = array_join(
         transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), " ")
@@ -1230,7 +1236,6 @@ object CorpusQueries {
         aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
         aggregate(col("ws"), lit(0L),
           (acc, w) => acc + encodeWord(w).cast("long")).as("n_tokens"))
-      .orderBy("doc_id")
   }
 
   /** Re-train (v0..t3, the bpe_train_n chain) then re-encode every word —

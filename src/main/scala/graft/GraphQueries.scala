@@ -655,10 +655,16 @@ object GraphQueries {
   private val KCoreRounds = 6
 
   /** Borůvka merge dispatch: pick-pair sets at or under this size replay the
-    * six synchronous min-label rounds driver-side (a bounded limit(cap+1)
+    * synchronous min-label rounds driver-side (a bounded limit(cap+1)
     * collect); larger sets run the identical rounds in-plan. Sized so the
     * driver path tops out around a few hundred KB of pair data. */
   private val DriverMergeCap = 4096
+
+  /** Convergence cap for the Borůvka min-label merge: a pick forest whose
+    * label fixpoint needs more rounds than this throws loudly (the kcore
+    * discipline) instead of looping — at that diameter the right merge is
+    * the large/small-star CC operator (dedup_clusters). */
+  private val MaxLabelRounds = 48
 
   /** `graph_kcore`: the 2-core of the strong-tie graph by iterative
     * PEELING — repeatedly drop nodes of degree < k until stable; what
@@ -745,21 +751,24 @@ object GraphQueries {
     * O(log n) rounds to completion) and the backbone of single-linkage
     * clustering over a similarity graph. Determinism pins: the per-
     * component pick orders by (w, other-component, u, v) — a total order,
-    * so ties cannot diverge; merging runs SIX fixed min-label rounds on
-    * the component graph IN-PLAN (exactly the oracle's l{r}_1..6 CTEs —
-    * the two sides compute the same function by construction; a pick
-    * forest deeper than 6 would under-merge IDENTICALLY on both, and the
-    * large/small-star CC operator is the guaranteed-O(log n) merge at
-    * adversarial scale, dedup_clusters). Per round: one label join onto
-    * the aggregated edge list, a component-keyed argmin window
-    * (group-bounded), and label iterations on the COMPONENT-sized graph —
-    * never fact-scale, and NOTHING component-sized ever collects to the
-    * driver (round 1 of an MST over a 100 TB similarity graph has one
-    * component per VERTEX — a driver-side merge would be an O(|V|)
-    * collect; GraphProps runs a random differential vs a driver-side
-    * replay and BoruvkaMergeSpec drives this path at 10⁵ components).
-    * Output: the picked edges per round plus the component count after
-    * each merge, all exact integers. */
+    * so ties cannot diverge; merging runs synchronous min-label rounds on
+    * the component graph TO CONVERGENCE with a loud 48-round cap (the
+    * kcore discipline). The oracle replays 6 FIXED rounds — identical
+    * whenever the fixpoint lands within 6 (always on this graph;
+    * post-convergence rounds are no-ops), while a 7..48-diameter pick
+    * forest surfaces as a LOUD hash mismatch and a deeper one throws —
+    * never a silent under-merge; the large/small-star CC operator is the
+    * guaranteed-O(log n) merge at adversarial diameter (dedup_clusters).
+    * Per round: one label join onto the aggregated edge list, a
+    * component-keyed argmin window (group-bounded), and label iterations
+    * on the COMPONENT-sized graph — never fact-scale, and NOTHING
+    * component-sized ever collects to the driver (round 1 of an MST over
+    * a 100 TB similarity graph has one component per VERTEX — a
+    * driver-side merge would be an O(|V|) collect; GraphProps runs a
+    * random differential vs a driver-side replay and BoruvkaMergeSpec
+    * drives this path at 10⁵ components). Output: the picked edges per
+    * round plus the component count after each merge, all exact
+    * integers. */
   private def mstBoruvka(s: SparkSession, d: String): DataFrame = {
     val e0 = tradeEdges(s, d)
     val und = e0.select(col("src"), col("dst"), col("w"))
@@ -770,8 +779,9 @@ object GraphQueries {
   }
 
   /** The Borůvka engine over a pre-aggregated symmetric edge list
-    * (src, dst, w): `rounds` pick+merge iterations, each merge six
-    * synchronous in-plan min-label rounds on the component graph.
+    * (src, dst, w): `rounds` pick+merge iterations, each merge a
+    * converge-or-throw synchronous min-label fixpoint on the component
+    * graph.
     * Exposed for GraphProps/BoruvkaMergeSpec (synthetic graphs where
     * round-1 component count is far beyond driver-collect comfort).
     * `mergeCap` overrides the dispatch threshold so tests can run BOTH
@@ -794,17 +804,22 @@ object GraphQueries {
         .filter(col("rn") === 1)
         .select(col("ca"), col("cb"), col("src"), col("dst"), col("w"))
         .localCheckpoint()
-      // merge: six synchronous min-label rounds on the pick-pair graph.
-      // Components NOT in any pick pair keep their label (the in-plan left
-      // join's coalesce / the driver path's identity fallback), so the
-      // fixpoint restricted to pick-pair components is the full fixpoint.
+      // merge: synchronous min-label rounds on the pick-pair graph, run TO
+      // CONVERGENCE with a loud cap (the kcore discipline). The oracle
+      // replays 6 FIXED rounds — identical once the fixpoint lands within
+      // 6 (post-convergence rounds are no-ops), while a 7..48-diameter
+      // pick forest diverges from the oracle as a LOUD hash mismatch and
+      // a deeper one throws here — never a silent under-merge. Components
+      // NOT in any pick pair keep their label (the in-plan left join's
+      // coalesce / the driver path's identity fallback), so the fixpoint
+      // restricted to pick-pair components is the full fixpoint.
       // GUARDED dispatch (r09 verdict #2): probe the pick-pair count with a
-      // bounded limit(cap+1) collect — if it fits, replay the SAME six
-      // synchronous rounds driver-side (microseconds, and skips ~12 tiny
-      // shuffle stages whose fixed overhead dominates small graphs);
-      // otherwise run them IN-PLAN, the exact shape of the oracle's
-      // pp{r}/l{r}_k CTEs — component-graph-sized joins, nothing
-      // O(components) ever reaches the driver.
+      // bounded limit(cap+1) collect — if it fits, replay the SAME rounds
+      // driver-side (microseconds, and skips the tiny shuffle stages whose
+      // fixed overhead dominates small graphs); otherwise run them
+      // IN-PLAN, the shape of the oracle's pp{r}/l{r}_k CTEs —
+      // component-graph-sized joins, nothing O(components) ever reaches
+      // the driver.
       val ppLocal = picks.select(col("ca"), col("cb")).distinct()
         .limit(mergeCap + 1).collect()
         .map(p => (p.getLong(0), p.getLong(1)))
@@ -812,16 +827,25 @@ object GraphQueries {
         val sym = (ppLocal ++ ppLocal.map(p => (p._2, p._1))).distinct
         var lblM: Map[Long, Long] =
           sym.map(_._1).distinct.map(c => c -> c).toMap
-        for (_ <- 1 to 6) {
+        var changed = sym.nonEmpty
+        var rnds = 0
+        while (changed && rnds < MaxLabelRounds) {
           val m = sym.groupBy(_._1)
             .map { case (ca, ps) => ca -> ps.map(p => lblM(p._2)).min }
-          lblM = lblM.map { case (cid, l) =>
+          val next = lblM.map { case (cid, l) =>
             cid -> math.min(l, m.getOrElse(cid, l)) }
+          changed = next != lblM
+          lblM = next
+          rnds += 1
         }
+        if (changed) throw new IllegalStateException(
+          s"boruvka merge did not converge in $MaxLabelRounds label rounds " +
+            "(pick-forest diameter pathological) — merge with the " +
+            "large/small-star CC operator (dedup_clusters) instead")
         val sSess = comp.sparkSession
         import sSess.implicits._
-        val changed = lblM.filter { case (cid, l) => l != cid }.toSeq
-        comp.join(broadcast(changed.toDF("cid", "lbl")),
+        val moved = lblM.filter { case (cid, l) => l != cid }.toSeq
+        comp.join(broadcast(moved.toDF("cid", "lbl")),
             col("c") === col("cid"), "left")
           .select(col("node"), coalesce(col("lbl"), col("c")).as("c"))
           .localCheckpoint()
@@ -831,15 +855,26 @@ object GraphQueries {
           .distinct().localCheckpoint()
         var lbl = comp.select(col("c")).distinct()
           .select(col("c").as("cid"), col("c").as("lbl"))
-        for (_ <- 1 to 6) {
+        var changed = true
+        var rnds = 0
+        while (changed && rnds < MaxLabelRounds) {
           val m = pp.join(lbl.select(col("cid").as("cb"), col("lbl")), "cb")
             .groupBy("ca").agg(min("lbl").as("nl"))
-          lbl = lbl
+          // checkpoint the joined frame once so the convergence count and
+          // the next label frame share one computation
+          val joined = lbl
             .join(m.select(col("ca").as("cid"), col("nl")), Seq("cid"), "left")
-            .select(col("cid"),
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+            .select(col("cid"), col("lbl"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nl2"))
+            .localCheckpoint()
+          changed = joined.filter(col("nl2") < col("lbl")).limit(1).count() > 0
+          lbl = joined.select(col("cid"), col("nl2").as("lbl"))
+          rnds += 1
         }
-        lbl = lbl.localCheckpoint()
+        if (changed) throw new IllegalStateException(
+          s"boruvka merge did not converge in $MaxLabelRounds label rounds " +
+            "(pick-forest diameter pathological) — merge with the " +
+            "large/small-star CC operator (dedup_clusters) instead")
         comp.join(lbl.select(col("cid").as("c"), col("lbl")), "c")
           .select(col("node"), col("lbl").as("c")).localCheckpoint()
       }

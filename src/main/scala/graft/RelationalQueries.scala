@@ -2840,7 +2840,12 @@ object RelationalQueries {
     * (`1000 · part > total` ⟺ `part > total · 0.001` — the q17/q22
     * pattern), so no order-dependent float accumulation can flip a
     * boundary part between runs or engines; the double cast happens once
-    * per row at output. */
+    * per row at output. Note the fixed 0.1% fraction thins as the catalog
+    * grows (49 parts qualify at sf0.01, none at sf0.1) — faithful Q11
+    * semantics: the TPC-H spec scales its fraction DOWN with SF
+    * (0.0001/SF) for exactly this reason, and a production run would set
+    * the fraction to taste; the hash-verified shape (agg compared against
+    * a scalar subquery over the same agg) is SF-independent. */
   private def tpchQ11(s: SparkSession, d: String): DataFrame = {
     val one = new java.math.BigDecimal("1.00")
     val rev = dec(col("l_extendedprice")) * (lit(one).cast("decimal(12,2)") -

@@ -8,27 +8,6 @@ import graft.{Queries, Tables}
   *   runMain graft.tools.ProbeQ <sfDir> <query> [query ...]
   */
 object ProbeQ {
-  private def jitMillis(): Long = {
-    val c = java.lang.management.ManagementFactory.getCompilationMXBean
-    if (c != null && c.isCompilationTimeMonitoringSupported)
-      c.getTotalCompilationTime else -1L
-  }
-
-  /** Bench's r09 quiescence wait: sleep until the JIT compilation-time
-    * delta drops under 15 ms per 100 ms window (3 s cap). */
-  private def awaitJitQuiescent(capMs: Long = 3000L): Unit = {
-    val start = System.nanoTime()
-    var prev = jitMillis()
-    if (prev < 0) return
-    var quiet = false
-    while (!quiet && (System.nanoTime() - start) / 1000000L < capMs) {
-      Thread.sleep(100)
-      val now = jitMillis()
-      quiet = now - prev < 15
-      prev = now
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
@@ -48,12 +27,13 @@ object ProbeQ {
           // let Catalyst prune unconsumed projected expressions)
           def run(): Long = q.build(spark, d).queryExecution.toRdd.count()
           run()
-          // match Bench's JIT-quiescence wait (r10): without it the C2
-          // compiler threads provoked by the warm pass steal cores from the
-          // timed reps — codegen-heavy shapes (the iterative graph family)
-          // probed up to 1.5x hot vs their in-bench numbers, which corrupts
-          // exactly the isolated-adjudication readings this tool exists for
-          awaitJitQuiescent()
+          // match Bench's JIT-quiescence wait (r10, shared JitQuiesce
+          // protocol): without it the C2 compiler threads provoked by the
+          // warm pass steal cores from the timed reps — codegen-heavy
+          // shapes (the iterative graph family) probed up to 1.5x hot vs
+          // their in-bench numbers, which corrupts exactly the
+          // isolated-adjudication readings this tool exists for
+          graft.JitQuiesce.await()
           val ts = (1 to 3).map { _ =>
             val t0 = System.nanoTime(); run()
             (System.nanoTime() - t0) / 1e9

@@ -12,23 +12,45 @@ class BoruvkaMergeSpec extends SparkSpec {
   test("10^5-component forest: in-plan merge, no O(components) collect") {
     val n = 100000
     // path graph with alternating weights 1,2: round-1 picks are exactly
-    // the weight-1 edges (2k, 2k+1) — n/2 two-node stars
+    // the weight-1 edges (2k, 2k+1) — n/2 two-node stars (pick-forest
+    // diameter 1, so the in-plan fixpoint converges in 2 label rounds)
     val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1, 1L + i % 2))
     val und = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
       .toDF("src", "dst", "w")
-    val got = GraphQueries.boruvkaRounds(und, 2).collect()
+    val got = GraphQueries.boruvkaRounds(und, 1).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq.sorted
-    val r1 = got.filter(_._1 == 1)
-    assert(r1.size == n / 2, s"round-1 picks: ${r1.size}")
-    assert(r1.forall(_._5 == n / 2), "round-1 component count")
-    assert(r1.forall(p => p._3 == p._2 + 1 && p._4 == 1L && p._2 % 2 == 0),
+    assert(got.size == n / 2, s"round-1 picks: ${got.size}")
+    assert(got.forall(_._5 == n / 2), "round-1 component count")
+    assert(got.forall(p => p._3 == p._2 + 1 && p._4 == 1L && p._2 % 2 == 0),
       "round-1 picks must be the weight-1 edges")
-    // round 2 (pick graph is a PATH of n/2 supernodes — the deep-merge
-    // shape): must equal the driver replay of the same six synchronous
-    // min-label rounds
-    val expected = BoruvkaReference.rounds(edges, 2)
-    assert(got == expected, "full two-round output must match the replay")
+    assert(got == BoruvkaReference.rounds(edges, 1),
+      "round-1 output must match the driver replay")
+  }
+
+  test("pathological pick-forest diameter throws loudly instead of " +
+      "silently under-merging") {
+    // round 2 of the alternating path: every supernode picks its LOWER
+    // neighbor (w ties break on the smaller component label), so the pick
+    // graph is a PATH of n/2 supernodes — min-label needs n/2 synchronous
+    // rounds, far past the 48-round cap. The r09 driver-side merge would
+    // have collected its way through this; the r10 contract is a loud
+    // IllegalStateException pointing at the large/small-star operator.
+    val n = 4000
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1, 1L + i % 2))
+    val und = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+      .toDF("src", "dst", "w")
+    val ex = intercept[IllegalStateException] {
+      // mergeCap = 0 forces the in-plan path (n/2 = 2000 pick pairs would
+      // otherwise take the driver replay, which throws identically)
+      GraphQueries.boruvkaRounds(und, 2, mergeCap = 0).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+    // and the driver replay path throws the same way
+    val ex2 = intercept[IllegalStateException] {
+      GraphQueries.boruvkaRounds(und, 2, mergeCap = 1000000).collect()
+    }
+    assert(ex2.getMessage.contains("did not converge"), ex2.getMessage)
   }
 
   test("guard boundary: driver replay ≡ in-plan merge on the SAME graph") {

@@ -11,27 +11,11 @@ import org.apache.spark.sql.functions._
 class BpeStatsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** The original HOF formulation with a FIXED merge list — the semantic
-    * reference. Mirrors CorpusQueries.bpeEncodeHofOf's encode half. */
-  private def hofStats(df: DataFrame, merges: Seq[String]): DataFrame = {
-    val encodeWord: Column => Column = { w =>
-      val charSplit = array_join(
-        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), " ")
-      val padded = concat(lit(" "), charSplit, lit(" "))
-      val applied = merges.foldLeft(padded) { (c, pr) =>
-        def rep(x: Column): Column =
-          replace(x, lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " "))
-        rep(rep(c))
-      }
-      size(split(trim(applied), " "))
-    }
-    df.select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), w => length(w) >= 1).as("ws"))
-      .select(col("doc_id"),
-        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
-        aggregate(col("ws"), lit(0L),
-          (acc, w) => acc + encodeWord(w).cast("long")).as("n_tokens"))
-  }
+  /** The HOF semantic reference — CorpusQueries' own definition with the
+    * spec's fixed merge list (shared, not copied, so spec and reference
+    * cannot drift). */
+  private def hofStats(df: DataFrame, merges: Seq[String]): DataFrame =
+    CorpusQueries.bpeHofStatsOf(df, merges)
 
   private def nativeStats(df: DataFrame, merges: Seq[String]): DataFrame =
     df.select(col("doc_id"),

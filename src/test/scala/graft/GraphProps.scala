@@ -108,7 +108,11 @@ object GraphProps extends Properties("graft.graph") {
         val und = clean.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
           .groupBy(e => (e._1, e._2))
           .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
-        val got = GraphQueries.boruvkaRounds(und.toDF("src", "dst", "w"), 2)
+        // mergeCap = 0 forces the IN-PLAN six-round merge (the default cap
+        // would route every small random graph to the driver replay and
+        // leave the in-plan joins untested here)
+        val got = GraphQueries
+          .boruvkaRounds(und.toDF("src", "dst", "w"), 2, mergeCap = 0)
           .collect()
           .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
             r.getLong(4))).toSeq.sorted
@@ -117,11 +121,10 @@ object GraphProps extends Properties("graft.graph") {
     }
 }
 
-/** Driver-side replay of boruvkaRounds — including the SAME six synchronous
-  * min-label merge rounds (NOT a full union-find fixpoint: a pick forest
-  * deeper than 6 under-merges identically in the query, the oracle, and
-  * here — the three formulations compute the same function by
-  * construction). Shared by GraphProps and BoruvkaMergeSpec. */
+/** Driver-side replay of boruvkaRounds — the SAME synchronous min-label
+  * fixpoint (run to convergence, matching the r10 converge-or-throw
+  * semantics; the oracle's fixed 6 rounds agree whenever convergence lands
+  * within 6). Shared by GraphProps and BoruvkaMergeSpec. */
 private[graft] object BoruvkaReference {
   def rounds(edges: Seq[(Long, Long, Long)],
       nRounds: Int): Seq[(Int, Long, Long, Long, Long)] = {
@@ -140,10 +143,14 @@ private[graft] object BoruvkaReference {
         ts.minBy(t => (t._5, t._2, t._3, t._4)) }.toSeq
       val pp = picks.flatMap(p => Seq((p._1, p._2), (p._2, p._1))).distinct
       var lbl: Map[Long, Long] = comp.values.toSet.map((c: Long) => c -> c).toMap
-      for (_ <- 1 to 6) {
+      var changed = pp.nonEmpty
+      while (changed) {
         val m = pp.groupBy(_._1)
           .map { case (ca, ps) => ca -> ps.map(p => lbl(p._2)).min }
-        lbl = lbl.map { case (cid, l) => cid -> math.min(l, m.getOrElse(cid, l)) }
+        val next = lbl.map { case (cid, l) =>
+          cid -> math.min(l, m.getOrElse(cid, l)) }
+        changed = next != lbl
+        lbl = next
       }
       comp = comp.map { case (n, c) => n -> lbl(c) }
       val nc = lbl.values.toSet.size.toLong
