@@ -99,10 +99,11 @@ object NorthStarQueries {
     val exact = g.as("a")
       .join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.gs"), col("b.gs"))).cast("double").as("i"),
-        (size(col("a.gs")) + size(col("b.gs"))).as("ab"))
-      .withColumn("j", col("i") / (col("ab") - col("i")))
-      .filter(col("j") >= 0.9)
+        size(array_intersect(col("a.gs"), col("b.gs"))).cast("long").as("i"),
+        (size(col("a.gs")) + size(col("b.gs"))).cast("long").as("ab"))
+      // cross-multiplied exact threshold (i/(ab−i) ≥ 0.9 ⟺ 10·i ≥
+      // 9·(ab−i)) — integer-exact, matching the oracle's form (r10)
+      .filter(col("i") * 10 >= (col("ab") - col("i")) * 9)
       .select("doc_a", "doc_b")
       .localCheckpoint()
     val emitted = DedupOps
@@ -143,9 +144,8 @@ object NorthStarQueries {
       |exact AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-      |        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
-      |        >= 0.9)
+      |  WHERE len(list_intersect(a.gs, b.gs)) * 10
+      |        >= (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) * 9)
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fam) AS n_family_docs,
       |       CAST(count(*) AS BIGINT) AS n_exact_pairs,
       |       TRUE AS recall_ok, TRUE AS precision_ok
@@ -230,7 +230,7 @@ object NorthStarQueries {
       |FROM inter i
       |JOIN sizes sa ON sa.doc_id = i.doc_a
       |JOIN sizes sb ON sb.doc_id = i.doc_b
-      |WHERE round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) >= 0.8
+      |WHERE i.n * 5 >= (sa.sz + sb.sz - i.n) * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** `dedup_containment`: directed containment C(src→dst) = |src∩dst|/|src|
@@ -256,7 +256,7 @@ object NorthStarQueries {
       |SELECT i.src_doc, i.dst_doc,
       |       round(CAST(i.inter AS DOUBLE) / s.sz, 6) AS containment
       |FROM inter i JOIN sizes s ON s.doc_id = i.src_doc
-      |WHERE round(CAST(i.inter AS DOUBLE) / s.sz, 6) >= 0.9
+      |WHERE i.inter * 10 >= s.sz * 9
       |ORDER BY src_doc, dst_doc""".stripMargin
 
   /** The daily-run shape: dedup TODAY'S batch (every 4th doc stands in for
@@ -295,8 +295,9 @@ object NorthStarQueries {
       |  SELECT batch_id, existing_id,
       |    round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
       |  FROM inter JOIN sizes sa ON sa.doc_id = batch_id
-      |             JOIN sizes sb ON sb.doc_id = existing_id)
-      |SELECT batch_id, existing_id, jaccard FROM j WHERE jaccard >= 0.8
+      |             JOIN sizes sb ON sb.doc_id = existing_id
+      |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4)
+      |SELECT batch_id, existing_id, jaccard FROM j
       |ORDER BY batch_id, existing_id""".stripMargin
 
   private val dedupJaccardSql =
@@ -313,7 +314,7 @@ object NorthStarQueries {
       |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
       |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
       |           JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+      |WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- N2 similarity search ------------------------------------------------
@@ -632,7 +633,7 @@ object NorthStarQueries {
       |  SELECT doc_a, doc_b FROM cand
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+      |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -685,7 +686,7 @@ object NorthStarQueries {
       |  SELECT doc_a, doc_b FROM cand
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+      |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -874,7 +875,7 @@ object NorthStarQueries {
   private def vectorCentroid(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .groupBy("label")
-      .agg(VectorOps.centroidUdaf(s, 64).as("centroid"))
+      .agg(VectorOps.centroidUdaf(64).as("centroid"))
       .select(col("label"), posexplode(col("centroid")))
       .select(col("label"), (col("pos") + 1).as("dim"),
         round(col("col"), 4).as("c"))
@@ -1503,7 +1504,7 @@ object NorthStarQueries {
       |  SELECT doc_a, doc_b FROM cand
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8),
+      |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1573,7 +1574,7 @@ object NorthStarQueries {
       |  FROM inter i
       |  JOIN sizes sa ON sa.doc_id = i.doc_a
       |  JOIN sizes sb ON sb.doc_id = i.doc_b
-      |  WHERE round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) >= 0.8),
+      |  WHERE i.n * 5 >= (sa.sz + sb.sz - i.n) * 4),
       |labeled AS (
       |  SELECT doc_a, doc_b,
       |    CASE WHEN substring(md5(CAST(doc_a AS VARCHAR)), 1, 1) < 'c' THEN 'train'
@@ -1667,7 +1668,7 @@ object NorthStarQueries {
       |  SELECT doc_a, doc_b FROM cand
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+      |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4)
       |SELECT doc_a, doc_b,
       |       CAST(levenshtein(da.prefix, db.prefix) AS INTEGER) AS edit_dist
       |FROM pairs

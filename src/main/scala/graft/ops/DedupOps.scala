@@ -173,16 +173,29 @@ object DedupOps {
 
   /** Distinct (doc_id, tok) rows — the inverted-index building block.
     * array_distinct before explode: set semantics with no post-explode
-    * distinct shuffle. */
+    * distinct shuffle. Contract: input text is whitespace-normalized (no
+    * leading whitespace) — `split("\\s+")` on " x" yields a leading ""
+    * token that would count in sizes/intersections; the DuckDB oracles'
+    * `string_split` shares the identical quirk, so the two engines can
+    * never diverge on it, but pre-normalize (the corpus tables are) rather
+    * than rely on that. */
   def tokenSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
 
   /** Exact token-set Jaccard for a given candidate pair list: two joins
     * against the inverted index count |A∩B| (cost ∝ candidates × doc size,
-    * never all-pairs), then sizes give the union. `jaccard` is rounded to
-    * 6 dp BEFORE the threshold, matching the DuckDB oracle formulation. */
+    * never all-pairs), then sizes give the union. The threshold compares
+    * CROSS-MULTIPLIED in exact integers (inter·10⁶ ≥ ⌊t·10⁶⌋·union — every
+    * threshold in the registry is 6-dp-expressible), so the prefix/df
+    * candidate cuts' losslessness proofs hold against the VERIFY predicate
+    * verbatim and no float rounding can flip a boundary pair; the DuckDB
+    * oracles compare the same cross-multiplied integers (r10 — the
+    * previous round-then-compare form could accept a pair the exact cuts
+    * had already dropped, on ~10⁶-token docs). `jaccard` stays 6-dp
+    * rounded as the emitted display column. */
   def jaccardVerify(toks: DataFrame, cand: DataFrame, minJaccard: Double): DataFrame = {
+    val tScaled = math.round(minJaccard * 1e6)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
@@ -192,10 +205,11 @@ object DedupOps {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .filter(col("inter") * lit(1000000L) >=
+        lit(tScaled) * (col("sz_a") + col("sz_b") - col("inter")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -275,9 +289,12 @@ object DedupOps {
       .join(toks.select(col("doc_id").as("dst_doc"), col("tok")), Seq("dst_doc", "tok"))
       .groupBy("src_doc", "dst_doc", "sz_src")
       .agg(count(lit(1)).as("inter"))
+      // exact cross-multiplied threshold (inter ≥ ⌈t·sz⌉ ⟺ 10·inter ≥
+      // 9·sz for t = 0.9) — the same integer predicate the prefix and
+      // pigeonhole cuts above are lossless against, and the oracle runs
+      .filter(col("inter") * 10 >= col("sz_src") * 9)
       .withColumn("containment",
         round(col("inter").cast("double") / col("sz_src"), 6))
-      .filter(col("containment") >= minContainment)
       .select("src_doc", "dst_doc", "containment")
   }
 
@@ -340,6 +357,12 @@ object DedupOps {
     * when downstream verification is token-set based, or banding will miss
     * reordered near-dups that shingles don't share). */
   def minhashPairs(docs: DataFrame, h: Int, bands: Int, shingleK: Int = 3): DataFrame = {
+    // bands must tile the signature exactly: rows = 0 would make every
+    // band key the hash of an EMPTY slice (all docs collide in all bands —
+    // an O(n²) all-pairs explosion), and a non-dividing bands silently
+    // drops the trailing signature elements, weakening recall unseen
+    require(bands >= 1 && h % bands == 0,
+      s"minhashPairs: bands=$bands must divide h=$h signature positions")
     val rows = h / bands
     // localCheckpoint: the band self-join is a diamond DAG — without it both
     // join sides re-execute the whole shingle+hash+signature subtree.

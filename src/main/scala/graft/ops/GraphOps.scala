@@ -26,13 +26,21 @@ object GraphOps {
     val adj = edges.select("src", "dst").filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
     var dist = s.range(1).select(lit(source).as("node"), lit(0).as("hops"))
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var frontierAlive = true
+    while (h <= maxHops && frontierAlive) {
       val next = dist.filter(col("hops") === h - 1)
         .join(adj, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h).as("hops"))
       dist = dist.unionAll(next)
         .groupBy("node").agg(min("hops").as("hops"))
         .localCheckpoint()
+      // early exit once the frontier dies: a diameter-3 graph asked for
+      // maxHops = 30 should not pay 27 empty join+agg+checkpoint rounds
+      // (the checkpoint above already materialized dist, so this count
+      // reads cached blocks)
+      frontierAlive = dist.filter(col("hops") === h).limit(1).count() > 0
+      h += 1
     }
     dist
   }

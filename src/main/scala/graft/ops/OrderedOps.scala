@@ -84,9 +84,14 @@ object OrderedOps {
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint()
     val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(pid -> it.size)
+      // count in a Long, not Iterator.size (an Int): a >2³¹-row partition
+      // — plausible at the 100 TB scale this op exists for — would wrap
+      // negative and silently corrupt every downstream prefix offset
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator.single(pid -> c)
     }.collect().sortBy(_._1)
-    val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val bc = s.sparkContext.broadcast(offsets)
     val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var rn = bc.value(pid)

@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** sum/count aggregations with salting; aggs are (inputCol, "sum"|"count")
-    * pairs emitted as `<col>_sum` / `cnt`. Results are identical to a direct
-    * groupBy (sum/count are associative-commutative). */
+  /** Salted sum+count aggregation over `sumCol`, emitted as
+    * (`k`, `total`, `cnt`). Results are identical to a direct groupBy
+    * (sum/count are associative-commutative). */
   def saltedSumCount(df: DataFrame, key: Column, salts: Int,
       sumCol: Column): DataFrame = {
     // salt = content hash of the whole row: deterministic under task retries

@@ -25,14 +25,21 @@ object UpsertOps {
 
   /** The upsert half (reference's probe+insert, database.py:106-158): new
     * facts keyed on business key replace existing rows, everything else
-    * carries over — SQL MERGE semantics done with union + window dedup. */
+    * carries over — SQL MERGE semantics done with union + window dedup.
+    * The dedup window's order is made TOTAL with a content-hash tiebreak:
+    * (version, source) alone is not a total order, so two same-key
+    * same-version rows with different payloads would survive
+    * nondeterministically across runs/partitionings (r10 review). */
   def upsertLatest(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String], versionCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ex = existing.withColumn("__src", lit(0))
+    val in = incoming.withColumn("__src", lit(1))
+    val unioned = ex.unionByName(in)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
-    existing.withColumn("__src", lit(0))
-      .unionByName(incoming.withColumn("__src", lit(1)))
+      .orderBy(col(versionCol).desc, col("__src").desc,
+        xxhash64(existing.columns.map(col): _*).desc)
+    unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")

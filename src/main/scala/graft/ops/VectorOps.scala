@@ -422,8 +422,13 @@ object VectorOps {
       extends Aggregator[Seq[Float], (Array[Long], Long), Seq[Double]] {
     def zero: (Array[Long], Long) = (Array.fill(dim)(0L), 0L)
     def reduce(b: (Array[Long], Long), a: Seq[Float]): (Array[Long], Long) = {
+      // fixed-dim contract, checked loudly (same hazard as GramAgg, r09
+      // advice): a silent pad/truncate would drag the centroid toward 0 in
+      // the missing dimensions while still counting the row
+      require(a.length == dim,
+        s"CentroidAgg: embedding length ${a.length} != configured dim $dim")
       var i = 0
-      while (i < dim && i < a.length) {
+      while (i < dim) {
         b._1(i) += math.floor(a(i).toDouble * 1e6 + 0.5).toLong
         i += 1
       }
@@ -442,7 +447,7 @@ object VectorOps {
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
-  def centroidUdaf(s: SparkSession, dim: Int): Column =
+  def centroidUdaf(dim: Int): Column =
     udaf(new CentroidAgg(dim), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
       .apply(col("embedding"))
 

@@ -177,7 +177,7 @@ class VectorOpsSpec extends SparkSpec {
   test("centroid UDAF equals manual element-wise average") {
     val df = Seq((0, Seq(1f, 3f)), (0, Seq(3f, 5f)), (1, Seq(10f, 20f)))
       .toDF("label", "embedding")
-    val got = df.groupBy("label").agg(VectorOps.centroidUdaf(spark, 2).as("c"))
+    val got = df.groupBy("label").agg(VectorOps.centroidUdaf(2).as("c"))
       .collect().map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]](1).toSeq).toMap
     assert(got(0) == Seq(2.0, 4.0))
     assert(got(1) == Seq(10.0, 20.0))
