@@ -49,6 +49,25 @@ case class AsOfJoin(
     tolerance: Option[Long] = None)
   extends BinaryNode {
 
+  // keyless as-of would reach the exec as ClusteredDistribution(Nil) — an
+  // internal planner error in Spark 4; fail here with the real reason
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join requires at least one equi-join key (aligned left/right)")
+  // cross-side type agreement, checked once resolved: the exec builds its
+  // key/time orderings from the LEFT types and applies them to rows
+  // projected with the RIGHT schema — a width mismatch (int vs bigint)
+  // would read truncated UnsafeRow fields and match silently wrong
+  if ((leftKeys ++ rightKeys :+ leftTime :+ rightTime).forall(_.resolved)) {
+    leftKeys.zip(rightKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key type mismatch: ${l.sql}: ${l.dataType.catalogString} vs " +
+          s"${r.sql}: ${r.dataType.catalogString} — cast one side first")
+    }
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time type mismatch: ${leftTime.dataType.catalogString} vs " +
+        s"${rightTime.dataType.catalogString} — cast one side first")
+  }
+
   /** Left-outer emits unmatched left rows with nulls on the right, so the
     * right attributes turn nullable (mirrors Join's outer-side widening). */
   override def output: Seq[Attribute] =
@@ -194,28 +213,36 @@ case class AsOfJoinExec(
             val lRow = lIt.next()
             val k = lKeyProj(lRow)
             val t = lTimeProj(lRow).get(0, timeType)
+            // NULL time semantics (SQL: `rt <= lt` is never true with a
+            // null on either side — r10; a boxed null would otherwise unbox
+            // to 0 and match as the epoch): a null LEFT time matches
+            // nothing; a null RIGHT time is consumed (it sorts first
+            // within its key group) but never becomes the candidate.
+            val tIsNull = t == null
             // consume right rows up to and including (key == k, time <= t);
             // rows with a smaller key invalidate any carried candidate
             var advance = true
             while (advance && rBuf.hasNext) {
               val peekKey = rKeyProj(rBuf.head)
               val c = keyOrd.compare(peekKey, k)
-              if (c < 0 ||
-                  (c == 0 && timeOrd.lteq(rTimeProj(rBuf.head).get(0, timeType), t))) {
-                val rRow = rBuf.next()
-                if (c == 0) {
+              if (c < 0) {
+                rBuf.next()
+                matchKey = null; matchRow = null
+              } else if (c == 0) {
+                val rt = rTimeProj(rBuf.head).get(0, timeType)
+                if (rt == null) {
+                  rBuf.next() // nulls-first within the key group; skip
+                } else if (!tIsNull && timeOrd.lteq(rt, t)) {
+                  val rRow = rBuf.next()
                   matchKey = rKeyProj(rRow).copy()
-                  if (tolerance.isDefined)
-                    matchTime = timeAsLong(rTimeProj(rRow).get(0, timeType))
+                  if (tolerance.isDefined) matchTime = timeAsLong(rt)
                   matchRow = rRow.asInstanceOf[UnsafeRow].copy()
-                } else {
-                  matchKey = null; matchRow = null
-                }
+                } else advance = false
               } else advance = false
             }
-            val withinTolerance = tolerance.forall(tol =>
-              matchRow != null && timeAsLong(t) - matchTime <= tol)
-            if (matchRow != null && matchKey != null &&
+            def withinTolerance: Boolean = tolerance.forall(tol =>
+              timeAsLong(t) - matchTime <= tol)
+            if (!tIsNull && matchRow != null && matchKey != null &&
                 keyOrd.compare(matchKey, k) == 0 && withinTolerance) {
               numMatchedRows += 1; numOutputRows += 1
               out = outProj(joined(lRow, matchRow))
@@ -256,9 +283,19 @@ object AsOfJoinOps {
     val overlap = lp.output.map(_.exprId).toSet intersect rp.output.map(_.exprId).toSet
     require(overlap.isEmpty,
       s"asofJoin sides share attributes ($overlap) — project/rename one side first")
+    // session-conf-aware resolution (spark.sql.caseSensitive) with an
+    // ambiguity check — find(_.name == n) was case-sensitive where every
+    // other Spark API isn't, and silently bound the FIRST of two
+    // same-named columns (r10 review)
+    val resolver = left.sparkSession.sessionState.analyzer.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: matches ${many.map(_.name)} — rename first")
+      }
     require(leftKeys.length == rightKeys.length, "key lists must align")
     GraftSqlShim.ofRows(left.sparkSession,
       AsOfJoin(lp, rp, leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),

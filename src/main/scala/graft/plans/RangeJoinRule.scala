@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object RewriteBinnedRangeJoin extends Rule[LogicalPlan] {
 
+  /** Most bins one right-side interval may explode to (≈8 MB of longs). */
+  private val MaxBinsPerRow = 1000000L
+
   private def binWidth: Long =
     scala.util.Try(
       SQLConf.get.getConfString("spark.graft.rangeJoin.binWidth", "0").toLong)
@@ -79,11 +82,33 @@ object RewriteBinnedRangeJoin extends Rule[LogicalPlan] {
             // throws at runtime instead of yielding no rows. Null bounds
             // route here too (condition is null), matching the original
             // join, which emits nothing for them.
+            val seqType =
+              org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+            // Per-row bin cap (r10): a very wide or ±infinite interval
+            // (Floor/Ceil saturate to Long extremes) would ask Sequence for
+            // billions of elements — an opaque "too long sequence" crash or
+            // an unannounced memory cliff where the original nested loop
+            // merely ran slow. Raise an ACTIONABLE error instead; the
+            // saturation window ±2⁶¹ keeps the stop−start arithmetic from
+            // wrapping before the cap check. (The rule is opt-in via the
+            // binWidth conf, so "raise the width or unset the conf" is a
+            // real remediation.)
+            val sane = And(
+              GreaterThanOrEqual(start, Literal(Long.MinValue / 4)),
+              LessThanOrEqual(stop, Literal(Long.MaxValue / 4)))
+            val withinCap = And(sane,
+              LessThanOrEqual(Subtract(stop, start), Literal(MaxBinsPerRow)))
+            val overflow = Cast(new RaiseError(Literal(
+              s"binned range join: an interval covers more than $MaxBinsPerRow " +
+                s"bins at width $w — raise spark.graft.rangeJoin.binWidth or " +
+                "unset it to keep the nested-loop plan (infinite/huge bounds " +
+                "cannot be binned)")), seqType)
             val seq = If(LessThanOrEqual(start, stop),
-              Sequence(start, stop, Some(Literal(1L)),
-                Some(SQLConf.get.sessionLocalTimeZone)),
-              Literal.create(Seq.empty[Long],
-                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+              If(withinCap,
+                Sequence(start, stop, Some(Literal(1L)),
+                  Some(SQLConf.get.sessionLocalTimeZone)),
+                overflow),
+              Literal.create(Seq.empty[Long], seqType))
             val binR = AttributeReference("__bin_r", LongType, nullable = false)()
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, BinaryExpression, EqualTo, Expression, ExpressionInfo, Predicate, Unevaluable}
+import org.apache.spark.sql.catalyst.expressions.{And, BinaryExpression, EqualTo, Expression, ExpressionInfo, IsNotNull, Predicate, Unevaluable}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -52,9 +52,12 @@ object AsOfMatch {
   * The condition must be a conjunction of exactly one marker plus equi-key
   * conjuncts, each orientable as left-attr = right-attr; the marker's first
   * argument must come from the left (probe) side and the second from the
-  * right. Anything else is left untouched — the Unevaluable marker then
-  * fails the query loudly. Null keys match like values (the AsOfJoin
-  * contract, documented there); pre-filter nulls where SQL semantics matter.
+  * right. Anything else — including a KEYLESS marker join — is left
+  * untouched; the Unevaluable marker then fails the query loudly. The
+  * rewrite conjoins IsNotNull filters on the key columns (right side
+  * always; left side under Inner) so the standard SQL `=` null semantics
+  * the user wrote are preserved — AsOfJoin itself compares null keys as
+  * equal (its documented contract for the Scala API).
   */
 object RewriteAsOfMarkerJoin extends Rule[LogicalPlan] {
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -78,13 +81,33 @@ object RewriteAsOfMarkerJoin extends Rule[LogicalPlan] {
         case _ => None
       }
       markers match {
+        // oriented.nonEmpty: a keyless marker join would reach the planner
+        // as ClusteredDistribution(Nil) — leaving it untouched fails loudly
+        // through the Unevaluable marker instead (r10 review)
         case Seq(AsOfMatch(lt, rt))
-            if oriented.forall(_.isDefined) &&
+            if oriented.nonEmpty && oriented.forall(_.isDefined) &&
               lt.references.subsetOf(left.outputSet) &&
               rt.references.subsetOf(right.outputSet) =>
-          AsOfJoin(left, right,
-            leftKeys = oriented.flatten.map(_._1),
-            rightKeys = oriented.flatten.map(_._2),
+          val lKeys = oriented.flatten.map(_._1)
+          val rKeys = oriented.flatten.map(_._2)
+          // restore standard SQL `=` null semantics (r10 review): AsOfJoin
+          // compares null keys as EQUAL, so without this a null-keyed row
+          // pair would match where the written EqualTo never does. An
+          // IsNotNull filter on the RIGHT side alone is sufficient for
+          // both join types (a null left key then finds no partner; under
+          // LEFT OUTER it still null-extends, exactly SQL); the left-side
+          // filter is added for Inner only, as a row-pruning optimization.
+          def notNullFilter(p: LogicalPlan, keys: Seq[Expression]): LogicalPlan = {
+            val conds = keys.filter(_.nullable).map(IsNotNull)
+            if (conds.isEmpty) p
+            else org.apache.spark.sql.catalyst.plans.logical
+              .Filter(conds.reduce(And), p)
+          }
+          val newRight = notNullFilter(right, rKeys)
+          val newLeft =
+            if (joinType == Inner) notNullFilter(left, lKeys) else left
+          AsOfJoin(newLeft, newRight,
+            leftKeys = lKeys, rightKeys = rKeys,
             leftTime = lt, rightTime = rt,
             leftOuter = joinType == LeftOuter)
         case _ => j

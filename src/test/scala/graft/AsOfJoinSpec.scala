@@ -188,4 +188,84 @@ class AsOfJoinSpec extends SparkSpec {
         |  ON l.k = r.rk OR asof_match(l.t, r.rt)""".stripMargin)
     assert(intercept[Exception](bad.collect()) != null)
   }
+
+  test("keyless marker join fails loudly, not with an internal planner error") {
+    leftDf((1L, 5L)).createOrReplaceTempView("v_asof_l3")
+    rightDf((1L, 4L, "a")).createOrReplaceTempView("v_asof_r3")
+    // no equi conjunct at all: the rule must leave the join untouched (the
+    // Unevaluable marker errors) rather than build AsOfJoin(keys = Nil) and
+    // die inside ClusteredDistribution (r10 review)
+    val bad = spark.sql(
+      """SELECT * FROM v_asof_l3 l JOIN v_asof_r3 r
+        |  ON asof_match(l.t, r.rt)""".stripMargin)
+    val ex = intercept[Exception](bad.collect())
+    assert(!ex.getMessage.contains("ClusteredDistribution"), ex.getMessage)
+  }
+
+  test("NULL time semantics: null never matches (SQL rt <= lt contract)") {
+    // nullable time columns on both sides
+    val l = Seq((1L, Some(5L)), (1L, None), (2L, Some(3L)))
+      .toDF("k", "t")
+    val r = Seq((1L, None: Option[Long], "n"), (1L, Some(4L), "a"),
+      (2L, None: Option[Long], "m")).toDF("rk", "rt", "v")
+    // inner: (1, 5) -> "a" (the null-time right row must NOT win even
+    // though it sorts first); (1, null) -> dropped; (2, 3) -> dropped (its
+    // only right row has a null time)
+    val inner = AsOfJoinOps.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq.sorted
+    assert(inner == Seq((1L, 5L, "a")))
+    // outer: the null-time left row and the null-time-only key null-extend
+    val outer = AsOfJoinOps.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        leftOuter = true)
+      .select("k", "t", "v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) null else x.getString(2))).toSeq
+      .sortBy(p => (p._1, p._2))
+    assert(outer == Seq((1L, -1L, null), (1L, 5L, "a"), (2L, 3L, null)))
+    // tolerance mode must not throw on the null rows either
+    val tol = AsOfJoinOps.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = Some(10L))
+      .select("k", "t", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq.sorted
+    assert(tol == Seq((1L, 5L, "a")))
+  }
+
+  test("cross-side type mismatch fails loudly instead of matching garbage") {
+    val l = Seq((1, 5)).toDF("k", "t") // INT key and time
+    val r = Seq((1L, 4L, "a")).toDF("rk", "rt", "v") // BIGINT key and time
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(ex.getMessage.contains("type mismatch"), ex.getMessage)
+  }
+
+  test("SQL marker rewrite preserves standard = null-key semantics") {
+    Seq((Some(1L), 5L), (None: Option[Long], 6L))
+      .toDF("k", "t").createOrReplaceTempView("v_asof_l4")
+    Seq((Some(1L), 4L, "a"), (None: Option[Long], 3L, "n"))
+      .toDF("rk", "rt", "v").createOrReplaceTempView("v_asof_r4")
+    // plain SQL `=` never matches NULL keys: the null-key left row must not
+    // pair with the null-key right row after the AsOfJoin rewrite (r10 —
+    // the rewrite conjoins IsNotNull filters to keep the written semantics)
+    val inner = spark.sql(
+      """SELECT l.k, l.t, r.v FROM v_asof_l4 l JOIN v_asof_r4 r
+        |  ON l.k = r.rk AND asof_match(l.t, r.rt)""".stripMargin).collect()
+    assert(inner.length == 1 && inner.head.getLong(0) == 1L &&
+      inner.head.getString(2) == "a")
+    val outer = spark.sql(
+      """SELECT l.k, l.t, r.v FROM v_asof_l4 l LEFT JOIN v_asof_r4 r
+        |  ON l.k = r.rk AND asof_match(l.t, r.rt)""".stripMargin).collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        if (x.isNullAt(2)) null else x.getString(2))).toSeq.sortBy(_._1)
+    assert(outer == Seq((-1L, null), (1L, "a")))
+  }
+
+  test("case-insensitive column resolution in the Scala API") {
+    val l = leftDf((1L, 5L))
+    val r = rightDf((1L, 4L, "a"))
+    val got = AsOfJoinOps.asofJoin(l, r, Seq("K"), Seq("RK"), "T", "RT")
+      .select("k", "v").collect()
+    assert(got.length == 1 && got.head.getString(1) == "a")
+  }
 }

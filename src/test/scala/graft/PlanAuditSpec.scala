@@ -607,6 +607,27 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
+  test("RewriteBinnedRangeJoin: an unbinnable interval raises an actionable " +
+      "error, not an opaque sequence crash (r10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    try {
+      val facts = Seq(5.0).toDF("x")
+      val intervals = Seq(
+        ("huge", 0.0, 1.0e18),
+        ("inf", 0.0, Double.PositiveInfinity)
+      ).toDF("name", "lo", "hi")
+      val joined = facts.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      val ex = intercept[Exception](joined.collect())
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("rangeJoin.binWidth"),
+        s"error must name the remediation conf, got: $msg")
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("join_range_auto: builder leaves no spark.graft conf armed; plan stays rewritten") {
     val df = q("join_range_auto")
     assert(spark.conf.getOption("spark.graft.rangeJoin.binWidth").isEmpty,
