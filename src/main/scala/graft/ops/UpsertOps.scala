@@ -23,6 +23,22 @@ object UpsertOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(cntCol)).as(cntCol), sum(col(sumCol)).as(sumCol))
 
+  /** ONE row per key, winner by `orderCols` (descending-first caller-built
+    * columns) — THE keyed-dedup primitive shared by [[upsertLatest]] and
+    * both JdbcUpsertSink paths, so the "total order or nondeterministic
+    * winner" fix lives in exactly one place (r10 review: three hand-rolled
+    * copies had already diverged on the tiebreak direction). Callers must
+    * pass a TOTAL order; append a content-hash column when the natural
+    * order has ties. */
+  def latestPerKey(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** The upsert half (reference's probe+insert, database.py:106-158): new
     * facts keyed on business key replace existing rows, everything else
     * carries over — SQL MERGE semantics done with union + window dedup.
@@ -31,17 +47,12 @@ object UpsertOps {
     * same-version rows with different payloads would survive
     * nondeterministically across runs/partitionings (r10 review). */
   def upsertLatest(existing: DataFrame, incoming: DataFrame,
-      keys: Seq[String], versionCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ex = existing.withColumn("__src", lit(0))
-    val in = incoming.withColumn("__src", lit(1))
-    val unioned = ex.unionByName(in)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc,
-        xxhash64(existing.columns.map(col): _*).desc)
-    unioned
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__src")
-  }
+      keys: Seq[String], versionCol: String): DataFrame =
+    latestPerKey(
+      existing.withColumn("__src", lit(0))
+        .unionByName(incoming.withColumn("__src", lit(1))),
+      keys,
+      Seq(col(versionCol).desc, col("__src").desc,
+        xxhash64(existing.columns.map(col): _*).desc))
+      .drop("__src")
 }

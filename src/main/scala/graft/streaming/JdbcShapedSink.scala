@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -41,12 +41,19 @@ class JdbcShapedSink(tableDir: String, keys: Seq[String], versionCol: String) {
   private def committed(batchId: Long): Boolean =
     Files.exists(commitsDir.resolve(batchId.toString))
 
-  /** Ledger markers sorted by batch id, newest last. */
+  /** Ledger markers sorted by batch id, newest last. The Files.list stream
+    * must be closed (it holds a directory descriptor; this runs 2+ times
+    * per micro-batch, and leaking until GC exhausts ulimit -n on
+    * long-running queries — r10 review). */
   private def commitMarkers(): Seq[Path] =
     if (!Files.exists(commitsDir)) Seq.empty
-    else Files.list(commitsDir).iterator.asScala.toSeq
-      .filter(p => p.getFileName.toString.forall(_.isDigit))
-      .sortBy(_.getFileName.toString.toLong)
+    else {
+      val s = Files.list(commitsDir)
+      try s.iterator.asScala.toSeq
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .sortBy(_.getFileName.toString.toLong)
+      finally s.close()
+    }
 
   /** The data directory the newest committed marker points at, if any. */
   private def currentDataDir(): Option[Path] =
@@ -78,24 +85,41 @@ class JdbcShapedSink(tableDir: String, keys: Seq[String], versionCol: String) {
     val merged = merge(table(spark), batch)
     // materialize before writing — the plan still reads the previous dir
     val rows = merged.localCheckpoint()
-    val newDirName = s"data-b$batchId"
-    // overwrite: a crashed previous attempt at this id may have left a
-    // partial directory; nothing committed references it yet
+    // per-ATTEMPT directory (r10 review): two JVMs committing the same id
+    // (zombie + restarted driver) used to race inside ONE data-b<id>
+    // directory — overwrite deleting the other's in-flight task files —
+    // and both markers "succeeded" over interleaved garbage. Unique dirs
+    // make every attempt's output self-consistent; the marker names the
+    // winning attempt's dir. A crashed attempt's dir is unreferenced
+    // garbage, swept when its batch's superseding commit lands.
+    val newDirName =
+      s"data-b$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
     rows.write.mode("overwrite").parquet(s"$tableDir/$newDirName")
-    // commit point: temp file + atomic rename publishes data path and
-    // batch id in one step
+    // commit point: temp file + rename publishes data path and batch id in
+    // one step; NO replace-existing — the loser of a same-id race gets
+    // FileAlreadyExists, discards its own dir, and defers to the winner's
+    // (both merged the same batch onto the same committed predecessor, so
+    // either dir is a correct table state)
     Files.createDirectories(commitsDir)
     val tmp = Files.createTempFile(commitsDir, s".pending-$batchId-", "")
     Files.write(tmp, newDirName.getBytes("UTF-8"))
-    Files.move(tmp, commitsDir.resolve(batchId.toString),
-      StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, commitsDir.resolve(batchId.toString))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        deleteQuietly(Paths.get(tableDir, newDirName))
+        return
+    }
     // the superseded directory is now unreferenced; reclaim best-effort
     previous.filter(_.getFileName.toString != newDirName).foreach(deleteQuietly)
   }
 
   private def deleteQuietly(dir: Path): Unit =
     try {
-      if (Files.exists(dir))
-        Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        try s.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
     } catch { case _: Throwable => }
 }

@@ -32,12 +32,19 @@ import org.apache.spark.sql.types._
   *
   * Exactly-once under foreachBatch's at-least-once replay: a `_ledger`
   * table keyed by batch id is written IN THE SAME TRANSACTION as the MERGE.
-  * A replayed id short-circuits before staging; a crash after staging but
-  * before commit leaves the target and ledger untouched (staging is
-  * truncated at the start of every attempt, so the replay is clean); a
-  * concurrent committer of the same id loses the ledger PK race and rolls
-  * back. This is the pattern the JdbcShapedSink scaladoc promises "against
-  * a real database" — here it is, runnable.
+  * A replayed id short-circuits before staging; staging rows are tagged
+  * with a per-ATTEMPT id and the MERGE reads only its own attempt's rows
+  * (r10 — a shared-truncate staging let a concurrent committer of the same
+  * id wipe the other's staged rows OUTSIDE the commit transaction, so the
+  * ledger could record a batch whose MERGE had seen an empty staging:
+  * silent loss). A crash after staging but before commit leaves target and
+  * ledger untouched; the orphaned attempt rows are swept inside LATER
+  * commit transactions (`__batch IN (ledger)` — committed batches' leftovers
+  * die the moment their id is ledgered). A concurrent committer of the same
+  * id loses the ledger PK race and rolls back ITS OWN merge; the winner's
+  * merge only ever read the winner's complete attempt. This is the pattern
+  * the JdbcShapedSink scaladoc promises "against a real database" — here it
+  * is, runnable.
   *
   * Scale note: embedded Derby is the test double; against a networked
   * RDBMS the identical SQL runs with executors streaming partitions into
@@ -90,13 +97,15 @@ class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     case _ => s"VARCHAR($stringWidth)"
   }
 
-  /** Idempotent DDL for target (PK on the business key), staging, ledger. */
+  /** Idempotent DDL for target (PK on the business key), staging (with the
+    * attempt/batch tag columns — see the class doc's race note), ledger. */
   def ensureTables(schema: StructType): Unit = withConn { c =>
     val cols = schema.fields
       .map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
     createQuietly(c,
       s"CREATE TABLE ${q(table)} ($cols, PRIMARY KEY (${keys.map(q).mkString(", ")}))")
-    createQuietly(c, s"CREATE TABLE ${q(staging)} ($cols)")
+    createQuietly(c,
+      s"CREATE TABLE ${q(staging)} ($cols, ${q("__attempt")} VARCHAR(40), ${q("__batch")} BIGINT)")
     createQuietly(c,
       s"CREATE TABLE ${q(ledger)} (batch_id BIGINT NOT NULL PRIMARY KEY)")
   }
@@ -114,43 +123,52 @@ class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     * checkpoint-loss re-delivery of the identical batch under a new batch
     * id elects the SAME winner and the >=-version MERGE stays idempotent
     * (version-only ordering left the winner to partition luck). */
-  private def dedupe(batch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val contentHash = xxhash64(batch.columns.map(col): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, contentHash.desc)
-    batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  private def dedupe(batch: DataFrame): DataFrame =
+    graft.ops.UpsertOps.latestPerKey(batch, keys,
+      Seq(col(versionCol).desc, xxhash64(batch.columns.map(col): _*).desc))
 
-  private def mergeSql(cols: Seq[String]): String = {
+  private def mergeSql(cols: Seq[String], attempt: String): String = {
     val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val nonKeys = cols.filterNot(keys.contains)
     val sets = nonKeys.map(n => s"t.${q(n)} = s.${q(n)}").mkString(", ")
     val ins = cols.map(q).mkString(", ")
+    val sel = cols.map(q).mkString(", ")
     val vals = cols.map(n => s"s.${q(n)}").mkString(", ")
-    s"""MERGE INTO ${q(table)} t USING ${q(staging)} s ON ($on)
+    // only THIS attempt's rows take part: the attempt predicate sits in the
+    // ON clause (so a concurrent attempt's same-key row can never MATCH a
+    // target row and trip the MERGE cardinality check) and again on the
+    // NOT MATCHED action (whose ON-false rows include every other
+    // attempt's). Derby's MERGE source must be a base table, so the slice
+    // cannot be a USING subquery.
+    s"""MERGE INTO ${q(table)} t USING ${q(staging)} s
+       |  ON ($on AND s.${q("__attempt")} = '$attempt')
        |WHEN MATCHED AND s.${q(versionCol)} >= t.${q(versionCol)}
        |  THEN UPDATE SET $sets
-       |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+       |WHEN NOT MATCHED AND s.${q("__attempt")} = '$attempt'
+       |  THEN INSERT ($ins) VALUES ($vals)""".stripMargin
   }
 
-  /** The foreachBatch body: skip-if-committed, stage (executor-parallel),
-    * MERGE + ledger row in one driver transaction.
-    * Pass as `.writeStream.foreachBatch(sink.writeBatch _)`. */
+  /** The foreachBatch body: skip-if-committed, stage (executor-parallel,
+    * attempt-tagged), MERGE + staging sweep + ledger row in one driver
+    * transaction. Pass as `.writeStream.foreachBatch(sink.writeBatch _)`. */
   def writeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     ensureTables(batch.schema)
     if (withConn(committed(_, batchId))) return
     val cols = batch.schema.fieldNames.toSeq
-    // a crashed previous attempt may have left staging rows; the target is
-    // untouched (nothing commits without the ledger row), so reset and redo
-    withConn(exec(_, s"DELETE FROM ${q(staging)}"))
-    dedupe(batch).write.mode("append").jdbc(url, q(staging), props)
+    val attempt = java.util.UUID.randomUUID().toString
+    dedupe(batch)
+      .withColumn("__attempt", lit(attempt))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("append").jdbc(url, q(staging), props)
     withConn { c =>
       c.setAutoCommit(false)
       try {
-        exec(c, mergeSql(cols))
-        exec(c, s"DELETE FROM ${q(staging)}")
+        exec(c, mergeSql(cols, attempt))
+        // sweep our own attempt plus any orphan rows of already-committed
+        // batches (crashed attempts of THIS batch are swept by the next
+        // batch's transaction, once this id is ledgered)
+        exec(c, s"""DELETE FROM ${q(staging)} WHERE ${q("__attempt")} = '$attempt'
+                   |  OR ${q("__batch")} IN (SELECT batch_id FROM ${q(ledger)})""".stripMargin)
         try exec(c, s"INSERT INTO ${q(ledger)} VALUES ($batchId)")
         catch {
           case e: SQLException if e.getSQLState == "23505" =>
@@ -179,25 +197,30 @@ class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     val uc = if (uniqueCols.nonEmpty) uniqueCols
       else batch.schema.fieldNames.toSeq
     ensureTablesNoKey(batch.schema)
-    withConn(exec(_, s"DELETE FROM ${q(staging)}"))
-    val deduped = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(uc.map(col): _*)
-        .orderBy(xxhash64(batch.columns.map(col): _*).asc)
-      batch.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
-    deduped.write.mode("append").jdbc(url, q(staging), props)
+    val attempt = java.util.UUID.randomUUID().toString
+    // lowest content hash wins (the documented contract — kept asc while
+    // the upsert path uses desc; both now run through the ONE shared
+    // latestPerKey primitive)
+    val deduped = graft.ops.UpsertOps.latestPerKey(batch, uc,
+      Seq(xxhash64(batch.columns.map(col): _*).asc))
+    deduped.withColumn("__attempt", lit(attempt))
+      .write.mode("append").jdbc(url, q(staging), props)
     val cols = batch.schema.fieldNames.toSeq.map(q).mkString(", ")
     val onUc = uc.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     withConn { c =>
+      // SERIALIZABLE: the reference enforces its unique tuple with a DB
+      // constraint (UC_JobSkill); this set-based emulation's NOT EXISTS is
+      // a snapshot read, so two concurrent appenders under READ_COMMITTED
+      // could both pass it and double-insert (r10 review). Serializable
+      // makes the second transaction's check see the first's commit.
+      c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
       c.setAutoCommit(false)
       try {
         exec(c, s"""INSERT INTO ${q(table)} ($cols)
                    |SELECT $cols FROM ${q(staging)} s
-                   |WHERE NOT EXISTS
+                   |WHERE s.${q("__attempt")} = '$attempt' AND NOT EXISTS
                    |  (SELECT 1 FROM ${q(table)} t WHERE $onUc)""".stripMargin)
-        exec(c, s"DELETE FROM ${q(staging)}")
+        exec(c, s"DELETE FROM ${q(staging)} WHERE ${q("__attempt")} = '$attempt'")
         c.commit()
       } catch { case t: Throwable => c.rollback(); throw t }
     }
@@ -205,12 +228,13 @@ class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
 
   /** DDL variant without a primary key — the unique-tuple check runs in
     * [[appendIgnoreDupes]]'s INSERT itself (NOT EXISTS on the declared
-    * unique subset), so the table needs no constraint of its own. */
+    * unique subset under SERIALIZABLE isolation), so the table needs no
+    * constraint of its own; staging carries the attempt tag. */
   def ensureTablesNoKey(schema: StructType): Unit = withConn { c =>
     val cols = schema.fields
       .map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
     createQuietly(c, s"CREATE TABLE ${q(table)} ($cols)")
-    createQuietly(c, s"CREATE TABLE ${q(staging)} ($cols)")
+    createQuietly(c, s"CREATE TABLE ${q(staging)} ($cols, ${q("__attempt")} VARCHAR(40))")
   }
 
   /** Current table contents ("SELECT * FROM target") — read back through

@@ -56,11 +56,17 @@ object StreamDemo {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // the reference's probe-before-insert (database.py:116-123), set-wise:
         // anti-join the batch against already-written keys, append survivors
-        val deduped = try {
-          val existing = spark.read.parquet(sinkPath)
-            .select("day_start", "event_type")
-          batch.join(existing, Seq("day_start", "event_type"), "left_anti")
-        } catch { case _: Exception => batch } // first batch: nothing written yet
+        // explicit existence test, not a catch-all (r10 review: swallowing
+        // ANY read failure — corrupt file, FS hiccup — as "first batch"
+        // appended duplicates and broke the documented idempotence)
+        val deduped =
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sinkPath)))
+            batch // first batch: nothing written yet
+          else {
+            val existing = spark.read.parquet(sinkPath)
+              .select("day_start", "event_type")
+            batch.join(existing, Seq("day_start", "event_type"), "left_anti")
+          }
         deduped.write.mode(SaveMode.Append).parquet(sinkPath)
       }
       .start()

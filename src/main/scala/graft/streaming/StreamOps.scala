@@ -181,8 +181,15 @@ object StreamOps {
   /** T7b: flatMapGroupsWithState — sessionization emitting one row per
     * CLOSED session (zero-or-more outputs per invocation, which is what
     * flatMap adds over mapGroupsWithState). Event-time logic kept in the
-    * state function itself. */
-  case class SessionAcc(events: List[Long])
+    * state function itself. Late-data policy (r10 review): events inside
+    * the gap horizon of the last CLOSED session's end (t < end + gap) are
+    * DROPPED — such an event belonged to, or would have extended, a
+    * session already emitted in append mode, so without the drop a late
+    * arrival fabricates a bogus overlapping session; this is exactly what
+    * a watermark would discard, expressed as per-key state (the
+    * high-water mark) since the op keeps NoTimeout/no-watermark
+    * semantics. */
+  case class SessionAcc(events: List[Long], hwm: Long = Long.MinValue)
   case class ClosedSession(user_id: Long, n_events: Long, first_epoch: Long, last_epoch: Long)
 
   def closedSessions(events: Dataset[Ev], gapSeconds: Long): Dataset[ClosedSession] = {
@@ -193,8 +200,12 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionAcc]) =>
-          val incoming = evs.map(_.ts.getTime / 1000).toList.sorted
-          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ incoming).sorted
+          val prev = state.getOption.getOrElse(SessionAcc(Nil))
+          // drop late events below the high-water mark (closed end + gap —
+          // see the scaladoc's late-data policy)
+          val incoming = evs.map(_.ts.getTime / 1000)
+            .filter(_ >= prev.hwm).toList.sorted
+          val all = (prev.events ++ incoming).sorted
           // split into gap-separated sessions; the last one stays open in state
           val sessions = all.foldLeft(List(List.empty[Long])) { (acc, t) =>
             acc.head match {
@@ -203,8 +214,11 @@ object StreamOps {
               case _ => (t :: Nil) :: acc
             }
           }.map(_.reverse).reverse
-          state.update(SessionAcc(sessions.last))
-          sessions.dropRight(1).iterator.map(s =>
+          val closed = sessions.dropRight(1)
+          val newHwm =
+            closed.lastOption.map(_.last + gapSeconds).getOrElse(prev.hwm)
+          state.update(SessionAcc(sessions.last, newHwm))
+          closed.iterator.map(s =>
             ClosedSession(uid, s.size.toLong, s.head, s.last))
       }
   }
@@ -399,7 +413,10 @@ object StreamOps {
         explode(array_distinct(graft.TrainDataQueries.gramsOf(col("text"), 5)))
           .as("gram"))
       .filter(graft.ops.BloomOps.mightContain(bloom, col("gram")))
-      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"))
+      // distinct: a duplicate gram row in the eval set would double-emit
+      // the (doc_id, gram) pair and inflate per-doc overlap counts vs the
+      // batch operator's array_intersect (set) semantics (r10 review)
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), Seq("gram"))
       .select("doc_id", "gram")
 
   /** Streaming crawl-frontier dedup: canonicalize each arriving URL

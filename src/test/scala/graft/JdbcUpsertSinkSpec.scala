@@ -73,18 +73,31 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     val b0 = Seq((1L, 10L, "a")).toDF("job_id", "scraped_at", "payload")
     sink.writeBatch(b0, 0L)
     // simulate a crash after staging, before the MERGE transaction: rows
-    // sit in staging with no ledger entry
+    // sit in staging tagged with a dead attempt id and no ledger entry
+    // (r10 staging shape: data cols + __attempt + __batch)
     val c = DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
-      st.execute("INSERT INTO \"joblistings_staging\" VALUES (9, 99, 'ghost')")
+      st.execute("INSERT INTO \"joblistings_staging\" VALUES " +
+        "(9, 99, 'ghost', 'crashed-attempt-id', 1)")
       st.close()
     } finally c.close()
     assert(read() == Map(1L -> ((10L, "a"))), "uncommitted staging leaked")
-    // the replayed batch resets staging: the ghost must NOT surface
+    // batch 1 commits: its merge reads ONLY its own attempt, so the ghost
+    // must NOT surface in the target
     val b1 = Seq((2L, 10L, "b")).toDF("job_id", "scraped_at", "payload")
     sink.writeBatch(b1, 1L)
     assert(read() == Map(1L -> ((10L, "a")), 2L -> ((10L, "b"))))
+    // and once batch 1 is ledgered, the NEXT commit's sweep clears the
+    // ghost (orphans of committed batches die inside later transactions)
+    sink.writeBatch(Seq((3L, 10L, "c")).toDF("job_id", "scraped_at", "payload"), 2L)
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT count(*) FROM \"joblistings_staging\"")
+      rs.next()
+      assert(rs.getInt(1) == 0, "staging must be fully swept after commits")
+    } finally c2.close()
   }
 
   test("appendIgnoreDupes: set-based dup-tolerant fact append (Skills path)") {

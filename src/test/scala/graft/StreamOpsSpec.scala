@@ -296,6 +296,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((10L, 3L)))
   }
 
+  test("closed sessions: a late event older than an emitted session is " +
+      "dropped, never fabricates an overlapping session (r10)") {
+    val mem = MemoryStream[Ev](spark)
+    val q = StreamOps.closedSessions(mem.toDS(), gapSeconds = 30 * 60).toDF()
+      .writeStream.format("memory").queryName("t_closed_late")
+      .outputMode("append").start()
+    // batch 1: ts0 and ts50 — the 50-min gap closes session {ts0}
+    mem.addData(Ev(1, ts(0), 40, "view", 1.0), Ev(2, ts(50), 40, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at ts5 (inside the already-emitted session's
+    // span) — the old state logic merged it with the open {ts50} session
+    // and emitted a bogus ClosedSession(n=1, first=last=ts5)
+    mem.addData(Ev(3, ts(5), 40, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: close the open session so everything flushes
+    mem.addData(Ev(4, ts(200), 40, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_closed_late")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly two sessions: {ts0} and {ts50} — no phantom ts5 session
+    val epoch = (min: Int) => (1704067200000L + min * 60000L) / 1000
+    assert(got == Set((40L, 1L, epoch(0)), (40L, 1L, epoch(50))), got)
+  }
+
   test("streaming pattern bursts: matches the batch triple detector, O(1) state") {
     val mem = MemoryStream[Ev](spark)
     val q = StreamOps.streamPatternBursts(mem.toDS(), maxSpanUs = 24L * 3600 * 1000000)
