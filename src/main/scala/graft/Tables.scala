@@ -69,120 +69,16 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // events.ts is TIMESTAMP(NANOS,false) — read as long, converted in events().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Native functions for sessions built without spark.sql.extensions.
-    // Register-once guard: tune() runs on every table() call, and a blind
-    // re-register logs a "replaced a previously registered function" WARN
-    // per call — hundreds of lines of noise in a bench run.
+    // Native functions for sessions built without spark.sql.extensions —
+    // the SAME GraftFunctions.all list the extensions entry point consumes
+    // (r10: two hand-maintained lists had drifted; extension sessions
+    // lacked four functions). Register-once guard: tune() runs on every
+    // table() call, and a blind re-register logs a "replaced a previously
+    // registered function" WARN per call — hundreds of lines of noise in a
+    // bench run.
     val reg = spark.sessionState.functionRegistry
-    def registerIfAbsent(name: String)(doRegister: => Unit): Unit = {
-      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-      if (!reg.functionExists(id)) doRegister
-    }
-    registerIfAbsent("vec_dot") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
-        graft.functions.FloatVectorDot.info,
-        graft.functions.FloatVectorDot.builder)
-    }
-    registerIfAbsent("vec_cosine") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
-        graft.functions.FloatVectorCosine.info,
-        graft.functions.FloatVectorCosine.builder)
-    }
-    registerIfAbsent("minhash_sig") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
-        graft.functions.MinhashSig.info,
-        graft.functions.MinhashSig.builder)
-    }
-    registerIfAbsent("vec_qdot") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_qdot"),
-        graft.functions.LongVectorDot.info,
-        graft.functions.LongVectorDot.builder)
-    }
-    registerIfAbsent("word_grams") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("word_grams"),
-        graft.functions.WordGrams.info,
-        graft.functions.WordGrams.builder)
-    }
-    registerIfAbsent("winnow_mins") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_mins"),
-        graft.functions.WinnowMins.info,
-        graft.functions.WinnowMins.builder)
-    }
-    registerIfAbsent("poly_grams") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("poly_grams"),
-        graft.functions.PolyGrams.info,
-        graft.functions.PolyGrams.builder)
-    }
-    registerIfAbsent("bpe_stats") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_stats"),
-        graft.functions.BpeStats.info,
-        graft.functions.BpeStats.builder)
-    }
-    registerIfAbsent("cdc_chunks") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
-        graft.functions.CdcChunks.info,
-        graft.functions.CdcChunks.builder)
-    }
-    registerIfAbsent("jaro_winkler") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
-        graft.functions.JaroWinkler.info,
-        graft.functions.JaroWinkler.builder)
-    }
-    registerIfAbsent("vec_nearest_cid") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_nearest_cid"),
-        graft.functions.VecNearestCid.info,
-        graft.functions.VecNearestCid.builder)
-    }
-    // term_match: one-pass dictionary-match Generator over the skill taxonomy
-    registerIfAbsent("term_match") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("term_match"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[graft.functions.TermMatchGenerator].getCanonicalName, "term_match"),
-        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.TermMatchGenerator(args.head,
-            graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
-    }
-    // term_match_array: the scalar (array<string>) form of the same
-    // dictionary match, for use inside per-row conditional cascades
-    registerIfAbsent("term_match_array") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("term_match_array"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[graft.functions.TermMatchArray].getCanonicalName, "term_match_array"),
-        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.TermMatchArray(args.head,
-            graft.ops.SkillOps.taxonomyRows.map(_._1).distinct))
-    }
-    // blocklist_match: the same one-pass matcher bound to the SAFETY
-    // blocklist instead of the skill taxonomy (text_blocklist_filter);
-    // single tokens + one phrase so both matcher tiers exercise
-    registerIfAbsent("blocklist_match") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("blocklist_match"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[graft.functions.TermMatchArray].getCanonicalName, "blocklist_match"),
-        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.TermMatchArray(args.head, BlocklistTerms))
-    }
-    // asof_match: SQL marker predicate for the as-of join (rewritten to the
-    // AsOfJoin node by RewriteAsOfMarkerJoin; Unevaluable if left in place)
-    registerIfAbsent("asof_match") {
-      reg.registerFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("asof_match"),
-        graft.plans.AsOfMatch.info,
-        graft.plans.AsOfMatch.builder)
+    GraftFunctions.all.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
     // Custom whole-operator extension (as-of join): strategy plans the
     // logical node, rules rewrite the SQL marker join and push left-side

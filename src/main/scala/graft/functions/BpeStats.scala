@@ -151,9 +151,15 @@ object BpeStats {
   val builder: Seq[Expression] => Expression = {
     case Seq(t, m) if m.foldable && (m.dataType match {
         case ArrayType(StringType, _) => true; case _ => false }) =>
-      val arr = m.eval().asInstanceOf[ArrayData]
-        .toArray[UTF8String](StringType).map(_.toString).toSeq
-      BpeStats(t, arr)
+      val evaled = m.eval()
+      // typed errors instead of a bare NPE at analysis time (r10 review)
+      if (evaled == null) throw new IllegalArgumentException(
+        "bpe_stats: merges array must not be null")
+      val arr = evaled.asInstanceOf[ArrayData]
+        .toArray[UTF8String](StringType).toSeq
+      if (arr.contains(null)) throw new IllegalArgumentException(
+        "bpe_stats: merges array must not contain null elements")
+      BpeStats(t, arr.map(_.toString))
     case other => throw new IllegalArgumentException(
       "bpe_stats expects (string, foldable array<string>), got " +
         other.map(_.dataType.catalogString).mkString(", "))

@@ -50,6 +50,10 @@ case class PolyGrams(left: Expression, right: Expression)
 
 object PolyGrams {
   def compute(h: ArrayData, k: Int): ArrayData = {
+    // k <= 0 would emit max(n-k+1, 0) phantom zero-hash "grams" — silent
+    // wrong data feeding dedup (r10 review); fail loudly like MinhashSig
+    if (k <= 0) throw new IllegalArgumentException(
+      s"poly_grams: gram width must be positive, got $k")
     val n = h.numElements()
     // Guard before the hot loop: getLong on a null slot silently reads 0 —
     // internal callers never produce null elements, but the function is

@@ -23,22 +23,42 @@ final class TermMatcher(terms: Seq[String]) extends Serializable {
   @transient private lazy val ac: AhoCorasick =
     new AhoCorasick(terms.filter(_.contains(" ")).toArray)
 
-  def matchArray(text: UTF8String): ArrayData = {
+  // Java-regex \s set — what split("\\s+") separated on; scanning manually
+  // avoids the per-ROW Pattern.compile + String[] allocation that
+  // String.split pays for multi-char regexes (r10 review: the exact
+  // interpreted-per-row overhead these natives exist to remove)
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** All matched terms in the output contract's order: single-word terms by
+    * first occurrence in text order (deduped), then multi-word terms in
+    * dictionary order — the two classes are disjoint, so concatenation IS
+    * the union. ONE implementation feeds both the scalar array form and
+    * the Generator (r10 — they were hand-maintained twins). */
+  def matchedTerms(text: UTF8String): Seq[String] = {
     val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     if (!singles.isEmpty) {
       val seen = new java.util.HashSet[String]
-      val tokens = lowered.split("\\s+")
+      val len = lowered.length
       var i = 0
-      while (i < tokens.length) {
-        if (singles.contains(tokens(i)) && seen.add(tokens(i)))
-          out += UTF8String.fromString(tokens(i))
-        i += 1
+      while (i < len) {
+        while (i < len && isWs(lowered.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(lowered.charAt(i))) i += 1
+        if (i > start) {
+          val tok = lowered.substring(start, i)
+          if (singles.contains(tok) && seen.add(tok)) out += tok
+        }
       }
     }
-    ac.matchedPatterns(lowered).foreach(p => out += UTF8String.fromString(p))
-    new GenericArrayData(out.toArray)
+    if (ac.patterns.nonEmpty) out ++= ac.matchedPatterns(lowered)
+    out.toSeq
   }
+
+  def matchArray(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      matchedTerms(text).map(UTF8String.fromString).toArray[Any])
 }
 
 /** SURVEY §2.4 F6 v2, scalar form: the per-row `array<string>` of dictionary

@@ -33,30 +33,17 @@ case class TermMatchGenerator(child: Expression, terms: Seq[String])
     else TypeCheckResult.TypeCheckFailure(
       s"term_match expects a string column, got ${child.dataType.catalogString}")
 
-  // Matching state built once per deserialized expression (lazy keeps
-  // construction off the driver's plan-copy path; rebuild per task is
-  // microseconds against any real task).
-  @transient private lazy val singleTerms: Set[String] =
-    terms.filterNot(_.contains(" ")).toSet
-  @transient private lazy val multiAc: AhoCorasick =
-    new AhoCorasick(terms.filter(_.contains(" ")).toArray)
+  // Matching delegates to the SAME TermMatcher the scalar form uses (r10 —
+  // the generator used to carry a hand-maintained twin of the two-tier
+  // logic). Lazy keeps construction off the driver's plan-copy path;
+  // rebuild per task is microseconds against any real task.
+  @transient private lazy val matcher = new TermMatcher(terms)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val text = child.eval(input)
     if (text == null) return Iterator.empty
-    val lowered = text.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
-    val found = scala.collection.mutable.LinkedHashSet.empty[String]
-    if (singleTerms.nonEmpty) {
-      val tokens = lowered.split("\\s+")
-      var i = 0
-      while (i < tokens.length) {
-        if (singleTerms.contains(tokens(i))) found += tokens(i)
-        i += 1
-      }
-    }
-    if (multiAc.patterns.nonEmpty) found ++= multiAc.matchedPatterns(lowered)
-    found.iterator.map(t => InternalRow(UTF8String.fromString(t)))
+    matcher.matchedTerms(text.asInstanceOf[UTF8String]).iterator
+      .map(t => InternalRow(UTF8String.fromString(t)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): TermMatchGenerator =

@@ -41,58 +41,17 @@ case class VecNearestCid(left: Expression, right: Expression)
 
   override def prettyName: String = "vec_nearest_cid"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val cents = b.asInstanceOf[ArrayData]
-    var best = -1
-    var bestD = Double.PositiveInfinity
-    var c = 0
-    val k = cents.numElements()
-    while (c < k) {
-      if (!cents.isNullAt(c)) {
-        val cv = cents.getArray(c)
-        val n = math.min(x.numElements(), cv.numElements())
-        var d = 0.0
-        var i = 0
-        while (i < n) {
-          val t = x.getFloat(i).toDouble - cv.getDouble(i)
-          d += t * t
-          i += 1
-        }
-        if (best < 0 || d < bestD) { bestD = d; best = c }
-      }
-      c += 1
-    }
-    if (best < 0) null else best
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecNearestCid.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val k = ctx.freshName("k")
-      val c = ctx.freshName("c")
-      val cv = ctx.freshName("cv")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
-      val t = ctx.freshName("t")
-      val best = ctx.freshName("best")
-      val bestD = ctx.freshName("bestD")
+      val res = ctx.freshName("res")
       s"""
-         |int $best = -1;
-         |double $bestD = Double.POSITIVE_INFINITY;
-         |int $k = $b.numElements();
-         |for (int $c = 0; $c < $k; $c++) {
-         |  if ($b.isNullAt($c)) continue;
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $b.getArray($c);
-         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
-         |  double $d = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $t = (double) $a.getFloat($i) - $cv.getDouble($i);
-         |    $d += $t * $t;
-         |  }
-         |  if ($best < 0 || $d < $bestD) { $bestD = $d; $best = $c; }
-         |}
-         |if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+         |java.lang.Integer $res =
+         |  graft.functions.VecNearestCid$$.MODULE$$.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.intValue(); }
        """.stripMargin
     })
 
@@ -102,6 +61,48 @@ case class VecNearestCid(left: Expression, right: Expression)
 }
 
 object VecNearestCid {
+  /** One implementation for BOTH the interpreted and codegen paths (r10 —
+    * they used to be hand-maintained twins). NULL ELEMENTS inside the
+    * query vector or a centroid row fail LOUDLY: the primitive getters
+    * silently read 0 for null slots, which would return a confident but
+    * wrong assignment (the HOF formulation this function claims
+    * bit-identity with null-propagates instead — neither silently
+    * substitutes zero). A null centroid ROW is skipped (degrade-to-null
+    * when nothing remains), matching the documented contract. */
+  def compute(x: ArrayData, cents: ArrayData): java.lang.Integer = {
+    val xn = x.numElements()
+    var g = 0
+    while (g < xn) {
+      if (x.isNullAt(g)) throw new IllegalArgumentException(
+        s"vec_nearest_cid: null element at index $g of the query vector " +
+          "(null-bearing vectors are not supported)")
+      g += 1
+    }
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val cv = cents.getArray(c)
+        val n = math.min(xn, cv.numElements())
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          if (cv.isNullAt(i)) throw new IllegalArgumentException(
+            s"vec_nearest_cid: null element at index $i of centroid $c " +
+              "(null-bearing vectors are not supported)")
+          val t = x.getFloat(i).toDouble - cv.getDouble(i)
+          d += t * t
+          i += 1
+        }
+        if (best < 0 || d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
+
   def apply(emb: org.apache.spark.sql.Column,
       cents: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("vec_nearest_cid", emb, cents)

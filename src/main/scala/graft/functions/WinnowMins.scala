@@ -47,6 +47,10 @@ case class WinnowMins(left: Expression, right: Expression)
 
 object WinnowMins {
   def compute(g: ArrayData, w: Int): ArrayData = {
+    // w <= 0 would walk the monotone deque out of bounds (r10 review:
+    // winnow_mins(array(1L), 0) evicted the only slot and read deque(1))
+    if (w <= 0) throw new IllegalArgumentException(
+      s"winnow_mins: window width must be positive, got $w")
     val n = g.numElements()
     // Guard before the hot loop: getLong on a null slot silently reads 0 —
     // internal callers never produce null elements, but the function is

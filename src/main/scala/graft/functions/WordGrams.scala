@@ -41,6 +41,10 @@ case class WordGrams(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val t = a.asInstanceOf[ArrayData]
     val k = b.asInstanceOf[Int]
+    // n <= 0 would allocate a negative-size parts array deep inside a task
+    // (raw NegativeArraySizeException with no hint of the cause — r10)
+    if (k <= 0) throw new IllegalArgumentException(
+      s"word_grams: gram width must be positive, got $k")
     val n = t.numElements()
     val m = math.max(n - k + 1, 0)
     val out = new Array[AnyRef](m)
@@ -66,6 +70,8 @@ case class WordGrams(left: Expression, right: Expression)
       val parts = ctx.freshName("parts")
       val u = classOf[UTF8String].getName
       s"""
+         |if ($b <= 0) throw new IllegalArgumentException(
+         |  "word_grams: gram width must be positive, got " + $b);
          |int $n = $a.numElements();
          |int $m = java.lang.Math.max($n - $b + 1, 0);
          |Object[] $out = new Object[$m];

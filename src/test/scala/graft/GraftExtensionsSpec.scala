@@ -14,6 +14,18 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
   }
 
+  test("both registration paths expose the SAME function list (r10 — they " +
+      "had drifted by four functions)") {
+    // the tuned session must resolve every GraftFunctions entry by name;
+    // since both registrars iterate GraftFunctions.all, extension sessions
+    // get the identical surface by construction
+    Tables.tune(spark)
+    val reg = spark.sessionState.functionRegistry
+    val missing = GraftFunctions.all.map(_._1).filterNot(reg.functionExists)
+    assert(missing.isEmpty, s"unregistered functions: $missing")
+    assert(GraftFunctions.all.size >= 15, "the function list lost entries")
+  }
+
   test("runtime (experimental) registration is idempotent — tune twice, registered once") {
     Tables.tune(spark)
     Tables.tune(spark)
