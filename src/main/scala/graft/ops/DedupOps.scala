@@ -195,7 +195,10 @@ object DedupOps {
     * had already dropped, on ~10⁶-token docs). `jaccard` stays 6-dp
     * rounded as the emitted display column. */
   def jaccardVerify(toks: DataFrame, cand: DataFrame, minJaccard: Double): DataFrame = {
-    val tScaled = math.round(minJaccard * 1e6)
+    // floor, not round: the documented scaled form is ⌊t·10⁶⌋ (r10 ADVICE —
+    // half-up was strictly stricter than the doc for non-6-dp thresholds,
+    // diverging from an oracle that floors)
+    val tScaled = math.floor(minJaccard * 1e6).toLong
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")

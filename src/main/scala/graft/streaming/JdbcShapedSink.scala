@@ -103,16 +103,65 @@ class JdbcShapedSink(tableDir: String, keys: Seq[String], versionCol: String) {
     Files.createDirectories(commitsDir)
     val tmp = Files.createTempFile(commitsDir, s".pending-$batchId-", "")
     Files.write(tmp, newDirName.getBytes("UTF-8"))
-    try Files.move(tmp, commitsDir.resolve(batchId.toString))
+    val marker = commitsDir.resolve(batchId.toString)
+    try Files.move(tmp, marker)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         deleteQuietly(Paths.get(tableDir, newDirName))
         return
     }
+    // Files.move without ATOMIC_MOVE may implement no-replace as
+    // exists-check-then-rename, so two same-id committers can BOTH pass the
+    // check and the later rename silently replaces the earlier marker with
+    // neither taking the FileAlreadyExists path (r10 ADVICE). Re-read what
+    // actually got published: if it names another attempt's dir, this
+    // attempt lost after all — discard its dir and defer to the winner
+    // (both merged the same batch onto the same committed predecessor, so
+    // either dir is a correct table state).
+    val published =
+      try new String(Files.readAllBytes(marker), "UTF-8").trim
+      catch { case _: Throwable => newDirName }
+    if (published != newDirName) {
+      deleteQuietly(Paths.get(tableDir, newDirName))
+      return
+    }
     // the superseded directory is now unreferenced; reclaim best-effort
     previous.filter(_.getFileName.toString != newDirName).foreach(deleteQuietly)
+    sweepOrphans()
   }
+
+  /** Reclaim crashed attempts' data dirs (r10 ADVICE — an attempt dying
+    * after its parquet write but before its marker move used to leave
+    * `data-b<id>-<uuid>` on disk forever). After a successful commit, any
+    * data dir whose batch id is at or below the newest committed id and
+    * that no ledger marker names is garbage: writeBatch skips committed
+    * ids, so a live concurrent writer can only be working on a HIGHER id —
+    * except a same-id zombie of the batch that just committed, whose
+    * in-flight write may fail when its dir vanishes; that failure is
+    * benign (its commit would have been discarded by the marker race
+    * handling above anyway). */
+  private def sweepOrphans(): Unit = try {
+    val markers = commitMarkers()
+    if (markers.isEmpty) return
+    val newest = markers.last.getFileName.toString.toLong
+    val referenced = markers.map { m =>
+      try new String(Files.readAllBytes(m), "UTF-8").trim
+      catch { case _: Throwable => "" }
+    }.toSet
+    val dirRe = "^data-b(\\d+)-.*$".r
+    val s = Files.list(Paths.get(tableDir))
+    val orphans =
+      try s.iterator.asScala.toSeq.filter { p =>
+        p.getFileName.toString match {
+          case dirRe(id) => id.toLong <= newest &&
+            !referenced.contains(p.getFileName.toString)
+          case _ => false
+        }
+      }
+      finally s.close()
+    orphans.foreach(deleteQuietly)
+  } catch { case _: Throwable => () }
 
   private def deleteQuietly(dir: Path): Unit =
     try {

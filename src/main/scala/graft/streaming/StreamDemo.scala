@@ -58,9 +58,16 @@ object StreamDemo {
         // anti-join the batch against already-written keys, append survivors
         // explicit existence test, not a catch-all (r10 review: swallowing
         // ANY read failure — corrupt file, FS hiccup — as "first batch"
-        // appended duplicates and broke the documented idempotence)
+        // appended duplicates and broke the documented idempotence).
+        // Resolved through the Hadoop FileSystem API, not java.nio (r10
+        // ADVICE): with an hdfs:// or s3a:// sinkPath, Files.exists is
+        // always false, so every batch would be treated as the first and
+        // append duplicates — silently breaking the same idempotence.
+        val sinkHPath = new org.apache.hadoop.fs.Path(sinkPath)
+        val sinkFs = sinkHPath.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
         val deduped =
-          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sinkPath)))
+          if (!sinkFs.exists(sinkHPath))
             batch // first batch: nothing written yet
           else {
             val existing = spark.read.parquet(sinkPath)

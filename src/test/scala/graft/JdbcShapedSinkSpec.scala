@@ -66,6 +66,27 @@ class JdbcShapedSinkSpec extends SparkSpec {
     assert(read() == Map(1L -> ((10L, "a")), 2L -> ((20L, "b2"))))
   }
 
+  test("crashed attempt dirs are swept by the next successful commit") {
+    val (sink, read) = mkSink()
+    val b0 = Seq((1L, 10L, "a")).toDF("job_id", "scraped_at", "payload")
+    sink.writeBatch(b0, 0L)
+
+    // a same-or-earlier-id attempt that died after its parquet write but
+    // before its marker move: unreferenced data-b dir, no ledger entry
+    val orphan = Files.createDirectories(
+      java.nio.file.Paths.get(lastDir, "data-b0-deadbeef"))
+    Files.write(orphan.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    // an in-flight attempt of a FUTURE batch must NOT be touched
+    val future = Files.createDirectories(
+      java.nio.file.Paths.get(lastDir, "data-b9-cafebabe"))
+
+    val b1 = Seq((2L, 20L, "b")).toDF("job_id", "scraped_at", "payload")
+    sink.writeBatch(b1, 1L)
+    assert(!Files.exists(orphan), "committed-range orphan must be swept")
+    assert(Files.exists(future), "higher-id in-flight dir must survive")
+    assert(read() == Map(1L -> ((10L, "a")), 2L -> ((20L, "b"))))
+  }
+
   test("attached to a real stream: full source replay on a fresh checkpoint adds nothing") {
     val (sink, read) = mkSink()
     val rows = Seq((1L, 10L, "a"), (2L, 10L, "b"), (2L, 10L, "b"), (3L, 10L, "c"))
