@@ -153,10 +153,30 @@ object Bench {
       // to 2.7x inside driver runs were opaque — the detail file now shows
       // whether rep 1 or rep 3 carries the inflation, i.e. leftover warmup
       // vs. intermittent external contention)
-      val rawTimes = (1 to reps).map { _ =>
+      def timedRep(): Double = {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
+      }
+      val firstReps = (1 to reps).map(_ => timedRep())
+      // Contention detector (r10 verdict #3): a rep spread > 1.5x over a
+      // non-trivial floor is the external-load signature the per-rep arrays
+      // exposed (r10 driver run: corr_spearman [3.70, 39.16, 3.37] — an
+      // 11.6x mid-rep spike with a stable min). Take up to 2 extra reps so
+      // the median is computed from a majority of uncontended readings;
+      // extras append to reps_s in execution order and the query is flagged
+      // "contended" in the detail file. The regression gate is unchanged —
+      // it runs on minima, which extra reps can only refine. The 0.15 s
+      // floor keeps sub-100 ms queries (where 1.5x is scheduler jitter, not
+      // contention) out of the rerun loop.
+      def spread(ts: Seq[Double]): Double =
+        if (ts.min > 1e-9) ts.max / ts.min else 1.0
+      val contended = firstReps.min > 0.15 && spread(firstReps) > 1.5
+      var rawTimes = firstReps
+      var extra = 0
+      while (extra < 2 && rawTimes.min > 0.15 && spread(rawTimes) > 1.5) {
+        rawTimes = rawTimes :+ timedRep()
+        extra += 1
       }
       val times = rawTimes.sorted
       // true median: average the two middle elements when reps is even
@@ -166,7 +186,8 @@ object Bench {
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
       val (ccUsed, _) = codeCache()
       (name, med, times.head, rawTimes,
-        ccUsed >> 20, gcMillis() - gc0, jitMillis() - jit0, jitWaitMs)
+        ccUsed >> 20, gcMillis() - gc0, jitMillis() - jit0, jitWaitMs,
+        contended)
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -181,32 +202,34 @@ object Bench {
     // (the r01/r02 89-entry line overflowed the tail and parsed as null).
     // The printed "queries" map carries the slowest queries that fit a
     // ~1200-char budget; "detail" points at the complete map.
+    val nContended = results.count(_._9)
     val detailPath = "BENCH_DETAIL.json"
     val allQs = results.map {
-      case (k, med, min, raw, ccMb, gcMs, jitMs, jitWaitMs) =>
+      case (k, med, min, raw, ccMb, gcMs, jitMs, jitWaitMs, contended) =>
         "\"" + k + "\":{\"med\":" + fmt(med) + ",\"min\":" + fmt(min) +
           ",\"reps_s\":" + raw.map(fmt).mkString("[", ",", "]") +
           ",\"cc_mb\":" + ccMb + ",\"gc_ms\":" + gcMs +
-          ",\"jit_ms\":" + jitMs + ",\"jit_wait_ms\":" + jitWaitMs + "}"
+          ",\"jit_ms\":" + jitMs + ",\"jit_wait_ms\":" + jitWaitMs +
+          (if (contended) ",\"contended\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val (ccEnd, ccMax) = codeCache()
     val jvmJson = s"""{"cc_used_mb":${ccEnd >> 20},"cc_max_mb":${ccMax >> 20},"gc_s":${fmt(gcMillis() / 1000.0)},"jit_s":${fmt(jitMillis() / 1000.0)}}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"jvm":$jvmJson,"queries":$allQs,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_contended":$nContended,"jvm":$jvmJson,"queries":$allQs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     val budget = 1200
     val slowFirst = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
-    slowFirst.foreach { case (k, med, _, _, _, _, _, _) =>
+    slowFirst.foreach { case (k, med, _, _, _, _, _, _, _) =>
       val entryLen = k.length + fmt(med).length + 4
       if (used + entryLen <= budget) { picked += ((k, med)); used += entryLen }
     }
     val qs = picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_queries":${results.size},"jvm":$jvmJson,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_queries":${results.size},"n_contended":$nContended,"jvm":$jvmJson,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1617,28 +1617,34 @@ object RelationalQueries {
   /** `window_range_frame_bucketed`: W3b's result from the SCALE algorithm —
     * the partition-by-type window bounds parallelism at the type count (5
     * here, still 5 at 100 TB, where one type's events don't fit a task).
-    * Because the frame length equals the bucket width (6 h), a row's frame
-    * spans AT MOST its own bucket and the one before, so: duplicate each
-    * row as a carry into the next bucket, window per (type, bucket) — the
-    * SAME RANGE frame arithmetic, parallelism now types × buckets (~600 at
-    * sf0.1, growing with the time span) — and emit only the non-carry rows.
-    * Carried rows older than 6 h sit in the partition but outside every
-    * frame, contributing nothing. Same oracle as `window_range_frame`:
-    * hash equality IS the rewrite proof. 2× row duplication buys unbounded
-    * parallelism — the trade a 100 TB window always makes. */
+    * Pick a bucket width ≥ the frame (24 h here, frame 6 h): a row's frame
+    * then spans AT MOST its own bucket and the one before, and the only
+    * prior-bucket rows any frame can reach are those in the LAST frame-
+    * length of that bucket — so carry exactly those (tsu mod width ≥
+    * width − frame) into the next bucket, window per (type, bucket) with
+    * the SAME RANGE frame arithmetic, and emit only the non-carry rows.
+    * Carried rows outside a row's true frame sit in the partition but
+    * outside every frame, contributing nothing. Same oracle as
+    * `window_range_frame`: hash equality IS the rewrite proof. Duplication
+    * is frame/width (25% here; the r10 form used width = frame = 2× rows —
+    * the width knob trades carry volume against per-bucket partition size,
+    * parallelism stays types × buckets and grows with the time span). */
   private def windowRangeFrameBucketed(s: SparkSession, d: String): DataFrame =
     windowRangeFrameBucketedOf(events(s, d))
 
   private[graft] def windowRangeFrameBucketedOf(ev: DataFrame): DataFrame = {
     val sixH = 6L * 3600L * 1000000L
+    val bucketW = 4L * sixH // 24 h; any width ≥ the frame preserves the rewrite
     val base = ev.select(col("event_id"), col("event_type"),
       unix_micros(col("ts")).as("tsu"), col("value"))
     val tagged = base
       .select(col("event_id"), col("event_type"), col("tsu"), col("value"),
-        expr(s"tsu div ${sixH}L").as("bucket"), lit(false).as("carry"))
-      .unionAll(base.select(col("event_id"), col("event_type"), col("tsu"),
-        col("value"), (expr(s"tsu div ${sixH}L") + 1).as("bucket"),
-        lit(true).as("carry")))
+        expr(s"tsu div ${bucketW}L").as("bucket"), lit(false).as("carry"))
+      .unionAll(base
+        .filter(expr(s"tsu % ${bucketW}L >= ${bucketW - sixH}L"))
+        .select(col("event_id"), col("event_type"), col("tsu"),
+          col("value"), (expr(s"tsu div ${bucketW}L") + 1).as("bucket"),
+          lit(true).as("carry")))
     val w = Window.partitionBy("event_type", "bucket").orderBy(col("tsu"))
       .rangeBetween(-sixH, 0)
     // Both window aggregates in ONE projection → one Window node (two
