@@ -764,8 +764,9 @@ object NorthStarQueries {
     * over the same bounded vec_id < 200 slice (the all-pairs reference is
     * affordable exactly because the slice is bounded; the LSH operator
     * under test is the one that scales). Oracle reproduces the exact pair
-    * count and asserts the recall floor TRUE. Floor 0.5 sits well under
-    * the measured 0.82 at sf0.01 (148 exact pairs, 121 found). */
+    * count and asserts the recall floor TRUE. Floor 0.6 = worst measured
+    * minus margin (ProbeRecall, r11: 0.818 at sf0.01, 0.720 at sf0.1 and
+    * sf1 — deterministic, so the readings are exact repeats). */
   private def dedupEmbeddingLshBound(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).filter(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -783,7 +784,7 @@ object NorthStarQueries {
     nExact.crossJoin(found)
       .select(col("n_exact_pairs"),
         (col("n_found").cast("double") >=
-          lit(0.5) * col("n_exact_pairs")).as("recall_ok"))
+          lit(0.6) * col("n_exact_pairs")).as("recall_ok"))
   }
 
   private val dedupEmbeddingLshBoundSql =
@@ -857,14 +858,21 @@ object NorthStarQueries {
       |       TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
-  // Thresholds sit well under the measured sf0.01 recalls (r08: LSH 0.73,
-  // IVF 0.90, PQ 0.62) — the bound asserts the ANN is USEFUL, not lucky;
-  // VectorOpsSpec asserts the tighter per-variant properties.
+  // Floors at measured-minus-margin (r10 verdict #5 — the r08 0.3/0.5
+  // slack let a real recall regression hide). Measured recall@3 by scale
+  // (graft.tools.ProbeRecall, r11; every structure is deterministic so the
+  // readings are exact repeats): LSH 0.733 (sf0.01) / 0.733 (sf0.1) /
+  // 0.950 (sf1); IVF 0.900 / 0.883 / 0.667; PQ 0.617 / 0.500 / 0.983.
+  // Each floor sits ~0.1 under the WORST measured scale — the twins assert
+  // at sf0.01 (driver gate) and sf1 (SF1.md gate), and a floor tuned to
+  // one scale's best reading would false-alarm at another. PQ stays 0.5:
+  // measured−0.12 at the sf0.01 gate, and sf0.1 measures exactly 30/60
+  // hits, so any higher floor flips on data the suite actually runs.
   private def knnAnnLshBound(s: SparkSession, d: String): DataFrame =
-    annRecallBound(s, d, knnAnnLsh(s, d), 3, 0.3)
+    annRecallBound(s, d, knnAnnLsh(s, d), 3, 0.6)
 
   private def knnAnnIvfBound(s: SparkSession, d: String): DataFrame =
-    annRecallBound(s, d, knnAnnIvf(s, d), 3, 0.5)
+    annRecallBound(s, d, knnAnnIvf(s, d), 3, 0.55)
 
   private def knnAnnPqBound(s: SparkSession, d: String): DataFrame =
     annRecallBound(s, d, knnAnnPq(s, d), 3, 0.5)
