@@ -63,7 +63,8 @@ class PointInTimeSpec extends SparkSpec {
       100L -> Some(1.0), 101L -> Some(2.0), 102L -> None), s"$seen")
   }
 
-  test("stateful streaming as-of == batch as-of join on the full feeds") {
+  test("stateful streaming as-of == batch as-of join on the full feeds " +
+      "(default AND RocksDB state store providers)") {
     import graft.streaming.StreamOps
     import StreamOps.AsOfFeed
     def feat(k: Long, ts: Long, v: Double) =
@@ -79,16 +80,6 @@ class PointInTimeSpec extends SparkSpec {
       Seq(feat(2L, 15L, 5.0), ev(103L, 2L, 14L), ev(104L, 2L, 15L),
         ev(105L, 3L, 99L)))
 
-    val mem = MemoryStream[AsOfFeed](spark)
-    val q = StreamOps.streamingAsOfEnrich(mem.toDS())
-      .writeStream.format("memory").queryName("asof_stream")
-      .outputMode("append").start()
-    batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-    q.stop()
-    val streamed = spark.table("asof_stream")
-      .collect().map(r => (r.getLong(0),
-        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
-
     val all = batches.flatten
     val featDf = all.filter(_.kind == "feature")
       .map(f => (f.key, f.ts, f.value.get)).toDF("f_ent", "f_from", "f_val")
@@ -100,9 +91,43 @@ class PointInTimeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
 
-    assert(streamed == batch, s"stream=$streamed batch=$batch")
-    assert(streamed == Map(100L -> Some(1.0), 101L -> Some(2.0),
-      102L -> Some(1.0), 103L -> None, 104L -> Some(5.0), 105L -> None))
+    // the contract must hold on BOTH providers (r10 verdict #6): 100 TB
+    // streaming state lives in RocksDB, and a provider-specific state
+    // serialization/ordering quirk would be invisible to a default-only run
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val providers = Seq(
+      "default" -> None,
+      "rocksdb" -> Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    try {
+      for ((label, cls) <- providers) {
+        cls match {
+          case Some(c) => spark.conf.set(key, c)
+          case None => prev match {
+            case Some(p) => spark.conf.set(key, p)
+            case None => spark.conf.unset(key)
+          }
+        }
+        val mem = MemoryStream[AsOfFeed](spark)
+        val q = StreamOps.streamingAsOfEnrich(mem.toDS())
+          .writeStream.format("memory").queryName(s"asof_stream_$label")
+          .outputMode("append").start()
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        q.stop()
+        val streamed = spark.table(s"asof_stream_$label")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+        assert(streamed == batch, s"[$label] stream=$streamed batch=$batch")
+        assert(streamed == Map(100L -> Some(1.0), 101L -> Some(2.0),
+          102L -> Some(1.0), 103L -> None, 104L -> Some(5.0), 105L -> None),
+          s"[$label] $streamed")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("transformWithState as-of == flatMapGroupsWithState as-of (same feed)") {
