@@ -692,6 +692,21 @@ object ScaleProbe {
         .agg(min(col("ip")).as("est")).count()
     }
     wpct(li1); cmsJoin(li1, o1)
+    // r11 additions (r10 verdict #7): the remaining hash-proven scale twins
+    // get a measured naive-vs-scaled contrast like ntile/rfm/range-frame.
+    // drift_ks_scaled / eval_auc_scaled replace the one-task distinct-domain
+    // Window with cumSumsByKey prefix sums; funnel_latency_percentiles runs
+    // its exact percentile through globalRank (range-partitioned ranks).
+    def ksScaled(o: DataFrame): Long =
+      graft.AuditQueries.driftKsScaledOf(o).queryExecution.toRdd.count()
+    def aucNaive(docs: DataFrame): Long =
+      graft.AuditQueries.evalAucOf(docs).queryExecution.toRdd.count()
+    def aucScaled(docs: DataFrame): Long =
+      graft.AuditQueries.evalAucScaledOf(docs).queryExecution.toRdd.count()
+    def funnelLat(ev: DataFrame): Long =
+      graft.EventQueries.funnelLatencyPercentilesOf(ev)
+        .queryExecution.toRdd.count()
+    ksScaled(o1); aucNaive(d1); aucScaled(d1); funnelLat(ev1)
     val rows1 = li1.count(); val rowsN = liN.count()
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1)), time(q1(liN))),
@@ -848,6 +863,14 @@ object ScaleProbe {
         time(wpct(li1)), time(wpct(liN))),
       ("cms join sizer (key-count pre-reduce -> two 32K-cell summaries)",
         time(cmsJoin(li1, o1)), time(cmsJoin(liN, oN))),
+      ("ks drift SCALED (cumSumsByKey prefix sums — twin of the window form)",
+        time(ksScaled(o1)), time(ksScaled(oN))),
+      ("eval auc naive (distinct-score one-task Window — contrast)",
+        time(aucNaive(d1)), time(aucNaive(dN))),
+      ("eval auc SCALED (cumSumsByKey prefix sums)",
+        time(aucScaled(d1)), time(aucScaled(dN))),
+      ("funnel latency percentiles (globalRank exact percentile)",
+        time(funnelLat(ev1)), time(funnelLat(evN))),
     )
     val sb = new StringBuilder
     sb.append("# SCALE — empirical scale-up probe (graft.tools.ScaleProbe)\n\n")
