@@ -174,23 +174,38 @@ def main():
                      ("event_type", pa.string()), ("value", pa.float64()),
                      ("props", pa.string())]))
 
-    pool = np.array(["a", "agg", "batch", "big", "column", "customer", "data",
-                     "dup", "fast", "filter", "group", "hash", "join", "key",
-                     "line", "merge", "order", "part", "query", "row", "scan",
-                     "slow", "small", "sort", "spark", "stream", "table", "the",
-                     "value", "vector", "window"])
+    # Measured dup structure (driver sf0.1): BASE docs (95%) draw 10..99
+    # words from the 30-word pool EXCLUDING the marker token "dup"; near-
+    # copies (5%) take an earlier doc and replace 1..3 random positions,
+    # the FIRST replacement inserting the literal "dup" (ndup-per-doc
+    # census at sf0.1: {1: 246, 2: 3, 3: 1} — >1 only via copy-of-copy, so
+    # non-marker edits draw from the 30-word base pool). Getting this
+    # right is load-bearing: the near-dup family ops (dataset_split_atomic,
+    # dedup_split_leak, ...) filter on \bdup\b, and a generator that
+    # samples "dup" as an ordinary word makes 77% of docs one giant family
+    # — the candidate pair join goes quadratic (measured: sf1 Verify stuck
+    # >10 min vs 2.6 s at the correct 5%).
+    base_pool = np.array(["a", "agg", "batch", "big", "column", "customer",
+                          "data", "fast", "filter", "group", "hash", "join",
+                          "key", "line", "merge", "order", "part", "query",
+                          "row", "scan", "slow", "small", "sort", "spark",
+                          "stream", "table", "the", "value", "vector",
+                          "window"])
     langs = np.array(["en", "zh", "es", "fr", "de"])
     lang_p = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
     texts = []
     for i in range(n_doc):
         if i > 0 and rng.random() < 0.05:
             words = texts[rng.integers(0, i)].split()
-            for _ in range(rng.integers(1, 4)):
-                words[rng.integers(0, len(words))] = pool[rng.integers(0, len(pool))]
+            edits = rng.integers(1, 4)
+            words[rng.integers(0, len(words))] = "dup"
+            for _ in range(edits - 1):
+                words[rng.integers(0, len(words))] = \
+                    base_pool[rng.integers(0, len(base_pool))]
             texts.append(" ".join(words))
         else:
-            texts.append(" ".join(pool[rng.integers(0, len(pool),
-                                                    rng.integers(10, 101))]))
+            texts.append(" ".join(base_pool[rng.integers(0, len(base_pool),
+                                                         rng.integers(10, 100))]))
     write(outdir, "documents",
           {"doc_id": pa.array(range(n_doc), pa.int64()),
            "text": texts,
