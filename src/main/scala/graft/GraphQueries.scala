@@ -34,6 +34,26 @@ object GraphQueries {
         col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
 
+  /** Strong-tie sparsifier: the [[StrongTies]] heaviest non-self trade
+    * pairs (ties broken by (src, dst), so the selection is total-ordered
+    * and cross-engine deterministic), folded undirected. The r10 form was
+    * a scale-PROPORTIONAL threshold (400·w ≥ |fact|) — it looks right but
+    * empties out as sf grows: pair weights concentrate at the mean
+    * |fact|/n² (CLT shrinks relative Poisson noise), so any fixed multiple
+    * of the mean selects nothing once counts are large. Measured: 87
+    * strong directed pairs at sf0.01, 0 at sf0.1, 0 at sf1 — the family
+    * was running on an empty graph at bench scale. Top-k is the
+    * scale-INVARIANT parameterization ("the k heaviest trade routes"):
+    * nonempty and meaningful at every sf, O(E log k) on the ≤ n²
+    * aggregate, and the oracle replays it as ORDER BY + LIMIT. */
+  private val StrongTies = 40
+  private def strongTieEdges(s: SparkSession, d: String): DataFrame =
+    tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      .orderBy(col("w").desc, col("src"), col("dst")).limit(StrongTies)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
   /** `graph_pagerank`: weighted PageRank over the trade graph, `Rounds`
     * synchronous iterations. Per round: per-edge contribution
     * rank·w/out_w, ONE keyed agg onto dst, damping applied, and the new
@@ -228,7 +248,7 @@ object GraphQueries {
          |    SELECT u.src AS node, min(p.comp) AS nbr
          |    FROM und u JOIN c${i - 1} p ON u.dst = p.node
          |    GROUP BY u.src) m ON m.node = l.node)""".stripMargin
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
        |         CAST(s.s_nationkey AS BIGINT) AS dst
        |  FROM lineitem l
@@ -236,7 +256,7 @@ object GraphQueries {
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |  GROUP BY 1, 2),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
        |  WHERE src <> dst),
@@ -298,7 +318,7 @@ object GraphQueries {
          |    FROM und u JOIN l${i - 1} l ON u.dst = l.node
          |    GROUP BY u.src, l.lbl)
          |  WHERE rn = 1)""".stripMargin
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
        |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
        |  FROM lineitem l
@@ -306,7 +326,7 @@ object GraphQueries {
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |  GROUP BY 1, 2),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
        |    SELECT src, dst, w FROM edges
        |    UNION ALL SELECT dst, src, w FROM edges)
@@ -345,14 +365,21 @@ object GraphQueries {
       .orderBy("n_name")
   }
 
+  /** Oracle-side edge CTEs aggregate to (cn, sn) behind an `AS MATERIALIZED`
+    * fence and filter `cn <> sn` AFTER it. With the inequality in the join
+    * WHERE, DuckDB 1.0.0 plans customer×supplier as a NESTED_LOOP theta join
+    * (1.4e9 build rows at sf1, EC-misestimated 10⁴× low → OOM-killed the sf1
+    * gate at 130 GB). Groups are (cn, sn)-atomic w.r.t. the predicate, so
+    * post-aggregation filtering is exactly equivalent (FIXTURES.md C3). */
   private val trianglesSql =
-    """WITH raw AS (
+    """WITH raw0 AS MATERIALIZED (
       |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-      |  WHERE c.c_nationkey <> su.s_nationkey),
+      |  GROUP BY 1, 2),
+      |raw AS (SELECT cn, sn FROM raw0 WHERE cn <> sn),
       |e AS (SELECT DISTINCT least(cn, sn) AS u, greatest(cn, sn) AS v FROM raw),
       |tri AS (
       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -402,13 +429,14 @@ object GraphQueries {
   }
 
   private val clusteringCoeffSql =
-    """WITH raw AS (
+    """WITH raw0 AS MATERIALIZED (
       |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-      |  WHERE c.c_nationkey <> su.s_nationkey),
+      |  GROUP BY 1, 2),
+      |raw AS (SELECT cn, sn FROM raw0 WHERE cn <> sn),
       |e AS (SELECT DISTINCT least(cn, sn) AS u, greatest(cn, sn) AS v FROM raw),
       |deg AS (
       |  SELECT node, count(*) AS deg FROM (
@@ -454,13 +482,14 @@ object GraphQueries {
       .orderBy("n_name")
 
   private val bfsSql =
-    s"""WITH RECURSIVE raw AS (
-       |  SELECT DISTINCT c.c_nationkey AS src, su.s_nationkey AS dst
+    s"""WITH RECURSIVE raw0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, su.s_nationkey AS dst
        |  FROM lineitem l
        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-       |  WHERE c.c_nationkey <> su.s_nationkey),
+       |  GROUP BY 1, 2),
+       |raw AS (SELECT src, dst FROM raw0 WHERE src <> dst),
        |walk(node, hops) AS (
        |  SELECT $BfsSource, 0
        |  UNION ALL
@@ -483,18 +512,10 @@ object GraphQueries {
     * orienting through the lower-degree endpoint (the triangle trick).
     * Counts are integers, Jaccard one division rounded to 6 dp. */
   private def commonNeighbors(s: SparkSession, d: String): DataFrame = {
-    // Sparsify to STRONG ties (400·w ≥ |fact|): the full trade graph is
-    // near-complete at every SF, which leaves no pairs to predict. The
-    // pure-integer comparison is scale-proportional (edge weights grow
-    // linearly with the fact), so the same query is meaningful at any SF
-    // and cross-engine exact (no division).
-    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
-    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
-      .crossJoin(broadcast(total))
-      .filter(col("w") * 400 >= col("n_fact"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    // Sparsify to STRONG ties (top-k heaviest pairs; see strongTieEdges):
+    // the full trade graph is near-complete at every SF, which leaves no
+    // pairs to predict.
+    val und = strongTieEdges(s, d)
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val wedges = adj.select(col("u").as("a"), col("v").as("n"))
@@ -512,15 +533,15 @@ object GraphQueries {
   }
 
   private val commonNeighborsSql =
-    """WITH raw AS (
-      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+    s"""WITH raw0 AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn, count(*) AS grp_n
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-      |  WHERE c.c_nationkey <> su.s_nationkey
-      |  GROUP BY 1, 2
-      |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+      |  GROUP BY 1, 2),
+      |raw AS (SELECT cn, sn FROM raw0 WHERE cn <> sn
+      |        ORDER BY grp_n DESC, cn, sn LIMIT $StrongTies),
       |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
       |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
       |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
@@ -545,17 +566,11 @@ object GraphQueries {
     * (= ⌊log2⌋+1 in pure integer/string ops — identical both engines and
     * immune to float log2 misbucketing at powers of two, the proven
     * length-histogram recipe). Runs on the STRONG-TIE graph (the
-    * common-neighbors sparsifier, 400·w ≥ |fact| — the full trade graph is
-    * near-complete, a one-bucket histogram); degrees come off the
+    * common-neighbors sparsifier, [[strongTieEdges]] — the full trade
+    * graph is near-complete, a one-bucket histogram); degrees come off the
     * aggregated graph, the histogram is one tiny keyed agg. */
   private def degreeHistogram(s: SparkSession, d: String): DataFrame = {
-    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
-    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
-      .crossJoin(broadcast(total))
-      .filter(col("w") * 400 >= col("n_fact"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = strongTieEdges(s, d)
     und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .groupBy(length(bin(col("deg"))).as("bucket"))
@@ -565,15 +580,15 @@ object GraphQueries {
   }
 
   private val degreeHistogramSql =
-    """WITH raw AS (
-      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+    s"""WITH raw0 AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn, count(*) AS grp_n
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-      |  WHERE c.c_nationkey <> su.s_nationkey
-      |  GROUP BY 1, 2
-      |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+      |  GROUP BY 1, 2),
+      |raw AS (SELECT cn, sn FROM raw0 WHERE cn <> sn
+      |        ORDER BY grp_n DESC, cn, sn LIMIT $StrongTies),
       |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
       |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
       |deg AS (
@@ -598,13 +613,7 @@ object GraphQueries {
     * Plan: degree agg + two broadcast joins onto the edge list + one
     * scalar agg; never fact-scale after [[tradeEdges]]. */
   private def assortativity(s: SparkSession, d: String): DataFrame = {
-    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
-    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
-      .crossJoin(broadcast(total))
-      .filter(col("w") * 400 >= col("n_fact"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = strongTieEdges(s, d)
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     adj
@@ -623,15 +632,15 @@ object GraphQueries {
   }
 
   private val assortativitySql =
-    """WITH raw AS (
-      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+    s"""WITH raw0 AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn, count(*) AS grp_n
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-      |  WHERE c.c_nationkey <> su.s_nationkey
-      |  GROUP BY 1, 2
-      |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+      |  GROUP BY 1, 2),
+      |raw AS (SELECT cn, sn FROM raw0 WHERE cn <> sn
+      |        ORDER BY grp_n DESC, cn, sn LIMIT $StrongTies),
       |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
       |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
       |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
@@ -677,13 +686,7 @@ object GraphQueries {
     * connectedComponents contract) so the scripted-CTE oracle replays the
     * identical schedule. Output = surviving nodes with their core degree. */
   private def kcore(s: SparkSession, d: String): DataFrame = {
-    val total = lineitem(s, d).agg(count(lit(1)).as("n_fact"))
-    val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
-      .crossJoin(broadcast(total))
-      .filter(col("w") * 400 >= col("n_fact"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint()
+    val und = strongTieEdges(s, d).localCheckpoint()
     var live = und.select(col("u").as("node")).unionAll(und.select(col("v")))
       .distinct().localCheckpoint()
     var lastCount = live.count()
@@ -720,15 +723,15 @@ object GraphQueries {
          |    JOIN l${i - 1} a ON e.u = a.node JOIN l${i - 1} b ON e.v = b.node)
          |  GROUP BY node),
          |l$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCore)""".stripMargin
-    s"""WITH raw AS MATERIALIZED (
-       |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn
+    s"""WITH raw0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn, count(*) AS grp_n
        |  FROM lineitem l
        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-       |  WHERE c.c_nationkey <> su.s_nationkey
-       |  GROUP BY 1, 2
-       |  HAVING count(*) * 400 >= (SELECT count(*) FROM lineitem)),
+       |  GROUP BY 1, 2),
+       |raw AS MATERIALIZED (SELECT cn, sn FROM raw0 WHERE cn <> sn
+       |  ORDER BY grp_n DESC, cn, sn LIMIT $StrongTies),
        |e AS MATERIALIZED (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
        |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
        |l0 AS MATERIALIZED (SELECT DISTINCT node FROM
@@ -1003,14 +1006,15 @@ object GraphQueries {
          |  SELECT f.s, f.v, CAST($r AS BIGINT) AS d FROM f$r f
          |  WHERE NOT EXISTS (SELECT 1 FROM d${r - 1} x
          |                    WHERE x.s = f.s AND x.v = f.v))""".stripMargin
-    s"""WITH edges AS (
-       |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+    s"""WITH edges0 AS MATERIALIZED (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
        |         CAST(s.s_nationkey AS BIGINT) AS dst
        |  FROM lineitem l
        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
        |und AS (SELECT src, dst FROM edges
        |        UNION SELECT dst, src FROM edges),
        |d0 AS (SELECT DISTINCT src AS s, src AS v, CAST(0 AS BIGINT) AS d
@@ -1114,7 +1118,7 @@ object GraphQueries {
          |    SELECT src, cd, row_number() OVER (PARTITION BY src
          |      ORDER BY score DESC, cd) AS rn FROM sc$i)
          |  WHERE rn = 1)""".stripMargin
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
        |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
        |  FROM lineitem l
@@ -1122,7 +1126,7 @@ object GraphQueries {
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |  GROUP BY 1, 2),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
        |    SELECT src, dst, w FROM edges
        |    UNION ALL SELECT dst, src, w FROM edges)
@@ -1173,13 +1177,14 @@ object GraphQueries {
   }
 
   private val modularitySql =
-    """WITH raw AS (
-      |  SELECT DISTINCT c.c_nationkey AS cn, su.s_nationkey AS sn
+    """WITH raw0 AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS cn, su.s_nationkey AS sn
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
-      |  WHERE c.c_nationkey <> su.s_nationkey),
+      |  GROUP BY 1, 2),
+      |raw AS (SELECT cn, sn FROM raw0 WHERE cn <> sn),
       |e AS (SELECT DISTINCT CAST(least(cn, sn) AS BIGINT) AS u,
       |                      CAST(greatest(cn, sn) AS BIGINT) AS v FROM raw),
       |t AS (

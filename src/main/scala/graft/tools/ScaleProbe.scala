@@ -547,14 +547,14 @@ object ScaleProbe {
     // PCA (per round one map-side fold + one 64-key agg — linear scans),
     // and the Hampel filter (the rolling-median window family).
     def kcoreP(li: DataFrame, o: DataFrame, c: DataFrame, su: DataFrame): Long = {
-      val tot = li.count()
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .groupBy((col("c_nationkey") % 25).cast("long").as("src"),
           (col("s_nationkey") % 25).cast("long").as("dst"))
         .agg(count(lit(1)).as("w"))
-        .filter(col("src") =!= col("dst") && col("w") * 400 >= tot)
+        .filter(col("src") =!= col("dst"))
+        .orderBy(col("w").desc, col("src"), col("dst")).limit(40)
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .distinct().localCheckpoint()

@@ -662,8 +662,9 @@ class QueriesSpec extends SparkSpec {
     val rows = Queries.byName("graph_kcore").build(spark, sfDir).collect()
     rows.foreach(r => assert(r.getLong(1) >= 2, s"node below core degree: $r"))
     // driver-side reference peeling on the same strong-tie graph
+    // (top-40 heaviest non-self pairs, ties broken by (src, dst) —
+    // must mirror GraphQueries.strongTieEdges exactly)
     import org.apache.spark.sql.functions._
-    val total = Tables.lineitem(spark, sfDir).count()
     val edges = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
@@ -671,7 +672,8 @@ class QueriesSpec extends SparkSpec {
       .groupBy(col("c_nationkey").cast("long").as("src"),
         col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("src") =!= col("dst") && col("w") * 400 >= total)
+      .filter(col("src") =!= col("dst"))
+      .orderBy(col("w").desc, col("src"), col("dst")).limit(40)
       .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     var live = edges.flatMap(e => Seq(e._1, e._2)).toSet

@@ -19,7 +19,12 @@ collapses type differences and masks hash-fails):
     mismatches even when numerically equal, because the driver's hash
     diverges on representation alone.
 """
+import functools
 import sys, json, glob, math
+
+# Progress must survive a pipe: the sf1 gate runs ~40+ min and a
+# block-buffered stdout hides which oracle query is the slow one.
+print = functools.partial(print, flush=True)
 import datetime
 from decimal import Decimal
 
@@ -89,6 +94,14 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Fail fast instead of taking down the box: a pathological oracle plan
+    # (e.g. the DuckDB-1.0.0 dim×dim NESTED_LOOP theta join, FIXTURES.md C3)
+    # otherwise spills ~80 GB of temp then gets the process OOM-killed at
+    # 130 GB RSS (observed on the first sf1 gate run). No temp_directory =
+    # no spill: the offending query errors loudly at the cap and the gate
+    # reports it as a FAIL and keeps going.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory=''")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
