@@ -244,7 +244,8 @@ object CorpusQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("slp").cast("double") / col("n_bigrams"), 4).as("avg_logp"))
+        Det.detRound(col("slp").cast("double") / col("n_bigrams"), 4)
+          .as("avg_logp"))
   }
 
   private def lmBigramScore(s: SparkSession, d: String): DataFrame =
@@ -267,7 +268,8 @@ object CorpusQueries {
       |      AS logp
       |  FROM c2 JOIN c1 ON string_split(bg, ' ')[1] = c1.w)
       |SELECT o.doc_id, count(*) AS n_bigrams,
-      |  round(CAST(sum(m.logp) AS DOUBLE) / count(*), 4) AS avg_logp
+      |  (round((CAST(sum(m.logp) AS DOUBLE) / count(*)) * 10000.0) / 10000.0
+      |    + 0.0) AS avg_logp
       |FROM occ o JOIN model m USING (bg)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
@@ -345,10 +347,12 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_tokens"),
         sum(wnumX10).as("wsum_x10"))
       .withColumn("logit",
-        round(lit(0.3) + col("wsum_x10").cast("double") /
+        // detRound: the exact rational 0.3 + wsum/(10n) lands on 6-dp ties
+        // at a measurable rate (4 of 50k docs at sf1 — FIXTURES.md C4)
+        Det.detRound(lit(0.3) + col("wsum_x10").cast("double") /
           (col("n_tokens") * 10L).cast("double"), 6))
       .select(col("doc_id"), col("n_tokens"), col("logit"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4).as("p_keep"),
+        Det.detRound(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4).as("p_keep"),
         (col("logit") > 0.0).as("keep"))
       .orderBy("doc_id")
   }
@@ -366,12 +370,13 @@ object CorpusQueries {
       |  GROUP BY doc_id),
       |sc AS (
       |  SELECT doc_id, n_tokens,
-      |    round(CAST(0.3 AS DOUBLE)
-      |      + CAST(wsum_x10 AS DOUBLE) / CAST(n_tokens * 10 AS DOUBLE), 6)
-      |      AS logit
+      |    (round((CAST(0.3 AS DOUBLE)
+      |      + CAST(wsum_x10 AS DOUBLE) / CAST(n_tokens * 10 AS DOUBLE))
+      |      * 1000000.0) / 1000000.0 + 0.0) AS logit
       |  FROM agg)
       |SELECT doc_id, n_tokens, logit,
-      |  round(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
+      |  (round((1.0 / (1.0 + exp(-logit))) * 10000.0) / 10000.0 + 0.0)
+      |    AS p_keep,
       |  logit > 0.0 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
 
@@ -557,9 +562,10 @@ object CorpusQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_logp"),
-        round(exp(-round(col("slp").cast("double") / col("n_bigrams"), 6)), 4)
-          .as("ppl"))
+        Det.detRound(col("slp").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logp"),
+        Det.detRound(exp(-Det.detRound(
+          col("slp").cast("double") / col("n_bigrams"), 6)), 4).as("ppl"))
       .orderBy("doc_id")
   }
 
@@ -599,8 +605,10 @@ object CorpusQueries {
       |  LEFT JOIN c2 USING (bg)
       |  LEFT JOIN c1 ON string_split(o.bg, ' ')[1] = c1.w, vocab v)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp,
-      |  round(exp(-round(CAST(sum(logp) AS DOUBLE) / count(*), 6)), 4) AS ppl
+      |  (round((CAST(sum(logp) AS DOUBLE) / count(*)) * 1000000.0)
+      |    / 1000000.0 + 0.0) AS avg_logp,
+      |  (round(exp(-(round((CAST(sum(logp) AS DOUBLE) / count(*)) * 1000000.0)
+      |    / 1000000.0 + 0.0)) * 10000.0) / 10000.0 + 0.0) AS ppl
       |FROM scored
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 

@@ -73,12 +73,23 @@ object EntityQueries {
 
   /** `record_linkage`: part names + a deterministic "typo" variant for
     * every third part (5th character dropped) are the dirty records. The
-    * oracle replays record-level blocking + levenshtein + a recursive-CTE
-    * closure — the dictionary-level plan must reproduce the record-level
-    * answer engine-exactly. */
+    * oracle replays the same name-level blocking + levenshtein + a
+    * recursive-CTE closure, expanded back to records — provably equal to
+    * the record-level answer (see recordLinkageSql's note) and, unlike the
+    * r10 record-level oracle, feasible at sf1. */
   private def recordLinkage(s: SparkSession, d: String): DataFrame =
     linkEntities(dirtyRecords(s, d))
 
+  /** Oracle at NAME level, like the plan it checks: the r10 record-level
+    * oracle (all record pairs per block + levenshtein + record-level
+    * recursive closure) was correct but quadratic in block size — the 8
+    * adjective-prefix blocks hold ~33k records each at sf1, ~4.5e9
+    * levenshtein pairs, and the sf1 gate sat on it for 25+ minutes before
+    * being killed. Name-level CC expands to the identical record-level
+    * answer: records sharing a name are lev-0 cliques inside one block
+    * (blk is a function of name), so record components are exactly the
+    * name components' record sets; cluster_id/canonical_rec = min rec_id
+    * within the expanded set, n_records = its size. */
   private val recordLinkageSql =
     """WITH RECURSIVE recs AS (
       |  SELECT p_partkey * 2 AS rec_id, p_name AS name FROM part
@@ -86,20 +97,34 @@ object EntityQueries {
       |  SELECT p_partkey * 2 + 1,
       |         substring(p_name, 1, 4) || substring(p_name, 6)
       |  FROM part WHERE p_partkey % 3 = 0),
-      |blocked AS (SELECT rec_id, name, substring(name, 1, 4) AS blk FROM recs),
+      |names AS (SELECT name, substring(name, 1, 4) AS blk,
+      |                 min(rec_id) AS nid, count(*) AS nrec
+      |          FROM recs GROUP BY 1, 2),
       |pairs AS (
-      |  SELECT x.rec_id AS doc_a, y.rec_id AS doc_b
-      |  FROM blocked x JOIN blocked y
-      |    ON x.blk = y.blk AND x.rec_id < y.rec_id
+      |  SELECT x.nid AS na, y.nid AS nb
+      |  FROM names x JOIN names y
+      |    ON x.blk = y.blk AND x.nid < y.nid
       |  WHERE levenshtein(x.name, y.name) <= 2),
       |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |  -- self-edge only for names holding >= 2 records: the record-level
+      |  -- graph has no edge at all for a unique un-paired name, and such
+      |  -- records were absent from the r10 record-level oracle's output
+      |  SELECT nid AS src, nid AS dst FROM names WHERE nrec >= 2
+      |  UNION ALL SELECT na, nb FROM pairs
+      |  UNION ALL SELECT nb, na FROM pairs),
       |reach(node, label) AS (
       |  SELECT src, src FROM edges
       |  UNION
       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
-      |cc AS (SELECT node AS rec_id, min(label) AS cluster_id FROM reach GROUP BY node)
+      |ncc AS (SELECT node AS nid, min(label) AS nlabel FROM reach GROUP BY node),
+      |rcc AS (
+      |  SELECT r.rec_id, n2.nlabel
+      |  FROM recs r
+      |  JOIN names n1 ON r.name = n1.name
+      |  JOIN ncc n2 ON n1.nid = n2.nid),
+      |cc AS (SELECT rec_id,
+      |              min(rec_id) OVER (PARTITION BY nlabel) AS cluster_id
+      |       FROM rcc)
       |SELECT cluster_id, count(*) AS n_records, min(rec_id) AS canonical_rec
       |FROM cc GROUP BY cluster_id
       |ORDER BY cluster_id""".stripMargin

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -442,19 +442,45 @@ object EventQueries {
   private def sketchThetaOverlap(s: SparkSession, d: String): DataFrame =
     sketchThetaOverlapOf(events(s, d))
 
+  /** r11 bound form: the r10 query emitted the five theta ESTIMATES and the
+    * oracle asserted equality with exact set algebra — true only while both
+    * input sketches stay under the nominal 4096 entries (exact mode). The
+    * sf1 rehearsal pushed buyers to ~7.3k and every estimate drifted 0.2-3%
+    * off exact, failing the hash. Now the EXACT counts (SQL-reproducible,
+    * computed in the same pass) are the hashed payload and the sketch
+    * estimates are asserted within 3σ: rse ≈ 1/√k = 1.56% at lgK 12, so
+    * 0.05 of the estimate's support — the set itself for a/b/union, the
+    * UNION for intersection/difference (theta set-op error scales with the
+    * union, not the result). Deterministic: theta sketches have no RNG. */
   private[graft] def sketchThetaOverlapOf(ev: DataFrame): DataFrame = {
     val buyer = col("event_type") === "purchase" && col("value") > 150
     val viewer = col("event_type") === "view" && col("value") > 180
+    def ok(est: Column, exact: Column, support: Column): Column =
+      abs(est - exact.cast("double")) <= lit(0.05) * support.cast("double")
     ev
       .agg(
         theta_sketch_agg(when(buyer, col("user_id"))).as("a"),
-        theta_sketch_agg(when(viewer, col("user_id"))).as("b"))
+        theta_sketch_agg(when(viewer, col("user_id"))).as("b"),
+        countDistinct(when(buyer, col("user_id"))).as("exact_buyers"),
+        countDistinct(when(viewer, col("user_id"))).as("exact_viewers"),
+        countDistinct(when(buyer || viewer, col("user_id"))).as("exact_union"))
       .select(
-        theta_sketch_estimate(col("a")).cast("long").as("est_buyers"),
-        theta_sketch_estimate(col("b")).cast("long").as("est_viewers"),
-        theta_sketch_estimate(theta_union(col("a"), col("b"))).cast("long").as("est_union"),
-        theta_sketch_estimate(theta_intersection(col("a"), col("b"))).cast("long").as("est_overlap"),
-        theta_sketch_estimate(theta_difference(col("a"), col("b"))).cast("long").as("est_buyers_only"))
+        col("exact_buyers"), col("exact_viewers"), col("exact_union"),
+        (col("exact_buyers") + col("exact_viewers") - col("exact_union"))
+          .as("exact_overlap"),
+        (col("exact_union") - col("exact_viewers")).as("exact_buyers_only"),
+        ok(theta_sketch_estimate(col("a")), col("exact_buyers"),
+          col("exact_buyers")).as("ok_buyers"),
+        ok(theta_sketch_estimate(col("b")), col("exact_viewers"),
+          col("exact_viewers")).as("ok_viewers"),
+        ok(theta_sketch_estimate(theta_union(col("a"), col("b"))),
+          col("exact_union"), col("exact_union")).as("ok_union"),
+        ok(theta_sketch_estimate(theta_intersection(col("a"), col("b"))),
+          col("exact_buyers") + col("exact_viewers") - col("exact_union"),
+          col("exact_union")).as("ok_overlap"),
+        ok(theta_sketch_estimate(theta_difference(col("a"), col("b"))),
+          col("exact_union") - col("exact_viewers"),
+          col("exact_union")).as("ok_buyers_only"))
   }
 
   private val sketchThetaOverlapSql =
@@ -462,14 +488,16 @@ object EventQueries {
       |           WHERE event_type = 'purchase' AND value > 150),
       |b AS (SELECT DISTINCT user_id FROM events
       |      WHERE event_type = 'view' AND value > 180)
-      |SELECT (SELECT count(*) FROM a) AS est_buyers,
-      |       (SELECT count(*) FROM b) AS est_viewers,
+      |SELECT (SELECT count(*) FROM a) AS exact_buyers,
+      |       (SELECT count(*) FROM b) AS exact_viewers,
       |       (SELECT count(*) FROM (SELECT user_id FROM a
-      |                              UNION SELECT user_id FROM b)) AS est_union,
+      |                              UNION SELECT user_id FROM b)) AS exact_union,
       |       (SELECT count(*) FROM (SELECT user_id FROM a
-      |                              INTERSECT SELECT user_id FROM b)) AS est_overlap,
+      |                              INTERSECT SELECT user_id FROM b)) AS exact_overlap,
       |       (SELECT count(*) FROM (SELECT user_id FROM a
-      |                              EXCEPT SELECT user_id FROM b)) AS est_buyers_only""".stripMargin
+      |                              EXCEPT SELECT user_id FROM b)) AS exact_buyers_only,
+      |       TRUE AS ok_buyers, TRUE AS ok_viewers, TRUE AS ok_union,
+      |       TRUE AS ok_overlap, TRUE AS ok_buyers_only""".stripMargin
 
   // ---- N35h ts_rolling_median: robust rolling smoothing --------------------
 
@@ -958,11 +986,11 @@ object EventQueries {
     p.join(c, Seq("user_id"))
       .filter(col("c_ts") < col("p_ts") && col("c_ts") >= col("p_ts") - wk)
       .withColumn("w",
-        round(pow(lit(0.5d), dtHours / lit(12.0d)), 6)
+        Det.detRound(pow(lit(0.5d), dtHours / lit(12.0d)), 6)
           .cast("decimal(18,6)"))
       .withColumn("wsum", sum(col("w")).over(wn))
       .withColumn("credit",
-        round(Det.dec(col("value")).cast("double") *
+        Det.detRound(Det.dec(col("value")).cast("double") *
           (col("w").cast("double") / col("wsum").cast("double")), 6)
           .cast("decimal(18,6)"))
       .groupBy(to_date(col("c_ts")).as("day"))
@@ -981,9 +1009,10 @@ object EventQueries {
       |c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
       |j AS (
       |  SELECT p.p_id, p.value, c.c_ts,
-      |    CAST(round(pow(0.5,
+      |    CAST((round(pow(0.5,
       |      CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS DOUBLE)
-      |        / 3600000000.0 / 12.0), 6) AS DECIMAL(18,6)) AS w
+      |        / 3600000000.0 / 12.0) * 1000000.0) / 1000000.0 + 0.0)
+      |      AS DECIMAL(18,6)) AS w
       |  FROM p JOIN c ON p.user_id = c.user_id
       |   AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
       |n AS (
@@ -991,8 +1020,9 @@ object EventQueries {
       |         sum(w) OVER (PARTITION BY p_id) AS wsum
       |  FROM j)
       |SELECT CAST(c_ts AS DATE) AS day, count(*) AS n_touches,
-      |  CAST(sum(CAST(round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)
-      |        * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)), 6)
+      |  CAST(sum(CAST((round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)
+      |        * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))) * 1000000.0)
+      |        / 1000000.0 + 0.0)
       |      AS DECIMAL(18,6))) AS DOUBLE) AS credited
       |FROM n GROUP BY 1 ORDER BY day""".stripMargin
 

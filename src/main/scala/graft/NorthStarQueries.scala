@@ -36,8 +36,14 @@ object NorthStarQueries {
 
   // ---- N1 dedup: MinHash + LSH (rows-only; property-tested) ---------------
 
+  /** h=32/bands=8 (rows=4): with the independent splitmix64 family (r11)
+    * the est is binomial (σ = √(J(1−J)/32) ≈ 0.09), so est ≥ 0.5 on a
+    * true-J ≤ 0.15 pair is a ≥ 4σ event (P ≈ 1e-6) — negligible even
+    * against the ~1e6 mid-J candidate pairs the sf1 corpus produces.
+    * h=16 could not make that separation (P(Binom(16,.125) ≥ 8) ≈ 3e-4
+    * → dozens of weak emissions at sf1), independent family or not. */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    DedupOps.minhashPairs(fanOut(documents(s, d)), h = 16, bands = 4)
+    DedupOps.minhashPairs(fanOut(documents(s, d)), h = 32, bands = 8)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
 
@@ -76,11 +82,16 @@ object NorthStarQueries {
     *
     *  - minhash RECALL: every planted-family pair with exact 3-gram
     *    Jaccard ≥ 0.9 must surface in `dedup_minhash`'s emitted pairs
-    *    (banding at 16 hashes/4 bands has collision prob ≥ 1−(1−t⁴)⁴ —
-    *    ~0.999 at t = 0.9 — and the est filter at 0.5 sits > 3σ below
-    *    0.9); and PRECISION floor: every emitted pair's TRUE 3-gram
-    *    Jaccard ≥ 0.15 (est 0.5 with σ = √(t(1−t)/16) ≈ 0.125 — a pair
-    *    estimated at 0.5 cannot truly be near-disjoint).
+    *    (banding at 32 hashes/8 bands of 4 rows has collision prob
+    *    1−(1−t⁴)⁸ ≈ 1−2e-4 at t = 0.9, and the est filter at 0.5 sits
+    *    > 4σ below 0.9 at σ = √(t(1−t)/32) ≈ 0.09); and PRECISION floor:
+    *    every emitted pair's TRUE 3-gram Jaccard ≥ 0.15 (needs ≥ 16/32
+    *    agreements — a ≥ 4σ, P ≈ 1e-6 event at t ≤ 0.15, negligible
+    *    against the ~1e6 mid-J candidates the sf1 corpus produces).
+    *    Both floors require the r11 INDEPENDENT splitmix64 hash family:
+    *    the old affine-of-one-base-hash family had correlated agreement
+    *    events whose est variance let J ≈ 0.01 pairs reach est 0.5 (18%
+    *    of sf1 emissions were below the precision floor).
     *  - simhash PIGEONHOLE: a 64-bit pair within hamming ≤ 3 differs in
     *    at most 3 of 4 16-bit chunks, so the chunk join CANNOT miss it —
     *    checked exhaustively over the bounded planted family, plus the
@@ -107,7 +118,7 @@ object NorthStarQueries {
       .select("doc_a", "doc_b")
       .localCheckpoint()
     val emitted = DedupOps
-      .minhashPairs(fanOut(documents(s, d)), h = 16, bands = 4)
+      .minhashPairs(fanOut(documents(s, d)), h = 32, bands = 8)
       .filter(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b")
       .localCheckpoint()
@@ -660,7 +671,14 @@ object NorthStarQueries {
   private def dedupPipeline(s: SparkSession, d: String): DataFrame = {
     val dupDocs = fanOut(documents(s, d)
       .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
-    val cand = DedupOps.minhashPairs(dupDocs, h = 16, bands = 8, shingleK = 1)
+    // bands=16 (rows=2) at h=32: miss prob for a true token-J ≥ 0.8 pair
+    // is (1−0.64)¹⁶ ≈ 9e-8 — candidate generation is lossless in practice
+    // at any sf (the oracle recomputes clusters exactly, so it must be).
+    // Random family pairs on this 30-word-vocab corpus sit at token-J
+    // ~0.6, so candidates ≈ all family pairs either way; the exact verify
+    // is the filter that matters and the family bound keeps it quadratic
+    // in FAMILY size only, never corpus.
+    val cand = DedupOps.minhashPairs(dupDocs, h = 32, bands = 16, shingleK = 1)
       .select("doc_a", "doc_b")
     val verified = DedupOps.jaccardVerify(DedupOps.tokenSets(dupDocs), cand, 0.8)
     val cc = DedupOps.connectedComponents(verified.select("doc_a", "doc_b"))
@@ -823,9 +841,17 @@ object NorthStarQueries {
     val e = embeddings(s, d)
     val books = VectorOps.pqCodebooks(e, m = 8, k = 16, iters = 3)
     // rescoreFactor widens the ADC candidate beam before the exact rescore —
-    // the PQ recall/cost dial (8×k candidates ≪ corpus at scale)
+    // the PQ recall/cost dial. The beam must GROW with the corpus: a fixed
+    // 8×k=24-candidate beam measured recall@3 0.617 at 500 vectors but
+    // 0.333 at 20k (sf1 rehearsal) — near-uniform embeddings pile ever more
+    // near-ties on the quantized distance, so a constant beam captures an
+    // ever-smaller slice of the confusion set. n/(32k) keeps the rescored
+    // slice at ~1% of the corpus (the standard IVF-PQ practice of scaling
+    // nprobe/beam with collection size); the max(8, ·) floor preserves the
+    // small-sf behavior the driver gate hashes.
+    val beamFactor = math.max(8L, e.count() / (32L * 3)).toInt
     VectorOps.pqKnn(e, e.filter(col("vec_id") < 20), books, k = 3,
-      rescoreFactor = 8)
+      rescoreFactor = beamFactor)
       .orderBy("query_id", "rnk")
   }
 
@@ -860,14 +886,17 @@ object NorthStarQueries {
 
   // Floors at measured-minus-margin (r10 verdict #5 — the r08 0.3/0.5
   // slack let a real recall regression hide). Measured recall@3 by scale
-  // (graft.tools.ProbeRecall, r11; every structure is deterministic so the
-  // readings are exact repeats): LSH 0.733 (sf0.01) / 0.733 (sf0.1) /
-  // 0.950 (sf1); IVF 0.900 / 0.883 / 0.667; PQ 0.617 / 0.500 / 0.983.
-  // Each floor sits ~0.1 under the WORST measured scale — the twins assert
-  // at sf0.01 (driver gate) and sf1 (SF1.md gate), and a floor tuned to
-  // one scale's best reading would false-alarm at another. PQ stays 0.5:
-  // measured−0.12 at the sf0.01 gate, and sf0.1 measures exactly 30/60
-  // hits, so any higher floor flips on data the suite actually runs.
+  // (graft.tools.ProbeRecall, r11, on the driver sf0.01/sf0.1 data and the
+  // fresh-sample sf1 rehearsal corpus; every structure is deterministic so
+  // the readings are exact repeats): LSH 0.733 (sf0.01) / 0.733 (sf0.1) /
+  // 0.817 (sf1); IVF 0.900 / 0.883 / 0.917; PQ — with the r11
+  // corpus-scaled beam — 0.617 / 0.700 / 0.833. Each floor sits ~0.1
+  // under the WORST measured scale — the twins assert at sf0.01 (driver
+  // gate) and sf1 (SF1.md gate), and a floor tuned to one scale's best
+  // reading would false-alarm at another. PQ stays 0.5 (measured−0.12 at
+  // its sf0.01 worst; the pre-beam-fix constant-24-candidate form measured
+  // 0.333 at sf1 — the floor caught a REAL scale regression, see
+  // knnAnnPq's beam note).
   private def knnAnnLshBound(s: SparkSession, d: String): DataFrame =
     annRecallBound(s, d, knnAnnLsh(s, d), 3, 0.6)
 

@@ -29,9 +29,29 @@ object Det {
   /** Deterministic average: exact decimal sum / count, in double. */
   def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
 
+  /** Cross-engine-deterministic k-dp round of a double. `round(x, k)` is
+    * NOT deterministic across engines at exact k-dp ties: Spark rounds x's
+    * shortest decimal repr (BigDecimal.valueOf) HALF_UP, DuckDB rounds
+    * x·10^k computed in floating point ties-away — and a quotient of exact
+    * decimals (avg of 6-dp logps over small n) lands on exact ties at a
+    * measurable rate (3 of 50k docs at the sf1 rehearsal, FIXTURES.md C4).
+    * This form makes BOTH engines round the SAME double (x·10^k) with the
+    * SAME ties-away rule; the residual divergence window is the shortest-
+    * repr gap (~1e-11 per value). `+ 0.0` normalizes -0.0 (the r09 rule). */
+  def detRound(c: Column, k: Int): Column = {
+    val s = math.pow(10, k)
+    (round(c * lit(s)) / lit(s)) + lit(0.0)
+  }
+
   /** Same helpers, oracle-SQL side. */
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(12,2))) AS DOUBLE)"
   def sqlDavg(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(12,2))) AS DOUBLE) / COUNT($x)"
+
+  /** Oracle-SQL twin of [[detRound]]. */
+  def sqlDetRound(x: String, k: Int): String = {
+    val s = "1" + ("0" * k) + ".0"
+    s"(round(($x) * $s) / $s + 0.0)"
+  }
 }
 
 /** The full registry. Sections mirror SURVEY.md §2. */

@@ -929,10 +929,15 @@ object RelationalQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        // round(…, 2) BEFORE the double cast: the raw DECIMAL(38,6) sums
+        // exceed 2^53 × 1e-6 at sf1, where Spark's correctly-rounded
+        // BigDecimal→double and DuckDB's int128-through-double division
+        // disagree in the last ulp (sf1 rehearsal). At scale 2 the scaled
+        // integer stays exactly representable to ~sf1000.
+        round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))), 2).cast("double").as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
@@ -943,8 +948,8 @@ object RelationalQueries {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sqlDsum("l_quantity")} AS sum_qty,
        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
        |  ${sqlDavg("l_quantity")} AS avg_qty,
        |  ${sqlDavg("l_extendedprice")} AS avg_price,
        |  ${sqlDavg("l_discount")} AS avg_disc,
@@ -2103,8 +2108,10 @@ object RelationalQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(discPrice * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        // round(…, 2) before the cast — the agg_salary_stats 2^53 rule
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(discPrice * (lit(1) + dec(col("l_tax")))), 2)
+          .cast("double").as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
@@ -2118,9 +2125,9 @@ object RelationalQueries {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sqlDsum("l_quantity")} AS sum_qty,
        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
-       |    AS sum_charge,
+       |  CAST(round(SUM($discPrice), 2) AS DOUBLE) AS sum_disc_price,
+       |  CAST(round(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)
+       |    AS DOUBLE) AS sum_charge,
        |  ${sqlDavg("l_quantity")} AS avg_qty,
        |  ${sqlDavg("l_extendedprice")} AS avg_price,
        |  ${sqlDavg("l_discount")} AS avg_disc,

@@ -259,16 +259,37 @@ object StreamQueries {
     * window instead of O(users)). This batch form shares the transform
     * (watermark eliminates in batch); oracle-exact because the sketch is
     * exact below 4096 retained keys — the driver SFs top out at 1 500. */
-  private def distinctSketch(s: SparkSession, d: String): DataFrame =
-    graft.streaming.StreamOps.distinctUsersDaily(events(s, d))
+  /** r11 bound form: the r10 oracle asserted the theta estimate EQUALS the
+    * exact per-day distinct — true only in the sketch's exact mode
+    * (< 4096 nominal entries). The sf1 rehearsal has ~13k users/day and
+    * the estimate drifted by a few counts, failing the hash. The hashed
+    * payload is now the exact per-day distinct (recomputed batch-side in
+    * the same plan — the STREAMING side keeps sketch state, which is the
+    * operator's whole point) plus a boolean |est − exact| ≤ 0.05·exact
+    * (3σ at lgK 12, rse ≈ 1.56%). StreamOpsSpec still proves stream ≡
+    * batch on the sketch itself. */
+  private def distinctSketch(s: SparkSession, d: String): DataFrame = {
+    val est = graft.streaming.StreamOps.distinctUsersDaily(events(s, d))
       .select(unix_timestamp(col("day_start")).as("day_epoch"),
-        col("n_users"), col("n_events"))
+        col("n_users").as("n_users_est"), col("n_events"))
+    val exact = events(s, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      .select(unix_timestamp(col("window.start")).as("day_epoch"),
+        col("n_users_exact"))
+    est.join(exact, Seq("day_epoch"))
+      .select(col("day_epoch"), col("n_events"), col("n_users_exact"),
+        (abs(col("n_users_est").cast("double") -
+          col("n_users_exact").cast("double")) <=
+          lit(0.05) * col("n_users_exact").cast("double")).as("sketch_ok"))
       .orderBy("day_epoch")
+  }
 
   private val distinctSketchSql =
     """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
-      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-      |       count(*) AS n_events
+      |       count(*) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |       TRUE AS sketch_ok
       |FROM events GROUP BY 1 ORDER BY day_epoch""".stripMargin
 
   // ---- T11 stream_static_join ----------------------------------------------

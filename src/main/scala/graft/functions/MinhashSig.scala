@@ -8,27 +8,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native codegen form of the MinHash signature fold — the hot inner loop of
   * corpus-scale near-dup detection (SURVEY.md §2.11 N1). Semantically
-  * IDENTICAL to DedupOps' higher-order-function formulation
-  * (`aggregate(hashes, [P]*h, (acc,x) -> zip_with(acc, params, min(...)))`):
-  * for each shingle hash x (array order) and each hash function i < h,
+  * IDENTICAL to DedupOps.minhashSignatureRef (the plain-Scala executable
+  * spec, property-tested in ParseProps): for each shingle hash x (array
+  * order) and each hash function i < h,
   *
-  *   sig[i] = min(sig[i], (x * (1000003(i+1) + 12345) + 7919(i+1)) mod P)
+  *   sig[i] = min(sig[i], splitmix64(x + GOLDEN · (i+1)))
   *
-  * with P = 1000000007 and sig initialized to P. Inputs are pmod'ed to
-  * [0, P) upstream, so x*a+b ≤ 1e9 * 3.3e7 ≈ 3e16 never overflows a long
-  * for any practical h (≤ 2000) and plain Java arithmetic equals Spark's
-  * ANSI-checked column math.
+  * with GOLDEN = 0x9E3779B97F4A7C15 (the splitmix64 stream increment),
+  * splitmix64 the standard xor-shift/multiply finalizer, and sig
+  * initialized to Long.MaxValue. Signed-long comparison is fine: the mixer
+  * output is uniform over all 64 bits, and BOTH docs order candidates by
+  * the same comparison, so agreement semantics only need a total order.
+  *
+  * Why splitmix64 per function (r11): the previous family was affine over
+  * one base hash ((a_i·x + b_i) mod p). Affine transforms of a SHARED x
+  * make the h min-agreement events positively correlated, inflating the
+  * agreement-estimate variance far past binomial — at the sf1 rehearsal
+  * 18% of est ≥ 0.5 emissions had true Jaccard < 0.15. splitmix64 is a
+  * bijective strong mixer, so h_i behave as independent permutations and
+  * the estimate is binomial as the bound oracles assume. Also faster: the
+  * old inner loop paid a 64-bit modulo (hardware division); this is
+  * xor/shift/multiply only.
   *
   * Why native: the HOF tree evaluates h lambda dispatches per element and
   * re-materializes the h-wide accumulator array per step; this is a two-level
   * primitive loop writing one long[] — the difference between a codegen'd
   * tight loop and interpreter-shaped work in the hottest path of web-scale
   * dedup. Result is built with UnsafeArrayData.fromPrimitiveArray (no
-  * boxing).
+  * boxing). Wrapping multiplies are deliberate (Java semantics; this is a
+  * hash, not arithmetic — ANSI overflow checks do not apply inside a
+  * native expression).
   */
 case class MinhashSig(child: Expression, h: Int) extends UnaryExpression {
-
-  private val P = 1000000007L
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) if h > 0 => TypeCheckResult.TypeCheckSuccess
@@ -45,17 +56,18 @@ case class MinhashSig(child: Expression, h: Int) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val sig = Array.fill(h)(P)
+    val sig = Array.fill(h)(Long.MaxValue)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val x = arr.getLong(j)
         var i = 0
         while (i < h) {
-          val a = 1000003L * (i + 1) + 12345L
-          val b = 7919L * (i + 1)
-          val v = (x * a + b) % P
-          if (v < sig(i)) sig(i) = v
+          var z = x + 0x9E3779B97F4A7C15L * (i + 1)
+          z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
+          z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L
+          z ^= (z >>> 33)
+          if (z < sig(i)) sig(i) = z
           i += 1
         }
       }
@@ -70,19 +82,21 @@ case class MinhashSig(child: Expression, h: Int) extends UnaryExpression {
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val x = ctx.freshName("x")
-      val v = ctx.freshName("v")
+      val z = ctx.freshName("z")
       val sig = ctx.freshName("sig")
       s"""
          |int $n = $a.numElements();
          |long[] $sig = new long[$h];
-         |java.util.Arrays.fill($sig, ${P}L);
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$a.isNullAt($j)) {
          |    long $x = $a.getLong($j);
          |    for (int $i = 0; $i < $h; $i++) {
-         |      long $v = ($x * (1000003L * ($i + 1) + 12345L)
-         |                 + 7919L * ($i + 1)) % ${P}L;
-         |      if ($v < $sig[$i]) $sig[$i] = $v;
+         |      long $z = $x + 0x9E3779B97F4A7C15L * ($i + 1);
+         |      $z = ($z ^ ($z >>> 33)) * 0xFF51AFD7ED558CCDL;
+         |      $z = ($z ^ ($z >>> 33)) * 0xC4CEB9FE1A85EC53L;
+         |      $z ^= ($z >>> 33);
+         |      if ($z < $sig[$i]) $sig[$i] = $z;
          |    }
          |  }
          |}

@@ -34,37 +34,46 @@ object DedupOps {
     filter(joined, s => s.isNotNull)
   }
 
-  // Modulus small enough that (hash mod p) * a + b stays in a long under
-  // ANSI overflow checks (Spark 4 default).
-  private val P = 1000000007L
-
-  /** Base hashes of an array of shingles: pmod(xxhash64(s), p) — xxhash64 is
-    * stable across executors and runs (SURVEY.md §7.4.3). */
+  /** Base hashes of an array of shingles: raw xxhash64 — stable across
+    * executors and runs (SURVEY.md §7.4.3). Full 64-bit values; the
+    * per-function mixer in [[minhashSignature]] handles sign and range. */
   def shingleHashes(shingleArr: Column): Column =
-    transform(shingleArr, s => pmod(xxhash64(s), lit(P)))
+    transform(shingleArr, s => xxhash64(s))
 
   /** MinHash signature: for each of `h` hash functions, min over shingle
-    * hashes of ((a_i * x + b_i) mod p). Native codegen expression
-    * ([[graft.functions.MinhashSig]]) — a two-level primitive loop over the
-    * hash array instead of h lambda dispatches per element; the hottest
-    * inner loop of corpus-scale dedup. */
+    * hashes of `splitmix64(x + GOLDEN·(i+1))` — a STRONG independent-ish
+    * family. Native codegen expression ([[graft.functions.MinhashSig]]) —
+    * a two-level primitive loop over the hash array instead of h lambda
+    * dispatches per element; the hottest inner loop of corpus-scale dedup.
+    *
+    * The r10 family was affine over ONE base hash ((a_i·x + b_i) mod p):
+    * each h_i is individually fine, but the agreement events are
+    * POSITIVELY CORRELATED across i (they share x's rank structure), so
+    * the signature-agreement estimate has far more than binomial
+    * J(1−J)/h variance. Invisible at small corpora; at the sf1 rehearsal
+    * (50k docs, ~3M banded candidate pairs) 18% of est ≥ 0.5 emissions
+    * had TRUE 3-gram Jaccard < 0.15 (one measured pair: est 0.5 at
+    * J = 0.006). With the splitmix64 mixer the h agreement events are
+    * effectively independent, the estimate is binomial as documented, and
+    * the measured weak-emission count returns to 0 at every sf. */
   def minhashSignature(hashArr: Column, h: Int): Column =
     graft.functions.MinhashSig(hashArr, h)
 
-  /** Reference higher-order-function formulation of [[minhashSignature]] —
-    * ONE fold over the hash array (h separate array_min(transform(...))
-    * expressions would re-evaluate the hash array h times after Catalyst's
-    * projection collapse — 10× slower, measured). Kept as the executable
-    * spec the native expression is property-tested against. */
-  def minhashSignatureFold(hashArr: Column, h: Int): Column = {
-    val params = array((0 until h).map { i =>
-      struct(lit(1000003L * (i + 1) + 12345L).as("a"),
-        lit(7919L * (i + 1)).as("b"))
-    }: _*)
-    aggregate(hashArr, array_repeat(lit(P), h),
-      (acc, x) => zip_with(acc, params,
-        (m, pr) => least(m, pmod(x * pr.getField("a") + pr.getField("b"), lit(P)))))
-  }
+  /** Plain-Scala reference of the [[minhashSignature]] mixer — the
+    * executable spec the native expression is property-tested against
+    * (ParseProps). Driver-side only: the wrapping 64-bit multiplies of
+    * splitmix64 cannot be written as Column arithmetic under ANSI mode. */
+  def minhashSignatureRef(hashes: Seq[Long], h: Int): Seq[Long] =
+    (0 until h).map { i =>
+      val seed = 0x9E3779B97F4A7C15L * (i + 1)
+      hashes.foldLeft(Long.MaxValue) { (m, x) =>
+        var z = x + seed
+        z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
+        z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L
+        z ^= (z >>> 33)
+        math.min(m, z)
+      }
+    }
 
   /** LSH band keys: signature split into `bands` bands of `rows` each,
     * hashed; docs sharing any band key are candidates. xxhash64 hashes the

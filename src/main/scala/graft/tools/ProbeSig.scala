@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.{Tables, ops}
 
-/** Diagnostic: signature-stage cost, fold vs native, h=16/64/128. */
+/** Diagnostic: signature-stage cost, native minhash_sig at h=16/64/128.
+  * (The HOF-fold contrast arm was removed with the r11 mixer change — the
+  * fold cannot express splitmix64's wrapping multiplies under ANSI; its
+  * 10x-slower measurement is recorded in the minhashSignature scaladoc.) */
 object ProbeSig {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -21,10 +24,6 @@ object ProbeSig {
     val hashes = ops.DedupOps.shingleHashes(
       ops.DedupOps.shingles(col("text"), 3))
     for (round <- 1 to 2; h <- Seq(16, 64, 128)) {
-      time(s"r$round fold   h=$h") {
-        docs.select(ops.DedupOps.minhashSignatureFold(hashes, h).as("s"))
-          .selectExpr("sum(s[0])").collect(); docs.count()
-      }
       time(s"r$round native h=$h") {
         docs.select(ops.DedupOps.minhashSignature(hashes, h).as("s"))
           .selectExpr("sum(s[0])").collect(); docs.count()

@@ -60,17 +60,16 @@ object ParseProps extends Properties("graft.parse") {
         pairs.forall(r => r.getDouble(2) == 1.0)
     }
 
-  property("native minhash_sig ≡ the HOF fold it replaces, incl. empty arrays") =
+  property("native minhash_sig ≡ the plain-Scala splitmix64 ref, incl. empty arrays") =
     forAll(Gen.listOfN(10,
-      Gen.listOf(Gen.choose(0L, 1000000006L)))) { hashLists =>
+      Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)))) { hashLists =>
       val df = hashLists.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
         .toDF("id", "hashes")
-      val rows = df.select(
-        DedupOps.minhashSignature(col("hashes"), 16).as("native"),
-        DedupOps.minhashSignatureFold(col("hashes"), 16).as("fold")).collect()
+      val rows = df.select(col("hashes"),
+        DedupOps.minhashSignature(col("hashes"), 16).as("native")).collect()
       rows.forall { r =>
-        r.getAs[scala.collection.Seq[Long]](0) ==
-          r.getAs[scala.collection.Seq[Long]](1)
+        r.getAs[scala.collection.Seq[Long]](1) ==
+          DedupOps.minhashSignatureRef(r.getAs[scala.collection.Seq[Long]](0).toSeq, 16)
       }
     }
 

@@ -66,13 +66,16 @@ class QueriesSpec extends SparkSpec {
 
   test("theta sketches: exact at driver SFs, estimate-mode error bounded at 200k ids") {
     import org.apache.spark.sql.functions._
-    // exact regime (the oracle's premise): every estimate == exact count
+    // bound form (r11): exact counts satisfy inclusion-exclusion by
+    // construction; every sketch-vs-exact bound boolean must hold
     val row = Queries.byName("sketch_theta_overlap").build(spark, sfDir).collect().head
-    val inter = row.getAs[Long]("est_overlap")
-    assert(row.getAs[Long]("est_union") ==
-      row.getAs[Long]("est_buyers") + row.getAs[Long]("est_viewers") - inter,
-      s"inclusion-exclusion must hold exactly in exact mode: $row")
-    assert(row.getAs[Long]("est_buyers_only") == row.getAs[Long]("est_buyers") - inter)
+    val inter = row.getAs[Long]("exact_overlap")
+    assert(row.getAs[Long]("exact_union") ==
+      row.getAs[Long]("exact_buyers") + row.getAs[Long]("exact_viewers") - inter,
+      s"inclusion-exclusion must hold exactly: $row")
+    assert(row.getAs[Long]("exact_buyers_only") == row.getAs[Long]("exact_buyers") - inter)
+    Seq("ok_buyers", "ok_viewers", "ok_union", "ok_overlap", "ok_buyers_only")
+      .foreach(c => assert(row.getAs[Boolean](c), s"$c must hold: $row"))
     // estimate regime (the 100 TB behavior): 200k ids >> 4096 retained
     val est = spark.range(0, 200000).agg(
         theta_sketch_agg(when(col("id") < 150000, col("id"))).as("a"),
