@@ -135,7 +135,9 @@ object Bench {
     // actually active; per-query waited ms is recorded as jit_wait_ms.
     // Protocol lives in JitQuiesce (shared with ProbeQ — see its scaladoc).
     def awaitJitQuiescent(): Long = JitQuiesce.await()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (String, Double, Double, Seq[Double], Long, Long, Long, Long, Boolean) = {
       resetState()
       val jitBeforeWarm = jitMillis()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
@@ -188,6 +190,32 @@ object Bench {
       (name, med, times.head, rawTimes,
         ccUsed >> 20, gcMillis() - gc0, jitMillis() - jit0, jitWaitMs,
         contended)
+    }
+    val firstPass =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) => measure(n, f) }
+    // Self-isolation rerun (r11 verdict #5): contention in a driver run is
+    // typically a CONCURRENT phase (the gate's DuckDB compare) that has
+    // drained by the time the suite finishes — so every flagged query gets
+    // one fresh measurement pass at the end. A clean fresh series (spread
+    // <= 1.5x) replaces the median and clears the flag; a still-contended
+    // fresh series keeps the flag with the median over ALL reps. Minima
+    // only ever refine, so the regression gate's numbers are unchanged or
+    // better. reps_s keeps execution order with the rerun appended.
+    val results = firstPass.map { r =>
+      if (!r._9) r
+      else {
+        val fresh = measure(r._1, SparkEntry.queries(r._1))
+        val combined = r._4 ++ fresh._4
+        val med =
+          if (!fresh._9) fresh._2
+          else {
+            val all = combined.sorted
+            if (all.size % 2 == 1) all(all.size / 2)
+            else (all(all.size / 2 - 1) + all(all.size / 2)) / 2
+          }
+        (r._1, med, math.min(r._3, fresh._3), combined, fresh._5,
+          r._6 + fresh._6, r._7 + fresh._7, r._8 + fresh._8, fresh._9)
+      }
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -252,7 +252,7 @@ object CorpusQueries {
     lmBigramScoreOf(fanOut(documents(s, d))).orderBy("doc_id")
 
   private val lmBigramScoreSql =
-    """WITH toksrc AS (
+    s"""WITH toksrc AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |occ AS (
       |  SELECT doc_id,
@@ -268,8 +268,8 @@ object CorpusQueries {
       |      AS logp
       |  FROM c2 JOIN c1 ON string_split(bg, ' ')[1] = c1.w)
       |SELECT o.doc_id, count(*) AS n_bigrams,
-      |  (round((CAST(sum(m.logp) AS DOUBLE) / count(*)) * 10000.0) / 10000.0
-      |    + 0.0) AS avg_logp
+      |  ${Det.sqlDetRound("CAST(sum(m.logp) AS DOUBLE) / count(*)", 4)}
+      |    AS avg_logp
       |FROM occ o JOIN model m USING (bg)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
@@ -361,7 +361,7 @@ object CorpusQueries {
     scoreLogisticInferOf(documents(s, d))
 
   private val scoreLogisticInferSql =
-    """WITH agg AS (
+    s"""WITH agg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |    CAST(sum((CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 32
       |              * 37 + 11) % 21 - 10) AS BIGINT) AS wsum_x10
@@ -370,12 +370,10 @@ object CorpusQueries {
       |  GROUP BY doc_id),
       |sc AS (
       |  SELECT doc_id, n_tokens,
-      |    (round((CAST(0.3 AS DOUBLE)
-      |      + CAST(wsum_x10 AS DOUBLE) / CAST(n_tokens * 10 AS DOUBLE))
-      |      * 1000000.0) / 1000000.0 + 0.0) AS logit
+      |    ${Det.sqlDetRound("CAST(0.3 AS DOUBLE) + CAST(wsum_x10 AS DOUBLE) / CAST(n_tokens * 10 AS DOUBLE)", 6)} AS logit
       |  FROM agg)
       |SELECT doc_id, n_tokens, logit,
-      |  (round((1.0 / (1.0 + exp(-logit))) * 10000.0) / 10000.0 + 0.0)
+      |  ${Det.sqlDetRound("1.0 / (1.0 + exp(-logit))", 4)}
       |    AS p_keep,
       |  logit > 0.0 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin

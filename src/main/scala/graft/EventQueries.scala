@@ -1003,15 +1003,13 @@ object EventQueries {
     attributionTimeDecayOf(events(s, d))
 
   private val attributionTimeDecaySql =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT user_id, event_id AS p_id, ts AS p_ts, value
       |  FROM events WHERE event_type = 'purchase'),
       |c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
       |j AS (
       |  SELECT p.p_id, p.value, c.c_ts,
-      |    CAST((round(pow(0.5,
-      |      CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS DOUBLE)
-      |        / 3600000000.0 / 12.0) * 1000000.0) / 1000000.0 + 0.0)
+      |    CAST(${Det.sqlDetRound("pow(0.5, CAST(epoch_us(p.p_ts) - epoch_us(c.c_ts) AS DOUBLE) / 3600000000.0 / 12.0)", 6)}
       |      AS DECIMAL(18,6)) AS w
       |  FROM p JOIN c ON p.user_id = c.user_id
       |   AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),

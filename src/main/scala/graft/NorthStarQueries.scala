@@ -311,6 +311,60 @@ object NorthStarQueries {
       |SELECT batch_id, existing_id, jaccard FROM j
       |ORDER BY batch_id, existing_id""".stripMargin
 
+  /** `dedup_incremental_prefix`: the SCALE PATH for the daily-batch dedup —
+    * same output as [[dedupIncremental]] (the PPJoin prefix cut is lossless
+    * at t = 0.8) but candidates are prefix×prefix postings under one global
+    * union-df token order instead of every shared token
+    * ([[DedupOps.crossPrefixJaccardPairs]]). Measured on the Zipf/Heaps
+    * fixture: unguarded 12x for 10x data at sf1 vs 1.8x for this form —
+    * candidates scale with near-dup density, not batch×corpus. The oracle
+    * replays the prefix selection, so the cut logic itself is
+    * cross-engine-verified. */
+  private def dedupIncrementalPrefix(s: SparkSession, d: String): DataFrame = {
+    val fam = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+    DedupOps.crossPrefixJaccardPairs(
+      existing = fam.filter(col("doc_id") % 4 =!= 0),
+      batch = fam.filter(col("doc_id") % 4 === 0),
+      minJaccard = 0.8)
+      .select(col("doc_a").as("batch_id"), col("doc_b").as("existing_id"),
+        col("jaccard"))
+      .orderBy("batch_id", "existing_id")
+  }
+
+  private val dedupIncrementalPrefixSql =
+    """WITH dup_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
+      |toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup_docs),
+      |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT t.doc_id, t.tok,
+      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS r,
+      |         s.sz
+      |  FROM toks t JOIN dfreq d USING (tok) JOIN sizes s USING (doc_id)),
+      |prefix AS (SELECT doc_id, tok FROM ranked
+      |           WHERE r <= sz - (sz * 4 + 4) // 5 + 1),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS existing_id
+      |  FROM prefix x JOIN prefix y ON x.tok = y.tok
+      |  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0),
+      |inter AS (
+      |  SELECT p.batch_id, p.existing_id, count(*) AS inter
+      |  FROM pairs p
+      |  JOIN toks a ON a.doc_id = p.batch_id
+      |  JOIN toks b ON b.doc_id = p.existing_id AND b.tok = a.tok
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT batch_id, existing_id,
+      |    round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |  FROM inter JOIN sizes sa ON sa.doc_id = batch_id
+      |             JOIN sizes sb ON sb.doc_id = existing_id
+      |  WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4)
+      |SELECT batch_id, existing_id, jaccard FROM j
+      |ORDER BY batch_id, existing_id""".stripMargin
+
   private val dedupJaccardSql =
     """WITH dup_docs AS (
       |  SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\bdup\b')),
@@ -845,10 +899,12 @@ object NorthStarQueries {
     // 8×k=24-candidate beam measured recall@3 0.617 at 500 vectors but
     // 0.333 at 20k (sf1 rehearsal) — near-uniform embeddings pile ever more
     // near-ties on the quantized distance, so a constant beam captures an
-    // ever-smaller slice of the confusion set. n/(32k) keeps the rescored
-    // slice at ~1% of the corpus (the standard IVF-PQ practice of scaling
-    // nprobe/beam with collection size); the max(8, ·) floor preserves the
-    // small-sf behavior the driver gate hashes.
+    // ever-smaller slice of the confusion set. beamFactor = n/(32k), so the
+    // exact rescore touches k·beamFactor = n/32 ≈ 3% of the corpus per
+    // query (the standard IVF-PQ practice of scaling nprobe/beam with
+    // collection size); the max(8, ·) floor preserves the small-sf behavior
+    // the driver gate hashes. e.count() here is one metadata-cheap build
+    // job, amortized over the 20-query batch the registry runs.
     val beamFactor = math.max(8L, e.count() / (32L * 3)).toInt
     VectorOps.pqKnn(e, e.filter(col("vec_id") < 20), books, k = 3,
       rescoreFactor = beamFactor)
@@ -1882,6 +1938,8 @@ object NorthStarQueries {
     "dedup_containment" -> Q(dedupContainment, Some(dedupContainmentSql)),
     "dedup_prefix_jaccard" -> Q(dedupPrefixJaccard, Some(dedupPrefixJaccardSql)),
     "dedup_incremental" -> Q(dedupIncremental, Some(dedupIncrementalSql)),
+    "dedup_incremental_prefix" ->
+      Q(dedupIncrementalPrefix, Some(dedupIncrementalPrefixSql)),
     "dedup_clusters" -> Q(dedupClusters, Some(dedupClustersSql)),
     "dedup_pipeline" -> Q(dedupPipeline, Some(dedupPipelineSql)),
     "text_levenshtein" -> Q(textLevenshtein, Some(textLevenshteinSql)),

@@ -81,8 +81,14 @@ object ScaleProbe {
     // lookup tables (m adds per candidate, no dot product), then the bounded
     // candidate set rescores exactly — growth must track the code scan
     val pqBooks = VectorOps.pqCodebooks(e1, 8, 16, 3)
-    def pq(e: DataFrame): Long =
-      VectorOps.pqKnn(e, e.filter(col("vec_id") < 20), pqBooks, 3, 8).count()
+    // beam = n/(32k) matches the registry's knn_ann_pq since r11 (the sf1
+    // rehearsal measured the old constant beam's recall@3 falling
+    // 0.617 -> 0.333 at 20k vectors); the probe row carries the NEW
+    // economics: the rescored slice stays ~3% of the corpus at every n.
+    def pq(e: DataFrame): Long = {
+      val beam = math.max(8L, e.count() / (32L * 3)).toInt
+      VectorOps.pqKnn(e, e.filter(col("vec_id") < 20), pqBooks, 3, beam).count()
+    }
 
     // training-data shapes: documents amplified with remapped ids, text
     // salted per replica (so gram/vocab diversity grows with the corpus
@@ -108,6 +114,13 @@ object ScaleProbe {
     // keyed-agg + gram-key-join geometries that must stay linear.
     import graft.CorpusQueries
     def chunks(docs: DataFrame): Long = CorpusQueries.chunkDedupOf(docs, 32).count()
+    // minhash banding with the r11 per-function splitmix64 family (32 sigs,
+    // 8 bands of 4 — the registry's dedup_minhash parameters): candidates
+    // come from band-bucket collisions only; per-replica text salt keeps
+    // replicas from colliding, so the pair count scales with true near-dup
+    // density, not replication.
+    def minhash(docs: DataFrame): Long =
+      graft.ops.DedupOps.minhashPairs(docs, h = 32, bands = 8).count()
     def lmScore(docs: DataFrame): Long = CorpusQueries.lmBigramScoreOf(docs).count()
 
     // r05 formerly-weak shapes, now pruned/anchored — the probe rows that
@@ -609,7 +622,7 @@ object ScaleProbe {
 
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
-    chunks(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
+    chunks(d1); minhash(d1); lmScore(d1); asof(ev1); canonPick(d1); verbatim(d1, evalNeedles); skewed(li1, o1)
     kmeans(e1); semdedup(e1); pagerank(o1, li1); boruvka(li1)
     rangeBinned(o1); rangeBnl(o1)
     curation(d1); linkage(parts1); chain(c1)
@@ -720,6 +733,8 @@ object ScaleProbe {
       ("tfidf top-3 per doc", time(tfidf(d1)), time(tfidf(dN))),
       ("sequence packing per stream", time(pack(d1)), time(pack(dN))),
       ("chunk dedup (32-tok, md5 keys)", time(chunks(d1)), time(chunks(dN))),
+      ("minhash banding (splitmix64 sigs, 8x4 bands)",
+        time(minhash(d1)), time(minhash(dN))),
       ("bigram-LM doc scoring", time(lmScore(d1)), time(lmScore(dN))),
       ("as-of join purchases x clicks", time(asof(ev1)), time(asof(evN))),
       ("canonical pick (pruned quality)", time(canonPick(d1)), time(canonPick(dN))),

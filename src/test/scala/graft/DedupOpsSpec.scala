@@ -80,7 +80,7 @@ class DedupOpsSpec extends SparkSpec {
   test("connected components: long path converges within maxIter") {
     // path 0-1-2-...-8: diameter 8, needs several rounds
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = DedupOps.connectedComponents(pairs, maxIter = 10)
+    val cc = DedupOps.connectedComponents(pairs, maxIter = 10, smallGraphCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet == Set(0L), s"all nodes must reach label 0: $cc")
   }
@@ -89,7 +89,7 @@ class DedupOpsSpec extends SparkSpec {
     // min-label propagation would need 49 rounds here; large/small-star
     // squares path lengths each round, so even maxIter=10 suffices
     val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = DedupOps.connectedComponents(pairs, maxIter = 10)
+    val cc = DedupOps.connectedComponents(pairs, maxIter = 10, smallGraphCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 50 && cc.values.toSet == Set(0L),
       s"all 50 chain nodes must reach label 0: $cc")
@@ -98,8 +98,21 @@ class DedupOpsSpec extends SparkSpec {
   test("connected components: non-convergence raises instead of returning wrong labels") {
     val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      DedupOps.connectedComponents(pairs, maxIter = 1)
+      DedupOps.connectedComponents(pairs, maxIter = 1, smallGraphCap = 0)
     }
+  }
+
+  test("connected components: small-graph union-find matches the distributed loop") {
+    // seeded random graph with chains, merges, and singleton pairs — the
+    // two paths must produce the IDENTICAL label map (min of component)
+    val rnd = new scala.util.Random(12)
+    val pairs = Seq.fill(200)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val viaUf = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = DedupOps.connectedComponents(pairs, smallGraphCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf == viaStar, s"uf=$viaUf star=$viaStar")
   }
 
   test("connected components: empty pair list yields empty labels, no error") {

@@ -74,6 +74,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"groupBy must reuse join partitioning:\n$p")
   }
 
+  test("tpch_q1: one partial/final agg pair over a single pushed-filter fact scan") {
+    val df = q("tpch_q1")
+    val p = plan(df)
+    assert(p.contains("partial_"), s"two-phase (map-side) agg expected:\n$p")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate hull must reach the scan:\n$p")
+    val f = finalPlan(df)
+    val aggEx = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(aggEx == 1, s"exactly ONE agg exchange expected, got $aggEx:\n$f")
+    val scans = "Scan parquet".r.findAllIn(f).length
+    assert(scans == 1, s"single lineitem scan expected, got $scans:\n$f")
+  }
+
+  test("tpch_q2: quotes agg computes once (ReusedExchange feeds min-quote and join)") {
+    val f = finalPlan(q("tpch_q2"))
+    assert(f.contains("ReusedExchange"),
+      s"the quotes subtree must be computed once and reused:\n$f")
+    val scans = "Scan parquet".r.findAllIn(f).length
+    // lineitem once (reused), part/supplier/nation/region broadcast scans
+    assert(f.contains("BroadcastHashJoin"), s"dims must broadcast:\n$f")
+    val liScans = "Scan parquet[^\\n]*l_extendedprice".r.findAllIn(f).length
+    assert(liScans == 1, s"lineitem must scan once, got $liScans of $scans:\n$f")
+  }
+
+  test("tpch_q10: both dims broadcast; fact joins on orderkey; top-20 never global-sorts") {
+    val f = finalPlan(q("tpch_q10"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(f).length
+    assert(bhj >= 2, s"customer AND nation must broadcast, got $bhj:\n$f")
+    assert(f.contains("TakeOrderedAndProject"),
+      s"LIMIT 20 must plan as top-k, not global sort:\n$f")
+    val ex = "Exchange hashpartitioning".r.findAllIn(f).length
+    // two orderkey exchanges (fact-fact SMJ sides) + one custkey agg
+    assert(ex <= 3, s"expected <=3 hash exchanges, got $ex:\n$f")
+  }
+
+  test("tpch_q14: single fact scan into a broadcast join and a scalar two-phase agg") {
+    val df = q("tpch_q14")
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"),
+      s"the one-month hull must reach the scan:\n$p")
+    val f = finalPlan(df)
+    assert(f.contains("BroadcastHashJoin"), s"part must broadcast:\n$f")
+    assert(f.contains("partial_"), s"scalar agg must map-side combine:\n$f")
+    val liScans = "Scan parquet[^\\n]*l_extendedprice".r.findAllIn(f).length
+    assert(liScans == 1, s"lineitem must scan once:\n$f")
+    assert(!f.contains("Exchange hashpartitioning"),
+      s"a scalar agg needs no hash exchange (SinglePartition only):\n$f")
+  }
+
   test("tpch_q18: one fact Exchange reused by semi-join and re-agg; customer broadcasts") {
     val p = finalPlan(q("tpch_q18"))
     assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")

@@ -69,11 +69,27 @@ class QueriesSpec extends SparkSpec {
     // bound form (r11): exact counts satisfy inclusion-exclusion by
     // construction; every sketch-vs-exact bound boolean must hold
     val row = Queries.byName("sketch_theta_overlap").build(spark, sfDir).collect().head
-    val inter = row.getAs[Long]("exact_overlap")
-    assert(row.getAs[Long]("exact_union") ==
-      row.getAs[Long]("exact_buyers") + row.getAs[Long]("exact_viewers") - inter,
-      s"inclusion-exclusion must hold exactly: $row")
-    assert(row.getAs[Long]("exact_buyers_only") == row.getAs[Long]("exact_buyers") - inter)
+    // the query derives exact_overlap/exact_buyers_only FROM
+    // buyers/viewers/union via inclusion-exclusion, so asserting the
+    // identity on the row alone is tautological (r11 ADVICE) — recompute
+    // both from an INDEPENDENT countDistinct over the raw events instead
+    val ev = graft.Tables.events(spark, sfDir)
+    val buyer = col("event_type") === "purchase" && col("value") > 150
+    val viewer = col("event_type") === "view" && col("value") > 180
+    val ind = ev.groupBy("user_id")
+      .agg(max(when(buyer, 1).otherwise(0)).as("isb"),
+        max(when(viewer, 1).otherwise(0)).as("isv"))
+      .agg(
+        sum(when(col("isb") === 1 && col("isv") === 1, 1L).otherwise(0L))
+          .as("i_overlap"),
+        sum(when(col("isb") === 1 && col("isv") === 0, 1L).otherwise(0L))
+          .as("i_buyers_only"))
+      .collect().head
+    assert(row.getAs[Long]("exact_overlap") == ind.getAs[Long]("i_overlap"),
+      s"independent overlap recompute must agree: $row vs $ind")
+    assert(row.getAs[Long]("exact_buyers_only") ==
+      ind.getAs[Long]("i_buyers_only"),
+      s"independent buyers_only recompute must agree: $row vs $ind")
     Seq("ok_buyers", "ok_viewers", "ok_union", "ok_overlap", "ok_buyers_only")
       .foreach(c => assert(row.getAs[Boolean](c), s"$c must hold: $row"))
     // estimate regime (the 100 TB behavior): 200k ids >> 4096 retained

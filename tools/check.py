@@ -20,6 +20,7 @@ collapses type differences and masks hash-fails):
     diverges on representation alone.
 """
 import functools
+import os
 import sys, json, glob, math
 
 # Progress must survive a pipe: the sf1 gate runs ~40+ min and a
@@ -99,8 +100,19 @@ def main():
     # otherwise spills ~80 GB of temp then gets the process OOM-killed at
     # 130 GB RSS (observed on the first sf1 gate run). No temp_directory =
     # no spill: the offending query errors loudly at the cap and the gate
-    # reports it as a FAIL and keeps going.
-    con.execute("SET memory_limit='48GB'")
+    # reports it as a FAIL and keeps going. The cap is min(48 GB, ~70% of
+    # physical RAM) — a fixed 48 GB above physical memory would still be
+    # OOM-killed on a smaller host, defeating the fail-fast intent —
+    # overridable via GRAFT_DUCKDB_MEM.
+    cap = os.environ.get("GRAFT_DUCKDB_MEM")
+    if not cap:
+        try:
+            phys_gb = (os.sysconf("SC_PAGE_SIZE")
+                       * os.sysconf("SC_PHYS_PAGES")) / 2**30
+            cap = f"{min(48, max(1, int(phys_gb * 0.7)))}GB"
+        except (ValueError, OSError):
+            cap = "48GB"
+    con.execute(f"SET memory_limit='{cap}'")
     con.execute("SET temp_directory=''")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")

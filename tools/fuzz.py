@@ -8,9 +8,12 @@ statement in Spark (graft.tools.FuzzRun) and in DuckDB (tools/check.py's
 harness), and hash-compares the frames cell-by-cell, type-sensitively.
 
 Grammar: project/filter/join(inner/left/semi/anti via EXISTS)/aggregate
-(sum/count/min/max/avg/count-distinct, HAVING, ROLLUP)/window(rank family,
-lag/lead, running sums)/set-ops(UNION [ALL]/INTERSECT/EXCEPT)/scalar+IN
-subqueries/CTEs over the TESTDATA star schema.
+(sum/count/min/max/avg/count-distinct, HAVING, ROLLUP/CUBE/GROUPING SETS)/
+window(rank family, lag/lead, running sums, explicit ROWS/RANGE frames with
+PRECEDING/FOLLOWING bounds)/set-ops(UNION [ALL]/INTERSECT/EXCEPT)/scalar+IN
+subqueries/CTEs/DECIMAL(p,s) cast-and-arithmetic/date+INTERVAL arithmetic
+over the TESTDATA star schema. ORDER BY permutes all four explicit
+direction × null-placement combinations.
 
 Cross-engine discipline (each rule traces to a divergence recorded in
 .claude/skills/verify/SKILL.md — the fuzzer GENERATES ONLY the safe forms,
@@ -35,6 +38,18 @@ so any mismatch it reports is a REAL semantic divergence, not harness noise):
     grand-total row — REAL divergence, found by this fuzzer (FIXTURES.md)
   - CTE outer filters compare only NUMERIC aggregate aliases to literals
     (Spark implicitly casts `date <> 0`, DuckDB raises)
+  - DECIMAL sources are CAST(2dp-double AS DECIMAL(>=12, 2..4)) — exact on
+    both engines (the shortest-repr double IS the 2dp value; no rounding tie
+    can arise at scale >= 2); arithmetic is +, -, * and sum/min/max only.
+    No decimal DIVISION (engines pick different result scales) and no AVG
+    (same reason); result scales then agree everywhere, so the
+    type-sensitive Decimal str compare is well-defined
+  - INTERVAL arithmetic uses DAY/MONTH units with literal counts (both
+    engines clamp month-end the same way); datediff/date subtraction are
+    excluded (Spark returns INTERVAL where DuckDB returns BIGINT)
+  - RANGE frames order by a NUMERIC key with integer offsets; peers get
+    identical aggregates so ties are harmless; ROWS frames order by a
+    unique-suffixed key (frame contents otherwise depend on tie order)
 
 Usage:
   python3 tools/fuzz.py gen <seed> <n> <out.json>       # emit SQL only
@@ -316,10 +331,14 @@ class Gen:
 
     # --------------------------------------------------------- queries
     def order_limit(self, aliases, nullable_aliases=()):
+        # all four explicit combinations are dialect-common; only the
+        # DEFAULT placement differs between engines, so each item always
+        # spells its null placement out
         items = []
         for a in aliases:
-            d = self.r.random() < 0.3
-            items.append(f"{a} {'DESC NULLS LAST' if d else 'ASC NULLS FIRST'}")
+            d = "DESC" if self.r.random() < 0.3 else "ASC"
+            n = self.r.choice(["NULLS FIRST", "NULLS LAST"])
+            items.append(f"{a} {d} {n}")
         return (f" ORDER BY {', '.join(items)} LIMIT "
                 f"{self.r.choice([1, 5, 20, 100])}")
 
@@ -371,8 +390,27 @@ class Gen:
             # 0 rows, DuckDB/Postgres emit the ()-grouping-set grand-total
             # row (count 0). Real semantic gap, recorded in FIXTURES.md;
             # excluded here so every remaining mismatch is a NEW finding.
-            if len(key_exprs) >= 2 and not use_where and self.r.random() < 0.35:
-                sql += f" GROUP BY ROLLUP({grp})"
+            if len(key_exprs) >= 2 and not use_where and self.r.random() < 0.45:
+                shape = self.r.random()
+                if shape < 0.4:
+                    sql += f" GROUP BY ROLLUP({grp})"
+                elif shape < 0.7:
+                    sql += f" GROUP BY CUBE({grp})"
+                else:
+                    # random family of subsets; the FIRST set is the full
+                    # key list (every selected key must appear in some set
+                    # or the query is ill-formed in both engines), plus
+                    # sometimes the grand-total () set (safe: input is
+                    # provably non-empty)
+                    sets = ["(" + ", ".join(key_exprs) + ")"]
+                    for _ in range(self.r.randint(1, 2)):
+                        sub = [e for e in key_exprs if self.r.random() < 0.6]
+                        sets.append("(" + ", ".join(sub) + ")")
+                    if self.r.random() < 0.4:
+                        sets.append("()")
+                    uniq_sets = list(dict.fromkeys(sets))
+                    sql += (" GROUP BY GROUPING SETS ("
+                            + ", ".join(uniq_sets) + ")")
             else:
                 sql += f" GROUP BY {grp}"
             if self.r.random() < 0.3:
@@ -393,7 +431,7 @@ class Gen:
         extra = self.r.choice([c for c in cols if c != uniq])
         over_uni = f"PARTITION BY {part} ORDER BY {extra} ASC NULLS FIRST, {uniq} ASC NULLS FIRST"
         fns = []
-        k = self.r.randint(0, 4)
+        k = self.r.randint(0, 7)
         if k == 0:
             fns.append(f"row_number() OVER ({over_uni}) AS w0")
         elif k == 1:
@@ -404,10 +442,54 @@ class Gen:
                        f"{extra} ASC NULLS FIRST) AS w0")
         elif k == 3:
             fns.append(f"lag({self.int_expr(cols, 1)}, 1) OVER ({over_uni}) AS w0")
-        else:
+        elif k == 4:
             fns.append(f"CAST(sum({self.int_expr(cols, 1)}) OVER ({over_uni} "
                        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
                        f"AS BIGINT) AS w0")
+        elif k == 5:
+            # explicit ROWS frame with PRECEDING/FOLLOWING bounds; ordering
+            # ends in the unique key so the frame CONTENTS are deterministic
+            lo, hi = sorted(self.r.sample(range(0, 8), 2))
+            start = self.r.choice([f"{hi} PRECEDING", "UNBOUNDED PRECEDING"])
+            end = self.r.choice(
+                [f"{lo} PRECEDING" if lo else "CURRENT ROW",
+                 f"{self.r.randint(1, 5)} FOLLOWING",
+                 "UNBOUNDED FOLLOWING"])
+            over = f"{over_uni} ROWS BETWEEN {start} AND {end}"
+            body, wrap = self.r.choice(
+                [(f"sum({self.int_expr(cols, 1)})", True),
+                 (f"min({self.int_expr(cols, 1)})", False),
+                 (f"max({self.int_expr(cols, 1)})", False),
+                 ("count(*)", True)])
+            e = f"{body} OVER ({over})"
+            fns.append((f"CAST({e} AS BIGINT)" if wrap else e) + " AS w0")
+        elif k == 6:
+            # RANGE frame over a NUMERIC order key with integer offsets:
+            # peers (order-key ties) receive identical aggregates, so tie
+            # order cannot change any output cell
+            ints = [c for c, t in cols.items() if t == "i"]
+            okey = self.r.choice(ints)
+            frame = (f"RANGE BETWEEN {self.r.randint(0, 1000)} PRECEDING "
+                     f"AND {self.r.randint(0, 1000)} FOLLOWING")
+            if self.r.random() < 0.3:
+                frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            over = (f"PARTITION BY {part} ORDER BY {okey} ASC NULLS FIRST "
+                    f"{frame}")
+            body, wrap = self.r.choice(
+                [(f"sum({self.r.choice(ints)})", True),
+                 ("count(*)", True),
+                 (f"min({self.r.choice(ints)})", False)])
+            e = f"{body} OVER ({over})"
+            fns.append((f"CAST({e} AS BIGINT)" if wrap else e) + " AS w0")
+        else:
+            # first_value/last_value need the ROWS-deterministic recipe:
+            # unique-suffixed ordering AND an explicit frame (default RANGE
+            # frame + last_value is the classic current-row trap — same
+            # value on both engines, but spell it out anyway)
+            fv = self.r.choice(["first_value", "last_value"])
+            fns.append(f"{fv}({self.int_expr(cols, 1)}) OVER ({over_uni} "
+                       f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                       f"FOLLOWING) AS w0")
         sel = [f"{uniq} AS c0", f"{part} AS c1"] + fns
         sql = f"SELECT {', '.join(sel)} FROM {t}"
         if self.r.random() < 0.6:
@@ -463,6 +545,89 @@ class Gen:
         return (f"SELECT {sel} FROM {l} WHERE (SELECT count(*) FROM {rr} "
                 f"WHERE {rr}.{rk} = {l}.{lk}) >= 1 AND {self.pred(lc, 1)}")
 
+    def q_decimal(self):
+        """DECIMAL(p,s) cast-and-arithmetic: sources are casts of the
+        generator's 2dp double columns (exact on both engines — the
+        shortest-repr double IS the 2dp value, so no rounding tie exists at
+        scale >= 2); ops are +, -, * by small ints, and sum/min/max.
+        Division and AVG are excluded (engines pick different result
+        scales); with scales agreeing everywhere, the type-sensitive
+        Decimal str compare is exact."""
+        t = self.r.choice(["customer", "supplier", "orders",
+                           "lineitem", "part"])
+        cols = TABLES[t]
+        ds = [c for c, ty in cols.items() if ty == "d"]
+        ints = [c for c, ty in cols.items() if ty == "i"]
+
+        def dec(width=None, scale=None):
+            w = width or self.r.choice([12, 14, 18])
+            s = scale or self.r.choice([2, 3, 4])
+            return f"CAST({self.r.choice(ds)} AS DECIMAL({w},{s}))"
+
+        exprs = []
+        k = self.r.randint(0, 3)
+        if k == 0:
+            # same-scale addition/subtraction chain
+            s = self.r.choice([2, 3])
+            op = self.r.choice(["+", "-"])
+            exprs.append(f"({dec(14, s)} {op} {dec(14, s)})")
+        elif k == 1:
+            # multiply by a small integer literal (scale preserved)
+            exprs.append(f"({dec()} * {self.r.randint(2, 9)})")
+        elif k == 2:
+            # decimal x decimal: result scale s1+s2 on both engines
+            exprs.append(f"({dec(12, 2)} * {dec(12, 2)})")
+        else:
+            exprs.append(dec())
+        alias = "d0"
+        if self.r.random() < 0.5:
+            # aggregate form: sum/min/max keep the scale on both engines
+            agg = self.r.choice(["sum", "min", "max"])
+            key = self.r.choice(LOWCARD[t])
+            sql = (f"SELECT {key} AS k0, {agg}({exprs[0]}) AS {alias} "
+                   f"FROM {t}")
+            if self.r.random() < 0.5:
+                sql += f" WHERE {self.pred(cols, 1)}"
+            sql += f" GROUP BY {key}"
+            return sql
+        # row-level form: ORDER over ALL projected columns (lineitem has no
+        # unique key — ties at the LIMIT cut are then interchangeable rows)
+        c0 = UNIQUE.get(t, self.r.choice(ints))
+        sql = (f"SELECT {c0} AS c0, {exprs[0]} AS {alias} FROM {t} "
+               f"WHERE {self.pred(cols, 1)}")
+        sql += self.order_limit(["c0", alias])
+        return sql
+
+    def q_interval(self):
+        """Date/time INTERVAL arithmetic: ts +/- INTERVAL n DAY|MONTH with
+        literal counts (both engines clamp month-end identically), compared
+        as DATE; also used in predicates against timestamp literals."""
+        t = self.r.choice(["orders", "lineitem", "events"])
+        cols = TABLES[t]
+        tss = [c for c, ty in cols.items() if ty == "t"]
+        c = self.r.choice(tss)
+        uniq = UNIQUE.get(t, list(cols)[0])
+        n = self.r.randint(1, 40)
+        unit = self.r.choice(["DAY", "MONTH"])
+        sign = self.r.choice(["+", "-"])
+        items = [f"{uniq} AS c0",
+                 f"CAST({c} {sign} INTERVAL {n} {unit} AS DATE) AS c1"]
+        if self.r.random() < 0.5:
+            m = self.r.randint(1, 12)
+            items.append(f"CAST({c} + INTERVAL {m} MONTH AS DATE) AS c2")
+        sql = f"SELECT {', '.join(items)} FROM {t}"
+        lit = self.r.choice(TS_LITS)
+        cmp_ = self.r.choice(["<", ">=", ">"])
+        preds = [f"{c} {sign} INTERVAL {self.r.randint(1, 30)} DAY "
+                 f"{cmp_} TIMESTAMP '{lit} 00:00:00'"]
+        if self.r.random() < 0.5:
+            preds.append(self.pred(cols, 1))
+        sql += f" WHERE {' AND '.join(preds)}"
+        aliases = ["c0", "c1"] + (["c2"] if len(items) > 2 else [])
+        if self.r.random() < 0.6:
+            sql += self.order_limit(aliases)
+        return sql
+
     def q_cte(self):
         inner, agg_types = self.q_agg(meta=True)
         # only NUMERIC aggregates may be compared to 0 in the outer filter —
@@ -477,16 +642,20 @@ class Gen:
 
     def query(self):
         roll = self.r.random()
-        if roll < 0.25:
+        if roll < 0.20:
             return self.q_project()
-        if roll < 0.55:
+        if roll < 0.45:
             return self.q_agg()
-        if roll < 0.70:
+        if roll < 0.60:
             return self.q_window()
-        if roll < 0.80:
+        if roll < 0.70:
             return self.q_setop()
-        if roll < 0.93:
+        if roll < 0.80:
             return self.q_subquery()
+        if roll < 0.88:
+            return self.q_decimal()
+        if roll < 0.95:
+            return self.q_interval()
         return self.q_cte()
 
 

@@ -33,7 +33,24 @@ Measured contract replicated here (sf0.1 reference):
   embeddings max(500, 20000*sf) 64-dim float32 unit vectors = normalize(0.56*center[label] + N(0,1))
                        (measured: mean cos-to-own-centroid 0.07, no cos>0.9 pairs), label U[0,10)
 
-Usage: python3 tools/gen_testdata.py <sf> <outdir>
+Usage: python3 tools/gen_testdata.py <sf> <outdir> [--zipf-docs] [--docs-only]
+
+--zipf-docs replaces the 30-word document pool with a Zipf-Mandelbrot
+vocabulary (p(r) ~ 1/(r+2.7)^1.07 over 50k ranks — the classic fit to
+natural-language frequency spectra; observed distinct types then follow
+Heaps' law in corpus size: measured 31.5k types at sf0.1 / 49.6k at sf1,
+top-rank df ~78%% of docs, i.e. "the"-like). Everything else about the
+documents contract is preserved: 10..100 words/doc, ~5% near-copies of an
+earlier doc with 1..3 word edits, the FIRST edit inserting the literal
+"dup" marker (the near-dup family census the split/leak queries key on).
+The fixture exists to measure the dedup family's candidate economics on a
+REALISTIC token distribution (SF1.md §3 attributed the 40-60x sf1 tail to
+the synthetic pool making every token a stopword); the oracle gate itself
+is data-agnostic. Zipf documents use their own rng stream (SEED+1) so the
+fixture is deterministic regardless of which other tables are generated.
+
+--docs-only writes only documents.parquet (the other 9 tables are shared
+with the base dirs via symlinks when assembling a fixture dir).
 """
 import json
 import sys
@@ -63,8 +80,47 @@ def ts(col):
     return pa.field(col, pa.timestamp("us"))
 
 
+def gen_documents(n_doc, rng, zipf):
+    """Document texts with the measured near-dup census (5% copies, 1..3
+    edits, first edit = the "dup" family marker). `zipf` switches the base
+    vocabulary from the driver's 30-word pool to a Zipf-Mandelbrot one."""
+    if zipf:
+        ranks = np.arange(1, 50_001)
+        p = 1.0 / np.power(ranks + 2.7, 1.07)
+        p /= p.sum()
+        vocab = np.array([f"w{r}" for r in ranks])
+
+        def draw(n):
+            return vocab[rng.choice(len(vocab), n, p=p)]
+    else:
+        base_pool = np.array(["a", "agg", "batch", "big", "column",
+                              "customer", "data", "fast", "filter", "group",
+                              "hash", "join", "key", "line", "merge",
+                              "order", "part", "query", "row", "scan",
+                              "slow", "small", "sort", "spark", "stream",
+                              "table", "the", "value", "vector", "window"])
+
+        def draw(n):
+            return base_pool[rng.integers(0, len(base_pool), n)]
+
+    texts = []
+    for i in range(n_doc):
+        if i > 0 and rng.random() < 0.05:
+            words = texts[rng.integers(0, i)].split()
+            edits = rng.integers(1, 4)
+            words[rng.integers(0, len(words))] = "dup"
+            for _ in range(edits - 1):
+                words[rng.integers(0, len(words))] = draw(1)[0]
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(draw(rng.integers(10, 100))))
+    return texts
+
+
 def main():
     sf, outdir = float(sys.argv[1]), sys.argv[2]
+    zipf_docs = "--zipf-docs" in sys.argv
+    docs_only = "--docs-only" in sys.argv
     import os
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -78,157 +134,134 @@ def main():
     n_doc = max(500, int(50_000 * sf))
     n_emb = max(500, int(20_000 * sf))
 
-    # region / nation: fixed dims, identical at every sf
-    write(outdir, "region",
-          {"r_regionkey": pa.array(range(5), pa.int32()),
-           "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]},
-          pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]))
-    write(outdir, "nation",
-          {"n_nationkey": pa.array(range(25), pa.int32()),
-           "n_name": [f"NATION_{i}" for i in range(25)],
-           "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())},
-          pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
-                     ("n_regionkey", pa.int32())]))
+    if not docs_only:
+        # region / nation: fixed dims, identical at every sf
+        write(outdir, "region",
+              {"r_regionkey": pa.array(range(5), pa.int32()),
+               "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]},
+              pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]))
+        write(outdir, "nation",
+              {"n_nationkey": pa.array(range(25), pa.int32()),
+               "n_name": [f"NATION_{i}" for i in range(25)],
+               "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32())},
+              pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                         ("n_regionkey", pa.int32())]))
 
-    segments = ["MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE", "AUTOMOBILE"]
-    write(outdir, "customer",
-          {"c_custkey": pa.array(range(n_cust), pa.int64()),
-           "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-           "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
-           "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
-           "c_mktsegment": pa.array(np.array(segments)[rng.integers(0, 5, n_cust)])},
-          pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
-                     ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
-                     ("c_mktsegment", pa.string())]))
+        segments = ["MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE", "AUTOMOBILE"]
+        write(outdir, "customer",
+              {"c_custkey": pa.array(range(n_cust), pa.int64()),
+               "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+               "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+               "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+               "c_mktsegment": pa.array(np.array(segments)[rng.integers(0, 5, n_cust)])},
+              pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                         ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                         ("c_mktsegment", pa.string())]))
 
-    write(outdir, "supplier",
-          {"s_suppkey": pa.array(range(n_supp), pa.int64()),
-           "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-           "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
-           "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2)},
-          pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
-                     ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())]))
+        write(outdir, "supplier",
+              {"s_suppkey": pa.array(range(n_supp), pa.int64()),
+               "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+               "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+               "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2)},
+              pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                         ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())]))
 
-    adjs = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
-    nouns = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
-    types = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
-    ai = rng.integers(0, 8, n_part)
-    ni = rng.integers(0, 8, n_part)
-    write(outdir, "part",
-          {"p_partkey": pa.array(range(n_part), pa.int64()),
-           "p_name": [f"{adjs[a]} {nouns[b]}" for a, b in zip(ai, ni)],
-           "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
-           "p_type": pa.array(np.array(types)[rng.integers(0, 6, n_part)]),
-           "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
-           "p_retailprice": np.round(900.0 + 0.1 * np.arange(n_part), 2)},
-          pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
-                     ("p_brand", pa.string()), ("p_type", pa.string()),
-                     ("p_size", pa.int32()), ("p_retailprice", pa.float64())]))
+        adjs = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+        nouns = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+        types = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+        ai = rng.integers(0, 8, n_part)
+        ni = rng.integers(0, 8, n_part)
+        write(outdir, "part",
+              {"p_partkey": pa.array(range(n_part), pa.int64()),
+               "p_name": [f"{adjs[a]} {nouns[b]}" for a, b in zip(ai, ni)],
+               "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
+               "p_type": pa.array(np.array(types)[rng.integers(0, 6, n_part)]),
+               "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+               "p_retailprice": np.round(900.0 + 0.1 * np.arange(n_part), 2)},
+              pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
+                         ("p_brand", pa.string()), ("p_type", pa.string()),
+                         ("p_size", pa.int32()), ("p_retailprice", pa.float64())]))
 
-    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    write(outdir, "orders",
-          {"o_orderkey": pa.array(range(n_ord), pa.int64()),
-           "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
-           "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]),
-           "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
-           "o_orderdate": pa.array(day_us("1995-01-01", "2001-08-01", n_ord, rng),
-                                   pa.timestamp("us")),
-           "o_orderpriority": pa.array(np.array(prios)[rng.integers(0, 5, n_ord)])},
-          pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
-                     ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
-                     ts("o_orderdate"), ("o_orderpriority", pa.string())]))
+        prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        write(outdir, "orders",
+              {"o_orderkey": pa.array(range(n_ord), pa.int64()),
+               "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+               "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]),
+               "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
+               "o_orderdate": pa.array(day_us("1995-01-01", "2001-08-01", n_ord, rng),
+                                       pa.timestamp("us")),
+               "o_orderpriority": pa.array(np.array(prios)[rng.integers(0, 5, n_ord)])},
+              pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                         ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+                         ts("o_orderdate"), ("o_orderpriority", pa.string())]))
 
-    write(outdir, "lineitem",
-          {"l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
-           "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-           "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
-           "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
-           "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
-           "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
-           "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
-           "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
-           "l_returnflag": pa.array(np.array(["N", "A", "R"])[rng.integers(0, 3, n_li)]),
-           "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
-           "l_shipdate": pa.array(day_us("1995-01-01", "2001-12-31", n_li, rng),
-                                  pa.timestamp("us"))},
-          pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
-                     ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
-                     ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
-                     ("l_discount", pa.float64()), ("l_tax", pa.float64()),
-                     ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
-                     ts("l_shipdate")]))
+        write(outdir, "lineitem",
+              {"l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+               "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+               "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+               "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
+               "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+               "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+               "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
+               "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
+               "l_returnflag": pa.array(np.array(["N", "A", "R"])[rng.integers(0, 3, n_li)]),
+               "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
+               "l_shipdate": pa.array(day_us("1995-01-01", "2001-12-31", n_li, rng),
+                                      pa.timestamp("us"))},
+              pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                         ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                         ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+                         ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                         ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                         ts("l_shipdate")]))
 
-    ev_types = ["click", "view", "purchase", "signup", "error"]
-    t0 = np.datetime64("2024-01-01", "us").astype("int64")
-    t1 = np.datetime64("2024-01-31", "us").astype("int64")
-    ev_ts = np.sort(rng.integers(t0, t1, n_ev))
-    write(outdir, "events",
-          {"event_id": pa.array(range(n_ev), pa.int64()),
-           "ts": pa.array(ev_ts, pa.timestamp("us")),
-           "user_id": pa.array(rng.integers(0, max(1, n_cust // 10), n_ev), pa.int64()),
-           "event_type": pa.array(np.array(ev_types)[rng.integers(0, 5, n_ev)]),
-           "value": np.round(rng.exponential(50.0, n_ev), 2),
-           "props": [json.dumps({"k": int(k)}, separators=(", ", ": "))
-                     for k in rng.integers(0, 100, n_ev)]},
-          pa.schema([("event_id", pa.int64()), ts("ts"), ("user_id", pa.int64()),
-                     ("event_type", pa.string()), ("value", pa.float64()),
-                     ("props", pa.string())]))
+        ev_types = ["click", "view", "purchase", "signup", "error"]
+        t0 = np.datetime64("2024-01-01", "us").astype("int64")
+        t1 = np.datetime64("2024-01-31", "us").astype("int64")
+        ev_ts = np.sort(rng.integers(t0, t1, n_ev))
+        write(outdir, "events",
+              {"event_id": pa.array(range(n_ev), pa.int64()),
+               "ts": pa.array(ev_ts, pa.timestamp("us")),
+               "user_id": pa.array(rng.integers(0, max(1, n_cust // 10), n_ev), pa.int64()),
+               "event_type": pa.array(np.array(ev_types)[rng.integers(0, 5, n_ev)]),
+               "value": np.round(rng.exponential(50.0, n_ev), 2),
+               "props": [json.dumps({"k": int(k)}, separators=(", ", ": "))
+                         for k in rng.integers(0, 100, n_ev)]},
+              pa.schema([("event_id", pa.int64()), ts("ts"), ("user_id", pa.int64()),
+                         ("event_type", pa.string()), ("value", pa.float64()),
+                         ("props", pa.string())]))
 
-    # Measured dup structure (driver sf0.1): BASE docs (95%) draw 10..99
-    # words from the 30-word pool EXCLUDING the marker token "dup"; near-
-    # copies (5%) take an earlier doc and replace 1..3 random positions,
-    # the FIRST replacement inserting the literal "dup" (ndup-per-doc
-    # census at sf0.1: {1: 246, 2: 3, 3: 1} — >1 only via copy-of-copy, so
-    # non-marker edits draw from the 30-word base pool). Getting this
-    # right is load-bearing: the near-dup family ops (dataset_split_atomic,
-    # dedup_split_leak, ...) filter on \bdup\b, and a generator that
-    # samples "dup" as an ordinary word makes 77% of docs one giant family
-    # — the candidate pair join goes quadratic (measured: sf1 Verify stuck
-    # >10 min vs 2.6 s at the correct 5%).
-    base_pool = np.array(["a", "agg", "batch", "big", "column", "customer",
-                          "data", "fast", "filter", "group", "hash", "join",
-                          "key", "line", "merge", "order", "part", "query",
-                          "row", "scan", "slow", "small", "sort", "spark",
-                          "stream", "table", "the", "value", "vector",
-                          "window"])
+    # Documents: loop + census in gen_documents (shared with --zipf-docs).
+    # The zipf fixture uses its own rng stream (SEED+1) so it is
+    # deterministic regardless of which other tables were generated.
+    doc_rng = np.random.default_rng(SEED + 1) if zipf_docs else rng
+    texts = gen_documents(n_doc, doc_rng, zipf_docs)
     langs = np.array(["en", "zh", "es", "fr", "de"])
     lang_p = np.array([0.41, 0.15, 0.15, 0.15, 0.14])
-    texts = []
-    for i in range(n_doc):
-        if i > 0 and rng.random() < 0.05:
-            words = texts[rng.integers(0, i)].split()
-            edits = rng.integers(1, 4)
-            words[rng.integers(0, len(words))] = "dup"
-            for _ in range(edits - 1):
-                words[rng.integers(0, len(words))] = \
-                    base_pool[rng.integers(0, len(base_pool))]
-            texts.append(" ".join(words))
-        else:
-            texts.append(" ".join(base_pool[rng.integers(0, len(base_pool),
-                                                         rng.integers(10, 100))]))
     write(outdir, "documents",
           {"doc_id": pa.array(range(n_doc), pa.int64()),
            "text": texts,
-           "lang": pa.array(langs[rng.choice(5, n_doc, p=lang_p)]),
+           "lang": pa.array(langs[doc_rng.choice(5, n_doc, p=lang_p)]),
            "source": [f"src{i % 20}" for i in range(n_doc)],
            "n_chars": pa.array([len(t) for t in texts], pa.int64())},
           pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
                      ("lang", pa.string()), ("source", pa.string()),
                      ("n_chars", pa.int64())]))
 
-    centers = rng.standard_normal((10, 64))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, 10, n_emb)
-    vecs = 0.56 * centers[labels] + rng.standard_normal((n_emb, 64))
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    vecs = vecs.astype("float32")
-    write(outdir, "embeddings",
-          {"vec_id": pa.array(range(n_emb), pa.int64()),
-           "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-           "label": pa.array(labels, pa.int32())},
-          pa.schema([("vec_id", pa.int64()),
-                     ("embedding", pa.list_(pa.float32())),
-                     ("label", pa.int32())]))
+    if not docs_only:
+        centers = rng.standard_normal((10, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, n_emb)
+        vecs = 0.56 * centers[labels] + rng.standard_normal((n_emb, 64))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs.astype("float32")
+        write(outdir, "embeddings",
+              {"vec_id": pa.array(range(n_emb), pa.int64()),
+               "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+               "label": pa.array(labels, pa.int32())},
+              pa.schema([("vec_id", pa.int64()),
+                         ("embedding", pa.list_(pa.float32())),
+                         ("label", pa.int32())]))
 
 
 if __name__ == "__main__":
