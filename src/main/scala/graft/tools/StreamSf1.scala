@@ -69,6 +69,11 @@ object StreamSf1 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val outMd = args.lift(1).getOrElse("/tmp/stream_sf1_log.md")
+    // leg C wants a REALISTIC vocabulary (the synthetic 30-word corpus
+    // yields a 31-term index); default to the zipf fixture when present
+    val docsDir = args.lift(2).getOrElse(
+      if (Files.exists(Paths.get("/root/repo/testdata-zipf/sf1")))
+        "/root/repo/testdata-zipf/sf1" else sfDir)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -123,11 +128,15 @@ object StreamSf1 {
         .schema("kind STRING, key LONG, ts LONG, value DOUBLE, eventId LONG")
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$feedDir/b*")
+      // keep the event-time column in the plan: selecting it away would
+      // drop the EventTimeWatermark node and the operator would never see
+      // a watermark (measured: pruned == unpruned state without this).
+      // as[AsOfFeed] binds by name; the extra ets column is ignored.
       val wm = if (watermark)
         raw.withColumn("ets", timestamp_millis(col("ts")))
           .withWatermark("ets", "1 hour")
       else raw
-      wm.select("kind", "key", "ts", "value", "eventId").as[StreamOps.AsOfFeed]
+      wm.as[StreamOps.AsOfFeed]
     }
 
     // ---- leg A: as-of enrich, both providers, watermarked ---------------
@@ -226,8 +235,38 @@ object StreamSf1 {
       f"max=${upserts.max} (aggregate-sized, never event-sized); " +
       f"final store == batch counts (${batchTop.size} windowsxtypes)")
 
+    // ---- leg D: stream-stream interval joins over the 1M-event stream ---
+    // watermarks on BOTH sides (2h) must bound join state to the horizon's
+    // event volume while the stream covers a 31-day history; the final
+    // inner-join row-set must equal the batch interval join of the same
+    // files (left-outer's unmatched rows trail the watermark by design, so
+    // the batch-equality leg uses the inner and semi forms).
+    def evStreamD = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(s"$evDir/b*")
+    val evBatch = spark.read.parquet(s"$evDir/b*")
+    for ((label, f) <- Seq[(String, DataFrame => DataFrame)](
+        "inner" -> StreamOps.purchasesWithRecentClicks,
+        "semi" -> StreamOps.purchasesWithRecentClicksSemi)) {
+      val outDir = tmp(s"sf1-ivj-$label")
+      val q = f(evStreamD)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", tmp(s"sf1-ivj-ckpt-$label"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(outDir)
+      val ref = f(evBatch)
+      val diff = streamed.except(ref).count() + ref.except(streamed).count()
+      val s = stats(q, streamed.count())
+      log(f"interval-join[$label]: ${s.batches} triggers, out=${s.outRows}%,d " +
+        f"rows (setdiff vs batch=$diff); trigger med=${s.medMs} ms " +
+        f"max=${s.maxMs} ms; join state rows last=${s.stateRowsLast}%,d " +
+        f"peak=${s.stateRowsPeak}%,d mem=${s.stateMemLastMb}%.1f MB")
+      assert(diff == 0, s"interval-join[$label] stream != batch")
+    }
+
     // ---- leg C: IndexDeltaSink over the 50k-doc corpus ------------------
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = Tables.documents(spark, docsDir).select("doc_id", "text")
       .localCheckpoint()
     val sink = new IndexDeltaSink(tmp("sf1-index"))
     val times = (0 until 20).map { i =>
