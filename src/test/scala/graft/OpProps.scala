@@ -130,6 +130,20 @@ object OpProps extends Properties("graft.ops6") {
       }
     }
 
+  property("cross prefix-filtered incremental dedup equals the unguarded " +
+      "shared-token form (lossless under the union-df order)") =
+    forAll(corpusGen) { docs =>
+      docs.size < 2 || {
+        val df = docs.toDF("doc_id", "text")
+        val batch = df.filter(col("doc_id") % 3 === 0)
+        val existing = df.filter(col("doc_id") % 3 =!= 0)
+        def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        key(graft.ops.DedupOps.crossPrefixJaccardPairs(existing, batch, 0.8)) ==
+          key(graft.ops.DedupOps.crossJaccardPairs(existing, batch, 0.8))
+      }
+    }
+
   property("globalRank + ntileFromRank equals ntile().over(Window.orderBy) " +
       "on random data, asc and desc") =
     forAll(for {
