@@ -22,7 +22,8 @@ object ExplainDump {
     "knn_cosine_topk", "knn_ann_ivf", "dedup_minhash", "dedup_pipeline",
     "dedup_embedding", "vocab_topk",
     "decontam_overlap", "tfidf_topk", "pack_sequences", "repetition_ratio",
-    "domain_cap", "quality_gate", "dedup_incremental", "knn_q8_rescore",
+    "domain_cap", "quality_gate", "dedup_incremental",
+    "dedup_incremental_prefix", "knn_q8_rescore",
     "chunk_dedup", "lm_bigram_score", "sample_temperature",
     "embedding_norms", "length_histogram", "url_canonicalize",
     "bpe_merge_topk", "join_asof_native", "dedup_canonical_pick",
