@@ -964,23 +964,30 @@ object NorthStarQueries {
 
   // ---- A7/X2 udaf_vector_centroid ------------------------------------------
 
-  /** Custom typed Aggregator: per-label centroid, exploded to (label, dim). */
+  /** Custom typed Aggregator: per-label centroid, exploded to (label, dim).
+    * The 4-dp display round is the C4 detRound form on BOTH sides (r12):
+    * the centroid is an exact scaled-long rational, so raw round(x, 4) can
+    * land on an exact 4-dp tie AND on a ±0 whose sign the engines disagree
+    * about — it passed at sf0.01 and sf1 by luck of the data and failed at
+    * sf0.1 (329/640 rows shifted by one -0.0 in the repr-sort; the
+    * embedding_gram_matrix r09 class, caught by the r12 zipf-corpus full
+    * gate which was the first sf0.1-scale compare of this query). */
   private def vectorCentroid(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .groupBy("label")
       .agg(VectorOps.centroidUdaf(64).as("centroid"))
       .select(col("label"), posexplode(col("centroid")))
       .select(col("label"), (col("pos") + 1).as("dim"),
-        round(col("col"), 4).as("c"))
+        Det.detRound(col("col"), 4).as("c"))
       .orderBy("label", "dim")
 
   private val vectorCentroidSql =
-    """SELECT label, i AS dim,
-      |  round(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
-      |                       AS BIGINT)) AS DOUBLE)
-      |        / (count(*) * 1000000.0), 4) AS c
-      |FROM embeddings, range(1, 65) t(i)
-      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+    s"""SELECT label, i AS dim,
+       |  ${Det.sqlDetRound(
+            "CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)" +
+            " AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0)", 4)} AS c
+       |FROM embeddings, range(1, 65) t(i)
+       |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
   // ---- N3 text analysis ----------------------------------------------------
 
