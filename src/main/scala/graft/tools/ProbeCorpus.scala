@@ -14,10 +14,16 @@ import graft.ops.DedupOps
   * synthetic and the Zipf/Heaps fixture (tools/gen_testdata.py --zipf-docs)
   * so the claim is numbers, not narrative.
   *
-  * Usage: runMain graft.tools.ProbeCorpus <sfDir> [sfDir ...]
+  * Usage: runMain graft.tools.ProbeCorpus [--cuts-only] <sfDir> [sfDir ...]
+  *
+  * --cuts-only skips the df-unguarded n-gram legs (candidates = naive
+  * family² BY CONSTRUCTION — at zipf sf10 that is ~288M pairs and exists
+  * only as the measured contrast; the cut legs are the production story).
   */
 object ProbeCorpus {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val cutsOnly = rawArgs.contains("--cuts-only")
+    val args = rawArgs.filterNot(_ == "--cuts-only")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -54,13 +60,17 @@ object ProbeCorpus {
           f"emitted=$e%,10d (${te}%6.2f s full)")
       }
 
-      report("ngram_jaccard(df=inf)",
-        DedupOps.jaccardCandidates(toks, Long.MaxValue).count(),
-        DedupOps.jaccardPairs(fam, Long.MaxValue, 0.8).count())
-      // the PRODUCTION form of the df guard (10% of corpus = stopword):
-      // disabled in the registry query because on the 30-word synthetic
-      // pool every token exceeds any useful cut
-      Seq(nFam / 10, nFam / 100).map(math.max(2L, _)).distinct.foreach { g =>
+      if (!cutsOnly) {
+        report("ngram_jaccard(df=inf)",
+          DedupOps.jaccardCandidates(toks, Long.MaxValue).count(),
+          DedupOps.jaccardPairs(fam, Long.MaxValue, 0.8).count())
+      }
+      // the PRODUCTION form of the df guard: disabled in the registry query
+      // because on the 30-word synthetic pool every token exceeds any
+      // useful cut (10% leg skipped under --cuts-only: it is the weaker
+      // guard kept for the guard-strength contrast)
+      val guards = if (cutsOnly) Seq(nFam / 100) else Seq(nFam / 10, nFam / 100)
+      guards.map(math.max(2L, _)).distinct.foreach { g =>
         report(s"ngram_jaccard(df=$g)",
           DedupOps.jaccardCandidates(toks, g).count(),
           DedupOps.jaccardPairs(fam, g, 0.8).count())
