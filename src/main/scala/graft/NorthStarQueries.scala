@@ -72,6 +72,66 @@ object NorthStarQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** `dedup_simhash_scaled`: the corpus-scale form of [[dedupSimhash]] —
+    * Manku block-combination candidate tables ([[DedupOps.simhashComboKeys]]:
+    * C(6,3) = 20 tables keyed on ~32-bit 3-block concatenations) instead of
+    * 4 frozen 16-bit chunks. Both are lossless for Hamming ≤ 3; the chunk
+    * scheme's bucket space is FROZEN at 2^16 per band so its candidates
+    * grow n²/2^16 (measured structurally quadratic at zipf sf10, 14.8× for
+    * 10× data — SF1.md), while the combination keys push the collision
+    * denominator to 2^32. Contract difference from the display form: this
+    * emits the h ≤ 3 near-dup pairs (the regime the tables are lossless
+    * for) rather than the chunk-lucky h ≤ 12 list — the Manku semantics. */
+  private def dedupSimhashScaled(s: SparkSession, d: String): DataFrame = {
+    val sigs = fanOut(documents(s, d))
+      .select(col("doc_id"),
+        DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
+      .localCheckpoint()
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(DedupOps.simhashComboKeys(col("sig"))).as("ck"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("ck"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("ck"))
+    a.join(b, Seq("ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Pigeonhole bound for the scaled form: over the bounded planted
+    * family, every h ≤ 3 pair (exhaustive family² reference) must appear
+    * in the combination-table emission — the same recipe as
+    * [[dedupSimhashBound]], against the 20-table candidate generator. */
+  private def dedupSimhashScaledBound(s: SparkSession, d: String): DataFrame = {
+    val famSigs = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+      .select(col("doc_id"),
+        DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
+      .localCheckpoint()
+    val close = famSigs.as("a")
+      .join(famSigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .localCheckpoint()
+    val emitted = dedupSimhashScaled(s, d).select("doc_a", "doc_b")
+    val nFam = famSigs.agg(count(lit(1)).as("n_family_docs"))
+    val nClose = close.agg(count(lit(1)).as("n_close"))
+    val missed = close.select("doc_a", "doc_b")
+      .join(emitted, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    nFam.crossJoin(nClose).crossJoin(missed)
+      .select(col("n_family_docs"), (col("n_close") > 0).as("has_close_pairs"),
+        (col("n_missed") === 0).as("pigeonhole_ok"))
+  }
+
+  private val dedupSimhashScaledBoundSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_family_docs,
+      |       TRUE AS has_close_pairs, TRUE AS pigeonhole_ok
+      |FROM documents WHERE regexp_matches(text, '\bdup\b')""".stripMargin
+
   // ---- N1 dedup: exact n-gram (token-set) Jaccard --------------------------
 
   /** Sketch-dedup bound oracles (`dedup_minhash_bound`,
@@ -1941,6 +2001,9 @@ object NorthStarQueries {
     "dedup_minhash_bound" -> Q(dedupMinhashBound, Some(dedupMinhashBoundSql)),
     "dedup_simhash" -> Q(dedupSimhash, None),
     "dedup_simhash_bound" -> Q(dedupSimhashBound, Some(dedupSimhashBoundSql)),
+    "dedup_simhash_scaled" -> Q(dedupSimhashScaled, None),
+    "dedup_simhash_scaled_bound" ->
+      Q(dedupSimhashScaledBound, Some(dedupSimhashScaledBoundSql)),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_containment" -> Q(dedupContainment, Some(dedupContainmentSql)),
     "dedup_prefix_jaccard" -> Q(dedupPrefixJaccard, Some(dedupPrefixJaccardSql)),

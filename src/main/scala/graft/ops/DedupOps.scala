@@ -100,6 +100,31 @@ object DedupOps {
 
   /** Exact-duplicate groups on normalized text: group key + members.
     * One shuffle on the (hashed) normalized text. */
+  /** Manku-style block-combination bucket keys for simhash candidate
+    * generation at corpus scale (Manku/Jain/Sarma, WWW'07 §3): split the
+    * 64-bit signature into 6 blocks (11,11,11,11,10,10 bits); a pair
+    * within Hamming distance 3 flips bits in at most 3 blocks, so at
+    * least 3 of its 6 blocks are IDENTICAL and the pair shares a key in
+    * at least one of the C(6,3) = 20 combination tables — lossless for
+    * h ≤ 3 exactly like the 4×16 chunk scheme, but each bucket key
+    * carries ~32 significant bits instead of 16: random-collision
+    * candidates scale n²/2^32, not n²/2^16 (the frozen 16-bit bucket
+    * space measured structurally quadratic at zipf sf10 — SF1.md). The
+    * price is 20 postings per doc instead of 4 — linear, and the join
+    * keys stay longs (blocks packed at 22/11-bit shifts, < 2^33). */
+  def simhashComboKeys(sig: Column): Column = {
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def block(i: Int): Column =
+      shiftright(sig, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = (0 until 6).combinations(3).toSeq
+    array(combos.zipWithIndex.map { case (c, t) =>
+      struct(lit(t).as("t"),
+        (block(c(0)) * lit(1L << 22) + block(c(1)) * lit(1L << 11) +
+          block(c(2))).as("k"))
+    }: _*)
+  }
+
   def exactGroups(docs: DataFrame): DataFrame =
     docs
       .withColumn("norm", normalizedText(col("text")))

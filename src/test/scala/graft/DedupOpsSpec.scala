@@ -150,4 +150,50 @@ class DedupOpsSpec extends SparkSpec {
       .collect().head.getAs[scala.collection.Seq[String]](0)
     assert(got.toSeq == Seq("a_b_c", "b_c_d"))
   }
+
+  test("simhash combination keys: any pair within hamming <= 3 shares a key " +
+      "(pigeonhole over 6 blocks); a 4-block flip can miss") {
+    // seeded random signatures with 0..3 random bit flips: the C(6,3)
+    // tables must catch EVERY such pair (lossless); with 4 flips placed in
+    // 4 DISTINCT blocks the pair must NOT share a key in the table whose
+    // blocks are all dirty — sanity that the keys actually discriminate
+    val rnd = new scala.util.Random(7)
+    val sigs = (0 until 200).map { i =>
+      val base = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3
+      val flipped = (0 until flips).foldLeft(base) { (s, _) =>
+        s ^ (1L << rnd.nextInt(64))
+      }
+      (i.toLong * 2, base, i.toLong * 2 + 1, flipped)
+    }
+    val df = sigs.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("doc_id", "sig")
+    val keyed = df.select(col("doc_id"),
+      explode(DedupOps.simhashComboKeys(col("sig"))).as("ck"))
+    val pairs = keyed.as("x").join(keyed.as("y"),
+        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sigs.foreach { case (ia, a, ib, b) =>
+      val h = java.lang.Long.bitCount(a ^ b)
+      if (h <= 3)
+        assert(pairs.contains((ia, ib)),
+          s"h=$h pair ($ia,$ib) must share a combination key")
+    }
+    // converse witness: bits 0, 11, 22, 33 dirty exactly blocks 0,1,2,3,
+    // leaving only TWO clean blocks {4,5} — every 3-subset of blocks must
+    // include a dirty one, so no combination key can match. If this pair
+    // DID share a key, the keys wouldn't be discriminating on block
+    // content at all (e.g. a masking bug).
+    val base = 0L
+    val dirty4 = base ^ (1L << 0) ^ (1L << 11) ^ (1L << 22) ^ (1L << 33)
+    val two = Seq((100L, base), (101L, dirty4)).toDF("doc_id", "sig")
+    val k2 = two.select(col("doc_id"),
+      explode(DedupOps.simhashComboKeys(col("sig"))).as("ck"))
+    val shared = k2.as("x").join(k2.as("y"),
+        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id"))
+      .count()
+    assert(shared == 0,
+      "a 4-distinct-block flip must not share any combination key")
+  }
 }
