@@ -1231,6 +1231,99 @@ object EventQueries {
       |  AND round(abs(value - med), 6) > round(3.0 * 1.4826 * mad, 6)
       |ORDER BY event_id""".stripMargin
 
+  // ---- (type, bucket)+carry rewrite of the 5-row rolling frame -------------
+
+  /** Exact ROWS(-4,0) frames over the events fact via (type, 6h-bucket)
+    * sub-partitioning — the SCALE rewrite for [[tsRollingMedian]] /
+    * [[tsHampelFilter]], whose `Window.partitionBy(event_type)` caps
+    * parallelism at the type cardinality (5 — still 5 at 100 TB). A ROWS
+    * frame is harder to bucket than the RANGE frame of
+    * `window_range_frame_bucketed`: a row's previous-4 can reach across
+    * ANY number of sparse/empty buckets, so a fixed "carry the tail of the
+    * previous bucket" is lossy in general. The lossless construction:
+    *
+    *  1. TAILS — the last ≤4 rows of each (type, bucket). Any row that is
+    *     among the last 4 of a bucket-prefix has ≤3 rows after it in that
+    *     prefix, hence ≤3 after it in its OWN bucket — so the exact
+    *     carry set of every bucket boundary lives inside the tails.
+    *  2. SERVE RANGES — on the tails frame (≤ 4·buckets rows, bucket-count-
+    *     sized, NOT fact-sized), order per type by (ts, event_id). Bucket
+    *     ids are monotone along that order, so tail row r is among the
+    *     last 4 rows before bucket b exactly when fewer than 4 tail rows
+    *     after r precede b — i.e. b ≤ bucket(lead(r, 4)) (unbounded when
+    *     fewer than 4 tails follow). The 5-partition window here touches
+    *     only the tiny tails frame; the fact never sees it.
+    *  3. CARRY — join tails to the distinct (type, bucket) targets they
+    *     serve (both sides bucket-count-sized; targets broadcast), tag
+    *     carry = true, union under the fact, and window per (type, bucket)
+    *     ordered by (ts, event_id): every non-carry row now sees exactly
+    *     its 4 global predecessors, so `size(frame) = 5` reproduces the
+    *     naive form's `rn >= 5` partial-frame filter verbatim.
+    *
+    * Fact-sized work — the base scan, the tail row_number, the final
+    * frame window — all partitions on (type, bucket): parallelism grows
+    * with the time span instead of freezing at 5. Carry duplication is
+    * ≤ 4 rows per (type, bucket). Same oracles as the naive twins: hash
+    * equality IS the rewrite proof (the `window_range_frame_bucketed`
+    * recipe). */
+  private[graft] def rows5FrameBucketedOf(ev: DataFrame): DataFrame = {
+    val bucketW = 6L * 3600L * 1000000L // 6 h of microseconds
+    val base = ev
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .withColumn("bucket", expr(s"tsu div ${bucketW}L"))
+    val wTail = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    // bucket-count-sized from here down to `carries`
+    val tails = base.withColumn("rnd", row_number().over(wTail))
+      .filter(col("rnd") <= 4).drop("rnd")
+      .localCheckpoint()
+    val wType = Window.partitionBy("event_type").orderBy("tsu", "event_id")
+    val served = tails.withColumn("serve_hi", lead("bucket", 4).over(wType))
+    val targets = base
+      .select(col("event_type").as("t_type"), col("bucket").as("t_bucket"))
+      .distinct()
+    val carries = served
+      .join(broadcast(targets),
+        col("event_type") === col("t_type") &&
+          col("t_bucket") > col("bucket") &&
+          (col("serve_hi").isNull || col("t_bucket") <= col("serve_hi")))
+      .select(col("event_id"), col("event_type"), col("tsu"), col("value"),
+        col("t_bucket").as("bucket"), lit(true).as("carry"))
+    val wFrame = Window.partitionBy("event_type", "bucket")
+      .orderBy("tsu", "event_id")
+    base.withColumn("carry", lit(false)).unionByName(carries)
+      .withColumn("frame",
+        collect_list("value").over(wFrame.rowsBetween(-4, 0)))
+      .filter(!col("carry") && size(col("frame")) === 5)
+      .select("event_id", "value", "frame")
+  }
+
+  /** `ts_rolling_median_scaled`: [[tsRollingMedian]]'s result from the
+    * (type, bucket)+carry frames of [[rows5FrameBucketedOf]] — identical
+    * element-pick median, same oracle, parallelism types × buckets. */
+  private def tsRollingMedianScaled(s: SparkSession, d: String): DataFrame =
+    rows5FrameBucketedOf(
+      events(s, d).select("event_id", "event_type", "ts", "value"))
+      .select(col("event_id"),
+        element_at(sort_array(col("frame")), 3).as("roll_med"))
+      .orderBy("event_id")
+
+  /** `ts_hampel_filter_scaled`: [[tsHampelFilter]]'s result from the same
+    * bucketed frames — identical element-pick median/MAD and 6-dp-rounded
+    * comparison, same oracle, parallelism types × buckets. */
+  private def tsHampelFilterScaled(s: SparkSession, d: String): DataFrame =
+    rows5FrameBucketedOf(
+      events(s, d).select("event_id", "event_type", "ts", "value"))
+      .withColumn("med", element_at(sort_array(col("frame")), 3))
+      .withColumn("mad", element_at(sort_array(transform(col("frame"),
+        x => abs(x - col("med")))), 3))
+      .filter(round(abs(col("value") - col("med")), 6) >
+        round(lit(3.0d) * lit(1.4826d) * col("mad"), 6))
+      .select(col("event_id"), col("value"), col("med"),
+        round(col("mad"), 6).as("mad"))
+      .orderBy("event_id")
+
   /** N28h `ab_welch_ttest`: the A/B experiment readout — Welch's unequal-
     * variance t statistic and Welch–Satterthwaite degrees of freedom for
     * the purchase-value metric between a deterministic user split
@@ -1405,7 +1498,11 @@ object EventQueries {
     "window_streaks" -> Q(windowStreaks, Some(windowStreaksSql)),
     "event_pattern_match" -> Q(eventPatternMatch, Some(eventPatternMatchSql)),
     "ts_rolling_median" -> Q(tsRollingMedian, Some(tsRollingMedianSql)),
+    "ts_rolling_median_scaled" ->
+      Q(tsRollingMedianScaled, Some(tsRollingMedianSql)),
     "ts_hampel_filter" -> Q(tsHampelFilter, Some(tsHampelFilterSql)),
+    "ts_hampel_filter_scaled" ->
+      Q(tsHampelFilterScaled, Some(tsHampelFilterSql)),
     "ts_changepoint" -> Q(tsChangepoint, Some(tsChangepointSql)),
     "funnel_steps" -> Q(funnelSteps, Some(funnelStepsSql)),
     "sketch_theta_overlap" -> Q(sketchThetaOverlap, Some(sketchThetaOverlapSql)),

@@ -619,6 +619,17 @@ object ScaleProbe {
           round(lit(3.0d) * lit(1.4826d) * col("mad"), 6))
         .queryExecution.toRdd.count()
     }
+    // the (type, 6h-bucket)+tail-carry twin — parallelism types × buckets
+    // instead of the naive form's 5-task ceiling (r12 verdict #1)
+    def hampelScaled(ev: DataFrame): Long =
+      graft.EventQueries.rows5FrameBucketedOf(
+        ev.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+        .withColumn("med", element_at(sort_array(col("frame")), 3))
+        .withColumn("mad", element_at(sort_array(transform(col("frame"),
+          x => abs(x - col("med")))), 3))
+        .filter(round(abs(col("value") - col("med")), 6) >
+          round(lit(3.0d) * lit(1.4826d) * col("mad"), 6))
+        .queryExecution.toRdd.count()
 
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
@@ -657,6 +668,7 @@ object ScaleProbe {
       graft.EventQueries.evalSubsampleCiOf(ev).count()
     q5(li1, o1, c1); rrf(d1, e1); matry(e1); attrDecay(ev1); ciSub(ev1)
     kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir)); heavyHit(d1); pcaPower(e1); hampel(ev1)
+    hampelScaled(ev1)
     // r09 batch-2 shapes: gram matrix (d²-bounded pair agg — the shuffle
     // carries ≤2080 keys/task however the corpus grows), RAKE keywords
     // (vocabulary-bounded aggs), logistic scoring (pure word-count
@@ -854,8 +866,10 @@ object ScaleProbe {
         time(heavyHit(d1)), time(heavyHit(dN))),
       ("pca power round (fold-dot + 64-key agg)",
         time(pcaPower(e1)), time(pcaPower(eN))),
-      ("hampel filter (5-frame median + MAD window)",
+      ("hampel filter (5 type partitions — the anti-pattern kept as contrast)",
         time(hampel(ev1)), time(hampel(evN))),
+      ("hampel filter SCALED (types x 6h-buckets + 4-row tail carry)",
+        time(hampelScaled(ev1)), time(hampelScaled(evN))),
       ("tpch q5 dim-funnel join (dims constant, fact grows)",
         time(q5(li1, o1, c1)), time(q5(liN, oN, cN))),
       ("rrf hybrid fusion (candidate-bounded windows)",

@@ -189,4 +189,32 @@ class EdgeCasesSpec extends SparkSpec {
         |SELECT * FROM chain""".stripMargin)
     assert(out.count() == 0)
   }
+
+  test("rows5FrameBucketedOf: exact frames across sparse and EMPTY buckets") {
+    import java.sql.Timestamp
+    // bucket width is 6 h. Rows are placed so the previous-4 of late rows
+    // span several all-empty buckets (hour-200's frame reaches hours
+    // 30/31/90/91, buckets 5 and 15 — bucket 32 is empty): the case a
+    // single-previous-bucket carry silently gets wrong, and the reason the
+    // carry is resolved on the tails frame instead.
+    val hours = Seq(0L, 1L, 2L, 3L, 4L, 30L, 31L, 90L, 91L, 200L, 300L, 400L)
+    val rows = hours.zipWithIndex.flatMap { case (h, i) =>
+      Seq(("a", i.toLong, h), ("b", 1000L + i, h + 7L))
+    }.map { case (t, id, h) =>
+      (id, t, new Timestamp(h * 3600L * 1000L), (id % 17).toDouble)
+    }
+    val ev = rows.toDF("event_id", "event_type", "ts", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("ts", "event_id")
+    val naive = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("frame", collect_list("value").over(w.rowsBetween(-4, 0)))
+      .filter(col("rn") >= 5)
+      .select(col("event_id"), col("value"), col("frame"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toList)
+    val got = EventQueries.rows5FrameBucketedOf(ev).collect().map(key).sortBy(_._1).toSeq
+    val want = naive.collect().map(key).sortBy(_._1).toSeq
+    assert(want.nonEmpty && got == want)
+  }
 }

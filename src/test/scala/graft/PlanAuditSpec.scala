@@ -891,6 +891,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"hashpartitioning\\(event_type\\S*, bucket".r.findFirstIn(pn).isDefined)
   }
 
+  test("ts_*_scaled: rolling-frame windows partition on (type,bucket), never type alone") {
+    for (name <- Seq("ts_rolling_median_scaled", "ts_hampel_filter_scaled")) {
+      val p = finalPlan(q(name))
+      assert("hashpartitioning\\(event_type\\S*, bucket".r.findFirstIn(p).isDefined,
+        s"$name: bucket must be part of the frame window's partitioning:\n$p")
+      // the naive twins by contrast window on the 5-value type key only —
+      // the parallelism ceiling this rewrite exists to remove
+      val pn = finalPlan(q(name.stripSuffix("_scaled")))
+      assert(!"hashpartitioning\\(event_type\\S*, bucket".r.findFirstIn(pn).isDefined)
+    }
+  }
+
   test("assoc_rules: the dictionary-match subtree's exchange is REUSED, not recomputed") {
     // items and pairs both grow from the same doc_id exchange; the r07 form
     // recomputed the Aho-Corasick match 3x via a self-join — the fix is only
