@@ -98,8 +98,6 @@ object DedupOps {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Exact-duplicate groups on normalized text: group key + members.
-    * One shuffle on the (hashed) normalized text. */
   /** Manku-style block-combination bucket keys for simhash candidate
     * generation at corpus scale (Manku/Jain/Sarma, WWW'07 §3): split the
     * 64-bit signature into 6 blocks (11,11,11,11,10,10 bits); a pair
@@ -125,6 +123,8 @@ object DedupOps {
     }: _*)
   }
 
+  /** Exact-duplicate groups on normalized text: group key + members.
+    * One shuffle on the (hashed) normalized text. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs
       .withColumn("norm", normalizedText(col("text")))
@@ -176,7 +176,18 @@ object DedupOps {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
-    if (edgeSig._1 <= smallGraphCap) return smallGraphCC(edges)
+    // driver dispatch only for integral id types: smallGraphCC round-trips
+    // ids through long, which would NPE on nulls / lossily merge distinct
+    // ids for string/decimal/double id columns — those keep the type-generic
+    // distributed loop below (r12 ADVICE)
+    val integralIds = edges.schema("u").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralIds && edgeSig._1 <= smallGraphCap) return smallGraphCC(edges)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -363,34 +374,46 @@ object DedupOps {
   }
 
   /** Candidate stage of [[containmentPairs]] (t = 0.9): src-side prefix cut,
-    * then the pigeonhole size cut. Emits (src_doc, dst_doc, sz_src) — sz_src
-    * rides along so the verify agg doesn't need another sizes join. Factored
-    * out so the corpus probe can count candidates. */
+    * the pigeonhole size cut (now INSIDE the token-match join — a size-
+    * mismatched pair never becomes a candidate row at all), and (r13) the
+    * POSITIONAL cut at the pair's first shared token. Emits
+    * (src_doc, dst_doc, sz_src) — sz_src rides along so the verify agg
+    * doesn't need another sizes join. Factored out so the corpus probe can
+    * count candidates.
+    *
+    * Positional losslessness (directed form): rank EVERY doc's tokens in
+    * the canonical (df, tok) order; for the first token w shared between
+    * src's prefix and dst's FULL set, at positions (i, j), any other
+    * common token z < w would sit before w in src (position < i ≤ p_src,
+    * inside the prefix) and before w in dst — an earlier match,
+    * contradiction. So all other common tokens are > w, giving
+    * inter ≤ 1 + min(sz_src − i, sz_dst − j); C ≥ 0.9 needs inter ≥
+    * ⌈9·sz_src/10⌉ ⟺ `10·(1 + min(...)) ≥ 9·sz_src`. */
   private[graft] def containmentCandidates(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val prefix = toks.join(dfreq, "tok")
+    val ranked = toks.join(dfreq, "tok")
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "tok")))
       .join(sizes, "doc_id")
+      .select("doc_id", "tok", "df", "r", "sz")
+    val prefix = ranked
       .filter(col("r") <= col("sz") - expr("(sz * 9 + 9) DIV 10") + 1)
-      .select("doc_id", "tok")
-    val cand = prefix.as("x")
-      .join(toks.as("y"), col("x.tok") === col("y.tok") &&
-        col("x.doc_id") =!= col("y.doc_id"))
-      .select(col("x.doc_id").as("src_doc"), col("y.doc_id").as("dst_doc"))
-      .distinct()
-    // second lossless cut (pigeonhole): inter ≤ |dst|, so C ≥ t needs
-    // |dst| ≥ ⌈t·|src|⌉ — size-mismatched candidates die BEFORE the
-    // verification joins pay candidates × doc-size
-    cand
-      .join(sizes.select(col("doc_id").as("src_doc"), col("sz").as("sz_src")),
-        "src_doc")
-      .join(sizes.select(col("doc_id").as("dst_doc"), col("sz").as("sz_dst")),
-        "dst_doc")
-      .filter(col("sz_dst") >= expr("(sz_src * 9 + 9) DIV 10"))
-      .select("src_doc", "dst_doc", "sz_src")
+    prefix.as("x")
+      .join(ranked.as("y"), col("x.tok") === col("y.tok") &&
+        col("x.doc_id") =!= col("y.doc_id") &&
+        // pigeonhole: inter ≤ |dst|, so C ≥ t needs 10·|dst| ≥ 9·|src|
+        col("y.sz") * 10 >= col("x.sz") * 9)
+      .groupBy(col("x.doc_id").as("src_doc"), col("y.doc_id").as("dst_doc"))
+      .agg(min_by(
+        struct(col("x.r").as("ra"), col("y.r").as("rb"),
+          col("x.sz").as("sa"), col("y.sz").as("sb")),
+        struct(col("x.df"), col("x.tok"))).as("m"))
+      .filter((lit(1) +
+        least(col("m.sa") - col("m.ra"), col("m.sb") - col("m.rb"))) * 10 >=
+        col("m.sa") * 9)
+      .select(col("src_doc"), col("dst_doc"), col("m.sa").as("sz_src"))
   }
 
   /** PPJoin-style PREFIX FILTERING — the similarity join's corpus-scale
@@ -412,7 +435,33 @@ object DedupOps {
   }
 
   /** Candidate stage of [[prefixJaccardPairs]] (t = 0.8). Factored out so
-    * the corpus probe can count candidates. */
+    * the corpus probe can count candidates.
+    *
+    * r13: the full PPJoin cut — prefix + LENGTH + POSITIONAL filters (Xiao
+    * et al., WWW'08), all three lossless against the exact cross-multiplied
+    * verify predicate:
+    *
+    *  - LENGTH (in the token-match join): J(x,y) ≥ t ⟹ overlap ≤ min sizes,
+    *    union ≥ max sizes ⟹ t·max(|x|,|y|) ≤ min(|x|,|y|) — for t = 4/5,
+    *    `5·sz_small ≥ 4·sz_big` both ways, pure integer arithmetic. Cuts
+    *    size-mismatched pairs BEFORE they become candidate rows.
+    *  - POSITIONAL (on the pair's FIRST shared prefix token, min by the
+    *    canonical (df, tok) order): with w at positions (i, j) of x, y, any
+    *    other common token z is either > w — hence after w in BOTH docs'
+    *    canonical order, at most min(|x|−i, |y|−j) of those — or < w, which
+    *    would sit before w inside BOTH prefixes (positions < i ≤ p_x,
+    *    < j ≤ p_y), contradicting w being the first shared prefix token. So
+    *    overlap(x,y) ≤ 1 + min(|x|−i, |y|−j); J ≥ t needs overlap ≥
+    *    ⌈t/(1+t)·(|x|+|y|)⌉, i.e. `9·(1 + min(sx−i, sy−j)) ≥ 4·(sx+sy)`
+    *    at t = 4/5 (k ≥ ⌈n/9⌉ ⟺ 9k ≥ n for integers). The min_by groupBy
+    *    replaces the old `.distinct()` — same one shuffle, and a pair whose
+    *    shared prefix tokens all sit too deep for its sizes dies here
+    *    instead of paying the candidates × doc-size verify joins.
+    *
+    * Measured on the Heaps-vocabulary zipf fixture: prefix-only candidates
+    * grew ~Σ df_prefix² once df saturated (833k candidates for 2,376
+    * emitted pairs at zipf sf10 — SF1.md §5); the length+positional cuts
+    * are the standard PPJoin answer to exactly that tail. */
   private[graft] def prefixCandidates(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -422,12 +471,21 @@ object DedupOps {
         Window.partitionBy("doc_id").orderBy("df", "tok")))
       .join(sizes, "doc_id")
       .filter(col("r") <= col("sz") - expr("(sz * 4 + 4) DIV 5") + 1)
-      .select("doc_id", "tok")
+      .select("doc_id", "tok", "df", "r", "sz")
     prefix.as("x")
       .join(prefix.as("y"), col("x.tok") === col("y.tok") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+        col("x.doc_id") < col("y.doc_id") &&
+        col("x.sz") * 5 >= col("y.sz") * 4 &&
+        col("y.sz") * 5 >= col("x.sz") * 4)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(min_by(
+        struct(col("x.r").as("ra"), col("y.r").as("rb"),
+          col("x.sz").as("sa"), col("y.sz").as("sb")),
+        struct(col("x.df"), col("x.tok"))).as("m"))
+      .filter((lit(1) +
+        least(col("m.sa") - col("m.ra"), col("m.sb") - col("m.rb"))) * 9 >=
+        (col("m.sa") + col("m.sb")) * 4)
+      .select("doc_a", "doc_b")
   }
 
   /** Incremental (daily-batch) near-dup check: candidates are shared-token
@@ -482,11 +540,24 @@ object DedupOps {
         Window.partitionBy("doc_id").orderBy("df", "tok")))
       .join(sizes, "doc_id")
       .filter(col("r") <= col("sz") - expr("(sz * 4 + 4) DIV 5") + 1)
-      .select("doc_id", "tok")
+      .select("doc_id", "tok", "df", "r", "sz")
+    // r13: the same lossless LENGTH + POSITIONAL cuts as
+    // [[prefixCandidates]] (proofs there) — both sides share the union-df
+    // canonical order, which is all the first-shared-prefix-token lemma
+    // needs, so they apply verbatim to the cross join.
     val cand = prefixOf(bToks).as("x")
-      .join(prefixOf(eToks).as("y"), col("x.tok") === col("y.tok"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .join(prefixOf(eToks).as("y"), col("x.tok") === col("y.tok") &&
+        col("x.sz") * 5 >= col("y.sz") * 4 &&
+        col("y.sz") * 5 >= col("x.sz") * 4)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(min_by(
+        struct(col("x.r").as("ra"), col("y.r").as("rb"),
+          col("x.sz").as("sa"), col("y.sz").as("sb")),
+        struct(col("x.df"), col("x.tok"))).as("m"))
+      .filter((lit(1) +
+        least(col("m.sa") - col("m.ra"), col("m.sb") - col("m.rb"))) * 9 >=
+        (col("m.sa") + col("m.sb")) * 4)
+      .select("doc_a", "doc_b")
     jaccardVerify(all, cand, minJaccard)
   }
 

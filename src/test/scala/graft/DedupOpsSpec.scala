@@ -120,6 +120,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.connectedComponents(pairs).count() == 0)
   }
 
+  test("connected components: STRING ids stay type-generic (no long round-trip)") {
+    // the driver union-find casts ids through long — non-integral id types
+    // must dispatch to the distributed loop and keep exact labels (r12
+    // ADVICE: a string/decimal id would NPE or lossily merge under cast)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("df-cut guard: a stopword-grade token no longer produces quadratic candidates") {
     // every doc shares 'common'/'filler'; the rest of each doc is unique.
     // Without the guard the inverted-index self-join forms all 60*59/2

@@ -112,9 +112,14 @@ object OpProps extends Properties("graft.ops6") {
     nBase <- Gen.chooseNum(2, 4)
     bases <- Gen.listOfN(nBase, Gen.listOfN(12,
       Gen.oneOf("alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split(" ").toSeq)))
+    // drop up to 6 tokens: sizes spread ~5..12, so the r13 LENGTH filter
+    // (5·min ≥ 4·max) and the POSITIONAL first-match bound both genuinely
+    // trip on sub-threshold pairs — at drop ≤ 2 every pair passed them
+    // vacuously and the lossless-equivalence property tested only the
+    // prefix cut
     docs <- Gen.listOfN(8, for {
       b <- Gen.oneOf(bases)
-      drop <- Gen.chooseNum(0, 2)
+      drop <- Gen.chooseNum(0, 6)
     } yield b.distinct.drop(drop).mkString(" "))
   } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.filter(_._2.nonEmpty)
 
