@@ -100,6 +100,42 @@ object NorthStarQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** `dedup_simhash_auto`: the PRODUCTION simhash near-dup entry —
+    * [[DedupOps.simhashNearDupPairs]] dispatches chunk tables vs Manku
+    * combination tables on the observed corpus size (r12 verdict #3; the
+    * `dedup_simhash` / `dedup_simhash_scaled` keys stay as the measured
+    * contrast pair). Output is the h ≤ 3 pair set — identical on both
+    * dispatch paths, spec-proven across the threshold. */
+  private def dedupSimhashAuto(s: SparkSession, d: String): DataFrame =
+    DedupOps.simhashNearDupPairs(fanOut(documents(s, d)))
+      .orderBy("doc_a", "doc_b")
+
+  /** Pigeonhole bound for the auto form: same exhaustive-family recipe as
+    * [[dedupSimhashScaledBound]], against whichever candidate scheme the
+    * size dispatch picks at the gate's scale. */
+  private def dedupSimhashAutoBound(s: SparkSession, d: String): DataFrame = {
+    val famSigs = fanOut(documents(s, d)
+      .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
+      .select(col("doc_id"),
+        DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
+      .localCheckpoint()
+    val close = famSigs.as("a")
+      .join(famSigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .localCheckpoint()
+    val emitted = dedupSimhashAuto(s, d).select("doc_a", "doc_b")
+    val nFam = famSigs.agg(count(lit(1)).as("n_family_docs"))
+    val nClose = close.agg(count(lit(1)).as("n_close"))
+    val missed = close.select("doc_a", "doc_b")
+      .join(emitted, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    nFam.crossJoin(nClose).crossJoin(missed)
+      .select(col("n_family_docs"), (col("n_close") > 0).as("has_close_pairs"),
+        (col("n_missed") === 0).as("pigeonhole_ok"))
+  }
+
   /** Pigeonhole bound for the scaled form: over the bounded planted
     * family, every h ≤ 3 pair (exhaustive family² reference) must appear
     * in the combination-table emission — the same recipe as
@@ -2004,6 +2040,9 @@ object NorthStarQueries {
     "dedup_simhash_scaled" -> Q(dedupSimhashScaled, None),
     "dedup_simhash_scaled_bound" ->
       Q(dedupSimhashScaledBound, Some(dedupSimhashScaledBoundSql)),
+    "dedup_simhash_auto" -> Q(dedupSimhashAuto, None),
+    "dedup_simhash_auto_bound" ->
+      Q(dedupSimhashAutoBound, Some(dedupSimhashScaledBoundSql)),
     "dedup_ngram_jaccard" -> Q(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_containment" -> Q(dedupContainment, Some(dedupContainmentSql)),
     "dedup_prefix_jaccard" -> Q(dedupPrefixJaccard, Some(dedupPrefixJaccardSql)),

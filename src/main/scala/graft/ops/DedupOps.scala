@@ -123,6 +123,48 @@ object DedupOps {
     }: _*)
   }
 
+  /** Production simhash near-dup pairs (Hamming ≤ 3 — the regime both
+    * candidate schemes are lossless for): SIZE-DISPATCHING like
+    * [[connectedComponents]]'s small-graph cap. The signature pass observes
+    * the exact corpus size in the same job that checkpoints the sigs; at or
+    * under `comboCutover` docs candidates come from the four 16-bit chunk
+    * tables (4 postings/doc, collisions n²/2^16 — cheaper constants, fine
+    * while n²/2^16 is small), above it from the Manku C(6,3) = 20
+    * block-combination tables ([[simhashComboKeys]], collisions n²/2^32 —
+    * 5× the postings, 2^16× the bucket space). Both emit the IDENTICAL
+    * h ≤ 3 pair set (pigeonhole: ≤ 3 flipped bits leave ≥ 1 chunk of 4,
+    * and ≥ 3 blocks of 6, intact), so the dispatch is invisible in the
+    * output — spec-proven on both sides of the threshold. Crossover
+    * measured on the zipf fixture at between 50k docs (chunk 1.7 s vs
+    * combo 2.4 s) and 500k (chunk 25.0 s vs combo 11.4 s) — SF1.md §5;
+    * the default cap 2^17 sits in that bracket. */
+  def simhashNearDupPairs(docs: DataFrame,
+      comboCutover: Long = 1L << 17): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val sigs = docs
+      .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = obs.get("n").asInstanceOf[Long]
+    val keyed =
+      if (n <= comboCutover)
+        sigs.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("t"), shiftright(col("sig"), i * 16)
+              .bitwiseAND(0xFFFF).as("k"))): _*)).as("ck"))
+      else
+        sigs.select(col("doc_id"), col("sig"),
+          explode(simhashComboKeys(col("sig"))).as("ck"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("ck"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("ck"))
+    a.join(b, Seq("ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Exact-duplicate groups on normalized text: group key + members.
     * One shuffle on the (hashed) normalized text. */
   def exactGroups(docs: DataFrame): DataFrame =

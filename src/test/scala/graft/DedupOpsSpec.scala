@@ -120,6 +120,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.connectedComponents(pairs).count() == 0)
   }
 
+  test("simhash dispatch: chunk and Manku paths emit the IDENTICAL h<=3 pairs") {
+    // planted families: exact dups (hamming 0) + one-token tweaks (small
+    // hamming) + unrelated docs; the dispatcher must emit the same pair set
+    // whichever side of the cutover the corpus lands on
+    val vocab = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = (0 until 30).flatMap { i =>
+      Seq((i * 3L, s"$vocab fam$i"), (i * 3L + 1, s"$vocab fam$i"),
+        (i * 3L + 2, s"$vocab tweak$i fam$i"))
+    }.toDF("doc_id", "text")
+    def pairs(cutover: Long) =
+      DedupOps.simhashNearDupPairs(docs, comboCutover = cutover)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+        .toSet
+    val viaChunk = pairs(Long.MaxValue) // 90 docs <= cutover → chunk tables
+    val viaCombo = pairs(0L)            // forces the Manku combination path
+    assert(viaChunk.nonEmpty, "fixture must produce close pairs")
+    assert(viaChunk.exists(_._3 == 0L), "exact dups must appear at hamming 0")
+    assert(viaChunk == viaCombo,
+      s"dispatch paths diverge: chunkOnly=${viaChunk.diff(viaCombo)} comboOnly=${viaCombo.diff(viaChunk)}")
+    assert(pairs(1L << 17) == viaChunk) // the default cutover picks chunk here
+  }
+
   test("connected components: STRING ids stay type-generic (no long round-trip)") {
     // the driver union-find casts ids through long — non-integral id types
     // must dispatch to the distributed loop and keep exact labels (r12
