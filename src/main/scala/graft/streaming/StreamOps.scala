@@ -295,9 +295,43 @@ object StreamOps {
     * event-time watermark via [[pruneAsOfVersions]] when one is set; the
     * shuffle is one hash exchange on the key — identical geometry to the
     * batch operator's co-partitioning, with the merge amortized across
-    * micro-batches instead of a per-partition sort. */
-  def streamingAsOfEnrich(feed: Dataset[AsOfFeed]): Dataset[AsOfEnriched] = {
+    * micro-batches instead of a per-partition sort.
+    *
+    * WATERMARK CONTRACT (r12 STREAM_SF1 finding, ENFORCED r13): a streaming
+    * feed must carry an `EventTimeWatermark` node, or state is never pruned
+    * and grows with history forever. The silent failure mode is a
+    * select/drop after `withWatermark` that removes the event-time column —
+    * Spark drops the watermark node with it and nothing downstream ever
+    * notices (measured in the sf1 rehearsal: pruned state == unpruned).
+    * The operator now asserts the node survived ANALYSIS of the input plan
+    * and fails loudly otherwise; unbounded state (e.g. a bounded
+    * equivalence test, or a feed whose key space is known tiny) is an
+    * explicit `allowUnboundedState = true` opt-in, never a default. */
+  def streamingAsOfEnrich(feed: Dataset[AsOfFeed],
+      allowUnboundedState: Boolean = false): Dataset[AsOfEnriched] = {
     import feed.sparkSession.implicits._
+    if (feed.isStreaming && !allowUnboundedState) {
+      // the EventTimeWatermark NODE survives analysis even under the
+      // degenerate projection — what the runtime actually needs is the
+      // watermarked ATTRIBUTE still reaching this operator's input, so
+      // that is what the guard asserts (a select that drops the column
+      // leaves the node stranded below the Project and the optimizer
+      // erases it before execution — the r12 silent-leak mechanism)
+      val analyzed = feed.queryExecution.analyzed
+      val wmAttrs = analyzed.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+          e.eventTime.exprId
+      }.toSet
+      val hasWm = analyzed.output.exists(a => wmAttrs.contains(a.exprId))
+      require(hasWm,
+        "streamingAsOfEnrich: the input stream has NO EventTimeWatermark " +
+        "node, so per-key feature state would never be pruned and grows " +
+        "with history forever. The usual cause is a select/drop after " +
+        "withWatermark that removes the event-time column — Spark silently " +
+        "drops the watermark node with it. Keep the watermarked column " +
+        "in-plan (`as[T]` with an extra column binds by name and is fine), " +
+        "or opt in explicitly with allowUnboundedState = true.")
+    }
     feed
       .groupByKey(_.key)
       .flatMapGroupsWithState[AsOfVersions, AsOfEnriched](

@@ -123,7 +123,7 @@ object StreamSf1 {
     val batchCount = batchRef.count()
     log(f"batch as-of reference: $batchCount%,d enriched events")
 
-    def readFeed(globLast: Int, watermark: Boolean) = {
+    def readFeed(watermark: Boolean) = {
       val raw = spark.readStream
         .schema("kind STRING, key LONG, ts LONG, value DOUBLE, eventId LONG")
         .option("maxFilesPerTrigger", 1)
@@ -148,7 +148,7 @@ object StreamSf1 {
       val ckpt = tmp(s"sf1-asof-ckpt-$label")
       val outDir = tmp(s"sf1-asof-out-$label")
       def start(): StreamingQuery =
-        StreamOps.streamingAsOfEnrich(readFeed(20, watermark = true))
+        StreamOps.streamingAsOfEnrich(readFeed(watermark = true))
           .writeStream.format("parquet")
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -190,7 +190,11 @@ object StreamSf1 {
     // The comparison number is state memory after the full month of feed.
     spark.conf.unset(ProviderKey)
     for ((label, watermark) <- Seq("pruned" -> true, "unpruned" -> false)) {
-      val q = StreamOps.streamingAsOfEnrich(readFeed(20, watermark))
+      // the unpruned contrast is exactly the shape the r13 watermark guard
+      // rejects — it exists to MEASURE what the guard prevents, so it opts
+      // in explicitly
+      val q = StreamOps.streamingAsOfEnrich(readFeed(watermark),
+          allowUnboundedState = !watermark)
         .writeStream.format("noop")
         .option("checkpointLocation", tmp(s"sf1-asof-wm-$label"))
         .outputMode("append").trigger(Trigger.AvailableNow()).start()

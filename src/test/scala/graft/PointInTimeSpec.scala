@@ -109,7 +109,10 @@ class PointInTimeSpec extends SparkSpec {
           }
         }
         val mem = MemoryStream[AsOfFeed](spark)
-        val q = StreamOps.streamingAsOfEnrich(mem.toDS())
+        // no watermark on this bounded equivalence feed — explicit opt-in
+        // (the r13 guard rejects unbounded state by default)
+        val q = StreamOps.streamingAsOfEnrich(mem.toDS(),
+            allowUnboundedState = true)
           .writeStream.format("memory").queryName(s"asof_stream_$label")
           .outputMode("append").start()
         batches.foreach { b => mem.addData(b); q.processAllAvailable() }
@@ -164,6 +167,38 @@ class PointInTimeSpec extends SparkSpec {
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("watermark contract: dropping the event-time column after " +
+      "withWatermark fails LOUDLY, surviving watermark + opt-in both pass") {
+    import graft.streaming.StreamOps
+    import StreamOps.AsOfFeed
+    val mem = MemoryStream[AsOfFeed](spark)
+    // the r12 STREAM_SF1 foot-gun verbatim: watermark on a derived
+    // event-time column, then a select that drops it — Spark silently
+    // removes the EventTimeWatermark node and state would never prune
+    val degenerate = mem.toDS()
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "1 hour")
+      .select("kind", "key", "ts", "value", "eventId")
+      .as[AsOfFeed]
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.streamingAsOfEnrich(degenerate)
+    }
+    assert(e.getMessage.contains("EventTimeWatermark") &&
+      e.getMessage.contains("withWatermark"), e.getMessage)
+    // keeping the watermarked column in-plan passes the guard (as[T] with
+    // an extra column binds by name)
+    val kept = mem.toDS()
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "1 hour")
+      .as[AsOfFeed]
+    StreamOps.streamingAsOfEnrich(kept) // must not throw
+    // and no-watermark is allowed only as an explicit opt-in
+    intercept[IllegalArgumentException] {
+      StreamOps.streamingAsOfEnrich(mem.toDS())
+    }
+    StreamOps.streamingAsOfEnrich(mem.toDS(), allowUnboundedState = true)
   }
 
   test("pruneAsOfVersions keeps the standing candidate plus newer versions") {
