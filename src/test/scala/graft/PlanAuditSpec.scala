@@ -903,6 +903,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_simhash_scaled: explode-before-join, candidate join keyed on the combo key") {
+    val p = finalPlan(q("dedup_simhash_scaled"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"combo-table candidates must never go all-pairs:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[ck#".r.findFirstIn(p).isDefined,
+      s"candidate join must be keyed on the C(6,3) combo key:\n$p")
+    // one Generate per join side: the 20 combination keys explode BELOW the
+    // join (each side scans the checkpointed sigs once) — a single post-join
+    // Generate would mean candidates were formed before bucketing
+    assert("Generate explode".r.findAllIn(p).length >= 2,
+      s"both join inputs must explode their combo keys pre-join:\n$p")
+  }
+
+  test("dedup_incremental_prefix: keyed joins only, positional cut in-plan, df agg reused") {
+    val p = finalPlan(q("dedup_incremental_prefix"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cross-prefix candidates must never go all-pairs:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[tok#".r.findFirstIn(p).isDefined,
+      s"candidate join must be keyed on the token:\n$p")
+    // both sides' prefix cuts ((sz*4+4) div 5) and the r13 positional
+    // filter (9·(1+min suffix) ≥ 4·(sa+sb)) must survive to the physical
+    // plan — losing either silently reverts to the 12×/decade naive form
+    assert("div 5".r.findAllIn(p).length >= 2, s"prefix cuts missing:\n$p")
+    assert(p.contains("min_by") && "\\* 9\\) >= ".r.findFirstIn(p).isDefined,
+      s"positional first-match filter missing:\n$p")
+    // the union-df token order is computed ONCE and reused across sides
+    assert(p.contains("ReusedExchange"),
+      s"union-df aggregate must be a reused exchange, not recomputed:\n$p")
+  }
+
   test("assoc_rules: the dictionary-match subtree's exchange is REUSED, not recomputed") {
     // items and pairs both grow from the same doc_id exchange; the r07 form
     // recomputed the Aho-Corasick match 3x via a self-join — the fix is only
