@@ -85,13 +85,34 @@ def gen_documents(n_doc, rng, zipf):
     edits, first edit = the "dup" family marker). `zipf` switches the base
     vocabulary from the driver's 30-word pool to a Zipf-Mandelbrot one."""
     if zipf:
-        ranks = np.arange(1, 50_001)
+        # Heaps'-law vocabulary (r13; was a fixed 50k-rank cap): available
+        # ranks grow V = K * n_tokens^0.5, calibrated so the sf1 fixture
+        # keeps its measured ~50k types (K = 30 at ~2.75M tokens) — at the
+        # fixed cap, per-token df grew ~10x per decade past sf1, which
+        # SF1.md had to caveat as an upper bound on prefix-cut candidates
+        # (real corpora mint new types instead of re-drawing the same 50k).
+        n_tokens_est = n_doc * 54.5  # E[words/doc] for U[10,100)
+        n_ranks = max(1000, int(round(30.0 * n_tokens_est ** 0.5)))
+        ranks = np.arange(1, n_ranks + 1)
         p = 1.0 / np.power(ranks + 2.7, 1.07)
         p /= p.sum()
         vocab = np.array([f"w{r}" for r in ranks])
+        # one vectorized draw for the whole corpus: rng.choice with a
+        # probability vector pays O(V) setup per call, so a per-doc loop at
+        # 500k docs x 160k ranks is computationally infeasible; a single
+        # bulk call is one cumsum + n_tokens binary searches. The buffer
+        # refills on overrun (word-count variance, edit draws).
+        buf = vocab[rng.choice(len(vocab), int(n_tokens_est + 6 * n_tokens_est ** 0.5) + 4096, p=p)]
+        pos = 0
 
         def draw(n):
-            return vocab[rng.choice(len(vocab), n, p=p)]
+            nonlocal buf, pos
+            if pos + n > len(buf):
+                buf = vocab[rng.choice(len(vocab), max(n, 1_000_000), p=p)]
+                pos = 0
+            out = buf[pos:pos + n]
+            pos += n
+            return out
     else:
         base_pool = np.array(["a", "agg", "batch", "big", "column",
                               "customer", "data", "fast", "filter", "group",
