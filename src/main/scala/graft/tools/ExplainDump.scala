@@ -52,6 +52,8 @@ object ExplainDump {
     "search_phrase", "index_merge_delta", "dataset_shuffle_shard",
     "tpch_q14", "dq_expectations", "schema_evolution_read",
     "window_range_frame", "window_range_frame_bucketed",
+    "ts_rolling_median_scaled", "ts_hampel_filter_scaled",
+    "dedup_simhash_scaled", "dedup_simhash_auto",
     "search_autocomplete", "search_snippet", "search_cooccur",
     "ref_daily_e2e", "corr_spearman_scaled",
     "knn_join_blocked", "dedup_containment", "dataset_interleave",
