@@ -205,7 +205,32 @@ object Bench {
       .getOrElse(System.nanoTime())
     val runOrder = new scala.util.Random(seed)
       .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
-    val firstPass = runOrder.map { case (n, f) => measure(n, f) }
+    // Canary (r13 verdict #4): a FIXED cheap query (tpch_q6 — one scan +
+    // filter + agg, ~0.1 s at sf0.1) timed once every CanaryEvery run
+    // positions. Its series is a load thermometer sampled THROUGH the run:
+    // a ≥1.5x flag whose ord window shows the canary inflated is machine
+    // load (the r12 ord 31-36 / r13 ord 324-326 clusters), one with a flat
+    // canary is code — decided by data already in the detail file instead
+    // of a manual ProbeQ round-trip per flag. One timed rep per point: the
+    // canary measures AMBIENT load, its own variance is the signal, and
+    // plan/codegen caches make re-execution cheap after the one warm run.
+    val CanaryEvery = 25
+    val canaryName = "tpch_q6"
+    val canary = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val canaryFn = SparkEntry.queries.get(canaryName)
+    canaryFn.foreach { f =>
+      try { run(f(spark, sfDir)) } catch { case _: Throwable => }
+    }
+    def canaryPoint(ord: Int): Unit = canaryFn.foreach { f =>
+      val t0 = System.nanoTime()
+      try { run(f(spark, sfDir)) } catch { case _: Throwable => }
+      canary += ((ord, (System.nanoTime() - t0) / 1e9))
+    }
+    val firstPass = runOrder.zipWithIndex.map { case ((n, f), ord) =>
+      if (ord % CanaryEvery == 0) canaryPoint(ord)
+      measure(n, f)
+    }
+    canaryPoint(runOrder.size)
     // Self-isolation rerun (r11 verdict #5; widened r12 verdict #6):
     // contention in a driver run is typically a CONCURRENT phase (the
     // gate's DuckDB compare) that has drained by the time the suite
@@ -237,7 +262,10 @@ object Bench {
           combined = combined ++ fresh._4
           minSoFar = math.min(minSoFar, fresh._3)
           gc += fresh._6; jit += fresh._7; jitW += fresh._8
-          ccMb = fresh._5
+          // PEAK across all series, not last-rerun (r13 ADVICE): cc_mb
+          // exists to catch code-cache pressure, which the flagged query's
+          // FIRST contended series may have seen and the rerun not
+          ccMb = math.max(ccMb, fresh._5)
           flag = fresh._9
           if (!flag) { medSeries = fresh._4; medFrom = from }
           else { medSeries = combined; medFrom = 0 }
@@ -280,9 +308,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val (ccEnd, ccMax) = codeCache()
     val jvmJson = s"""{"cc_used_mb":${ccEnd >> 20},"cc_max_mb":${ccMax >> 20},"gc_s":${fmt(gcMillis() / 1000.0)},"jit_s":${fmt(jitMillis() / 1000.0)}}"""
+    val canaryJson = "{\"q\":\"" + canaryName + "\",\"points\":" +
+      canary.map { case (o, s) => s"""{"ord":$o,"s":${fmt(s)}}""" }
+        .mkString("[", ",", "]") + "}"
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_contended":$nContended,"bench_seed":$seed,"jvm":$jvmJson,"queries":$allQs,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","mode":"warm","reps":$reps,"n_contended":$nContended,"bench_seed":$seed,"jvm":$jvmJson,"canary":$canaryJson,"queries":$allQs,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     val budget = 1200

@@ -37,6 +37,8 @@ object GraftFunctions {
       functions.BpeStats.info, functions.BpeStats.builder),
     (FunctionIdentifier("jaro_winkler"),
       functions.JaroWinkler.info, functions.JaroWinkler.builder),
+    (FunctionIdentifier("suffix_hamming_lb"),
+      functions.SuffixHammingLb.info, functions.SuffixHammingLb.builder),
     // dictionary matching over the built-in skill taxonomy: generator
     // (one row per found term) and scalar (array<string>) forms
     (FunctionIdentifier("term_match"),

@@ -417,11 +417,12 @@ object DedupOps {
 
   /** Candidate stage of [[containmentPairs]] (t = 0.9): src-side prefix cut,
     * the pigeonhole size cut (now INSIDE the token-match join — a size-
-    * mismatched pair never becomes a candidate row at all), and (r13) the
-    * POSITIONAL cut at the pair's first shared token. Emits
-    * (src_doc, dst_doc, sz_src) — sz_src rides along so the verify agg
-    * doesn't need another sizes join. Factored out so the corpus probe can
-    * count candidates.
+    * mismatched pair never becomes a candidate row at all), the (r13)
+    * POSITIONAL cut at the pair's first shared token, and (r14) the PPJoin+
+    * SUFFIX cut. Emits (src_doc, dst_doc, sz_src) — sz_src rides along so
+    * the verify agg doesn't need another sizes join. Factored out so the
+    * corpus probe can count candidates; `suffixFilter = false` exposes the
+    * r13 form so the probe can measure the suffix cut's candidate delta.
     *
     * Positional losslessness (directed form): rank EVERY doc's tokens in
     * the canonical (df, tok) order; for the first token w shared between
@@ -430,8 +431,23 @@ object DedupOps {
     * inside the prefix) and before w in dst — an earlier match,
     * contradiction. So all other common tokens are > w, giving
     * inter ≤ 1 + min(sz_src − i, sz_dst − j); C ≥ 0.9 needs inter ≥
-    * ⌈9·sz_src/10⌉ ⟺ `10·(1 + min(...)) ≥ 9·sz_src`. */
-  private[graft] def containmentCandidates(toks: DataFrame): DataFrame = {
+    * ⌈9·sz_src/10⌉ ⟺ `10·(1 + min(...)) ≥ 9·sz_src`.
+    *
+    * Suffix losslessness (r14 — the literature's standard third cut, Xiao
+    * et al. WWW'08 §4): the positional lemma above is in fact an EQUALITY
+    * decomposition — every common token besides w is > w in the canonical
+    * order, hence inside BOTH suffixes, so inter = 1 + |suffA ∩ suffB|.
+    * [[graft.functions.SuffixHammingLb]] lower-bounds |suffA Δ suffB| with
+    * ≤ 7 binary searches over the docs' canonical-key arrays (proof at the
+    * expression), and |suffA ∩ suffB| = (|suffA| + |suffB| − |Δ|) / 2, so
+    * a pair dies when 1 + ⌊(sx + sy − lb) / 2⌋ < ⌈9·sz_src/10⌉ — integer
+    * arithmetic end-to-end, lossless against the verify predicate. This is
+    * the only dedup path whose candidates grew super-linearly per decade
+    * (n^1.7 — SF1.md §6); the suffix bound is sensitive to WHERE the
+    * suffixes differ, not just their sizes, which is what the positional
+    * cut alone cannot see. */
+  private[graft] def containmentCandidates(toks: DataFrame,
+      suffixFilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -442,7 +458,7 @@ object DedupOps {
       .select("doc_id", "tok", "df", "r", "sz")
     val prefix = ranked
       .filter(col("r") <= col("sz") - expr("(sz * 9 + 9) DIV 10") + 1)
-    prefix.as("x")
+    val positional = prefix.as("x")
       .join(ranked.as("y"), col("x.tok") === col("y.tok") &&
         col("x.doc_id") =!= col("y.doc_id") &&
         // pigeonhole: inter ≤ |dst|, so C ≥ t needs 10·|dst| ≥ 9·|src|
@@ -455,7 +471,30 @@ object DedupOps {
       .filter((lit(1) +
         least(col("m.sa") - col("m.ra"), col("m.sb") - col("m.rb"))) * 10 >=
         col("m.sa") * 9)
-      .select(col("src_doc"), col("dst_doc"), col("m.sa").as("sz_src"))
+    if (!suffixFilter)
+      positional.select(col("src_doc"), col("dst_doc"), col("m.sa").as("sz_src"))
+    else {
+      // per-doc canonical-key arrays: k's BINARY string order is exactly the
+      // (df asc, tok asc) order row_number ranked by (zero-padded df compares
+      // numerically; the \\u0001 separator sits below every token byte, so a key is never
+      // order-flipped by a token that prefixes another), hence ks[r-1] is
+      // the rank-r token and the suffix beyond the first shared token is an
+      // index window — no per-pair slicing
+      val arrs = toks.join(dfreq, "tok")
+        .withColumn("k", concat(lpad(col("df").cast("string"), 12, "0"),
+          lit("\u0001"), col("tok")))
+        .groupBy("doc_id").agg(sort_array(collect_list(col("k"))).as("ks"))
+      positional
+        .join(arrs.select(col("doc_id").as("src_doc"), col("ks").as("ks_src")),
+          "src_doc")
+        .join(arrs.select(col("doc_id").as("dst_doc"), col("ks").as("ks_dst")),
+          "dst_doc")
+        .withColumn("_lb", graft.functions.SuffixHammingLb(
+          col("ks_src"), col("ks_dst"), col("m.ra"), col("m.rb")))
+        .filter(expr(
+          "((m.sa - m.ra) + (m.sb - m.rb) - _lb) DIV 2 + 1 >= (m.sa * 9 + 9) DIV 10"))
+        .select(col("src_doc"), col("dst_doc"), col("m.sa").as("sz_src"))
+    }
   }
 
   /** PPJoin-style PREFIX FILTERING — the similarity join's corpus-scale
@@ -610,7 +649,13 @@ object DedupOps {
     * detector); 1 approximates token-SET Jaccard (order-insensitive — use
     * when downstream verification is token-set based, or banding will miss
     * reordered near-dups that shingles don't share). */
-  def minhashPairs(docs: DataFrame, h: Int, bands: Int, shingleK: Int = 3): DataFrame = {
+  /** Band-keyed signature stage of [[minhashPairs]] — one row per
+    * (doc, band key); docs sharing a `bk` are candidates. Factored out so
+    * the corpus probe can measure band-bucket economics (bucket-size
+    * distribution, pre-dedup collision pairs) independently of the pair
+    * join (r13 verdict #5). */
+  private[graft] def minhashBandKeyed(docs: DataFrame, h: Int, bands: Int,
+      shingleK: Int): DataFrame = {
     // bands must tile the signature exactly: rows = 0 would make every
     // band key the hash of an EMPTY slice (all docs collide in all bands —
     // an O(n²) all-pairs explosion), and a non-dividing bands silently
@@ -625,8 +670,12 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(shingleHashes(col("sh")), h).as("sig"))
       .localCheckpoint()
-    val keyed = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+  }
+
+  def minhashPairs(docs: DataFrame, h: Int, bands: Int, shingleK: Int = 3): DataFrame = {
+    val keyed = minhashBandKeyed(docs, h, bands, shingleK)
     val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("bk"))
     val b = keyed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("bk"))
     a.join(b, Seq("bk"))

@@ -322,7 +322,18 @@ object StreamOps {
         case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
           e.eventTime.exprId
       }.toSet
-      val hasWm = analyzed.output.exists(a => wmAttrs.contains(a.exprId))
+      // exprId match OR the watermark-delay metadata key (r13 ADVICE): a
+      // projection that merely RENAMES the event-time column
+      // (select(col("ets").as("event_time"), ...)) mints a new exprId but
+      // the Alias copies the child attribute's metadata — including the
+      // spark.watermarkDelayMs marker withWatermark stamped — and the
+      // EventTimeWatermark node still prunes state through it, so rejecting
+      // the alias was a false positive pushing callers toward the
+      // allowUnboundedState escape hatch
+      val delayKey =
+        org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey
+      val hasWm = analyzed.output.exists(a =>
+        wmAttrs.contains(a.exprId) || a.metadata.contains(delayKey))
       require(hasWm,
         "streamingAsOfEnrich: the input stream has NO EventTimeWatermark " +
         "node, so per-key feature state would never be pruned and grows " +
@@ -504,8 +515,23 @@ object StreamOps {
     * split for streaming top-k: the rank itself is not incrementally
     * maintainable as append-mode state, but the counts under it are — so
     * the stream maintains counts and the serving layer ranks. Returns the
-    * running query; the caller drives triggers and stops it. */
-  def trendingTopK(events: DataFrame, store: TrendStore): org.apache.spark.sql.streaming.StreamingQuery =
+    * running query; the caller drives triggers and stops it.
+    *
+    * DELTA-SIZED CONTRACT (ENFORCED r14 — r13 verdict #6): each update-mode
+    * micro-batch must stay aggregate-sized (changed windows × types), never
+    * event-sized — the foreachBatch collect is a driver sink, so a
+    * degenerate key space (e.g. a per-event column leaking into the
+    * groupBy, or update mode silently becoming complete-shaped) would
+    * buffer the stream on the driver unseen, the same silent-until-sf1
+    * class as the r12 watermark foot-gun. The probe is
+    * `limit(maxDeltaRows + 1).collect()` — the [[graft.GraphQueries]]
+    * mergeCap pattern — NOT observe(): an observed count is only known
+    * after the full collect has already landed on the driver, i.e. after
+    * the damage; the limit probe bounds driver memory BEFORE paying it,
+    * and below the cap it IS the batch (one materialization, no second
+    * pass). */
+  def trendingTopK(events: DataFrame, store: TrendStore,
+      maxDeltaRows: Int = 100000): org.apache.spark.sql.streaming.StreamingQuery =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -513,8 +539,16 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("day_epoch"),
         col("event_type"), col("cnt"))
       .writeStream.outputMode("update")
-      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        store.upsertBatch(b.collect().toSeq
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val probed = b.limit(maxDeltaRows + 1).collect()
+        if (probed.length > maxDeltaRows) throw new IllegalStateException(
+          s"trendingTopK: micro-batch $batchId emitted > $maxDeltaRows rows — " +
+            "update-mode deltas must stay aggregate-sized (changed windows " +
+            "x event types). An event-sized delta means the aggregation " +
+            "keys degenerated and the serving-store upsert would buffer " +
+            "the stream on the driver. Raise maxDeltaRows only if the key " +
+            "space is genuinely that large.")
+        store.upsertBatch(probed.toSeq
           .map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
       }
       .start()

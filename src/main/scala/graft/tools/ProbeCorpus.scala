@@ -14,16 +14,23 @@ import graft.ops.DedupOps
   * synthetic and the Zipf/Heaps fixture (tools/gen_testdata.py --zipf-docs)
   * so the claim is numbers, not narrative.
   *
-  * Usage: runMain graft.tools.ProbeCorpus [--cuts-only] <sfDir> [sfDir ...]
+  * Usage: runMain graft.tools.ProbeCorpus [--cuts-only|--prod-only] <sfDir> [sfDir ...]
   *
   * --cuts-only skips the df-unguarded n-gram legs (candidates = naive
   * family² BY CONSTRUCTION — at zipf sf10 that is ~288M pairs and exists
   * only as the measured contrast; the cut legs are the production story).
+  * --prod-only (r14, for the sf100 decade) additionally skips the df-GUARD
+  * n-gram legs: the 1% guard's candidates grew ~99×/decade (122k → 12.1M
+  * at sf1 → sf10), so the fourth decade would be ~1.2B candidate rows —
+  * the df guard is a heuristic contrast, not a production path (the
+  * registry's production paths are the PPJoin prefix family + minhash),
+  * and its fourth-decade count answers no open question.
   */
 object ProbeCorpus {
   def main(rawArgs: Array[String]): Unit = {
-    val cutsOnly = rawArgs.contains("--cuts-only")
-    val args = rawArgs.filterNot(_ == "--cuts-only")
+    val prodOnly = rawArgs.contains("--prod-only")
+    val cutsOnly = rawArgs.contains("--cuts-only") || prodOnly
+    val args = rawArgs.filterNot(a => a == "--cuts-only" || a == "--prod-only")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -69,7 +76,10 @@ object ProbeCorpus {
       // because on the 30-word synthetic pool every token exceeds any
       // useful cut (10% leg skipped under --cuts-only: it is the weaker
       // guard kept for the guard-strength contrast)
-      val guards = if (cutsOnly) Seq(nFam / 100) else Seq(nFam / 10, nFam / 100)
+      val guards =
+        if (prodOnly) Seq.empty
+        else if (cutsOnly) Seq(nFam / 100)
+        else Seq(nFam / 10, nFam / 100)
       guards.map(math.max(2L, _)).distinct.foreach { g =>
         report(s"ngram_jaccard(df=$g)",
           DedupOps.jaccardCandidates(toks, g).count(),
@@ -78,9 +88,38 @@ object ProbeCorpus {
       report("prefix_jaccard(0.8)",
         DedupOps.prefixCandidates(toks).count(),
         DedupOps.prefixJaccardPairs(fam, 0.8).count())
+      // r14: before/after the PPJoin+ suffix filter — the r13 form is the
+      // measured contrast for the only candidate path that grew n^1.7
+      report("containment(no-suffix)",
+        DedupOps.containmentCandidates(toks, suffixFilter = false).count(),
+        DedupOps.containmentPairs(fam, 0.9).count())
       report("containment(0.9)",
         DedupOps.containmentCandidates(toks).count(),
         DedupOps.containmentPairs(fam, 0.9).count())
+      // r14 (r13 verdict #5): minhash band-bucket economics at the registry
+      // parameters (h=32, bands=8, 3-shingles). candidates = pre-dedup
+      // band-collision pairs (Σ_buckets c·(c−1)/2 — what the bucket join
+      // materializes before dropDuplicates); the bucket-size distribution
+      // says whether collisions are density-driven (many small buckets) or
+      // a hot-bucket artifact (one giant bucket going quadratic).
+      locally {
+        val keyed = DedupOps.minhashBandKeyed(fam, 32, 8, 3)
+        val buckets = keyed.groupBy("bk").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).localCheckpoint()
+        val stats = buckets.agg(
+          sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand"),
+          count(lit(1)).as("n_buckets"),
+          max(col("c")).as("max_bucket"),
+          expr("approx_percentile(c, 0.99)").as("p99"),
+          sum(when(col("c") > 100, col("c") * (col("c") - 1) / 2)
+            .otherwise(lit(0))).cast("long").as("cand_from_gt100")).head()
+        val (e, _) = timed(DedupOps.minhashPairs(fam, 32, 8).count())
+        val (_, te) = timed(DedupOps.minhashPairs(fam, 32, 8).count())
+        println(f"[corpus]   ${"minhash(32x8)"}%-22s candidates=${stats.getLong(0)}%,12d " +
+          f"emitted=$e%,10d (${te}%6.2f s full)  " +
+          f"buckets>1=${stats.getLong(1)}%,d max_bucket=${stats.getLong(2)}%,d " +
+          f"p99=${stats.get(3)} cand_from_bk>100=${stats.getLong(4)}%,d")
+      }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }

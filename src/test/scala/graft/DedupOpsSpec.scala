@@ -230,4 +230,62 @@ class DedupOpsSpec extends SparkSpec {
     assert(shared == 0,
       "a 4-distinct-block flip must not share any combination key")
   }
+
+  test("suffix_hamming_lb: SQL form matches the Scala reference; strata math on known cases") {
+    // A = [a, b, c, d], B = [a, c, e]; suffixes after ra=1/rb=1:
+    // SA = {b,c,d}, SB = {c,e}, |Δ| = 3 (b,d,e) — at MaxDepth 2 the bound
+    // recovers it exactly (probe c found, probe e missing)
+    val got = spark.sql(
+      """SELECT suffix_hamming_lb(array('a','b','c','d'), array('a','c','e'),
+        |       1, 1) AS lb""".stripMargin).head().getInt(0)
+    assert(got == graft.functions.SuffixHammingLb.computeRef(
+      Seq("a", "b", "c", "d"), Seq("a", "c", "e"), 1, 1))
+    assert(got >= 1 && got <= 3, s"bound $got outside [1, |delta|=3]")
+    // empty suffixes: ra = |A| -> |Δ| = |SB| exactly
+    assert(spark.sql(
+      "SELECT suffix_hamming_lb(array('a','b'), array('a','x','y'), 2, 1)")
+      .head().getInt(0) == 2)
+    // rank out of range must fail loudly, not misbound
+    val err = intercept[Exception] {
+      spark.sql("SELECT suffix_hamming_lb(array('a'), array('a'), 2, 1)")
+        .collect()
+    }
+    assert(err.getMessage.contains("rank out of range") ||
+      Option(err.getCause).exists(_.getMessage.contains("rank out of range")))
+  }
+
+  test("containment suffix cut: the planted decoy dies on the suffix probe, the true pair survives") {
+    // Docs 1/2 share their two RAREST-SORTING tokens (a1, a2 — everything
+    // here has df = 2, so tok order decides the prefix) but have disjoint
+    // suffixes: the pair survives the prefix cut (a1 matches), pigeonhole
+    // (equal sizes), and the positional bound (first shared token at rank 1
+    // of both ⇒ 1 + min(9, 9) = 10 ≥ ⌈9·10/10⌉) — only the suffix probe,
+    // which looks at WHERE the suffixes differ, can kill it before the
+    // verify join. Docs 3/4 exist to keep m*/n* at df = 2 (df = 1 tokens
+    // would sort before a1/a2 and evict them from the prefix); docs 5/6
+    // are the true containment pair that must survive every cut.
+    val docs = Seq(
+      1L -> "a1 a2 m1 m2 m3 m4 m5 m6 m7 m8",
+      2L -> "a1 a2 n1 n2 n3 n4 n5 n6 n7 n8",
+      3L -> "m1 m2 m3 m4 m5 m6 m7 m8 f1 f2",
+      4L -> "n1 n2 n3 n4 n5 n6 n7 n8 g1 g2",
+      5L -> "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10",
+      6L -> "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 q1 q2"
+    ).toDF("doc_id", "text")
+    val toks = DedupOps.tokenSets(docs).localCheckpoint()
+    val before = DedupOps.containmentCandidates(toks, suffixFilter = false)
+      .select("src_doc", "dst_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = DedupOps.containmentCandidates(toks, suffixFilter = true)
+      .select("src_doc", "dst_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.contains((1L, 2L)),
+      "decoy must survive the r13 cuts (else this fixture tests nothing)")
+    assert(!after.contains((1L, 2L)), "decoy must die on the suffix probe")
+    assert(after.subsetOf(before))
+    assert(after.contains((5L, 6L)), "the true containment pair must survive")
+    val emitted = DedupOps.containmentPairs(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted == Set((5L, 6L)))
+  }
 }

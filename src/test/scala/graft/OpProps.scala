@@ -262,4 +262,43 @@ object OpProps extends Properties("graft.ops6") {
         pref == full
       }
     }
+
+  // sorted-distinct key arrays + suffix start ranks for the r14 suffix
+  // filter primitive: random draws from a vocabulary large enough that
+  // prefix-of-another tokens ("w1" vs "w12") and disjoint/nested/staggered
+  // suffixes all occur
+  private val suffixCaseGen: Gen[(List[String], List[String], Int, Int)] = {
+    val vocabGen = Gen.chooseNum(1, 30).map(i => s"w$i")
+    for {
+      a <- Gen.listOfN(14, vocabGen).map(_.distinct.sorted)
+        .suchThat(_.nonEmpty)
+      b <- Gen.listOfN(14, vocabGen).map(_.distinct.sorted)
+        .suchThat(_.nonEmpty)
+      ra <- Gen.chooseNum(1, a.size)
+      rb <- Gen.chooseNum(1, b.size)
+    } yield (a, b, ra, rb)
+  }
+
+  property("suffix_hamming_lb never exceeds the true suffix symmetric difference") =
+    forAll(suffixCaseGen) { case (a, b, ra, rb) =>
+      // ra/rb are 1-based first-shared ranks: suffixes are strictly after
+      val sa = a.drop(ra).toSet
+      val sb = b.drop(rb).toSet
+      val trueDelta = (sa.diff(sb).size + sb.diff(sa).size)
+      val lb = graft.functions.SuffixHammingLb.computeRef(a, b, ra, rb)
+      lb >= 0 && lb <= trueDelta
+    }
+
+  property("containment suffix cut only ever removes candidates (subset of the positional form)") =
+    forAll(corpusGen) { docs =>
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val toks = graft.ops.DedupOps.tokenSets(df).localCheckpoint()
+        def pairsOf(suffix: Boolean) =
+          graft.ops.DedupOps.containmentCandidates(toks, suffixFilter = suffix)
+            .select("src_doc", "dst_doc").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        pairsOf(true).subsetOf(pairsOf(false))
+      }
+    }
 }

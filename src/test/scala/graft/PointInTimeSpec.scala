@@ -194,6 +194,17 @@ class PointInTimeSpec extends SparkSpec {
       .withWatermark("ets", "1 hour")
       .as[AsOfFeed]
     StreamOps.streamingAsOfEnrich(kept) // must not throw
+    // r13 ADVICE: a projection that merely RENAMES the watermarked column
+    // mints a new exprId but the Alias carries the watermark-delay
+    // metadata and the node still prunes — the guard must accept it, not
+    // push the caller to allowUnboundedState
+    val renamed = mem.toDS()
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "1 hour")
+      .select(col("ets").as("event_time"), col("kind"), col("key"),
+        col("ts"), col("value"), col("eventId"))
+      .as[AsOfFeed]
+    StreamOps.streamingAsOfEnrich(renamed) // must not throw
     // and no-watermark is allowed only as an explicit opt-in
     intercept[IllegalArgumentException] {
       StreamOps.streamingAsOfEnrich(mem.toDS())

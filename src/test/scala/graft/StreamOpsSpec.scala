@@ -161,6 +161,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(grouped.values.forall(_.length <= 3))
   }
 
+  test("trending top-k: an oversized micro-batch delta throws loudly (r14 contract)") {
+    val mem = MemoryStream[Ev](spark)
+    val store = new StreamOps.TrendStore
+    // cap 1, then a first batch touching TWO event types: the delta is 2
+    // rows — over the cap, so the contract must fail the query loudly
+    // instead of silently buffering an event-sized delta on the driver
+    val q = StreamOps.trendingTopK(mem.toDF(), store, maxDeltaRows = 1)
+    try {
+      mem.addData(Ev(1, ts(0), 10, "click", 1.0), Ev(2, ts(5), 10, "view", 2.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("aggregate-sized"))),
+        s"wanted the delta-contract message, got: ${e.getMessage}")
+      assert(store.upsertsPerBatch.forall(_ <= 1),
+        "no oversized delta may reach the store")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops the duplicate event_id within the watermark") {
     val streamed = runStream(evs, StreamOps.dedupEvents, "t_dedup", OutputMode.Append())
     assert(streamed.count() == 5)

@@ -32,6 +32,27 @@ def load(path):
             for k, v in qs.items()}
 
 
+def canary_drift(detail, q):
+    """Within-run load thermometer at q's ord window (r13 verdict #4): the
+    canary (tpch_q6) is timed every ~25 run positions; a flagged query whose
+    neighbouring canary points are inflated vs the run's canary MINIMUM was
+    measured under machine load, one with flat neighbours under quiet
+    conditions — the machine-vs-code call made from data already in the
+    detail file. Returns (drift_ratio, ord) or None when the run carries no
+    canary series (pre-r14 files)."""
+    pts = detail.get("canary", {}).get("points", [])
+    qinfo = detail.get("queries", {}).get(q)
+    if not pts or not isinstance(qinfo, dict) or "ord" not in qinfo:
+        return None
+    floor_s = min(p["s"] for p in pts)
+    if floor_s <= 1e-9:
+        return None
+    ord_ = qinfo["ord"]
+    near = sorted(pts, key=lambda p: abs(p["ord"] - ord_))[:2]
+    window = sum(p["s"] for p in near) / len(near)
+    return window / floor_s, ord_
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     new_path = args[0] if args else "BENCH_DETAIL.json"
@@ -44,6 +65,8 @@ def main():
         print(f"baseline <- {new_path} ({len(new)} queries)")
         return 0
     base = load(BASELINE)
+    with open(new_path) as f:
+        new_detail = json.load(f)
     regressions, improved, added = [], [], []
     for q, t in sorted(new.items()):
         b = base.get(q)
@@ -55,7 +78,14 @@ def main():
             improved.append((q, b, t))
     removed = sorted(set(base) - set(new))
     for q, b, t in regressions:
-        print(f"REGRESSION {q}: {b:.2f}s -> {t:.2f}s ({t / b:.1f}x)")
+        cd = canary_drift(new_detail, q)
+        note = ""
+        if cd is not None:
+            drift, ord_ = cd
+            verdict = ("machine-load at this ord window" if drift >= 1.3
+                       else "canary flat -> likely code")
+            note = f"  [canary x{drift:.2f} @ ord {ord_}: {verdict}]"
+        print(f"REGRESSION {q}: {b:.2f}s -> {t:.2f}s ({t / b:.1f}x){note}")
     for q, b, t in improved:
         print(f"improved   {q}: {b:.2f}s -> {t:.2f}s")
     if added:
