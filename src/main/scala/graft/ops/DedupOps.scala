@@ -473,29 +473,39 @@ object DedupOps {
         col("m.sa") * 9)
     if (!suffixFilter)
       positional.select(col("src_doc"), col("dst_doc"), col("m.sa").as("sz_src"))
-    else {
-      // per-doc canonical-key arrays: k's BINARY string order is exactly the
-      // (df asc, tok asc) order row_number ranked by (zero-padded df compares
-      // numerically; the \\u0001 separator sits below every token byte, so a key is never
-      // order-flipped by a token that prefixes another), hence ks[r-1] is
-      // the rank-r token and the suffix beyond the first shared token is an
-      // index window — no per-pair slicing
-      val arrs = toks.join(dfreq, "tok")
-        .withColumn("k", concat(lpad(col("df").cast("string"), 12, "0"),
-          lit("\u0001"), col("tok")))
-        .groupBy("doc_id").agg(sort_array(collect_list(col("k"))).as("ks"))
-      positional
-        .join(arrs.select(col("doc_id").as("src_doc"), col("ks").as("ks_src")),
-          "src_doc")
-        .join(arrs.select(col("doc_id").as("dst_doc"), col("ks").as("ks_dst")),
-          "dst_doc")
-        .withColumn("_lb", graft.functions.SuffixHammingLb(
-          col("ks_src"), col("ks_dst"), col("m.ra"), col("m.rb")))
-        .filter(expr(
-          "((m.sa - m.ra) + (m.sb - m.rb) - _lb) DIV 2 + 1 >= (m.sa * 9 + 9) DIV 10"))
+    else
+      suffixFiltered(positional, canonicalKeyArrays(toks, dfreq),
+        "src_doc", "dst_doc",
+        // keep iff 1 + floor((sx + sy - lb)/2) >= ceil(9*sz_src/10)
+        "((m.sa - m.ra) + (m.sb - m.rb) - _lb) DIV 2 + 1 >= (m.sa * 9 + 9) DIV 10")
         .select(col("src_doc"), col("dst_doc"), col("m.sa").as("sz_src"))
-    }
   }
+
+  /** Per-doc canonical-key arrays for the suffix filter: k's BINARY string
+    * order is exactly the (df asc, tok asc) order row_number ranked by
+    * (zero-padded df compares numerically; the \\u0001 separator sits below
+    * every token byte, so a key is never order-flipped by a token that
+    * prefixes another), hence ks[r-1] is the rank-r token and the suffix
+    * beyond the first shared token is an index window — no per-pair
+    * slicing. */
+  private def canonicalKeyArrays(toks: DataFrame, dfreq: DataFrame): DataFrame =
+    toks.join(dfreq, "tok")
+      .withColumn("k", concat(lpad(col("df").cast("string"), 12, "0"),
+        lit("\u0001"), col("tok")))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("k"))).as("ks"))
+
+  /** Join the positional-filter survivors (one row per pair, `m` carrying
+    * (ra, rb, sa, sb)) to both docs' canonical-key arrays and apply the
+    * suffix bound `_lb` ([[graft.functions.SuffixHammingLb]]); `keepSql` is
+    * the integer keep-predicate specialized to the caller's threshold. */
+  private def suffixFiltered(positional: DataFrame, arrs: DataFrame,
+      aCol: String, bCol: String, keepSql: String): DataFrame =
+    positional
+      .join(arrs.select(col("doc_id").as(aCol), col("ks").as("ks_a")), aCol)
+      .join(arrs.select(col("doc_id").as(bCol), col("ks").as("ks_b")), bCol)
+      .withColumn("_lb", graft.functions.SuffixHammingLb(
+        col("ks_a"), col("ks_b"), col("m.ra"), col("m.rb")))
+      .filter(expr(keepSql))
 
   /** PPJoin-style PREFIX FILTERING — the similarity join's corpus-scale
     * candidate cut. Order every doc's tokens by global rarity (df asc, tok
@@ -542,8 +552,20 @@ object DedupOps {
     * Measured on the Heaps-vocabulary zipf fixture: prefix-only candidates
     * grew ~Σ df_prefix² once df saturated (833k candidates for 2,376
     * emitted pairs at zipf sf10 — SF1.md §5); the length+positional cuts
-    * are the standard PPJoin answer to exactly that tail. */
-  private[graft] def prefixCandidates(toks: DataFrame): DataFrame = {
+    * are the standard PPJoin answer to exactly that tail.
+    *
+    * r14: the SUFFIX cut completes PPJoin+ here too — the positional lemma
+    * is an equality decomposition (every common token besides the first
+    * shared w is > w, hence in both suffixes), so overlap = 1 + |SA ∩ SB| ≤
+    * 1 + ⌊(sx + sy − lb)/2⌋ with lb from [[graft.functions.SuffixHammingLb]];
+    * J ≥ 4/5 requires overlap ≥ ⌈4·(sa+sb)/9⌉ — integer keep-predicate,
+    * lossless (OpProps prefix ≡ full-inverted-index property). The fourth
+    * zipf decade motivated it: prefix+length+positional candidates grew
+    * ~40×/decade (535k at sf100 for 23.5k emitted) while emitted density
+    * grows ~10×/decade — the suffix bound closes that gap the same way it
+    * closed containment's n^1.7. */
+  private[graft] def prefixCandidates(toks: DataFrame,
+      suffixFilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -553,7 +575,7 @@ object DedupOps {
       .join(sizes, "doc_id")
       .filter(col("r") <= col("sz") - expr("(sz * 4 + 4) DIV 5") + 1)
       .select("doc_id", "tok", "df", "r", "sz")
-    prefix.as("x")
+    val positional = prefix.as("x")
       .join(prefix.as("y"), col("x.tok") === col("y.tok") &&
         col("x.doc_id") < col("y.doc_id") &&
         col("x.sz") * 5 >= col("y.sz") * 4 &&
@@ -566,7 +588,13 @@ object DedupOps {
       .filter((lit(1) +
         least(col("m.sa") - col("m.ra"), col("m.sb") - col("m.rb"))) * 9 >=
         (col("m.sa") + col("m.sb")) * 4)
-      .select("doc_a", "doc_b")
+    if (!suffixFilter) positional.select("doc_a", "doc_b")
+    else
+      suffixFiltered(positional, canonicalKeyArrays(toks, dfreq),
+        "doc_a", "doc_b",
+        // keep iff 1 + floor((sx + sy - lb)/2) >= ceil(4*(sa+sb)/9)
+        "((m.sa - m.ra) + (m.sb - m.rb) - _lb) DIV 2 + 1 >= (4 * (m.sa + m.sb) + 8) DIV 9")
+        .select("doc_a", "doc_b")
   }
 
   /** Incremental (daily-batch) near-dup check: candidates are shared-token
@@ -626,7 +654,7 @@ object DedupOps {
     // [[prefixCandidates]] (proofs there) — both sides share the union-df
     // canonical order, which is all the first-shared-prefix-token lemma
     // needs, so they apply verbatim to the cross join.
-    val cand = prefixOf(bToks).as("x")
+    val positional = prefixOf(bToks).as("x")
       .join(prefixOf(eToks).as("y"), col("x.tok") === col("y.tok") &&
         col("x.sz") * 5 >= col("y.sz") * 4 &&
         col("y.sz") * 5 >= col("x.sz") * 4)
@@ -638,17 +666,15 @@ object DedupOps {
       .filter((lit(1) +
         least(col("m.sa") - col("m.ra"), col("m.sb") - col("m.rb"))) * 9 >=
         (col("m.sa") + col("m.sb")) * 4)
+    // r14: the suffix cut too (same shared union order, same lemma — the
+    // proof in [[prefixCandidates]]' scaladoc applies verbatim)
+    val cand = suffixFiltered(positional, canonicalKeyArrays(all, dfreq),
+      "doc_a", "doc_b",
+      "((m.sa - m.ra) + (m.sb - m.rb) - _lb) DIV 2 + 1 >= (4 * (m.sa + m.sb) + 8) DIV 9")
       .select("doc_a", "doc_b")
     jaccardVerify(all, cand, minJaccard)
   }
 
-  /** MinHash near-dup candidate pairs with Jaccard estimate from signature
-    * agreement. explode(bandKeys) → shuffle on band key → per-bucket pairs.
-    * `shingleK` picks the granularity the signature estimates: 3 (default)
-    * approximates 3-shingle Jaccard (order-sensitive, the classic near-dup
-    * detector); 1 approximates token-SET Jaccard (order-insensitive — use
-    * when downstream verification is token-set based, or banding will miss
-    * reordered near-dups that shingles don't share). */
   /** Band-keyed signature stage of [[minhashPairs]] — one row per
     * (doc, band key); docs sharing a `bk` are candidates. Factored out so
     * the corpus probe can measure band-bucket economics (bucket-size
@@ -674,6 +700,13 @@ object DedupOps {
       explode(bandKeys(col("sig"), bands, rows)).as("bk"))
   }
 
+  /** MinHash near-dup candidate pairs with Jaccard estimate from signature
+    * agreement. explode(bandKeys) → shuffle on band key → per-bucket pairs.
+    * `shingleK` picks the granularity the signature estimates: 3 (default)
+    * approximates 3-shingle Jaccard (order-sensitive, the classic near-dup
+    * detector); 1 approximates token-SET Jaccard (order-insensitive — use
+    * when downstream verification is token-set based, or banding will miss
+    * reordered near-dups that shingles don't share). */
   def minhashPairs(docs: DataFrame, h: Int, bands: Int, shingleK: Int = 3): DataFrame = {
     val keyed = minhashBandKeyed(docs, h, bands, shingleK)
     val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("bk"))

@@ -44,13 +44,20 @@ import org.apache.spark.sql.functions._
   * (the DuckDB oracle view in tools/check.py reads a bare file path), with
   * 16 MB row groups so Spark's scan still splits it into parallel tasks.
   *
-  * sbt "runMain graft.tools.GenSf1 [srcDir] [outDir] [factor]"
+  * sbt "runMain graft.tools.GenSf1 [srcDir] [outDir] [factor] [tables]"
+  *
+  * `tables` (r14, optional): comma-separated subset to write — e.g.
+  * `events` for the rolling-median crossover fixtures at sf3/sf10 event
+  * volume, where amplifying lineitem 100× would be pure waste. Omitted =
+  * all tables (the sf1 rehearsal default).
   */
 object GenSf1 {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/root/repo/testdata-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -88,6 +95,7 @@ object GenSf1 {
     }
 
     def writeOne(df: DataFrame, name: String): Unit = {
+      if (only.exists(!_.contains(name))) return
       val tmp = s"$outDir/_tmp_$name"
       df.drop("__rep").coalesce(1).write.mode("overwrite")
         .option("parquet.block.size", (16 * 1024 * 1024).toString)

@@ -85,6 +85,9 @@ object ProbeCorpus {
           DedupOps.jaccardCandidates(toks, g).count(),
           DedupOps.jaccardPairs(fam, g, 0.8).count())
       }
+      report("prefix(no-suffix)",
+        DedupOps.prefixCandidates(toks, suffixFilter = false).count(),
+        DedupOps.prefixJaccardPairs(fam, 0.8).count())
       report("prefix_jaccard(0.8)",
         DedupOps.prefixCandidates(toks).count(),
         DedupOps.prefixJaccardPairs(fam, 0.8).count())
