@@ -398,10 +398,16 @@ object DedupOps {
     * prefixes join the full posting lists (prefix_df × df per token, a
     * ~10× cut at t = 0.9 over the full df × df self-join the r08 form
     * paid). ⌈t·|src|⌉ is integer arithmetic ((9·sz + 9) DIV 10). */
-  def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame = {
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+      suffixFilter: Option[Boolean] = None): DataFrame = {
     require(minContainment == 0.9, "prefix size is specialized to t = 9/10")
     val toks = tokenSets(docs).localCheckpoint()
-    containmentCandidates(toks)
+    // observe corpus size from the CHECKPOINTED token set (a distinct over
+    // materialized partitions), not docs.count() — the source re-scan (+
+    // its upstream filters) measurably out-costs the decision at sf10
+    val suffix = suffixFilter.getOrElse(containmentSuffixByDefault(
+      toks.select("doc_id").distinct().count()))
+    containmentCandidates(toks, suffix)
       .join(toks.select(col("doc_id").as("src_doc"), col("tok")), "src_doc")
       .join(toks.select(col("doc_id").as("dst_doc"), col("tok")), Seq("dst_doc", "tok"))
       .groupBy("src_doc", "dst_doc", "sz_src")
@@ -519,11 +525,48 @@ object DedupOps {
     * verification still runs over full token sets. ⌈t·|d|⌉ is computed in
     * integer arithmetic ((4·|d|+4) DIV 5) — float ceil misbuckets exactly
     * at multiples of 5. */
-  def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.8,
+      suffixFilter: Option[Boolean] = None): DataFrame = {
     require(minJaccard == 0.8, "prefix size is specialized to t = 4/5")
     val toks = tokenSets(docs).localCheckpoint()
-    jaccardVerify(toks, prefixCandidates(toks), minJaccard)
+    // checkpointed-toks count, not docs.count() — see [[containmentPairs]]
+    val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(
+      toks.select("doc_id").distinct().count()))
+    jaccardVerify(toks, prefixCandidates(toks, suffix), minJaccard)
   }
+
+  /** Suffix-filter dispatch for the DIRECTED containment join — the
+    * observed-corpus-size pattern of [[simhashNearDupPairs]], with the
+    * threshold from the r14 same-JVM before/after probe (SF1.md §7): at
+    * 24k family docs the suffix cut LOSES (6.3 → 8.5 s full pipeline,
+    * zipf sf10 — the canonical-key-array build dwarfs the verify it
+    * saves on 158k candidates); at 243k it WINS 1.8× (60.2 → 33.0 s,
+    * zipf sf100 — the 7.49M-candidate verify join dominates everything).
+    * 2^17 sits mid-bracket — the same cutover constant the simhash
+    * chunk/Manku dispatch measured, which is not a coincidence: both
+    * trade a corpus-linear preprocessing cost against super-linear
+    * pair work. */
+  val ContainmentSuffixCutoverDocs: Long = 1L << 17
+
+  private[graft] def containmentSuffixByDefault(nDocs: Long): Boolean =
+    nDocs >= ContainmentSuffixCutoverDocs
+
+  /** Suffix-filter dispatch for the SYMMETRIC Jaccard prefix join. Unlike
+    * containment, the suffix cut never won a measured decade here — full
+    * pipeline with/without ratios 1.29× / 1.27× / 1.12× at zipf
+    * sf1/sf10/sf100 (SF1.md §7) — because prefix+length+positional is
+    * already within ~20× of the emitted pair count, so the verify join it
+    * would save is small next to the key-array build. The ratio falls
+    * monotonically while no-suffix candidates grow 40×/decade against
+    * emitted's ~10×, so the verify join must eventually dominate; the
+    * trend puts the crossover near 2^21 family docs (~a fifth decade,
+    * beyond what the sandbox can generate and probe). EXTRAPOLATED,
+    * unlike containment's measured bracket — tighten when a bigger
+    * corpus is measurable. */
+  val PrefixSuffixCutoverDocs: Long = 1L << 21
+
+  private[graft] def prefixSuffixByDefault(nDocs: Long): Boolean =
+    nDocs >= PrefixSuffixCutoverDocs
 
   /** Candidate stage of [[prefixJaccardPairs]] (t = 0.8). Factored out so
     * the corpus probe can count candidates.
@@ -633,11 +676,17 @@ object DedupOps {
     * all-stopword case MinHash routes around; real vocabularies are the
     * design point. */
   def crossPrefixJaccardPairs(existing: DataFrame, batch: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, suffixFilter: Option[Boolean] = None): DataFrame = {
     require(minJaccard == 0.8, "prefix size is specialized to t = 4/5")
     import org.apache.spark.sql.expressions.Window
     val eToks = tokenSets(existing).localCheckpoint()
     val bToks = tokenSets(batch).localCheckpoint()
+    // same dispatch economics as [[prefixJaccardPairs]] — the union corpus
+    // is what the key arrays would be built over (checkpointed-toks count;
+    // doc ids are disjoint across sides by the op's contract)
+    val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(
+      eToks.select("doc_id").unionByName(bToks.select("doc_id"))
+        .distinct().count()))
     // one shared order + per-doc sizes over the union (doc ids are disjoint
     // across the two sides by the op's contract — same assumption the
     // verify's union-side sizes already make)
@@ -668,10 +717,12 @@ object DedupOps {
         (col("m.sa") + col("m.sb")) * 4)
     // r14: the suffix cut too (same shared union order, same lemma — the
     // proof in [[prefixCandidates]]' scaladoc applies verbatim)
-    val cand = suffixFiltered(positional, canonicalKeyArrays(all, dfreq),
-      "doc_a", "doc_b",
-      "((m.sa - m.ra) + (m.sb - m.rb) - _lb) DIV 2 + 1 >= (4 * (m.sa + m.sb) + 8) DIV 9")
-      .select("doc_a", "doc_b")
+    val cand =
+      if (!suffix) positional.select("doc_a", "doc_b")
+      else suffixFiltered(positional, canonicalKeyArrays(all, dfreq),
+        "doc_a", "doc_b",
+        "((m.sa - m.ra) + (m.sb - m.rb) - _lb) DIV 2 + 1 >= (4 * (m.sa + m.sb) + 8) DIV 9")
+        .select("doc_a", "doc_b")
     jaccardVerify(all, cand, minJaccard)
   }
 

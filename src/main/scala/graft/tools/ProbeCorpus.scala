@@ -85,20 +85,23 @@ object ProbeCorpus {
           DedupOps.jaccardCandidates(toks, g).count(),
           DedupOps.jaccardPairs(fam, g, 0.8).count())
       }
+      // r14: before/after the PPJoin+ suffix filter, candidate counts AND
+      // full-pipeline emit timings both ways IN ONE JVM — cross-window
+      // ProbeQ comparisons on this box drift 1.5-2x, so the suffix
+      // cost/benefit ledger (array build + probe joins vs saved verify
+      // rows) is only honest measured back-to-back
       report("prefix(no-suffix)",
         DedupOps.prefixCandidates(toks, suffixFilter = false).count(),
-        DedupOps.prefixJaccardPairs(fam, 0.8).count())
+        DedupOps.prefixJaccardPairs(fam, 0.8, suffixFilter = Some(false)).count())
       report("prefix_jaccard(0.8)",
         DedupOps.prefixCandidates(toks).count(),
-        DedupOps.prefixJaccardPairs(fam, 0.8).count())
-      // r14: before/after the PPJoin+ suffix filter — the r13 form is the
-      // measured contrast for the only candidate path that grew n^1.7
+        DedupOps.prefixJaccardPairs(fam, 0.8, suffixFilter = Some(true)).count())
       report("containment(no-suffix)",
         DedupOps.containmentCandidates(toks, suffixFilter = false).count(),
-        DedupOps.containmentPairs(fam, 0.9).count())
+        DedupOps.containmentPairs(fam, 0.9, suffixFilter = Some(false)).count())
       report("containment(0.9)",
         DedupOps.containmentCandidates(toks).count(),
-        DedupOps.containmentPairs(fam, 0.9).count())
+        DedupOps.containmentPairs(fam, 0.9, suffixFilter = Some(true)).count())
       // r14 (r13 verdict #5): minhash band-bucket economics at the registry
       // parameters (h=32, bands=8, 3-shingles). candidates = pre-dedup
       // band-collision pairs (Σ_buckets c·(c−1)/2 — what the bucket join

@@ -630,6 +630,25 @@ object ScaleProbe {
         .filter(round(abs(col("value") - col("med")), 6) >
           round(lit(3.0d) * lit(1.4826d) * col("mad"), 6))
         .queryExecution.toRdd.count()
+    // rolling-median pair (r13 verdict #3): the hampel pair's cheaper
+    // sibling — median only, no MAD/threshold arithmetic, so the
+    // (type,bucket)+carry twin's fixed overhead (bucket agg + tails frame
+    // + carry join) is a LARGER fraction of the work and the crossover
+    // sits later; measured next to hampel so the two trades read together
+    def rollingMedian(ev: DataFrame): Long = {
+      val w = W7.partitionBy("event_type").orderBy("ts", "event_id")
+      val frame = collect_list("value").over(w.rowsBetween(-4, 0))
+      ev.select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("med", element_at(sort_array(frame), 3))
+        .filter(col("rn") >= 5)
+        .queryExecution.toRdd.count()
+    }
+    def rollingMedianScaled(ev: DataFrame): Long =
+      graft.EventQueries.rows5FrameBucketedOf(
+        ev.select(col("event_id"), col("event_type"), col("ts"), col("value")))
+        .withColumn("med", element_at(sort_array(col("frame")), 3))
+        .queryExecution.toRdd.count()
 
     // warm
     q1(li1); joinAgg(o1, li1); brute(e1); ivf(e1); q8(e1q); pq(e1); decontam(d1); tfidf(d1); pack(d1)
@@ -668,7 +687,7 @@ object ScaleProbe {
       graft.EventQueries.evalSubsampleCiOf(ev).count()
     q5(li1, o1, c1); rrf(d1, e1); matry(e1); attrDecay(ev1); ciSub(ev1)
     kcoreP(li1, o1, c1, Tables.supplier(spark, sfDir)); heavyHit(d1); pcaPower(e1); hampel(ev1)
-    hampelScaled(ev1)
+    hampelScaled(ev1); rollingMedian(ev1); rollingMedianScaled(ev1)
     // r09 batch-2 shapes: gram matrix (d²-bounded pair agg — the shuffle
     // carries ≤2080 keys/task however the corpus grows), RAKE keywords
     // (vocabulary-bounded aggs), logistic scoring (pure word-count
@@ -870,6 +889,10 @@ object ScaleProbe {
         time(hampel(ev1)), time(hampel(evN))),
       ("hampel filter SCALED (types x 6h-buckets + 4-row tail carry)",
         time(hampelScaled(ev1)), time(hampelScaled(evN))),
+      ("rolling median naive (5 type partitions — kept as contrast)",
+        time(rollingMedian(ev1)), time(rollingMedian(evN))),
+      ("rolling median SCALED (types x 6h-buckets + 4-row tail carry)",
+        time(rollingMedianScaled(ev1)), time(rollingMedianScaled(evN))),
       ("tpch q5 dim-funnel join (dims constant, fact grows)",
         time(q5(li1, o1, c1)), time(q5(liN, oN, cN))),
       ("rrf hybrid fusion (candidate-bounded windows)",

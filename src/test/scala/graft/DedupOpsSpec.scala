@@ -288,4 +288,16 @@ class DedupOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(emitted == Set((5L, 6L)))
   }
+
+  test("suffix-filter dispatch: measured containment bracket, extrapolated prefix point") {
+    // containment: loses at 24k family docs, wins 1.8x at 243k (SF1.md s7)
+    // — the cutover must separate the measured bracket
+    assert(!DedupOps.containmentSuffixByDefault(24119))
+    assert(DedupOps.containmentSuffixByDefault(243483))
+    assert(DedupOps.ContainmentSuffixCutoverDocs == (1L << 17))
+    // prefix: no measured win through 243k docs — every measured corpus
+    // must dispatch to the no-suffix form
+    assert(!DedupOps.prefixSuffixByDefault(243483))
+    assert(DedupOps.prefixSuffixByDefault(1L << 21))
+  }
 }

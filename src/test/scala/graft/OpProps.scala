@@ -123,15 +123,18 @@ object OpProps extends Properties("graft.ops6") {
     } yield b.distinct.drop(drop).mkString(" "))
   } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.filter(_._2.nonEmpty)
 
-  property("prefix-filter similarity join equals the full inverted-index join") =
+  property("prefix-filter similarity join equals the full inverted-index join " +
+      "(with and without the suffix cut)") =
     forAll(corpusGen) { docs =>
       docs.isEmpty || {
         val df = docs.toDF("doc_id", "text")
         val full = graft.ops.DedupOps.jaccardPairs(df, Long.MaxValue, 0.8)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        val pref = graft.ops.DedupOps.prefixJaccardPairs(df, 0.8)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        pref == full
+        Seq(true, false).forall { suffix =>
+          graft.ops.DedupOps.prefixJaccardPairs(df, 0.8, suffixFilter = Some(suffix))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == full
+        }
       }
     }
 
@@ -257,9 +260,11 @@ object OpProps extends Properties("graft.ops6") {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           if c >= 0.9
         } yield (a, b, c)).toSet
-        val pref = graft.ops.DedupOps.containmentPairs(df, 0.9)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-        pref == full
+        Seq(true, false).forall { suffix =>
+          graft.ops.DedupOps.containmentPairs(df, 0.9, suffixFilter = Some(suffix))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == full
+        }
       }
     }
 
