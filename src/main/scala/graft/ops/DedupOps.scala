@@ -401,12 +401,20 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, minContainment: Double,
       suffixFilter: Option[Boolean] = None): DataFrame = {
     require(minContainment == 0.9, "prefix size is specialized to t = 9/10")
-    val toks = tokenSets(docs).localCheckpoint()
-    // observe corpus size from the CHECKPOINTED token set (a distinct over
-    // materialized partitions), not docs.count() — the source re-scan (+
-    // its upstream filters) measurably out-costs the decision at sf10
+    // observe the corpus size IN the job that checkpoints the token set
+    // (the [[simhashNearDupPairs]] Observation pattern) — r14: the first
+    // cut of this dispatch ran a separate distinct().count() job per call,
+    // which re-shuffled the token set just to make a boolean decision
+    // (bench: dedup_prefix_jaccard +0.6 s, dedup_incremental_prefix +1.0 s
+    // per rep at sf0.1). The doc-row count differs from distinct-doc_id
+    // only for empty-token docs; the dispatch is a SPEED decision between
+    // two forms proven output-identical (OpProps), so the cheaper count is
+    // safe at any boundary.
+    val obs = org.apache.spark.sql.Observation()
+    val toks = tokenSets(docs.observe(obs, count(lit(1)).as("n_docs")))
+      .localCheckpoint()
     val suffix = suffixFilter.getOrElse(containmentSuffixByDefault(
-      toks.select("doc_id").distinct().count()))
+      obs.get("n_docs").asInstanceOf[Long]))
     containmentCandidates(toks, suffix)
       .join(toks.select(col("doc_id").as("src_doc"), col("tok")), "src_doc")
       .join(toks.select(col("doc_id").as("dst_doc"), col("tok")), Seq("dst_doc", "tok"))
@@ -528,10 +536,12 @@ object DedupOps {
   def prefixJaccardPairs(docs: DataFrame, minJaccard: Double = 0.8,
       suffixFilter: Option[Boolean] = None): DataFrame = {
     require(minJaccard == 0.8, "prefix size is specialized to t = 4/5")
-    val toks = tokenSets(docs).localCheckpoint()
-    // checkpointed-toks count, not docs.count() — see [[containmentPairs]]
+    // corpus size observed in the checkpoint job — see [[containmentPairs]]
+    val obs = org.apache.spark.sql.Observation()
+    val toks = tokenSets(docs.observe(obs, count(lit(1)).as("n_docs")))
+      .localCheckpoint()
     val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(
-      toks.select("doc_id").distinct().count()))
+      obs.get("n_docs").asInstanceOf[Long]))
     jaccardVerify(toks, prefixCandidates(toks, suffix), minJaccard)
   }
 
@@ -679,14 +689,19 @@ object DedupOps {
       minJaccard: Double, suffixFilter: Option[Boolean] = None): DataFrame = {
     require(minJaccard == 0.8, "prefix size is specialized to t = 4/5")
     import org.apache.spark.sql.expressions.Window
-    val eToks = tokenSets(existing).localCheckpoint()
-    val bToks = tokenSets(batch).localCheckpoint()
-    // same dispatch economics as [[prefixJaccardPairs]] — the union corpus
-    // is what the key arrays would be built over (checkpointed-toks count;
-    // doc ids are disjoint across sides by the op's contract)
+    // per-side corpus sizes observed in the two checkpoint jobs (the
+    // [[containmentPairs]] Observation pattern); the union size is their
+    // sum because doc ids are disjoint across sides by the op's contract —
+    // the same assumption the verify's union-side sizes already make
+    val (obsE, obsB) =
+      (org.apache.spark.sql.Observation(), org.apache.spark.sql.Observation())
+    val eToks = tokenSets(existing.observe(obsE, count(lit(1)).as("n_docs")))
+      .localCheckpoint()
+    val bToks = tokenSets(batch.observe(obsB, count(lit(1)).as("n_docs")))
+      .localCheckpoint()
     val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(
-      eToks.select("doc_id").unionByName(bToks.select("doc_id"))
-        .distinct().count()))
+      obsE.get("n_docs").asInstanceOf[Long] +
+        obsB.get("n_docs").asInstanceOf[Long]))
     // one shared order + per-doc sizes over the union (doc ids are disjoint
     // across the two sides by the op's contract — same assumption the
     // verify's union-side sizes already make)
