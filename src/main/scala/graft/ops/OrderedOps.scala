@@ -29,7 +29,17 @@ object OrderedOps {
     * The sorted layout is pinned with localCheckpoint between the count
     * pass and the sum pass — two jobs over an unpinned range shuffle can
     * sample different bounds and silently corrupt every offset (the r06
-    * global_rownum lesson). */
+    * global_rownum lesson).
+    *
+    * r14 (guide §1.2 "per-task work"): both passes used `.rdd`, which
+    * deserializes every row to external GenericRows and rebuilds them via
+    * `Row.fromSeq(r.toSeq ++ ...)` — per-row allocations on both sides,
+    * bypassing codegen. Now the totals pass is one codegen hash-agg on
+    * `spark_partition_id()` (valid on the PINNED layout; P rows collected),
+    * and the running-sum pass is a typed `mapPartitions` over tuple
+    * encoders (Tungsten ser/de, specialized k = 1 and 2 — all callers) with
+    * the generic Row path kept as the any-k fallback. Same two jobs, same
+    * layout pin, identical output. */
   def cumSumsByKey(df: DataFrame, keyCol: String, valCols: Seq[String],
       partitions: Int = 32): DataFrame = {
     val s = df.sparkSession
@@ -41,7 +51,11 @@ object OrderedOps {
       .repartitionByRange(partitions, col(keyCol))
       .sortWithinPartitions(keyCol)
       .localCheckpoint()
-    val totals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // totals pass over INTERNAL rows (queryExecution.toRdd): one job, no
+    // shuffle, no InternalRow→Row conversion — a groupBy(spark_partition_id)
+    // agg was measured SLOWER than even the old .rdd pass here because it
+    // adds an exchange + AQE stage for P metadata rows (ProbeOrdered)
+    val totals = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val acc = new Array[Long](n)
       it.foreach { r =>
         var i = 0; while (i < n) { acc(i) += r.getLong(i + 1); i += 1 }
@@ -52,16 +66,33 @@ object OrderedOps {
       Array.tabulate(n)(i => a(i) + b(i))
     }
     val bc = s.sparkContext.broadcast(offsets)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val run = bc.value(pid).clone()
-      it.map { r =>
-        var i = 0; while (i < n) { run(i) += r.getLong(i + 1); i += 1 }
-        Row.fromSeq(r.toSeq ++ run.toSeq)
-      }
+    import s.implicits._
+    import org.apache.spark.TaskContext
+    val outNames = (keyCol +: valCols) ++ valCols.map(v => s"cum_$v")
+    n match {
+      case 1 =>
+        sorted.as[(Long, Long)].mapPartitions { it =>
+          var run = bc.value(TaskContext.getPartitionId())(0)
+          it.map { case (k, v) => run += v; (k, v, run) }
+        }.toDF(outNames: _*)
+      case 2 =>
+        sorted.as[(Long, Long, Long)].mapPartitions { it =>
+          val off = bc.value(TaskContext.getPartitionId())
+          var r0 = off(0); var r1 = off(1)
+          it.map { case (k, v0, v1) => r0 += v0; r1 += v1; (k, v0, v1, r0, r1) }
+        }.toDF(outNames: _*)
+      case _ =>
+        val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val run = bc.value(pid).clone()
+          it.map { r =>
+            var i = 0; while (i < n) { run(i) += r.getLong(i + 1); i += 1 }
+            Row.fromSeq(r.toSeq ++ run.toSeq)
+          }
+        }
+        val schema = StructType(sorted.schema.fields ++
+          valCols.map(v => StructField(s"cum_$v", LongType, nullable = false)))
+        s.createDataFrame(rdd, schema)
     }
-    val schema = StructType(sorted.schema.fields ++
-      valCols.map(v => StructField(s"cum_$v", LongType, nullable = false)))
-    s.createDataFrame(rdd, schema)
   }
 
   /** 1-based global rank of every row under `sortExprs` (which must define
@@ -83,22 +114,36 @@ object OrderedOps {
       .repartitionByRange(partitions, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint()
-    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // r14 (guide §1.2): both passes ran on `.rdd` — external-Row
+    // deserialization plus a per-row `Row.fromSeq(r.toSeq :+ rn)` rebuild.
+    // The counts pass now iterates INTERNAL rows (queryExecution.toRdd —
+    // same single shuffle-free job, zero conversion); the numbering pass is
+    // pure expressions: on the PINNED layout,
+    // `monotonically_increasing_id()` is (pid << 33) + local row index in
+    // partition iteration order — which after sortWithinPartitions IS the
+    // sort order — so g_rank = offset(pid) + (mid & (2³³−1)) + 1, with the
+    // exclusive offsets attached as a P-literal array indexed by
+    // pid = mid >> 33. No deserialization anywhere; same two jobs, same
+    // layout pin, identical ranks (OpProps: ≡ ntile().over(Window) twins).
+    val counts = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       // count in a Long, not Iterator.size (an Int): a >2³¹-row partition
       // — plausible at the 100 TB scale this op exists for — would wrap
-      // negative and silently corrupt every downstream prefix offset
+      // negative and silently corrupt every downstream prefix offset.
+      // INTERNAL rows (toRdd): one job, no shuffle, no row conversion.
       var c = 0L
       while (it.hasNext) { it.next(); c += 1 }
       Iterator.single(pid -> c)
-    }.collect().sortBy(_._1)
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
-    val bc = s.sparkContext.broadcast(offsets)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var rn = bc.value(pid)
-      it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
-    }
-    s.createDataFrame(rdd, StructType(sorted.schema.fields :+
-      StructField("g_rank", LongType, nullable = false)))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val offArr = array(counts.indices.map(p => lit(offsets(p))): _*)
+    // mid is assigned in its OWN projection: it is nondeterministic-tagged,
+    // so CollapseProject will not merge (and thereby duplicate) it into the
+    // g_rank projection — one evaluation per row, then pure arithmetic
+    sorted.withColumn("_mid", monotonically_increasing_id())
+      .withColumn("g_rank",
+        get(offArr, shiftright(col("_mid"), 33).cast("int")) +
+          col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("_mid")
   }
 
   /** ANSI ntile(buckets) bucket from a 1-based rank and the total row count

@@ -28,11 +28,31 @@ object ProbePhases {
     Tables.tune(spark)
     def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     println("[phases] query                          total_s  build_ms  anal_ms  opt_ms  phys_ms  exec_s  jobs")
+    // Bench's cross-query state reset (r07 protocol): without it, builder
+    // localCheckpoints pile up and late-listed queries probe against a
+    // polluted block manager.
+    def resetState(): Unit = {
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+          .foreach(spark.conf.unset)
+        System.gc()
+      } catch { case _: Throwable => }
+    }
     names.foreach { n =>
       Queries.byName.get(n).foreach { q =>
-        // warm: full run (codegen compile, datasource init)
-        try q.build(spark, d).queryExecution.toRdd.count()
-        catch { case e: Throwable => println(s"[phases] $n FAILED: $e"); return }
+        resetState()
+        // warm: full run (codegen compile, datasource init); a failing
+        // query is reported and SKIPPED (a `return` here would abort the
+        // whole sweep — it did, r14, when a concurrent recompile swapped
+        // class files under this JVM)
+        val warmed =
+          try { q.build(spark, d).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable => println(s"[phases] $n FAILED: $e"); false }
+        if (!warmed) ()
+        else {
         graft.JitQuiesce.await()
         // planning phases: fresh build each time; buildMs covers the query
         // fn itself (spark.read schema inference + DSL construction + any
@@ -65,6 +85,7 @@ object ProbePhases {
         })
         val jobs = (sc.statusTracker.getJobIdsForGroup(null).length - before) / 3.0
         println(f"[phases] $n%-32s ${totalS}%7.3f ${med(buildMs)}%9.1f ${med(analMs)}%8.1f ${med(optMs)}%7.1f ${med(physMs)}%8.1f ${totalS - (med(buildMs) + med(analMs) + med(optMs) + med(physMs)) / 1000.0}%7.3f ${jobs}%5.1f")
+        }
       }
     }
     spark.stop()
