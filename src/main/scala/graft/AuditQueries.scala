@@ -315,7 +315,7 @@ object AuditQueries {
   private def dqSkewReport(s: SparkSession, d: String): DataFrame = {
     def report(df: DataFrame, keyCol: String): DataFrame = {
       val counts = df.groupBy(col(keyCol).cast("long").as("k"))
-        .agg(count(lit(1)).as("c")).localCheckpoint()
+        .agg(count(lit(1)).as("c")).localCheckpoint(false)
       val stats = counts.agg(sum(col("c")).as("n_rows"),
         count(lit(1)).as("n_keys"), max(col("c")).as("max_cnt"),
         round(expr("percentile(c, 0.99)"), 4).as("p99_cnt"))

@@ -178,7 +178,7 @@ object ClusterQueries {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.types.DecimalType
     val e = fanOut(embeddings(s, d))
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
+      .select(col("vec_id"), col("embedding")).localCheckpoint(false)
     def contribs(xs: Seq[Double]): DataFrame = {
       val xCol = array(xs.map(lit): _*)
       val sCol = aggregate(
@@ -269,7 +269,7 @@ object ClusterQueries {
   private def sampleKcenter(s: SparkSession, d: String): DataFrame = {
     val KC = 5
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
       r.getAs[scala.collection.Seq[Float]]("embedding")
         .map(_.toDouble).toSeq

@@ -1086,7 +1086,7 @@ object CorpusQueries {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(array_join(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))), " ").as("s"), col("freq"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to rounds) {
       val t = split(col("s"), " ")
@@ -1104,7 +1104,7 @@ object CorpusQueries {
         replace(c, lit(" " + pr + " "), lit(" " + merged + " "))
       vocab = vocab
         .withColumn("s", trim(rep(rep(concat(lit(" "), col("s"), lit(" "))))))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     merges.toSeq.toDF("round", "pair", "cnt").orderBy("round")
   }
@@ -1178,7 +1178,7 @@ object CorpusQueries {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(array_join(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))), " ").as("s"), col("freq"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     for (_ <- 1 to rounds) {
       val t = split(col("s"), " ")
@@ -1194,7 +1194,7 @@ object CorpusQueries {
         replace(c, lit(" " + pr + " "), lit(" " + pr.replace(" ", "") + " "))
       vocab = vocab
         .withColumn("s", trim(rep(rep(concat(lit(" "), col("s"), lit(" "))))))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     merges.toSeq
   }

@@ -1277,7 +1277,7 @@ object EventQueries {
     // bucket-count-sized from here down to `carries`
     val tails = base.withColumn("rnd", row_number().over(wTail))
       .filter(col("rnd") <= 4).drop("rnd")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wType = Window.partitionBy("event_type").orderBy("tsu", "event_id")
     val served = tails.withColumn("serve_hi", lead("bucket", 4).over(wType))
     val targets = base

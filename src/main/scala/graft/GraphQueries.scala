@@ -64,15 +64,15 @@ object GraphQueries {
     * at real scale ranks live partitioned by node and the edge join
     * shuffles once per round — O(E) per iteration, never O(E²). */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = tradeEdges(s, d).localCheckpoint()
+    val edges = tradeEdges(s, d).localCheckpoint(false)
     val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
     // contribution structure is rank-independent: fraction = w / out_w
     val frac = edges.join(outW, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("out_w")).as("f"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = frac.select(col("src").as("node")).unionAll(
-      frac.select(col("dst"))).distinct().localCheckpoint()
+      frac.select(col("dst"))).distinct().localCheckpoint(false)
     val n = nodes.count()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to Rounds) {
@@ -83,7 +83,7 @@ object GraphQueries {
         .select(col("node"),
           round(lit(Teleport) / n +
             lit(Damping) * coalesce(col("mass"), lit(0.0)), 6).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks.join(nation(s, d), col("node") === col("n_nationkey"))
       .select(col("n_name"), col("r").as("rank"))
@@ -138,14 +138,14 @@ object GraphQueries {
     * converge to 0 instead of the uniform floor. */
   private def graphPpr(s: SparkSession, d: String): DataFrame = {
     val SourceNode = 0L
-    val edges = tradeEdges(s, d).localCheckpoint()
+    val edges = tradeEdges(s, d).localCheckpoint(false)
     val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
     val frac = edges.join(outW, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("out_w")).as("f"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = frac.select(col("src").as("node")).unionAll(
-      frac.select(col("dst"))).distinct().localCheckpoint()
+      frac.select(col("dst"))).distinct().localCheckpoint(false)
     val e = when(col("node") === SourceNode, lit(1.0d)).otherwise(lit(0.0d))
     var ranks = nodes.select(col("node"), e.as("r"))
     for (_ <- 1 to Rounds) {
@@ -156,7 +156,7 @@ object GraphQueries {
         .select(col("node"),
           round(lit(Teleport) * e +
             lit(Damping) * coalesce(col("mass"), lit(0.0)), 6).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks.join(nation(s, d), col("node") === col("n_nationkey"))
       .select(col("n_name"), col("r").as("ppr"))
@@ -214,8 +214,8 @@ object GraphQueries {
     val e0 = tradeEdges(s, d)
     val und = e0.select(col("src"), col("dst"))
       .unionAll(e0.select(col("dst"), col("src")))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
     def step(labels: DataFrame): DataFrame =
       labels.join(
           und.join(labels.withColumnRenamed("node", "dst")
@@ -224,7 +224,7 @@ object GraphQueries {
           Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     var labels = nodes.select(col("node"), col("node").as("comp"))
     for (_ <- 1 to Rounds) labels = step(labels)
     val last = step(labels)
@@ -289,8 +289,8 @@ object GraphQueries {
     val und = e0.select(col("src"), col("dst"), col("w"))
       .unionAll(e0.select(col("dst"), col("src"), col("w")))
       .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint(false)
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("tw").desc, col("lbl"))
@@ -301,7 +301,7 @@ object GraphQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels.join(nation(s, d), col("node") === col("n_nationkey"))
       .select(col("n_name"), col("lbl").cast("long").as("community"))
@@ -405,7 +405,7 @@ object GraphQueries {
     val und = tradeEdges(s, d).filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -686,9 +686,9 @@ object GraphQueries {
     * connectedComponents contract) so the scripted-CTE oracle replays the
     * identical schedule. Output = surviving nodes with their core degree. */
   private def kcore(s: SparkSession, d: String): DataFrame = {
-    val und = strongTieEdges(s, d).localCheckpoint()
+    val und = strongTieEdges(s, d).localCheckpoint(false)
     var live = und.select(col("u").as("node")).unionAll(und.select(col("v")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var lastCount = live.count()
     var converged = false
     for (_ <- 1 to KCoreRounds if !converged) {
@@ -697,7 +697,7 @@ object GraphQueries {
         .join(live.select(col("node").as("v")), "v")
       val deg = e.select(col("u").as("node")).unionAll(e.select(col("v")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      live = deg.filter(col("deg") >= KCore).select("node").localCheckpoint()
+      live = deg.filter(col("deg") >= KCore).select("node").localCheckpoint(false)
       val c = live.count()
       if (c == lastCount) converged = true
       lastCount = c
@@ -777,7 +777,7 @@ object GraphQueries {
     val und = e0.select(col("src"), col("dst"), col("w"))
       .unionAll(e0.select(col("dst"), col("src"), col("w")))
       .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
+      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint(false)
     boruvkaRounds(und, 2)
   }
 
@@ -794,7 +794,7 @@ object GraphQueries {
   private[graft] def boruvkaRounds(und: DataFrame, rounds: Int,
       mergeCap: Int = DriverMergeCap): DataFrame = {
     var comp = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("c")).localCheckpoint()
+      .select(col("node"), col("node").as("c")).localCheckpoint(false)
     val byPick = org.apache.spark.sql.expressions.Window
       .partitionBy("ca").orderBy(col("w"), col("cb"), col("src"), col("dst"))
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -806,7 +806,7 @@ object GraphQueries {
       val picks = tagged.withColumn("rn", row_number().over(byPick))
         .filter(col("rn") === 1)
         .select(col("ca"), col("cb"), col("src"), col("dst"), col("w"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // merge: synchronous min-label rounds on the pick-pair graph, run TO
       // CONVERGENCE with a loud cap (the kcore discipline). The oracle
       // replays 6 FIXED rounds — identical once the fixpoint lands within
@@ -851,11 +851,11 @@ object GraphQueries {
         comp.join(broadcast(moved.toDF("cid", "lbl")),
             col("c") === col("cid"), "left")
           .select(col("node"), coalesce(col("lbl"), col("c")).as("c"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       } else {
         val pp = picks.select(col("ca"), col("cb"))
           .unionAll(picks.select(col("cb").as("ca"), col("ca").as("cb")))
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(false)
         var lbl = comp.select(col("c")).distinct()
           .select(col("c").as("cid"), col("c").as("lbl"))
         var changed = true
@@ -869,7 +869,7 @@ object GraphQueries {
             .join(m.select(col("ca").as("cid"), col("nl")), Seq("cid"), "left")
             .select(col("cid"), col("lbl"),
               least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nl2"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           changed = joined.filter(col("nl2") < col("lbl")).limit(1).count() > 0
           lbl = joined.select(col("cid"), col("nl2").as("lbl"))
           rnds += 1
@@ -879,7 +879,7 @@ object GraphQueries {
             "(pick-forest diameter pathological) — merge with the " +
             "large/small-star CC operator (dedup_clusters) instead")
         comp.join(lbl.select(col("cid").as("c"), col("lbl")), "c")
-          .select(col("node"), col("lbl").as("c")).localCheckpoint()
+          .select(col("node"), col("lbl").as("c")).localCheckpoint(false)
       }
       // the after-merge component count is a one-row distinct aggregate on
       // the label column — broadcast-joined onto the picks, never collected
@@ -971,17 +971,17 @@ object GraphQueries {
       .select(col("src"), col("dst")).distinct()
       .unionAll(tradeEdges(s, d).filter(col("src") =!= col("dst"))
         .select(col("dst"), col("src")).distinct())
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var dist = und.select(col("src").as("s")).distinct()
       .select(col("s"), col("s").as("v"), lit(0L).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (r <- 1 to 4) {
       val frontier = dist.filter(col("d") === (r - 1))
         .join(und, col("v") === col("src"))
         .select(col("s"), col("dst").as("v")).distinct()
       val newly = frontier.join(dist.select("s", "v"), Seq("s", "v"),
         "left_anti").select(col("s"), col("v"), lit(r.toLong).as("d"))
-      dist = dist.unionAll(newly).localCheckpoint()
+      dist = dist.unionAll(newly).localCheckpoint(false)
     }
     dist.groupBy("s")
       .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("dist_sum"),
@@ -1057,10 +1057,10 @@ object GraphQueries {
     val und = e0.select(col("src"), col("dst"), col("w"))
       .unionAll(e0.select(col("dst"), col("src"), col("w")))
       .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint()
+      .groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint(false)
     val kdeg = und.groupBy(col("src").as("node")).agg(sum("w").as("k"))
-      .localCheckpoint()
-    val m2df = und.agg(sum("w").as("m2")).localCheckpoint()
+      .localCheckpoint(false)
+    val m2df = und.agg(sum("w").as("m2")).localCheckpoint(false)
     var comm = kdeg.select(col("node"), col("node").as("c"))
     val byGain = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("score").desc, col("cd"))
@@ -1085,7 +1085,7 @@ object GraphQueries {
         .withColumn("rn", row_number().over(byGain))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("cd").as("c"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     comm.join(nation(s, d), col("node") === col("n_nationkey"))
       .select(col("n_name"), col("c").cast("long").as("community"))
@@ -1161,7 +1161,7 @@ object GraphQueries {
       .distinct()
       .join(broadcast(reg.select(col("node").as("u"), col("region").as("ru"))), "u")
       .join(broadcast(reg.select(col("node").as("v"), col("region").as("rv"))), "v")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val m = und.count()
     val eC = und.filter(col("ru") === col("rv"))
       .groupBy(col("ru").as("region")).agg(count(lit(1)).as("e_c"))

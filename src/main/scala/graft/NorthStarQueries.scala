@@ -56,7 +56,7 @@ object NorthStarQueries {
     // 64-bit vote fold for both sides
     val sigs = fanOut(documents(s, d))
       .select(col("doc_id"), DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
@@ -86,7 +86,7 @@ object NorthStarQueries {
     val sigs = fanOut(documents(s, d))
       .select(col("doc_id"),
         DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(DedupOps.simhashComboKeys(col("sig"))).as("ck"))
     val a = keyed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("ck"))
@@ -118,13 +118,13 @@ object NorthStarQueries {
       .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
       .select(col("doc_id"),
         DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val close = famSigs.as("a")
       .join(famSigs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= 3)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val emitted = dedupSimhashAuto(s, d).select("doc_a", "doc_b")
     val nFam = famSigs.agg(count(lit(1)).as("n_family_docs"))
     val nClose = close.agg(count(lit(1)).as("n_close"))
@@ -145,13 +145,13 @@ object NorthStarQueries {
       .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
       .select(col("doc_id"),
         DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val close = famSigs.as("a")
       .join(famSigs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= 3)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val emitted = dedupSimhashScaled(s, d).select("doc_a", "doc_b")
     val nFam = famSigs.agg(count(lit(1)).as("n_family_docs"))
     val nClose = close.agg(count(lit(1)).as("n_close"))
@@ -202,7 +202,7 @@ object NorthStarQueries {
       .filter(regexp_like(col("text"), lit("\\bdup\\b")))
     val g = fam.select(col("doc_id"),
       array_distinct(graft.TrainDataQueries.gramsOf(col("text"), 3)).as("gs"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val exact = g.as("a")
       .join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -212,12 +212,12 @@ object NorthStarQueries {
       // 9·(ab−i)) — integer-exact, matching the oracle's form (r10)
       .filter(col("i") * 10 >= (col("ab") - col("i")) * 9)
       .select("doc_a", "doc_b")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val emitted = DedupOps
       .minhashPairs(fanOut(documents(s, d)), h = 32, bands = 8)
       .filter(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val gAll = documents(s, d).select(col("doc_id"),
       array_distinct(graft.TrainDataQueries.gramsOf(col("text"), 3)).as("gs"))
     val emittedTrueJ = emitted
@@ -263,13 +263,13 @@ object NorthStarQueries {
       .filter(regexp_like(col("text"), lit("\\bdup\\b"))))
       .select(col("doc_id"),
         DedupOps.simhash(DedupOps.tokens(col("text"))).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val close = famSigs.as("a")
       .join(famSigs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= 3)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val emitted = dedupSimhash(s, d).select("doc_a", "doc_b")
     val nFam = famSigs.agg(count(lit(1)).as("n_family_docs"))
     val nClose = close.agg(count(lit(1)).as("n_close"))
@@ -750,7 +750,7 @@ object NorthStarQueries {
     * against the brute-force result). */
   private def knnAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = VectorOps.lshTables(embeddings(s, d), planes = 4, tables = 4)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("table_id"), col("bucket"))
@@ -912,7 +912,7 @@ object NorthStarQueries {
   private def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
     val e = VectorOps.lshTables(
       embeddings(s, d).filter(col("vec_id") < 200), planes = 4, tables = 4)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("table_id"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -937,14 +937,14 @@ object NorthStarQueries {
     * sf1 — deterministic, so the readings are exact repeats). */
   private def dedupEmbeddingLshBound(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
+      .select(col("vec_id"), col("embedding")).localCheckpoint(false)
     val exact = e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= 0.3)
       .select("vec_a", "vec_b")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val emitted = dedupEmbeddingLsh(s, d).select("vec_a", "vec_b")
     val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
     val found = exact.join(emitted, Seq("vec_a", "vec_b"), "left_semi")

@@ -1173,7 +1173,7 @@ object RelationalQueries {
     // md5s per FACT row — scan-bound 14.0x at the 20x probe)
     def keyCounts(df: DataFrame, key: String): DataFrame =
       df.groupBy(col(key).as("k")).agg(count(lit(1)).as("kcnt"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     // ONE md5 per key: its 32 hex chars split into four disjoint 8-char
     // slices = four independent 32-bit hashes (row 1.10 of the md5 layout)
     // — 4x less hashing than salting the key per depth, same estimate
@@ -2005,7 +2005,7 @@ object RelationalQueries {
     import s.implicits._
     val sorted = rangeSortedPairs(s, d)
       .as[(Long, Int)]
-      .localCheckpoint()
+      .localCheckpoint(false)
     val counts = sorted.mapPartitions { it =>
       Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> it.size)
     }.collect().sortBy(_._1)
@@ -2518,7 +2518,7 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
       .agg(sum(rev).cast("double").as("total_rev"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val mx = revenue.agg(max(col("total_rev")).as("mx"))
     revenue
       .join(broadcast(mx), col("total_rev") === col("mx"))
@@ -2877,7 +2877,7 @@ object RelationalQueries {
       // bounded (18,4) keeps the *1000 cross-multiply inside DECIMAL
       // headroom on both engines; the cast is exact (scale-4 sums)
       .agg(sum(rev).cast("decimal(18,4)").as("pv_dec"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val total = perPart.agg(sum(col("pv_dec")).as("tv_dec"))
     perPart
       .join(broadcast(total))

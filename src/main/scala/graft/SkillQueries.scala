@@ -333,7 +333,7 @@ object SkillQueries {
     // exchange reuse doesn't fire (r08 driver context never confirmed it).
     val baskets = m.groupBy("doc_id")
       .agg(sort_array(collect_set(col("term"))).as("ts"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val items = baskets.select(explode(col("ts")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n_item"))
     // per-basket ordered pairs (t1 < t2 by the sorted array's order), built

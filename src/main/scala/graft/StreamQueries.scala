@@ -324,7 +324,7 @@ object StreamQueries {
     val bench = docs.filter(col("doc_id") % 53 === 0)
       .select(explode(array_distinct(
         graft.TrainDataQueries.gramsOf(col("text"), 5))).as("gram"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val bloom = graft.ops.BloomOps.build(bench, col("gram"), 1L << 16, 0.01)
     graft.streaming.StreamOps.decontamStreamBloom(
         docs.filter(col("doc_id") % 53 =!= 0), bloom, bench)

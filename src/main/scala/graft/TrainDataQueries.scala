@@ -112,7 +112,7 @@ object TrainDataQueries {
     // source scan behind it runs once, not once per consumer.
     val bench = benchDocs
       .select(explode(array_distinct(grams(5))).as("gram")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // filter builds as a scalar subquery INSIDE this query (one execution,
     // no driver round trip) — InjectRuntimeFilter's shape, placed by hand
     val gate = graft.ops.BloomOps.mightContainSubquery(
@@ -371,7 +371,7 @@ object TrainDataQueries {
     val phrases = filter(
       transform(split(array_join(marked, " "), "\\|"), p => trim(p)),
       p => p =!= "")
-    val occ = docs.select(explode(phrases).as("phrase")).localCheckpoint()
+    val occ = docs.select(explode(phrases).as("phrase")).localCheckpoint(false)
     val wordOcc = occ.select(col("phrase"),
         explode(split(col("phrase"), " ")).as("w"),
         size(split(col("phrase"), " ")).as("plen"))

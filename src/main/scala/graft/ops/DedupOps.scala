@@ -360,7 +360,7 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, maxDf: Long, minJaccard: Double): DataFrame = {
     // localCheckpoint: the index feeds df-count, both candidate sides, sizes
     // and both verify joins — without it each consumer re-tokenizes.
-    val toks = tokenSets(docs).localCheckpoint()
+    val toks = tokenSets(docs).localCheckpoint(false)
     jaccardVerify(toks, jaccardCandidates(toks, maxDf), minJaccard)
   }
 
@@ -664,8 +664,8 @@ object DedupOps {
     * Emits (doc_a = batch doc, doc_b = existing doc, jaccard). */
   def crossJaccardPairs(existing: DataFrame, batch: DataFrame,
       minJaccard: Double): DataFrame = {
-    val eToks = tokenSets(existing).localCheckpoint()
-    val bToks = tokenSets(batch).localCheckpoint()
+    val eToks = tokenSets(existing).localCheckpoint(false)
+    val bToks = tokenSets(batch).localCheckpoint(false)
     val cand = bToks.as("x")
       .join(eToks.as("y"), col("x.tok") === col("y.tok"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -761,7 +761,7 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(shingleHashes(col("sh")), h).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     sigs.select(col("doc_id"), col("sig"),
       explode(bandKeys(col("sig"), bands, rows)).as("bk"))
   }

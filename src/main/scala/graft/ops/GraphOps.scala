@@ -24,7 +24,7 @@ object GraphOps {
   def bfsHops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     val s = edges.sparkSession
     val adj = edges.select("src", "dst").filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var dist = s.range(1).select(lit(source).as("node"), lit(0).as("hops"))
     var h = 1
     var frontierAlive = true
@@ -34,7 +34,7 @@ object GraphOps {
         .select(col("dst").as("node"), lit(h).as("hops"))
       dist = dist.unionAll(next)
         .groupBy("node").agg(min("hops").as("hops"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // early exit once the frontier dies: a diameter-3 graph asked for
       // maxHops = 30 should not pay 27 empty join+agg+checkpoint rounds
       // (the checkpoint above already materialized dist, so this count

@@ -50,7 +50,7 @@ object OrderedOps {
     val sorted = prepared
       .repartitionByRange(partitions, col(keyCol))
       .sortWithinPartitions(keyCol)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // totals pass over INTERNAL rows (queryExecution.toRdd): one job, no
     // shuffle, no InternalRow→Row conversion — a groupBy(spark_partition_id)
     // agg was measured SLOWER than even the old .rdd pass here because it
@@ -113,7 +113,7 @@ object OrderedOps {
     val sorted = df
       .repartitionByRange(partitions, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // r14 (guide §1.2): both passes ran on `.rdd` — external-Row
     // deserialization plus a per-row `Row.fromSeq(r.toSeq :+ rn)` rebuild.
     // The counts pass now iterates INTERNAL rows (queryExecution.toRdd —
