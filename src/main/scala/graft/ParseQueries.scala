@@ -45,12 +45,24 @@ object ParseQueries {
           lit("-"), (h + 50).cast("string"), lit(","),
           lpad(q.cast("string"), 2, "0"), lit(" zł/h")))
       .otherwise(lit("Do negocjacji"))
-    val (mn, mx) = ParseOps.salaryParse(text)
-    // fanOut: the one-row-group testdata would otherwise run the whole
-    // regex chain in a single task (at real scale file splits parallelize)
-    fanOut(o.select(col("o_orderkey")))
-      .select(col("o_orderkey"), mn.as("salary_min"), mx.as("salary_max"))
-      .orderBy("o_orderkey")
+    // r15 (guide §8 "decide with small rows" + §4): sort FIRST on the bare
+    // key, parse ABOVE the exchange. The old shape (fanOut → parse →
+    // orderBy) paid the whole regex chain TWICE — the final orderBy's
+    // range exchange samples its child by executing it, so the sampling
+    // pass evaluated the full projection (ProbeStages: 7.8 s of executor
+    // CPU in the sample stage vs 10.8 s in the sort stage at 32c). An
+    // explicit repartitionByRange + sortWithinPartitions on the unique key
+    // produces the identical total order (range ownership + local sort),
+    // samples only the bare long column, AQE leaves the user-specified
+    // partition count alone (the parse stays cores-wide parallel above
+    // it — the fanOut job this replaces), and the staged parse
+    // (ParseOps.withSalaryParsed) evaluates each intermediate once per
+    // row instead of the 110-regexp_replace inlined tree.
+    val keyed = o.select(col("o_orderkey"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    ParseOps.withSalaryParsed(keyed, text, "salary_min", "salary_max")
+      .select("o_orderkey", "salary_min", "salary_max")
   }
 
   private val salaryParseSql =
@@ -263,14 +275,22 @@ object ParseQueries {
       lit("</h1><div data-test=\"text-earningAmount\">"),
       a.cast("string"), lit("–"), (a + 4000).cast("string"),
       lit(" zł</div></html>"))
-    // fanOut before the synthesize+parse chain (single-row-group testdata)
-    val page = fanOut(orders(s, d).select(col("o_orderkey")))
-      .select(col("o_orderkey"), html.as("html"))
-    val (mn, mx) = ParseOps.salaryParse(graft.ops.HtmlOps.earningAmount(col("html")))
-    page.select(col("o_orderkey"),
+    // r15: same restructure as salary_parse (see there) — sort first on the
+    // bare key so the range exchange samples a long column instead of
+    // re-running the synthesize+extract+parse chain, stage `html` as its
+    // own column (it feeds both the title extract and the salary parse —
+    // the old inlined form re-synthesized the page inside every regexp),
+    // and evaluate the salary parse staged (41 regexp_extract + 44
+    // regexp_replace nodes → ~8 per row, plans/r15/html_extract_before.txt).
+    val keyed = orders(s, d).select(col("o_orderkey"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .withColumn("html", html)
+    ParseOps.withSalaryParsed(keyed,
+        graft.ops.HtmlOps.earningAmount(col("html")), "salary_min", "salary_max")
+      .select(col("o_orderkey"),
         graft.ops.HtmlOps.positionName(col("html")).as("title"),
-        mn.as("salary_min"), mx.as("salary_max"))
-      .orderBy("o_orderkey")
+        col("salary_min"), col("salary_max"))
   }
 
   private val htmlExtractSql =

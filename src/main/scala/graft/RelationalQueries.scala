@@ -921,7 +921,11 @@ object RelationalQueries {
 
   /** A3 `agg_salary_stats`: the salary-dashboard multi-agg (README.md:10),
     * TPC-H Q1 shape. Partial (map-side) agg + final agg happen automatically;
-    * the only shuffle carries 6 groups. Decimal sums keep the hash stable. */
+    * the only shuffle carries 6 groups. Decimal sums keep the hash stable.
+    * (r15 examined: a projected fanOut to parallelize the decimal partial
+    * agg measured NEUTRAL — ProbeQ 1.30 med vs the 1.15 bench baseline; the
+    * round-robin exchange's serial write costs what the cores-wide agg
+    * saves at this size — declined, single-scan shape kept.) */
   private def aggSalaryStats(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
@@ -2007,9 +2011,15 @@ object RelationalQueries {
       .as[(Long, Int)]
       .localCheckpoint(false)
     val counts = sorted.mapPartitions { it =>
-      Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> it.size)
+      // count in a Long, not Iterator.size (an Int): a >2³¹-row partition —
+      // plausible at the 100 TB scale this two-pass recipe exists for —
+      // would wrap negative and silently corrupt every downstream offset
+      // (the OrderedOps.globalRank counts pass guards the same hazard).
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> c)
     }.collect().sortBy(_._1)
-    val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val bc = s.sparkContext.broadcast(offsets)
     sorted.mapPartitions { it =>
       var rn = bc.value(org.apache.spark.TaskContext.getPartitionId())

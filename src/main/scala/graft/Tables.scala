@@ -19,27 +19,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Footer-schema cache, keyed by file path (r14, guide §6/§1.2): the
-    * schemas are fixed by the generator, but `spark.read.parquet` re-infers
-    * them from the footer on EVERY call — measured 90-100 ms per table
-    * reference at build time vs 13 ms with an explicit schema
-    * (tools/ProbeRead.scala), paid once per table per timed rep across all
-    * 346 bench queries. This caches METADATA only (a StructType — the exact
-    * thing a catalog/metastore holds for a production table; no data, no
-    * results): every invocation still scans and computes from the parquet.
-    * Keyed by full path so different sf dirs (and regenerated fixtures at
-    * new paths) never collide; inference still runs once per path, so a
-    * fixture with a different footer (e.g. the events ts encodings) still
-    * dispatches correctly. */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  /** Resolved-relation cache (r15, extending the r14 footer-schema cache;
+    * guide §6/§1.2): `spark.read.parquet` re-infers the footer schema
+    * (90-100 ms) AND re-resolves the DataSource — file listing, relation
+    * and Dataset construction, analysis — on every call (~13 ms even with
+    * an explicit schema; tools/ProbeRead.scala), paid per table reference
+    * per timed rep across all 346 bench queries. A production table is
+    * resolved ONCE in a catalog and referenced by name; this cache is that
+    * catalog behavior for the path-based testdata: it holds the analyzed
+    * DataFrame (a logical plan — METADATA; no data, no results), so every
+    * invocation still scans and computes from the parquet. Keyed by
+    * (session, path, file mtime, file size): different sf dirs never
+    * collide, a regenerated fixture at the same path invalidates via
+    * mtime/size (the r14 ADVICE staleness item), and a new SparkSession
+    * never sees another session's plans. Self-joins of the same cached
+    * object are the documented `df.as("a").join(df.as("b"))` shape —
+    * DeduplicateRelations re-ids one side (and no call site uses the
+    * ambiguous `df1(col) === df2(col)` form; grepped r15). */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Long), DataFrame]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      _ => spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    val f = new java.io.File(path)
+    relationCache.computeIfAbsent((spark, path, f.lastModified, f.length),
+      _ => {
+        val schema = spark.read.parquet(path).schema
+        spark.read.schema(schema).parquet(path)
+      })
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

@@ -141,11 +141,13 @@ object DedupOps {
   def simhashNearDupPairs(docs: DataFrame,
       comboCutover: Long = 1L << 17): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
-    val sigs = docs
+    val sigsWide = docs
       .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
       .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
     val n = obs.get("n").asInstanceOf[Long]
+    // post-checkpoint passes at corpus-sized parallelism (see corpusTasks)
+    val sigs = sigsWide.coalesce(corpusTasks(sigsWide, n))
     val keyed =
       if (n <= comboCutover)
         sigs.select(col("doc_id"), col("sig"),
@@ -303,6 +305,26 @@ object DedupOps {
         col("cluster_id").cast(idType).as("cluster_id"))
   }
 
+  /** Partition count for the post-checkpoint passes over a corpus-keyed
+    * set (r15, guide §2 "scale-adaptive partitioning, derived from input
+    * size"): the checkpointed token/signature sets inherit the fanOut
+    * width (defaultParallelism), so EVERY downstream map pass — df-count,
+    * ranking window input, sizes, both verify-join sides — ran cores-wide
+    * regardless of corpus size. At sf0.1 the containment family is 250
+    * docs / 13k token rows, and 32 concurrent ~nothing tasks per stage
+    * measured SLOWER than 8 (PERF_r14 scaling ratio 0.30; ProbeStages:
+    * stage run-time 113 ms at 8 tasks → 13,612 ms at 32 — scheduler/lock
+    * overhead, not compute). The corpus size is already OBSERVED in the
+    * checkpoint job, so the fix is free: coalesce (narrow, no shuffle;
+    * the checkpoint blocks are already materialized cores-wide) to
+    * ~1k docs per task, capped at defaultParallelism — at 2^17+ docs
+    * (the suffix-dispatch regime) this is exactly the old cores-wide
+    * behavior, so the SF1.md ledger economics are unchanged. */
+  private def corpusTasks(df: DataFrame, nDocs: Long): Int = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism.toLong
+    math.min(cores, nDocs / 1024L + 1L).toInt
+  }
+
   /** Distinct (doc_id, tok) rows — the inverted-index building block.
     * array_distinct before explode: set semantics with no post-explode
     * distinct shuffle. Contract: input text is whitespace-normalized (no
@@ -409,12 +431,19 @@ object DedupOps {
     // per rep at sf0.1). The doc-row count differs from distinct-doc_id
     // only for empty-token docs; the dispatch is a SPEED decision between
     // two forms proven output-identical (OpProps), so the cheaper count is
-    // safe at any boundary.
+    // safe at any boundary. PRECONDITION (r14 ADVICE): the dispatch's cost
+    // model was tuned on one-row-per-doc corpora — duplicate doc_id rows
+    // would inflate the observed count and flip the dispatch early; output
+    // is unaffected either way, but keep inputs one-row-per-doc (all
+    // current callers are) if the tuned threshold is to mean what the
+    // SF1.md ledger measured.
     val obs = org.apache.spark.sql.Observation()
-    val toks = tokenSets(docs.observe(obs, count(lit(1)).as("n_docs")))
+    val toksWide = tokenSets(docs.observe(obs, count(lit(1)).as("n_docs")))
       .localCheckpoint()
-    val suffix = suffixFilter.getOrElse(containmentSuffixByDefault(
-      obs.get("n_docs").asInstanceOf[Long]))
+    val nDocs = obs.get("n_docs").asInstanceOf[Long]
+    val suffix = suffixFilter.getOrElse(containmentSuffixByDefault(nDocs))
+    // post-checkpoint passes at corpus-sized parallelism (see corpusTasks)
+    val toks = toksWide.coalesce(corpusTasks(toksWide, nDocs))
     containmentCandidates(toks, suffix)
       .join(toks.select(col("doc_id").as("src_doc"), col("tok")), "src_doc")
       .join(toks.select(col("doc_id").as("dst_doc"), col("tok")), Seq("dst_doc", "tok"))
@@ -538,10 +567,12 @@ object DedupOps {
     require(minJaccard == 0.8, "prefix size is specialized to t = 4/5")
     // corpus size observed in the checkpoint job — see [[containmentPairs]]
     val obs = org.apache.spark.sql.Observation()
-    val toks = tokenSets(docs.observe(obs, count(lit(1)).as("n_docs")))
+    val toksWide = tokenSets(docs.observe(obs, count(lit(1)).as("n_docs")))
       .localCheckpoint()
-    val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(
-      obs.get("n_docs").asInstanceOf[Long]))
+    val nDocs = obs.get("n_docs").asInstanceOf[Long]
+    val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(nDocs))
+    // post-checkpoint passes at corpus-sized parallelism (see corpusTasks)
+    val toks = toksWide.coalesce(corpusTasks(toksWide, nDocs))
     jaccardVerify(toks, prefixCandidates(toks, suffix), minJaccard)
   }
 
@@ -695,13 +726,16 @@ object DedupOps {
     // the same assumption the verify's union-side sizes already make
     val (obsE, obsB) =
       (org.apache.spark.sql.Observation(), org.apache.spark.sql.Observation())
-    val eToks = tokenSets(existing.observe(obsE, count(lit(1)).as("n_docs")))
+    val eToksWide = tokenSets(existing.observe(obsE, count(lit(1)).as("n_docs")))
       .localCheckpoint()
-    val bToks = tokenSets(batch.observe(obsB, count(lit(1)).as("n_docs")))
+    val bToksWide = tokenSets(batch.observe(obsB, count(lit(1)).as("n_docs")))
       .localCheckpoint()
-    val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(
-      obsE.get("n_docs").asInstanceOf[Long] +
-        obsB.get("n_docs").asInstanceOf[Long]))
+    val (nE, nB) = (obsE.get("n_docs").asInstanceOf[Long],
+      obsB.get("n_docs").asInstanceOf[Long])
+    val suffix = suffixFilter.getOrElse(prefixSuffixByDefault(nE + nB))
+    // post-checkpoint passes at corpus-sized parallelism (see corpusTasks)
+    val eToks = eToksWide.coalesce(corpusTasks(eToksWide, nE))
+    val bToks = bToksWide.coalesce(corpusTasks(bToksWide, nB))
     // one shared order + per-doc sizes over the union (doc ids are disjoint
     // across the two sides by the op's contract — same assumption the
     // verify's union-side sizes already make)

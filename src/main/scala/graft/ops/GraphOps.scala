@@ -36,9 +36,12 @@ object GraphOps {
         .groupBy("node").agg(min("hops").as("hops"))
         .localCheckpoint(false)
       // early exit once the frontier dies: a diameter-3 graph asked for
-      // maxHops = 30 should not pay 27 empty join+agg+checkpoint rounds
-      // (the checkpoint above already materialized dist, so this count
-      // reads cached blocks)
+      // maxHops = 30 should not pay 27 empty join+agg+checkpoint rounds.
+      // The checkpoint above is LAZY (r14 sweep), so this count is the
+      // materializing action; if its limit(1) stops short of computing
+      // every partition, Spark's LocalRDDCheckpointData.doCheckpoint runs
+      // a fill-in job over the missing partitions at job end, so the next
+      // round always reads fully-cached blocks, never lineage.
       frontierAlive = dist.filter(col("hops") === h).limit(1).count() > 0
       h += 1
     }

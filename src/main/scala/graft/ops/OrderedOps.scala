@@ -34,12 +34,14 @@ object OrderedOps {
     * r14 (guide §1.2 "per-task work"): both passes used `.rdd`, which
     * deserializes every row to external GenericRows and rebuilds them via
     * `Row.fromSeq(r.toSeq ++ ...)` — per-row allocations on both sides,
-    * bypassing codegen. Now the totals pass is one codegen hash-agg on
-    * `spark_partition_id()` (valid on the PINNED layout; P rows collected),
-    * and the running-sum pass is a typed `mapPartitions` over tuple
-    * encoders (Tungsten ser/de, specialized k = 1 and 2 — all callers) with
-    * the generic Row path kept as the any-k fallback. Same two jobs, same
-    * layout pin, identical output. */
+    * bypassing codegen. Now the totals pass iterates INTERNAL rows
+    * (`queryExecution.toRdd.mapPartitionsWithIndex` — same shuffle-free
+    * job, zero conversion; a `groupBy(spark_partition_id())` hash-agg was
+    * measured SLOWER because it adds an exchange + AQE stage for P metadata
+    * rows — see the inline note), and the running-sum pass is a typed
+    * `mapPartitions` over tuple encoders (Tungsten ser/de, specialized
+    * k = 1 and 2 — all callers) with the generic Row path kept as the
+    * any-k fallback. Same two jobs, same layout pin, identical output. */
   def cumSumsByKey(df: DataFrame, keyCol: String, valCols: Seq[String],
       partitions: Int = 32): DataFrame = {
     val s = df.sparkSession
@@ -134,6 +136,16 @@ object OrderedOps {
       while (it.hasNext) { it.next(); c += 1 }
       Iterator.single(pid -> c)
     }.collect().sortBy(_._1).map(_._2)
+    // The mid decomposition below keeps only 33 low bits of local row index
+    // (monotonically_increasing_id's record field): a partition holding more
+    // than 2³³ rows would silently overflow into the partition-id bits and
+    // corrupt (or null, via out-of-bounds get()) every rank after it — the
+    // same silent-corruption class the Long counter above exists to prevent.
+    // Counts are already on the driver, so the guard is free; the fix for a
+    // tripped guard is more `partitions`, which the caller controls.
+    require(counts.forall(_ <= (1L << 33)),
+      s"globalRank: a partition exceeds 2^33 rows (max ${counts.max}); " +
+        "raise `partitions` so the mid-based numbering stays exact")
     val offsets = counts.scanLeft(0L)(_ + _)
     val offArr = array(counts.indices.map(p => lit(offsets(p))): _*)
     // mid is assigned in its OWN projection: it is nondeterministic-tagged,

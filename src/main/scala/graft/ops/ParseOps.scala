@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's parse layer (its densest real logic) re-expressed as pure
@@ -29,6 +29,46 @@ object ParseOps {
     }
     (toMonthly(when(lo =!= "", lo).otherwise(single)),
       toMonthly(when(hi =!= "", hi).otherwise(single)))
+  }
+
+  /** [[salaryParse]] STAGED for once-per-row evaluation (r15, guide §4 +
+    * §1.2 "per-task work"). Calling `salaryParse(text)` inlines `text` and
+    * every parse intermediate into both output expression trees at DSL
+    * build time: `salary_parse`'s physical Project carried 110
+    * regexp_replace + 18 regexp_extract + 66 format_number NODES for what
+    * is logically ~7 regex calls per row (plans/r15/salary_parse_before
+    * .txt), and codegen subexpression elimination cannot rescue copies
+    * living in different CASE branches. Staging each intermediate as its
+    * own column in its own Project keeps them separate (CollapseProject
+    * never inlines a multi-referenced non-cheap producer), so whole-stage
+    * codegen evaluates each exactly once per row. Same expressions, same
+    * values — shared instead of copied; appends `minName`/`maxName` int
+    * columns. */
+  def withSalaryParsed(df: DataFrame, text: Column,
+      minName: String, maxName: String): DataFrame = {
+    val num = "(\\d+(?:[.,]\\d+)?)"
+    val staged = df
+      .withColumn("_sp_cleaned", regexp_replace(text, " |&nbsp;|\\s", ""))
+      .withColumn("_sp_kept",
+        regexp_replace(col("_sp_cleaned"), "[^0-9,.–-]", ""))
+      .withColumn("_sp_hourly", col("_sp_cleaned").contains("zł/h") ||
+        col("_sp_cleaned").contains("zł/godz"))
+      .withColumn("_sp_lo", regexp_extract(col("_sp_kept"), s"^$num[–-]$num$$", 1))
+      .withColumn("_sp_hi", regexp_extract(col("_sp_kept"), s"^$num[–-]$num$$", 2))
+      .withColumn("_sp_single", regexp_extract(col("_sp_kept"), s"^$num$$", 1))
+    def toMonthly(sCol: Column): Column = {
+      val v = regexp_replace(sCol, ",", ".").cast("double")
+      when(sCol === "", lit(null).cast("int"))
+        .otherwise(when(col("_sp_hourly"), floor(v * 160))
+          .otherwise(floor(v)).cast("int"))
+    }
+    staged
+      .withColumn(minName, toMonthly(
+        when(col("_sp_lo") =!= "", col("_sp_lo")).otherwise(col("_sp_single"))))
+      .withColumn(maxName, toMonthly(
+        when(col("_sp_hi") =!= "", col("_sp_hi")).otherwise(col("_sp_single"))))
+      .drop("_sp_cleaned", "_sp_kept", "_sp_hourly",
+        "_sp_lo", "_sp_hi", "_sp_single")
   }
 
   /** F3 years-of-experience: first standalone digit 1–5, else null
